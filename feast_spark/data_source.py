@@ -1,0 +1,170 @@
+"""Physical source descriptors.
+
+Mirrors the reference's DataSource hierarchy (sdk/python/feast/
+data_source.py:221-547): the four universal knobs are
+event_timestamp_column / created_timestamp_column / field_mapping /
+date_partition_column.  On Spark, a batch source resolves to
+``spark.read.<format>(path)`` or ``spark.sql(query)`` plus a rename map;
+a stream source resolves to ``spark.readStream``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class DataSource:
+    event_timestamp_column: str = ""
+    created_timestamp_column: str = ""
+    field_mapping: dict[str, str] = field(default_factory=dict)
+    date_partition_column: str = ""
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+    def apply_field_mapping(self, df: DataFrame) -> DataFrame:
+        """P1 — forward rename of source columns (provider.py:251-260)."""
+        if not self.field_mapping:
+            return df
+        return df.withColumnsRenamed(self.field_mapping)
+
+    # -- serialization -------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "kind": type(self).__name__,
+            "event_timestamp_column": self.event_timestamp_column,
+            "created_timestamp_column": self.created_timestamp_column,
+            "field_mapping": self.field_mapping,
+            "date_partition_column": self.date_partition_column,
+        }
+
+    @staticmethod
+    def from_dict(d: dict) -> "DataSource":
+        kind = d.get("kind", "FileSource")
+        cls = {
+            "FileSource": FileSource,
+            "SparkSqlSource": SparkSqlSource,
+            "KafkaSource": KafkaSource,
+            "KinesisSource": KinesisSource,
+        }[kind]
+        d = {k: v for k, v in d.items() if k != "kind"}
+        return cls(**d)
+
+
+@dataclass
+class FileSource(DataSource):
+    """S1 — file scan (reference FileSource, file.py:286-393).
+
+    ``path`` may be a single file, a directory, or a glob; ``file_format``
+    one of parquet/csv/json/orc.  At scale, write sources partitioned by
+    ``date_partition_column`` so Catalyst partition-prunes time filters.
+    """
+
+    path: str = ""
+    file_format: str = "parquet"
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        reader = spark.read
+        if self.file_format == "parquet":
+            df = reader.parquet(self.path)
+        elif self.file_format == "csv":
+            df = reader.option("header", "true").option("inferSchema", "true").csv(self.path)
+        elif self.file_format == "json":
+            df = reader.json(self.path)
+        elif self.file_format == "orc":
+            df = reader.orc(self.path)
+        else:
+            raise ValueError(f"unsupported file format: {self.file_format}")
+        return self.apply_field_mapping(df)
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        d.update({"path": self.path, "file_format": self.file_format})
+        return d
+
+
+@dataclass
+class SparkSqlSource(DataSource):
+    """S2 — table or arbitrary SQL subquery as a source
+    (reference get_table_query_string, bigquery.py:794-799)."""
+
+    table: str = ""
+    query: str = ""
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        if self.query:
+            df = spark.sql(self.query)
+        elif self.table:
+            df = spark.table(self.table)
+        else:
+            raise ValueError("SparkSqlSource needs table or query")
+        return self.apply_field_mapping(df)
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        d.update({"table": self.table, "query": self.query})
+        return d
+
+
+@dataclass
+class KafkaSource(DataSource):
+    """S3 — declared Kafka stream source (data_source.py:380-462).
+
+    ``message_format``: 'json' | 'avro' | 'proto'.  Resolves to
+    ``spark.readStream.format("kafka")``; payload parsing happens in
+    feast_spark.streaming.ingest.
+    """
+
+    bootstrap_servers: str = ""
+    topic: str = ""
+    message_format: str = "json"
+    schema_json: str = ""  # JSON-serialized Spark schema for the payload
+
+    def load_stream(self, spark: SparkSession) -> DataFrame:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", self.bootstrap_servers)
+            .option("subscribe", self.topic)
+            .load()
+        )
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError("KafkaSource is stream-only; use load_stream")
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        d.update(
+            {
+                "bootstrap_servers": self.bootstrap_servers,
+                "topic": self.topic,
+                "message_format": self.message_format,
+                "schema_json": self.schema_json,
+            }
+        )
+        return d
+
+
+@dataclass
+class KinesisSource(DataSource):
+    """S4 — declared Kinesis stream source (data_source.py:465-547)."""
+
+    region: str = ""
+    stream_name: str = ""
+    record_format: str = "json"
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError("KinesisSource is stream-only")
+
+    def to_dict(self) -> dict:
+        d = super().to_dict()
+        d.update(
+            {
+                "region": self.region,
+                "stream_name": self.stream_name,
+                "record_format": self.record_format,
+            }
+        )
+        return d

@@ -1,0 +1,289 @@
+"""FeatureStore facade — the user-facing API surface.
+
+Mirrors sdk/python/feast/feature_store.py: apply / get_historical_features /
+materialize / materialize_incremental / get_online_features, with Spark
+DataFrames replacing pandas in the execution path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.data_source import DataSource
+from feast_spark.entity import Entity
+from feast_spark.errors import (
+    EntityDFMissingColumnsError,
+    FeatureNameCollisionError,
+    FeatureViewNotFoundError,
+)
+from feast_spark.feature_view import FeatureService, FeatureView
+from feast_spark.inference import (
+    infer_event_timestamp_column,
+    update_entities_with_inferred_types,
+    update_view_with_inferred_features,
+)
+from feast_spark.online.store import OnlineStore
+from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+from feast_spark.operators.dedup import latest_per_key
+from feast_spark.registry import Registry
+
+
+@dataclass
+class RepoConfig:
+    project: str = "default"
+    registry_path: str = "registry.json"
+    online_store_path: str = "online_store"
+    asof_strategy: str = "union_window"
+
+
+class RetrievalJob:
+    """Lazy handle over a historical query (offline_store.py:27-38);
+    Spark DataFrames are already lazy, so this is a thin adapter."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def to_spark_df(self) -> DataFrame:
+        return self._df
+
+    def to_df(self):
+        """pandas sink (S7) — API edge only."""
+        return self._df.toPandas()
+
+    def to_arrow(self):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self._df.toPandas())
+
+    def to_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).parquet(path)
+
+    def to_table(self, name: str, mode: str = "overwrite") -> None:
+        self._df.write.mode(mode).saveAsTable(name)
+
+    def to_temp_view(self, name: str) -> None:
+        self._df.createOrReplaceTempView(name)
+
+
+class FeatureStore:
+    def __init__(self, spark: SparkSession, config: RepoConfig | None = None):
+        self.spark = spark
+        self.config = config or RepoConfig()
+        self.registry = Registry(self.config.registry_path)
+        self.online_store = OnlineStore(self.config.online_store_path)
+
+    # -- apply (M1) ----------------------------------------------------
+    def apply(self, objects: list[Entity | FeatureView | FeatureService]) -> None:
+        entities = [o for o in objects if isinstance(o, Entity)]
+        views = [o for o in objects if isinstance(o, FeatureView)]
+        services = [o for o in objects if isinstance(o, FeatureService)]
+        # inference pass (repo_operations.py:140-147)
+        for view in views:
+            if view.batch_source is not None:
+                src_df = view.batch_source.load(self.spark)
+                view_entities = [
+                    e for e in entities if e.name in view.entities
+                ] or [
+                    self.registry.get_entity(n)
+                    for n in view.entities
+                    if n in self.registry.entities
+                ]
+                update_entities_with_inferred_types(view_entities, src_df)
+                join_keys = [e.join_key for e in view_entities] or list(view.entities)
+                update_view_with_inferred_features(view, src_df, join_keys)
+        for e in entities:
+            self.registry.apply_entity(e)
+        for v in views:
+            self.registry.apply_feature_view(v)
+        for s in services:
+            self.registry.apply_feature_service(s)
+        self.registry.commit()
+
+    # -- historical retrieval (the query path, §3.2) -------------------
+    def _group_feature_refs(
+        self, features: list[str] | FeatureService
+    ) -> list[tuple[FeatureView, list[str]]]:
+        """Group 'view:feature' refs by view (feature_store.py:660-681)."""
+        if isinstance(features, FeatureService):
+            refs = features.feature_refs
+        else:
+            refs = list(features)
+        by_view: dict[str, list[str]] = {}
+        for ref in refs:
+            if ":" not in ref:
+                raise ValueError(f"feature ref {ref!r} must be 'view:feature'")
+            view_name, feat = ref.split(":", 1)
+            by_view.setdefault(view_name, []).append(feat)
+        out = []
+        for view_name, feats in by_view.items():
+            view = self.registry.get_feature_view(view_name)
+            missing = set(feats) - set(view.feature_names)
+            if missing:
+                raise FeatureViewNotFoundError(
+                    f"{view_name} has no features {sorted(missing)}"
+                )
+            out.append((view, feats))
+        return out
+
+    def _join_keys_for_view(self, view: FeatureView) -> list[str]:
+        keys = []
+        for entity_name in view.entities:
+            if entity_name in self.registry.entities:
+                keys.append(self.registry.get_entity(entity_name).join_key)
+            else:
+                keys.append(entity_name)  # entity name == join key shorthand
+        return keys
+
+    def get_historical_features(
+        self,
+        entity_df,
+        features: list[str] | FeatureService,
+        full_feature_names: bool = False,
+    ) -> RetrievalJob:
+        """Point-in-time retrieval (feature_store.py:276-341).
+
+        ``entity_df``: Spark DataFrame, pandas DataFrame, or SQL string
+        (S6 — the reference uploads it to a temp table; here a temp view
+        / createDataFrame).
+        """
+        if isinstance(entity_df, str):
+            entity_sdf = self.spark.sql(entity_df)
+        elif isinstance(entity_df, DataFrame):
+            entity_sdf = entity_df
+        else:  # pandas
+            entity_sdf = self.spark.createDataFrame(entity_df)
+
+        entity_ts_col = infer_event_timestamp_column(entity_sdf)
+        grouped = self._group_feature_refs(features)
+
+        # collision validation (feature_store.py:636-657)
+        out_names: list[str] = []
+        for view, feats in grouped:
+            for f in feats:
+                out_names.append(f"{view.name}__{f}" if full_feature_names else f)
+        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+        if dupes:
+            raise FeatureNameCollisionError(dupes)
+
+        specs = []
+        for view, feats in grouped:
+            join_keys = self._join_keys_for_view(view)
+            missing = [k for k in join_keys if k not in entity_sdf.columns]
+            if missing:
+                raise EntityDFMissingColumnsError(
+                    expected=join_keys + [entity_ts_col], missing=missing
+                )
+            src = view.batch_source
+            if src is None:
+                raise ValueError(f"view {view.name!r} has no batch source")
+            fdf = src.load(self.spark)
+            ts_col = infer_event_timestamp_column(fdf, src.event_timestamp_column)
+            specs.append(
+                AsOfJoinSpec(
+                    feature_df=fdf,
+                    join_keys=join_keys,
+                    timestamp_col=ts_col,
+                    features=feats,
+                    created_col=src.created_timestamp_column or None,
+                    ttl=view.ttl,
+                    prefix=view.name if full_feature_names else None,
+                )
+            )
+        result = as_of_join(
+            entity_sdf, entity_ts_col, specs, strategy=self.config.asof_strategy
+        )
+        return RetrievalJob(result)
+
+    # -- materialization (§2.2) ----------------------------------------
+    def _pull_latest(
+        self, view: FeatureView, start: datetime, end: datetime
+    ) -> tuple[DataFrame, list[str], str, str | None]:
+        src = view.batch_source
+        if src is None:
+            raise ValueError(f"view {view.name!r} has no batch source")
+        fdf = src.load(self.spark)
+        ts_col = infer_event_timestamp_column(fdf, src.event_timestamp_column)
+        join_keys = self._join_keys_for_view(view)
+        created = src.created_timestamp_column or None
+        latest = latest_per_key(
+            fdf, join_keys, ts_col, created_col=created, start=start, end=end
+        )
+        return latest, join_keys, ts_col, created
+
+    def materialize(
+        self,
+        start: datetime,
+        end: datetime,
+        feature_views: list[str] | None = None,
+    ) -> None:
+        """A1 over half-open [start, end) -> online upsert (S8), then
+        record the interval (M2)."""
+        views = (
+            [self.registry.get_feature_view(n) for n in feature_views]
+            if feature_views
+            else [v for v in self.registry.list_feature_views() if v.online]
+        )
+        for view in views:
+            latest, join_keys, ts_col, created = self._pull_latest(view, start, end)
+            self.online_store.online_write_batch(
+                self.spark,
+                self.config.project,
+                view.name,
+                latest,
+                join_keys,
+                ts_col,
+                created,
+                view.feature_names,
+            )
+            self.registry.apply_materialization(view.name, start, end)
+        self.registry.commit()
+
+    def materialize_incremental(
+        self, end: datetime, feature_views: list[str] | None = None
+    ) -> None:
+        """Resume from most_recent_end_time, else now - ttl (else epoch)
+        (feature_store.py:343-423)."""
+        views = (
+            [self.registry.get_feature_view(n) for n in feature_views]
+            if feature_views
+            else [v for v in self.registry.list_feature_views() if v.online]
+        )
+        for view in views:
+            start = view.most_recent_end_time
+            if start is None:
+                start = (
+                    end - view.ttl if view.ttl is not None else datetime(1970, 1, 1)
+                )
+            self.materialize(start, end, [view.name])
+
+    # -- online serving ------------------------------------------------
+    def get_online_features(
+        self, features: list[str] | FeatureService, entity_rows: list[dict]
+    ) -> dict:
+        """Multiget with per-feature PRESENT/NOT_FOUND statuses
+        (feature_store.py:504-617, ServingService FieldStatus)."""
+        grouped = self._group_feature_refs(features)
+        req = self.spark.createDataFrame(entity_rows)  # small request batch
+        req = req.withColumn("__req_id", F.monotonically_increasing_id())
+        base = {c: [r[c] for r in entity_rows] for c in entity_rows[0].keys()}
+        result: dict[str, list] = dict(base)
+        statuses: dict[str, list[str]] = {}
+        for view, feats in grouped:
+            join_keys = self._join_keys_for_view(view)
+            got = self.online_store.online_read(
+                self.spark, self.config.project, view.name, req, join_keys, feats
+            )
+            rows = {r["__req_id"]: r for r in got.collect()}
+            ordered = [rows[i] for i in sorted(rows.keys())]
+            for f in feats:
+                result[f] = [r[f] if r["__found"] else None for r in ordered]
+                statuses[f] = [
+                    "PRESENT" if (r["__found"] and r[f] is not None) else "NOT_FOUND"
+                    for r in ordered
+                ]
+        result["__statuses"] = statuses
+        return result

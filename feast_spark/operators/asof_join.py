@@ -1,0 +1,216 @@
+"""J1 — point-in-time (as-of) join: the core temporal operator.
+
+Semantics (SURVEY §2.1, pinned to the reference's contract at
+infra/offline_stores/file.py:86-213 and bigquery.py:554-698):
+
+For entity row (k, t) and feature view V with ttl τ:
+  1. candidates = rows of V with V.keys = k and event_ts in [t-τ, t]
+     (τ absent => unbounded lower).  Both bounds INCLUSIVE.
+  2. winner = max event_ts; ties broken by max created_ts when declared;
+     residual ties arbitrary (ANY_VALUE, bigquery.py:650).
+  3. no candidate => feature columns NULL (left join); every entity row
+     appears exactly once with all original columns preserved.
+
+Two physical strategies, chosen by ``strategy``:
+
+* ``union_window`` (default — the 100 TB scale path): tag and union the
+  entity rows with the (projected) feature rows, hash-partition ONCE by
+  entity key, sort within partitions by (ts, side, created), and carry
+  the latest feature row forward with ``last(struct, ignoreNulls)``.
+  Exactly one shuffle of each side, no range-join row explosion on hot
+  keys, created_ts dedup folded into the same sort.  This is the
+  sort-merge formulation of pandas' merge_asof, distributed.
+
+* ``range_join``: classic range join + ROW_NUMBER (the reference's
+  BigQuery formulation).  With a small feature table Spark broadcasts
+  it and the entity side never shuffles at all — preferable when the
+  feature side fits in a broadcast.  O(n·m) per hot key otherwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import timedelta
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"  # 0 = feature row, 1 = entity row (sorts after at equal ts)
+_STRUCT = "__asof_feat"
+_CREATED = "__asof_created"
+_ROW_ID = "__entity_row_id"
+
+
+@dataclass
+class AsOfJoinSpec:
+    """One feature view's contribution to a retrieval (the Spark analog of
+    the reference's FeatureViewQueryContext, bigquery.py:344-357)."""
+
+    feature_df: DataFrame
+    join_keys: list[str]
+    timestamp_col: str
+    features: list[str]
+    created_col: str | None = None
+    ttl: timedelta | None = None
+    prefix: str | None = None  # e.g. view name under full_feature_names
+    # entity_df column name -> feature_df column name, when they differ
+    # (entity selections, bigquery.py:565-568)
+    key_mapping: dict[str, str] = field(default_factory=dict)
+
+    def out_name(self, feature: str) -> str:
+        return f"{self.prefix}__{feature}" if self.prefix else feature
+
+
+def as_of_join(
+    entity_df: DataFrame,
+    entity_ts_col: str,
+    specs: list[AsOfJoinSpec],
+    strategy: str = "union_window",
+) -> DataFrame:
+    """J2 — compose one or more as-of joins onto entity_df.
+
+    Each spec is applied in order; the entity frame grows by each view's
+    feature columns.  Output preserves every entity_df column (entity ts
+    column first, P5) plus ``spec.out_name(f)`` for each feature.
+    """
+    out = entity_df
+    for spec in specs:
+        if strategy == "union_window":
+            out = _asof_union_window(out, entity_ts_col, spec)
+        elif strategy == "range_join":
+            out = _asof_range_join(out, entity_ts_col, spec)
+        else:
+            raise ValueError(f"unknown as-of join strategy: {strategy}")
+    # P5 — entity timestamp column first
+    cols = [entity_ts_col] + [c for c in out.columns if c != entity_ts_col]
+    return out.select(*cols)
+
+
+def _projected_feature_df(
+    spec: AsOfJoinSpec, entity_df: DataFrame, entity_ts_col: str
+) -> DataFrame:
+    """Column-prune the feature side to keys + ts [+ created] + features
+    (FO:185, BQ:591-597), rename keys to the entity side's names, and
+    cast keys/ts to the entity side's types so union/join line up."""
+    fdf = spec.feature_df
+    ts_type = entity_df.schema[entity_ts_col].dataType
+    sel = []
+    for ek in spec.join_keys:
+        fk = spec.key_mapping.get(ek, ek)
+        sel.append(F.col(fk).cast(entity_df.schema[ek].dataType).alias(ek))
+    sel.append(F.col(spec.timestamp_col).cast(ts_type).alias(_TS))
+    if spec.created_col:
+        sel.append(F.col(spec.created_col).alias(_CREATED))
+    sel.extend(F.col(f) for f in spec.features)
+    return fdf.select(*sel)
+
+
+def _asof_union_window(
+    entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
+) -> DataFrame:
+    keys = list(spec.join_keys)
+    feat = _projected_feature_df(spec, entity_df, entity_ts_col)
+
+    # Feature rows: a struct carries (event_ts + values); the struct
+    # itself is non-null whenever a feature row exists, so per-row NULL
+    # feature values survive (a naive per-column last(ignoreNulls) would
+    # wrongly skip back to an older non-null value).
+    struct_fields = [F.col(_TS).alias("__ts")] + [F.col(f) for f in spec.features]
+    feat_tagged = feat.select(
+        *keys,
+        F.col(_TS),
+        (
+            F.col(_CREATED)
+            if spec.created_col
+            else F.lit(None).cast("timestamp").alias(_CREATED)
+        ),
+        F.lit(0).alias(_SIDE),
+        F.struct(*struct_fields).alias(_STRUCT),
+    )
+    struct_type = feat_tagged.schema[_STRUCT].dataType
+    created_type = feat_tagged.schema[_CREATED].dataType
+
+    entity_cols = entity_df.columns
+    ent_tagged = entity_df.select(
+        *entity_cols,
+        F.col(entity_ts_col).alias(_TS),
+        F.lit(None).cast(created_type).alias(_CREATED),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(struct_type).alias(_STRUCT),
+    )
+    # Feature rows carry NULL for the entity payload columns.
+    passthrough = set(keys) | {_TS, _CREATED, _SIDE, _STRUCT}
+    feat_full = feat_tagged.select(
+        *[
+            F.col(c)
+            if c in passthrough
+            else F.lit(None).cast(entity_df.schema[c].dataType).alias(c)
+            for c in ent_tagged.columns
+        ]
+    )
+    unioned = feat_full.unionByName(ent_tagged)
+
+    # ONE shuffle: hash-partition by entity key; sort (ts, side, created)
+    # inside each partition.  At equal ts, features (side=0) sort before
+    # the entity row => inclusive upper bound; among equal (key, ts)
+    # feature rows, created ASC puts max created last => last() picks it
+    # (A2 dedup folded into the same sort, zero extra shuffle).
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_CREATED).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__carried", F.last(_STRUCT, ignorenulls=True).over(w))
+
+    result = carried.filter(F.col(_SIDE) == 1)
+    valid: Column = F.col("__carried").isNotNull()
+    if spec.ttl is not None:
+        ttl_secs = spec.ttl.total_seconds()
+        valid = valid & (
+            F.col("__carried.__ts")
+            >= F.col(_TS) - F.expr(f"INTERVAL {ttl_secs} SECONDS")
+        )
+    proj = [F.col(c) for c in entity_cols]
+    proj += [
+        F.when(valid, F.col(f"__carried.{f}")).alias(spec.out_name(f))
+        for f in spec.features
+    ]
+    return result.select(*proj)
+
+
+def _asof_range_join(
+    entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
+) -> DataFrame:
+    keys = list(spec.join_keys)
+    feat = _projected_feature_df(spec, entity_df, entity_ts_col)
+    # Rename to avoid collisions with entity columns during the join
+    feat = feat.select(
+        *[F.col(k).alias(f"__fk_{k}") for k in keys],
+        F.col(_TS),
+        *(
+            [F.col(_CREATED)]
+            if spec.created_col
+            else [F.lit(None).cast("timestamp").alias(_CREATED)]
+        ),
+        *[F.col(f).alias(f"__fv_{f}") for f in spec.features],
+    )
+
+    ent = entity_df.withColumn(_ROW_ID, F.monotonically_increasing_id())
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"__fk_{k}") == F.col(k))
+    cond = cond & (F.col(_TS) <= F.col(entity_ts_col))
+    if spec.ttl is not None:
+        ttl_secs = spec.ttl.total_seconds()
+        cond = cond & (
+            F.col(_TS) >= F.col(entity_ts_col) - F.expr(f"INTERVAL {ttl_secs} SECONDS")
+        )
+    joined = ent.join(feat, cond, "left")
+    w = Window.partitionBy(_ROW_ID).orderBy(
+        F.col(_TS).desc_nulls_last(), F.col(_CREATED).desc_nulls_last()
+    )
+    ranked = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+    proj = [F.col(c) for c in entity_df.columns]
+    proj += [F.col(f"__fv_{f}").alias(spec.out_name(f)) for f in spec.features]
+    return ranked.select(*proj)

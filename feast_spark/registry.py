@@ -1,0 +1,119 @@
+"""File-backed registry of declared objects.
+
+The reference persists a protobuf registry file on local/GCS/S3 with a
+cache TTL (sdk/python/feast/registry.py:39-77,444-611).  Here: one JSON
+file, atomic replace on commit, entities + feature views + services +
+materialization intervals (M1/M2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from datetime import datetime
+
+from feast_spark.entity import Entity
+from feast_spark.errors import EntityNotFoundError, FeatureViewNotFoundError
+from feast_spark.feature_view import FeatureService, FeatureView
+
+
+class Registry:
+    def __init__(self, path: str):
+        self.path = path
+        self.entities: dict[str, Entity] = {}
+        self.feature_views: dict[str, FeatureView] = {}
+        self.feature_services: dict[str, FeatureService] = {}
+        if os.path.exists(path):
+            self._load()
+
+    # -- apply / reconcile (M1, repo_operations.py:114-240) ------------
+    def apply_entity(self, entity: Entity) -> None:
+        self.entities[entity.name] = entity
+
+    def apply_feature_view(self, view: FeatureView) -> None:
+        existing = self.feature_views.get(view.name)
+        if existing is not None and not view.materialization_intervals:
+            # keep bookkeeping across re-applies
+            view.materialization_intervals = existing.materialization_intervals
+        self.feature_views[view.name] = view
+
+    def apply_feature_service(self, service: FeatureService) -> None:
+        self.feature_services[service.name] = service
+
+    def delete_entity(self, name: str) -> None:
+        if name not in self.entities:
+            raise EntityNotFoundError(name)
+        del self.entities[name]
+
+    def delete_feature_view(self, name: str) -> None:
+        if name not in self.feature_views:
+            raise FeatureViewNotFoundError(name)
+        del self.feature_views[name]
+
+    # -- getters -------------------------------------------------------
+    def get_entity(self, name: str) -> Entity:
+        if name not in self.entities:
+            raise EntityNotFoundError(name)
+        return self.entities[name]
+
+    def get_feature_view(self, name: str) -> FeatureView:
+        if name not in self.feature_views:
+            raise FeatureViewNotFoundError(name)
+        return self.feature_views[name]
+
+    def get_feature_service(self, name: str) -> FeatureService:
+        return self.feature_services[name]
+
+    def list_entities(self) -> list[Entity]:
+        return list(self.entities.values())
+
+    def list_feature_views(self) -> list[FeatureView]:
+        return list(self.feature_views.values())
+
+    # -- materialization intervals (M2, registry.py:215-258) -----------
+    def apply_materialization(
+        self, view_name: str, start: datetime, end: datetime
+    ) -> None:
+        view = self.get_feature_view(view_name)
+        view.materialization_intervals.append((start, end))
+
+    # -- persistence ---------------------------------------------------
+    def commit(self) -> None:
+        """Single atomic write (registry.py:390-393,473-501)."""
+        payload = {
+            "entities": [e.to_dict() for e in self.entities.values()],
+            "feature_views": [v.to_dict() for v in self.feature_views.values()],
+            "feature_services": [s.to_dict() for s in self.feature_services.values()],
+        }
+        d = os.path.dirname(os.path.abspath(self.path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".registry.tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f, indent=1)
+            os.replace(tmp, self.path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def _load(self) -> None:
+        with open(self.path) as f:
+            payload = json.load(f)
+        self.entities = {
+            e["name"]: Entity.from_dict(e) for e in payload.get("entities", [])
+        }
+        self.feature_views = {
+            v["name"]: FeatureView.from_dict(v)
+            for v in payload.get("feature_views", [])
+        }
+        # services need views resolved
+        self.feature_services = {}
+        for s in payload.get("feature_services", []):
+            projections = [
+                self.feature_views[p["view"]].with_projection(p["features"])
+                for p in s.get("projections", [])
+            ]
+            self.feature_services[s["name"]] = FeatureService(
+                name=s["name"], features=projections, tags=s.get("tags", {})
+            )

@@ -1,0 +1,73 @@
+"""Loader for the driver's synthetic testdata (TESTDATA.md).
+
+The ``events`` table carries parquet INT64 TIMESTAMP(NANOS) which Spark
+rejects by default (PARQUET_TYPE_ILLEGAL).  We flip
+``spark.sql.legacy.parquet.nanosAsLong`` and rebuild a microsecond
+TimestampNTZ column with integer division (``div 1000`` — exact on
+longs; a double round-trip would lose precision), matching DuckDB's
+truncating CAST(ts_ns AS TIMESTAMP) so differential oracles line up.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _ns_timestamp_columns(path: str) -> list[str]:
+    try:
+        schema = pq.read_schema(_a_parquet_file(path))
+    except Exception:
+        return []
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def _a_parquet_file(path: str) -> str:
+    if os.path.isfile(path):
+        return path
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                return os.path.join(root, f)
+    return path
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with ns-timestamp repair.
+
+    Rebuilt columns are TIMESTAMP_NTZ wall-clock UTC (session tz pinned
+    while converting) so results are timezone-independent and match the
+    other tables, which Spark already reads as NTZ."""
+    ns_cols = _ns_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(
+            c, F.timestamp_micros(F.expr(f"`{c}` div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for name in TABLES:
+        p = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

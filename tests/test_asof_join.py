@@ -1,0 +1,184 @@
+"""Golden-model tests for the point-in-time join (the pattern of the
+reference's tests/test_historical_retrieval.py: run the engine, compare
+to an independent oracle)."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+from tests.conftest import SF_MED
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module", params=["union_window", "range_join"])
+def strategy(request):
+    return request.param
+
+
+def _handwritten_frames(spark):
+    entity = spark.createDataFrame(
+        [
+            Row(driver_id=1, event_timestamp=ts("2021-04-12 10:59:42")),
+            Row(driver_id=2, event_timestamp=ts("2021-04-12 08:12:10")),
+            Row(driver_id=3, event_timestamp=ts("2021-04-12 16:40:26")),
+            Row(driver_id=4, event_timestamp=ts("2021-04-12 15:01:12")),
+        ]
+    )
+    feats = spark.createDataFrame(
+        [
+            # driver 1: two rows before, winner = 10:00
+            Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+                created=ts("2021-04-12 09:00:00"), conv_rate=0.1),
+            Row(driver_id=1, datetime=ts("2021-04-12 10:00:00"),
+                created=ts("2021-04-12 10:00:00"), conv_rate=0.2),
+            # driver 1: row after entity ts — must be ignored
+            Row(driver_id=1, datetime=ts("2021-04-12 11:00:00"),
+                created=ts("2021-04-12 11:00:00"), conv_rate=0.9),
+            # driver 2: only row is outside 2h ttl
+            Row(driver_id=2, datetime=ts("2021-04-12 05:00:00"),
+                created=ts("2021-04-12 05:00:00"), conv_rate=0.3),
+            # driver 3: duplicate (key, ts) with different created —
+            # max created wins (A2)
+            Row(driver_id=3, datetime=ts("2021-04-12 16:00:00"),
+                created=ts("2021-04-12 16:00:00"), conv_rate=0.4),
+            Row(driver_id=3, datetime=ts("2021-04-12 16:00:00"),
+                created=ts("2021-04-12 17:00:00"), conv_rate=0.5),
+            # driver 4: feature exactly at entity ts — inclusive bound
+            Row(driver_id=4, datetime=ts("2021-04-12 15:01:12"),
+                created=ts("2021-04-12 15:01:12"), conv_rate=0.6),
+        ]
+    )
+    return entity, feats
+
+
+def test_asof_semantics_handwritten(spark, strategy):
+    entity, feats = _handwritten_frames(spark)
+    out = as_of_join(
+        entity,
+        "event_timestamp",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["driver_id"],
+                timestamp_col="datetime",
+                features=["conv_rate"],
+                created_col="created",
+                ttl=timedelta(hours=2),
+            )
+        ],
+        strategy=strategy,
+    )
+    got = {r["driver_id"]: r["conv_rate"] for r in out.collect()}
+    assert got == {1: 0.2, 2: None, 3: 0.5, 4: 0.6}
+    # entity ts column moved first (P5)
+    assert out.columns[0] == "event_timestamp"
+    assert out.count() == 4
+
+
+def test_asof_no_ttl_unbounded(spark, strategy):
+    entity, feats = _handwritten_frames(spark)
+    out = as_of_join(
+        entity,
+        "event_timestamp",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["driver_id"],
+                timestamp_col="datetime",
+                features=["conv_rate"],
+                created_col="created",
+                ttl=None,
+            )
+        ],
+        strategy=strategy,
+    )
+    got = {r["driver_id"]: r["conv_rate"] for r in out.collect()}
+    # driver 2's 05:00 row now within (unbounded) range
+    assert got == {1: 0.2, 2: 0.3, 3: 0.5, 4: 0.6}
+
+
+def test_asof_prefix_and_null_feature_value(spark, strategy):
+    # A NULL feature value in the winning row must be returned as NULL,
+    # not replaced by an older non-null row (struct-carry semantics).
+    entity = spark.createDataFrame(
+        [Row(k=1, event_timestamp=ts("2021-01-01 12:00:00"))]
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(k=1, etts=ts("2021-01-01 10:00:00"), v=1.0),
+            Row(k=1, etts=ts("2021-01-01 11:00:00"), v=None),
+        ]
+    )
+    out = as_of_join(
+        entity,
+        "event_timestamp",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["k"],
+                timestamp_col="etts",
+                features=["v"],
+                prefix="view1",
+            )
+        ],
+        strategy=strategy,
+    )
+    rows = out.collect()
+    assert rows[0]["view1__v"] is None
+    assert "view1__v" in out.columns
+
+
+def test_asof_vs_duckdb_oracle(spark, duck, strategy):
+    """Differential test on driver testdata at sf0.01: purchases as the
+    entity frame, views as the feature frame."""
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    entity = events.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    feats = events.filter("event_type = 'view'").select(
+        "user_id", "ts", "value"
+    )
+    out = as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["user_id"],
+                timestamp_col="ts",
+                features=["value"],
+                ttl=timedelta(days=2),
+            )
+        ],
+        strategy=strategy,
+    )
+    got = {r["event_id"]: r["value"] for r in out.collect()}
+
+    oracle = duck.execute(
+        """
+        WITH entity AS (
+          SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ), feat AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+        ), ranked AS (
+          SELECT e.event_id, f.value, f.ts AS fts,
+                 ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
+          FROM entity e
+          LEFT JOIN feat f
+            ON e.user_id = f.user_id
+           AND f.ts <= e.ts
+           AND f.ts >= e.ts - INTERVAL 2 DAY
+        )
+        SELECT event_id, CASE WHEN fts IS NULL THEN NULL ELSE value END AS value
+        FROM ranked WHERE rn = 1
+        """
+    ).fetchall()
+    want = {eid: v for eid, v in oracle}
+    assert got == want
