@@ -158,6 +158,113 @@ def q_field_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("customer_id", "balance", "c_mktsegment")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep min doc_id per normalized-text fingerprint."""
+    from feast_spark.operators.docdedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id", "lang", "n_chars")
+
+
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups: fingerprint, multiplicity, surviving id."""
+    from feast_spark.operators.docdedup import exact_dup_groups
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (inverted shingle index)."""
+    from feast_spark.operators.docdedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified (scale path;
+    xxhash64 signatures are Spark-specific => rows-only driver check;
+    recall vs the exact operator is pytest-asserted)."""
+    from feast_spark.operators.docdedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    from feast_spark.operators.docdedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id<5."""
+    from feast_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, round_digits=None
+    )
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; rows-only — recall pytest-asserted)."""
+    from feast_spark.operators.similarity import lsh_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + composite score per document."""
+    from feast_spark.functions.text import quality_features, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars_q"),
+        feats["n_tokens"].cast("long").alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID (deterministic argmax)."""
+    from feast_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feast_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from feast_spark.functions.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -172,8 +279,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key_created": q_latest_per_key_created,
         "time_range_filter": q_time_range_filter,
         "field_mapping": q_field_mapping,
+        "dedup_exact": q_dedup_exact,
+        "dedup_groups": q_dedup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_dedup": q_minhash_lsh_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh": q_ann_lsh,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
     }
 
+
+# Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
+_NORM_TEXT = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_MD5 = f"md5({_NORM_TEXT})"
+_SW_EN = "'the','a','and','of','to','in','is','it'"
+_SW_ES = "'el','la','de','que','y','en','los','se'"
+_SW_DE = "'der','die','und','das','ist','von','mit','den'"
+_SW_FR = "'le','la','de','et','les','des','un','une'"
 
 # All oracle timestamps are CAST to µs-precision TIMESTAMP up front so the
 # comparison domain matches Spark's (which truncates the parquet ns column).
@@ -263,5 +389,135 @@ WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
         "field_mapping": """
 SELECT c_custkey AS customer_id, c_acctbal AS balance, c_mktsegment
 FROM customer
+""",
+        "dedup_exact": f"""
+WITH fp AS (
+  SELECT doc_id, lang, n_chars, {_NORM_MD5} AS f FROM documents
+)
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) rn
+  FROM fp
+) WHERE rn = 1
+""",
+        "dedup_groups": f"""
+SELECT {_NORM_MD5} AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+""",
+        "ngram_jaccard_pairs": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), sizes AS (
+  SELECT doc_id AS doc, len(shingles) AS n_sh FROM sh
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh
+), capped AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS freq FROM post
+  ) WHERE freq <= 1000
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common / (na.n_sh + nb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc = id_a
+JOIN sizes nb ON nb.doc = id_b
+WHERE common / (na.n_sh + nb.n_sh - common) >= 0.5
+""",
+        "ann_topk_cosine": """
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), q AS (
+  SELECT * FROM ac WHERE vec_id < 5
+), pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.e, c.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(q.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cos
+  FROM q, ac c
+  WHERE c.vec_id <> q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+""",
+        "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars_q,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+           AS punct
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars_q,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN list_sum(list_transform(toks, s -> length(s))) / len(toks)
+              ELSE 0.0 END AS mean_token_len,
+         CASE WHEN n_chars_q > 0 THEN punct / n_chars_q ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, s -> s IN ({_SW_EN}))) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / len(toks)
+              ELSE 0.0 END AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_chars_q, n_tokens, mean_token_len, punct_ratio,
+       stopword_ratio, distinct_ratio,
+       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+         * 0.25
+       + stopword_ratio * 0.25
+       + distinct_ratio * 0.25
+       + (1.0 - punct_ratio) * 0.25 AS quality_score
+FROM f
+""",
+        "lang_id": f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_EN}))) / len(toks) ELSE 0.0 END AS s_en,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_ES}))) / len(toks) ELSE 0.0 END AS s_es,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_DE}))) / len(toks) ELSE 0.0 END AS s_de,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_FR}))) / len(toks) ELSE 0.0 END AS s_fr
+  FROM t
+)
+SELECT doc_id, CASE
+  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+  WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+  WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr THEN 'de'
+  ELSE 'fr' END AS lang_pred
+FROM s
+""",
+        "token_count": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, {_NORM_MD5} AS fp FROM documents
 """,
     }

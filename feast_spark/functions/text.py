@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen friendly) — no Python UDFs in the hot path, so they
+scan at parquet speed on a 1000-executor cluster.
+
+Each operator has an exact ANSI-SQL mirror (see __spark_entry__.oracle_sql)
+so the driver's DuckDB gate can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Public, widely-known function-word lists (top closed-class words per
+# language). Used for both the quality stopword-ratio and language ID.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+}
+#: deterministic tie-break order for argmax
+LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty/blank text => empty array."""
+    return F.when(
+        F.length(F.trim(text)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(text), r"\s+"))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword / distinctness signals
+    (the standard pre-training quality heuristics)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    distinct_ratio = F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "mean_token_len": mean_tok_len,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "distinct_ratio": distinct_ratio,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1]-ish score: rewards stopword presence and lexical
+    variety, penalizes extreme lengths — the shape of the usual C4/Gopher
+    filters, deterministic and SQL-mirrorable."""
+    f = quality_features(text)
+    length_ok = (
+        F.when((f["n_tokens"] >= 10) & (f["n_tokens"] <= 100000), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        length_ok * 0.25
+        + f["stopword_ratio"] * 0.25
+        + f["distinct_ratio"] * 0.25
+        + (1.0 - f["punct_ratio"]) * 0.25
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    out = {}
+    for lang in LANG_PRIORITY:
+        words = STOPWORDS[lang]
+        cnt = F.size(F.filter(toks, lambda t: t.isin(words)))
+        out[lang] = F.when(n_tok > 0, cnt / n_tok).otherwise(F.lit(0.0))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-ratio argmax with deterministic priority order."""
+    scores = lang_scores(text)
+    expr = F.lit(LANG_PRIORITY[-1])
+    # build reversed cascade: earlier languages win ties
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        cond = F.lit(True)
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            # >= for languages later in priority, > for earlier
+            if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang):
+                cond = cond & (scores[lang] >= scores[other])
+            else:
+                cond = cond & (scores[lang] > scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase + collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Document fingerprint: md5 over the normalized text (same hex in
+    every engine — DuckDB md5() matches, enabling exact dedup oracles)."""
+    return F.md5(normalize_text(text))

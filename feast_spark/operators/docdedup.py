@@ -1,0 +1,326 @@
+"""Document deduplication for training-data pipelines.
+
+Four families, all DataFrame-native:
+
+* exact dedup        — md5 fingerprint groupBy (one shuffle on the hash)
+* n-gram Jaccard     — exact near-dup pairs via shingle inverted index
+                       (explode -> self-join on shingle -> agg).  The
+                       *exact* formulation; quadratic only within a
+                       shingle's posting list, with a frequency cap to
+                       bound hot shingles (standard trick).
+* MinHash + LSH      — the 100 TB scale path: fixed-size signature per
+                       doc (H xxhash64 min-hashes), banded into buckets;
+                       candidate pairs only form inside a bucket.  One
+                       shuffle on (band, bucket-hash).  Candidates are
+                       then verified with exact Jaccard.
+* SimHash            — 64-bit sign-sum fingerprint; near-dups = small
+                       Hamming distance.  Bit arithmetic stays JVM-side.
+
+Everything is built-ins (split/transform/filter/aggregate/xxhash64) —
+no Python UDFs, so Tungsten codegen applies end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_spark.functions.text import fingerprint_md5, normalize_text, tokens
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep one representative per identical (normalized) text: the
+    min/max id wins.  One shuffle on the 16-byte fingerprint, not the
+    full text — at 100 TB the shuffle payload is the id + hash only."""
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    fp = df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
+    w = Window.partitionBy("__fp").orderBy(order)
+    return (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_dups, min_id) for every text occurring >1 times."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-grams of the normalized text, as an array column."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    shingle_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    # guard: fewer than n tokens -> single shingle of the whole text
+    short = F.size(toks) < n
+    return df.withColumn(
+        out_col,
+        F.when(short, F.array(F.concat_ws(" ", toks))).otherwise(shingle_expr),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard pairs (inverted index)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs (id_a < id_b).
+
+    Plan: explode (id, shingle) distinct -> drop shingles occurring in
+    more than ``max_shingle_freq`` docs (they generate quadratic join
+    fan-out and carry no discriminative signal) -> self-join on shingle
+    -> count common -> jaccard = common / (|A| + |B| - common).
+    Shuffles: one on shingle (the join), one on the pair (the agg).
+    """
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sh = sh.select(
+        F.col(id_col).alias("doc"), F.size("shingles").alias("n_sh"), "shingles"
+    )
+    sizes = sh.select("doc", "n_sh")
+    posting = sh.select("doc", F.explode("shingles").alias("shingle"))
+    freq_w = Window.partitionBy("shingle")
+    posting = (
+        posting.withColumn("__freq", F.count(F.lit(1)).over(freq_w))
+        .filter(F.col("__freq") <= max_shingle_freq)
+        .drop("__freq")
+    )
+    a = posting.select(F.col("doc").alias("id_a"), "shingle")
+    b = posting.select(F.col("doc").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_sh": "na"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_sh": "nb"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (scale path)
+# ---------------------------------------------------------------------------
+
+def with_minhash(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    num_hashes: int = 32,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """H min-hashes per doc: min over shingles of xxhash64(shingle, seed).
+    Fixed-size signature; computed in one pass over the shingle array
+    (transform + array_min), no shuffle."""
+    def hash_with_seed(seed: int):
+        # NB: the lambda must take exactly ONE arg — PySpark passes the
+        # element index as a second arg to two-parameter HOF lambdas.
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col(shingles_col), hash_with_seed(seed)))
+            for seed in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Candidate near-dup pairs via banding: docs sharing any band of
+    rows_per_band consecutive min-hashes collide.  One shuffle on
+    (band, band_hash); pair fan-out bounded by bucket sizes."""
+    rows_per_band = num_hashes // bands
+    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    mh = with_minhash(sh, num_hashes=num_hashes).select(
+        F.col(id_col).alias("doc"), "minhash"
+    )
+    banded = mh.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("minhash", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard over the candidate set
+    only (join back the shingle arrays; intersection via array ops —
+    no quadratic all-pairs stage anywhere)."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
+        F.col(id_col).alias("doc"), "shingles"
+    )
+    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
+    joined = (
+        cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"doc": "id_b", "shingles": "sh_b"}), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash", n: int = 3
+) -> DataFrame:
+    """64-bit SimHash over distinct word n-gram shingles: bit i of the
+    fingerprint is the sign of sum over shingles of (+1 if bit i of
+    xxhash64(shingle) else -1).  Shingles (not unigrams) keep the
+    feature space large enough that only genuinely similar documents
+    collide.  Expressed as 64 vectorized bit-tests over one hash array."""
+    df = with_shingles(df, text_col, n, out_col="__sh_tmp")
+    hashes = F.transform(F.col("__sh_tmp"), lambda t: F.xxhash64(t))
+    df = df.withColumn("__hashes", hashes).drop("__sh_tmp")
+    n_tok = F.size("__hashes")
+
+    def bit_test(mask: int):
+        # single-arg lambda (see hash_with_seed note)
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    bit_cols = []
+    for i in range(64):
+        # two's-complement literal mask (bit 63 is the sign bit of a long)
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        ones = F.size(F.filter(F.col("__hashes"), bit_test(mask)))
+        # majority of tokens set the bit (ties -> 0)
+        bit = F.when(ones * 2 > n_tok, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bit_cols.append(bit)
+    fp = bit_cols[0]
+    for b in bit_cols[1:]:
+        fp = fp.bitwiseOR(b)
+    return df.withColumn(out_col, fp).drop("__hashes")
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the four
+    16-bit quadrants (pigeonhole: distance <= 3 => at least one of 4
+    quadrants matches exactly), so candidate formation is an equi-join,
+    not a cross-join."""
+    sh = with_simhash(df.select(id_col, text_col), text_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    quads = sh.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("quad"),
+                        F.shiftrightunsigned("simhash", 16 * q)
+                        .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                        .alias("qval"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc", "simhash", "qq.quad", "qq.qval")
+    a = quads.select(
+        F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a"), "quad", "qval"
+    )
+    b = quads.select(
+        F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b"), "quad", "qval"
+    )
+    return (
+        a.join(b, ["quad", "qval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,121 @@
+"""Dedup operator tests: handwritten cases + recall of the approximate
+(LSH) paths against the exact Jaccard operator on driver testdata."""
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark.operators.docdedup import (
+    exact_dedup,
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    simhash_pairs,
+    with_shingles,
+)
+from tests.conftest import SF_MED
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="Hello  World"),
+            Row(id=2, text="hello world"),   # same after normalization
+            Row(id=3, text="HELLO\tWORLD "),  # same after normalization
+            Row(id=4, text="different text"),
+        ]
+    )
+    kept = exact_dedup(df, "id", "text")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 4]
+    groups = exact_dup_groups(df, "id", "text").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 3
+    assert groups[0]["keep_id"] == 1
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([Row(id=1, text="one two"), Row(id=2, text="a b c d")])
+    sh = {r["id"]: r["shingles"] for r in with_shingles(df, "text", 3).collect()}
+    assert sh[1] == ["one two"]          # shorter than n => whole text
+    assert sh[2] == ["a b c", "b c d"]
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="w1 w2 w3 w4 w5 w6"),
+            Row(id=2, text="w1 w2 w3 w4 w5 w6"),     # identical -> jaccard 1.0
+            Row(id=3, text="x1 x2 x3 x4 x5 x6"),     # disjoint
+        ]
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             jaccard_pairs(df, "id", "text", n=3, threshold=0.1).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH+verify must find every exact pair (verification step makes
+    precision 1.0; banding with 32 hashes / 8 bands gives high recall at
+    jaccard >= 0.5)."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert approx.issubset(exact)  # verified candidates can't be false
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.9, f"LSH recall {recall} below 0.9 ({len(approx)}/{len(exact)})"
+
+
+def test_simhash_fingerprint_locality(spark):
+    """A 1-of-80-token edit moves the fingerprint a few bits; unrelated
+    text moves it far.  (Pair search below only guarantees recall for
+    hamming <= 3 via quadrant blocking.)"""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.docdedup import hamming64, with_simhash
+
+    words = [f"word{i}" for i in range(80)]
+    base = " ".join(words)
+    variant = base.replace("word40", "changed", 1)
+    other = " ".join(f"thing{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [Row(id=1, text=base), Row(id=2, text=variant), Row(id=3, text=other)]
+    )
+    sim = {r["id"]: r["simhash"] for r in with_simhash(df, "text").collect()}
+    near = bin((sim[1] ^ sim[2]) & (2**64 - 1)).count("1")
+    far = bin((sim[1] ^ sim[3]) & (2**64 - 1)).count("1")
+    assert near <= 10
+    assert far >= 20
+
+
+def test_simhash_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="u v w x y z " * 10),
+            Row(id=2, text="u v w x y z " * 10),
+            Row(id=3, text="completely different content here " * 8),
+        ]
+    )
+    pairs = simhash_pairs(df, "id", "text", max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got == {(1, 2): 0}
+
+
+def test_lsh_candidates_include_identical(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="p q r s t u v w x y z " * 4),
+            Row(id=2, text="p q r s t u v w x y z " * 4),
+            Row(id=3, text="completely other content here now " * 4),
+        ]
+    )
+    cands = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(df, "id", "text").collect()}
+    assert (1, 2) in cands

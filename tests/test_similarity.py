@@ -1,0 +1,70 @@
+"""Similarity-search tests: brute-force correctness + LSH recall."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+from tests.conftest import SF_MED
+
+
+def test_cosine_exact_values(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 1.0]),
+         Row(a=[1.0, 1.0], b=[1.0, 0.0])]
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1 / math.sqrt(2))
+
+
+def test_topk_ranks_and_self_exclusion(spark):
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter("vec_id < 3"), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["neighbor_id"] != q for r in rows)
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        ordered = sorted(rows, key=lambda r: r["rank"])
+        cosines = [r["cos"] for r in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_lsh_ann_subset_of_bruteforce_space(spark):
+    """LSH results must be genuine vectors with correct cosines; recall
+    of top-1 should be decent on 64-dim random data."""
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=1, round_digits=None).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx = lsh_ann_topk(emb, queries, planes=8, probe_hamming=2, k=1).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in got.items() if top1.get(q) == n)
+    # random 64-dim gaussian vectors are nearly orthogonal => LSH recall is
+    # data-dependent; just require the mechanism finds some true top-1s
+    # and returns only valid neighbors
+    assert all(n != q for q, n in got.items())
+    assert hits >= 1
+
+
+def test_embedding_near_dup_pairs_finds_duplicates(spark):
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").limit(50)
+    # plant an exact duplicate of vec 0 with id 9999
+    dup = emb.filter("vec_id = 0").select(
+        F.lit(9999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    both = emb.unionByName(dup)
+    pairs = embedding_near_dup_pairs(both, threshold=0.999).collect()
+    assert any({r["id_a"], r["id_b"]} == {0, 9999} for r in pairs)

@@ -1,0 +1,68 @@
+"""Text-analysis function tests."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.functions.text import (
+    fingerprint_md5,
+    lang_id,
+    normalize_text,
+    quality_features,
+    quality_score,
+    token_count,
+)
+
+
+def _one(spark, text, col):
+    df = spark.createDataFrame([Row(text=text)])
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    assert _one(spark, "one two  three", token_count(F.col("text"))) == 3
+    assert _one(spark, "", token_count(F.col("text"))) == 0
+    assert _one(spark, "   ", token_count(F.col("text"))) == 0
+    assert _one(spark, "single", token_count(F.col("text"))) == 1
+
+
+def test_normalize_and_fingerprint(spark):
+    import hashlib
+
+    a = _one(spark, "  Hello   World ", fingerprint_md5(F.col("text")))
+    assert a == hashlib.md5(b"hello world").hexdigest()
+    b = _one(spark, "hello world", fingerprint_md5(F.col("text")))
+    assert a == b
+
+
+def test_quality_features_values(spark):
+    text = "the cat sat on the mat."
+    df = spark.createDataFrame([Row(text=text)])
+    f = quality_features(F.col("text"))
+    row = df.select(
+        f["n_tokens"].alias("nt"),
+        f["stopword_ratio"].alias("sr"),
+        f["punct_ratio"].alias("pr"),
+        f["distinct_ratio"].alias("dr"),
+    ).collect()[0]
+    assert row["nt"] == 6
+    assert row["sr"] == pytest.approx(2 / 6)  # 'the' twice; 'on' not in list
+    assert row["pr"] == pytest.approx(1 / len(text))
+    assert row["dr"] == pytest.approx(5 / 6)  # 'the' repeated
+
+
+def test_quality_score_bounds(spark):
+    good = " ".join(["the quick brown fox jumps over a lazy dog"] * 3)
+    s = _one(spark, good, quality_score(F.col("text")))
+    assert 0.0 <= s <= 1.0
+    empty = _one(spark, "", quality_score(F.col("text")))
+    assert empty == pytest.approx(0.25)  # only the (1-punct_ratio) term
+
+
+def test_lang_id_deterministic(spark):
+    assert _one(spark, "the cat and the dog", lang_id(F.col("text"))) == "en"
+    assert _one(spark, "el perro y la casa que se", lang_id(F.col("text"))) == "es"
+    assert _one(spark, "der hund und die katze ist", lang_id(F.col("text"))) == "de"
+    assert _one(spark, "les chiens et une maison des", lang_id(F.col("text"))) == "fr"
+    # tie (no stopwords at all) -> priority order says 'en'
+    assert _one(spark, "zzz qqq www", lang_id(F.col("text"))) == "en"
