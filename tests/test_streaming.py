@@ -1,0 +1,114 @@
+"""Streaming ingestion test: file-based stream source (Kafka stand-in),
+foreachBatch -> online upsert; asserts batch/stream consistency and
+late-data handling (order-insensitivity)."""
+
+import json
+import time
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from feast_spark import Entity, FeatureView, FileSource, ValueType
+from feast_spark.online.store import OnlineStore
+from feast_spark.streaming.ingest import parse_kafka_stream, stream_to_online
+from feast_spark.data_source import KafkaSource
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("driver_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("created", T.TimestampType()),
+        T.StructField("conv_rate", T.DoubleType()),
+    ]
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _view():
+    from feast_spark.feature import Feature
+
+    return FeatureView(
+        name="driver_stream",
+        entities=["driver_id"],
+        ttl=timedelta(days=30),
+        features=[Feature("conv_rate", ValueType.DOUBLE)],
+        batch_source=FileSource(path="unused", event_timestamp_column="ts"),
+    )
+
+
+def test_stream_to_online_upsert_and_late_data(spark, tmp_path):
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    store = OnlineStore(str(tmp_path / "online"))
+    view = _view()
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+
+    def run_stream():
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+        q = stream_to_online(
+            stream,
+            store,
+            "t",
+            view,
+            join_keys=["driver_id"],
+            ts_col="ts",
+            created_col="created",
+            checkpoint_dir=str(tmp_path / f"ckpt_{time.time_ns()}"),
+        )
+        q.awaitTermination(120)
+
+    t0 = ts("2021-04-12 10:00:00")
+    write_batch("b1", [
+        Row(driver_id=1, ts=t0, created=t0, conv_rate=0.5),
+        Row(driver_id=2, ts=t0, created=t0, conv_rate=0.6),
+    ])
+    run_stream()
+
+    req = spark.createDataFrame([Row(driver_id=1), Row(driver_id=2)])
+    got = store.online_read(spark, "t", "driver_stream", req, ["driver_id"], ["conv_rate"])
+    vals = {r["driver_id"]: r["conv_rate"] for r in got.collect()}
+    assert vals == {1: 0.5, 2: 0.6}
+
+    # newer event for driver 1, late (older) event for driver 2 -> late one ignored
+    write_batch("b2", [
+        Row(driver_id=1, ts=t0 + timedelta(hours=1), created=t0, conv_rate=0.9),
+        Row(driver_id=2, ts=t0 - timedelta(hours=5), created=t0, conv_rate=0.1),
+    ])
+    run_stream()
+    got = store.online_read(spark, "t", "driver_stream", req, ["driver_id"], ["conv_rate"])
+    vals = {r["driver_id"]: r["conv_rate"] for r in got.collect()}
+    assert vals == {1: 0.9, 2: 0.6}, "late event must not overwrite newer value"
+
+
+def test_parse_kafka_json_payload(spark):
+    source = KafkaSource(
+        topic="x",
+        message_format="json",
+        schema_json=json.dumps(SCHEMA.jsonValue()),
+        field_mapping={"conv_rate": "rate"},
+    )
+    raw = spark.createDataFrame(
+        [
+            Row(value=json.dumps(
+                {"driver_id": 7, "ts": "2021-04-12T10:00:00", "created": "2021-04-12T10:00:00", "conv_rate": 0.7}
+            ).encode())
+        ]
+    )
+    parsed = parse_kafka_stream(raw, source)
+    row = parsed.collect()[0]
+    assert row["driver_id"] == 7
+    assert row["rate"] == 0.7
+    assert "conv_rate" not in parsed.columns
