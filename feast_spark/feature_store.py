@@ -38,6 +38,13 @@ class RepoConfig:
     registry_path: str = "registry.json"
     online_store_path: str = "online_store"
     asof_strategy: str = "union_window"
+    # Temporal scan pruning: bound each feature scan to
+    # [min(entity_ts) - ttl, max(entity_ts)] (the reference's BQ rewrite,
+    # bigquery.py:418-437 + template :599-602).  Costs one tiny agg job on
+    # the entity_df; the injected filter reaches the parquet scan
+    # (PushedFilters -> row-group min/max skipping), which at 100 TB is
+    # the difference between scanning a window and scanning all history.
+    scan_pruning: bool = True
 
 
 class RetrievalJob:
@@ -160,6 +167,15 @@ class FeatureStore:
         entity_ts_col = infer_event_timestamp_column(entity_sdf)
         grouped = self._group_feature_refs(features)
 
+        # A4 — entity timestamp bounds for temporal scan pruning
+        ts_bounds = None
+        if self.config.scan_pruning:
+            row = entity_sdf.agg(
+                F.min(entity_ts_col).alias("lo"), F.max(entity_ts_col).alias("hi")
+            ).first()
+            if row is not None and row["lo"] is not None:
+                ts_bounds = (row["lo"], row["hi"])
+
         # collision validation (feature_store.py:636-657)
         out_names: list[str] = []
         for view, feats in grouped:
@@ -182,6 +198,15 @@ class FeatureStore:
                 raise ValueError(f"view {view.name!r} has no batch source")
             fdf = src.load(self.spark)
             ts_col = infer_event_timestamp_column(fdf, src.event_timestamp_column)
+            if ts_bounds is not None:
+                lo, hi = ts_bounds
+                fdf = fdf.filter(F.col(ts_col) <= F.lit(hi))
+                if view.ttl is not None:
+                    fdf = fdf.filter(
+                        F.col(ts_col) >= F.lit(lo) - F.expr(
+                            f"INTERVAL {view.ttl.total_seconds()} SECONDS"
+                        )
+                    )
             specs.append(
                 AsOfJoinSpec(
                     feature_df=fdf,

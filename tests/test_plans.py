@@ -1,0 +1,144 @@
+"""Physical-plan assertions: the properties that make the operators
+scale (single shuffle, pushdown, broadcast) must not regress."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+from tests.conftest import SF_MED
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_explain(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_asof_union_window_single_shuffle(spark):
+    """The scale property of the union+window strategy: exactly one
+    Exchange (hash on the join key) in the whole plan."""
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    entity = events.filter("event_type = 'purchase'").select("event_id", "user_id", "ts")
+    feats = events.filter("event_type = 'view'").select("user_id", "ts", "value")
+    out = as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["user_id"],
+                timestamp_col="ts",
+                features=["value"],
+                ttl=timedelta(days=2),
+            )
+        ],
+    )
+    import re
+
+    plan = _optimized_explain(out)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_asof_pushdown_reaches_scan(spark):
+    """Filters on the feature side must reach the parquet scan."""
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    entity = events.filter("event_type = 'purchase'").select("user_id", "ts")
+    feats = events.filter("event_type = 'view'").select("user_id", "ts", "value")
+    out = as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["user_id"],
+                timestamp_col="ts",
+                features=["value"],
+            )
+        ],
+    )
+    plan = _optimized_explain(out)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)]" in plan
+    # column pruning: props/event_id never read on the feature branch
+    assert "props" not in plan
+
+
+def test_scan_pruning_injected(spark, tmp_path):
+    """FeatureStore retrieval bounds the feature scan to
+    [min(entity_ts) - ttl, max(entity_ts)]."""
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+    )
+
+    src_path = str(tmp_path / "feat.parquet")
+    spark.createDataFrame(
+        [Row(k=1, ts=datetime(2024, 1, 1) + timedelta(days=d), v=float(d)) for d in range(100)]
+    ).write.parquet(src_path)
+    store = FeatureStore(
+        spark,
+        RepoConfig(
+            registry_path=str(tmp_path / "r.json"),
+            online_store_path=str(tmp_path / "o"),
+        ),
+    )
+    store.apply(
+        [
+            Entity(name="k", value_type=ValueType.INT64),
+            FeatureView(
+                name="fv",
+                entities=["k"],
+                ttl=timedelta(days=2),
+                batch_source=FileSource(path=src_path, event_timestamp_column="ts"),
+            ),
+        ]
+    )
+    entity_df = spark.createDataFrame(
+        [Row(k=1, event_timestamp=datetime(2024, 2, 1))]
+    )
+    out = store.get_historical_features(entity_df, ["fv:v"]).to_spark_df()
+    plan = _optimized_explain(out)
+    # both bounds present as pushed filters on the feature scan
+    assert "GreaterThanOrEqual(ts" in plan, plan
+    assert "LessThanOrEqual(ts" in plan, plan
+    assert out.collect()[0]["v"] == 31.0
+
+
+def test_online_read_broadcasts_request_keys(spark, tmp_path):
+    from feast_spark.online.store import OnlineStore
+
+    store = OnlineStore(str(tmp_path / "online"))
+    df = spark.createDataFrame(
+        [Row(k=i, ts=datetime(2024, 1, 1), v=float(i)) for i in range(100)]
+    )
+    store.online_write_batch(spark, "p", "t", df, ["k"], "ts", None, ["v"])
+    req = spark.createDataFrame([Row(k=5), Row(k=7)])
+    out = store.online_read(spark, "p", "t", req, ["k"], ["v"])
+    plan = _executed_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert {r["k"]: r["v"] for r in out.collect()} == {5: 5.0, 7: 7.0}
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from feast_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    out = cosine_topk(emb, emb.filter("vec_id < 2"), k=3)
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
