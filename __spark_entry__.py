@@ -265,6 +265,84 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def q_pit_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with a composite entity key (l_orderkey, l_suppkey) and an
+    integer created-tiebreak column (A2 on l_linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    entity = (
+        li.filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") + F.expr("INTERVAL 5 DAYS")).alias("query_ts"),
+        )
+        .distinct()
+    )
+    feats = li.select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_linenumber",
+        "l_quantity", "l_extendedprice",
+    )
+    return as_of_join(
+        entity,
+        "query_ts",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["l_orderkey", "l_suppkey"],
+                timestamp_col="l_shipdate",
+                features=["l_quantity", "l_extendedprice"],
+                created_col="l_linenumber",
+                ttl=timedelta(days=30),
+            )
+        ],
+    ).select("l_orderkey", "l_suppkey", "query_ts", "l_quantity", "l_extendedprice")
+
+
+def q_pit_join_key_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 where the entity_df key column name differs from the feature
+    table's (key_mapping / entity selections, BQ:565-568)."""
+    entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
+    entity = entity.withColumnRenamed("user_id", "uid")
+    return as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=views,
+                join_keys=["uid"],
+                timestamp_col="ts",
+                features=["value"],
+                ttl=timedelta(days=2),
+                key_mapping={"uid": "user_id"},
+            )
+        ],
+    ).select("event_id", "uid", "ts", F.col("value").alias("view_value"))
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: JSON field extraction from the events
+    props column (derived-feature path)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def q_entity_row_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/F1/F2 — deterministic synthetic row key: md5 over cast+concat
+    of the key columns (the BQ entity_row_unique_id construction)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("event_id").cast("string")
+            )
+        ).alias("row_key"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -290,6 +368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "pit_join_composite_key": q_pit_join_composite_key,
+        "pit_join_key_mapping": q_pit_join_key_mapping,
+        "json_props": q_json_props,
+        "entity_row_key": q_entity_row_key,
     }
 
 
@@ -519,5 +601,54 @@ FROM documents
 """,
         "doc_fingerprint": f"""
 SELECT doc_id, {_NORM_MD5} AS fp FROM documents
+""",
+        "pit_join_composite_key": """
+WITH entity AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, l_shipdate + INTERVAL 5 DAY AS query_ts
+  FROM lineitem WHERE l_linenumber = 1
+), ranked AS (
+  SELECT e.l_orderkey, e.l_suppkey, e.query_ts,
+         f.l_quantity, f.l_extendedprice, f.l_shipdate AS fts,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.l_orderkey, e.l_suppkey, e.query_ts
+           ORDER BY f.l_shipdate DESC, f.l_linenumber DESC) rn
+  FROM entity e
+  LEFT JOIN lineitem f
+    ON f.l_orderkey = e.l_orderkey AND f.l_suppkey = e.l_suppkey
+   AND f.l_shipdate <= e.query_ts
+   AND f.l_shipdate >= e.query_ts - INTERVAL 30 DAY
+)
+SELECT l_orderkey, l_suppkey, query_ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE l_quantity END AS l_quantity,
+       CASE WHEN fts IS NULL THEN NULL ELSE l_extendedprice END AS l_extendedprice
+FROM ranked WHERE rn = 1
+""",
+        "pit_join_key_mapping": """
+WITH entity AS (
+  SELECT event_id, user_id AS uid, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), feat AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT e.event_id, e.uid, e.ts, f.value, f.ts AS fts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
+  FROM entity e
+  LEFT JOIN feat f
+    ON e.uid = f.user_id AND f.ts <= e.ts AND f.ts >= e.ts - INTERVAL 2 DAY
+)
+SELECT event_id, uid, ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE value END AS view_value
+FROM ranked WHERE rn = 1
+""",
+        "json_props": """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+        "entity_row_key": """
+SELECT event_id,
+       md5(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
+         AS row_key
+FROM events
 """,
     }

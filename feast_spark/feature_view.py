@@ -87,6 +87,29 @@ class FeatureView:
         )
 
 
+def FeatureTable(
+    name: str,
+    entities: list[str],
+    features: list[Feature] | None = None,
+    max_age: timedelta | None = None,
+    batch_source: DataSource | None = None,
+    stream_source: KafkaSource | None = None,
+    labels: dict[str, str] | None = None,
+) -> FeatureView:
+    """Legacy v0.9 alias (reference feature_table.py:36-65): identical to
+    FeatureView with ``max_age`` instead of ``ttl`` — SURVEY §1.1 folds
+    the two into one class."""
+    return FeatureView(
+        name=name,
+        entities=entities,
+        features=features or [],
+        ttl=max_age,
+        batch_source=batch_source,
+        stream_source=stream_source,
+        tags=labels or {},
+    )
+
+
 @dataclass
 class FeatureViewProjection:
     """Subset of a view's features (feature_view_projection.py)."""
