@@ -224,29 +224,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + composite score per document."""
-    from feast_spark.functions.text import quality_features, quality_score
+    """Quality features + composite score per document (single
+    materialized token pass)."""
+    from feast_spark.functions.text import with_quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    feats = quality_features(F.col("text"))
-    return docs.select(
-        "doc_id",
-        feats["n_chars"].cast("long").alias("n_chars_q"),
-        feats["n_tokens"].cast("long").alias("n_tokens"),
-        feats["mean_token_len"].alias("mean_token_len"),
-        feats["punct_ratio"].alias("punct_ratio"),
-        feats["stopword_ratio"].alias("stopword_ratio"),
-        feats["distinct_ratio"].alias("distinct_ratio"),
-        quality_score(F.col("text")).alias("quality_score"),
+    return with_quality_features(docs, "text").select(
+        "doc_id", "n_chars_q", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "distinct_ratio", "quality_score",
     )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID (deterministic argmax)."""
-    from feast_spark.functions.text import lang_id
+    from feast_spark.functions.text import with_lang_id
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+    return with_lang_id(docs, "text").select("doc_id", "lang_pred")
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -51,6 +51,12 @@ def main() -> None:
         if name in queries
     ]
 
+    # Warm the JVM / codegen / file-listing paths once so the first
+    # headline query isn't charged session startup.
+    from feast_spark.sources.testdata import load_table
+
+    load_table(spark, sf_dir, "events").count()
+
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]

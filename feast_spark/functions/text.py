@@ -111,6 +111,99 @@ def lang_id(text: Column) -> Column:
     return expr
 
 
+# ---------------------------------------------------------------------------
+# DataFrame-level variants: materialize the token array ONCE in its own
+# projection.  The Column-level functions above inline `tokens(text)` into
+# every sub-expression, which re-runs the regex tokenizer per reference —
+# fine for one-off expressions, quadratic in hot paths (see
+# operators/docdedup.with_shingles for the measured 15x difference).
+# ---------------------------------------------------------------------------
+
+def with_quality_features(
+    df, text_col: str, score_col: str = "quality_score"
+):
+    """All quality feature columns + composite score, computed from a
+    single materialized token array."""
+    df = df.withColumn("__q_toks", tokens(F.col(text_col)))
+    toks = F.col("__q_toks")
+    text = F.col(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
+    df = (
+        df.withColumn("n_chars_q", n_chars.cast("long"))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                n_tok > 0,
+                F.aggregate(
+                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+                )
+                / n_tok,
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio", F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    length_ok = (
+        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return df.withColumn(
+        score_col,
+        length_ok * 0.25
+        + F.col("stopword_ratio") * 0.25
+        + F.col("distinct_ratio") * 0.25
+        + (1.0 - F.col("punct_ratio")) * 0.25,
+    ).drop("__q_toks")
+
+
+def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
+    """Language ID from one materialized token array."""
+    df = df.withColumn("__l_toks", tokens(F.col(text_col)))
+    toks = F.col("__l_toks")
+    n_tok = F.size(toks)
+    def in_words(words: list[str]):
+        # single-arg lambda: PySpark passes the element index to
+        # two-parameter HOF lambdas (see docdedup.with_minhash)
+        return lambda t: t.isin(words)
+
+    score_cols = {}
+    for lang in LANG_PRIORITY:
+        words = STOPWORDS[lang]
+        cnt = F.size(F.filter(toks, in_words(words)))
+        df = df.withColumn(
+            f"__s_{lang}", F.when(n_tok > 0, cnt / n_tok).otherwise(F.lit(0.0))
+        )
+        score_cols[lang] = F.col(f"__s_{lang}")
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        cond = F.lit(True)
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang):
+                cond = cond & (score_cols[lang] >= score_cols[other])
+            else:
+                cond = cond & (score_cols[lang] > score_cols[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    df = df.withColumn(out_col, expr)
+    return df.drop("__l_toks", *[f"__s_{lang}" for lang in LANG_PRIORITY])
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase + collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")

@@ -68,8 +68,15 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def with_shingles(
     df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
 ) -> DataFrame:
-    """Distinct word n-grams of the normalized text, as an array column."""
-    toks = tokens(normalize_text(F.col(text_col)))
+    """Distinct word n-grams of the normalized text, as an array column.
+
+    The token array is materialized in its OWN projection first: inlining
+    it into the per-shingle lambda would re-run the regex tokenizer once
+    per shingle (O(len^2) per document — measured 15x slower at sf0.1).
+    CollapseProject keeps the multi-referenced expensive alias separate.
+    """
+    df = df.withColumn("__sh_toks", tokens(normalize_text(F.col(text_col))))
+    toks = F.col("__sh_toks")
     shingle_expr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
@@ -81,7 +88,7 @@ def with_shingles(
     return df.withColumn(
         out_col,
         F.when(short, F.array(F.concat_ws(" ", toks))).otherwise(shingle_expr),
-    )
+    ).drop("__sh_toks")
 
 
 # ---------------------------------------------------------------------------
@@ -147,21 +154,26 @@ def with_minhash(
     num_hashes: int = 32,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """H min-hashes per doc: min over shingles of xxhash64(shingle, seed).
-    Fixed-size signature; computed in one pass over the shingle array
-    (transform + array_min), no shuffle."""
+    """H min-hashes per doc.  The variable-length shingle strings are
+    hashed ONCE (xxhash64); each of the H signatures then re-hashes the
+    resulting 8-byte longs with a different seed — H cheap fixed-width
+    passes instead of H string passes (an order of magnitude less CPU on
+    long shingle arrays).  No shuffle; one projection."""
     def hash_with_seed(seed: int):
         # NB: the lambda must take exactly ONE arg — PySpark passes the
         # element index as a second arg to two-parameter HOF lambdas.
-        return lambda s: F.xxhash64(s, F.lit(seed))
+        return lambda x: F.xxhash64(x, F.lit(seed))
 
+    df = df.withColumn(
+        "__mh_base", F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+    )
     sig = F.array(
         *[
-            F.array_min(F.transform(F.col(shingles_col), hash_with_seed(seed)))
+            F.array_min(F.transform(F.col("__mh_base"), hash_with_seed(seed)))
             for seed in range(num_hashes)
         ]
     )
-    return df.withColumn(out_col, sig)
+    return df.withColumn(out_col, sig).drop("__mh_base")
 
 
 def lsh_candidate_pairs(
@@ -171,12 +183,20 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
     rows_per_band consecutive min-hashes collide.  One shuffle on
-    (band, band_hash); pair fan-out bounded by bucket sizes."""
+    (band, band_hash); pair fan-out bounded by bucket sizes.
+
+    Pass ``shingles_df`` (id_col + 'shingles') to reuse an
+    already-computed shingle frame instead of re-shingling."""
     rows_per_band = num_hashes // bands
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else with_shingles(df.select(id_col, text_col), text_col, n)
+    )
     mh = with_minhash(sh, num_hashes=num_hashes).select(
         F.col(id_col).alias("doc"), "minhash"
     )
@@ -224,10 +244,11 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
     no quadratic all-pairs stage anywhere)."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, n).select(
-        F.col(id_col).alias("doc"), "shingles"
+    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, n, num_hashes, bands, shingles_df=shingled
     )
-    cands = lsh_candidate_pairs(df, id_col, text_col, n, num_hashes, bands)
     joined = (
         cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"doc": "id_b", "shingles": "sh_b"}), "id_b")
