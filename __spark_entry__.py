@@ -223,6 +223,24 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= 0.35) — the ground
+    truth the LSH near-dup path is calibrated against."""
+    from feast_spark.operators.similarity import exact_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-quantized ANN (second scale path; rows-only — recall
+    pytest-asserted against cosine_topk)."""
+    from feast_spark.operators.similarity import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features + composite score per document (single
     materialized token pass)."""
@@ -358,6 +376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh": q_ann_lsh,
+        "embed_near_dup": q_embed_near_dup,
+        "ann_ivf": q_ann_ivf,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -533,6 +553,22 @@ WITH ac AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
+""",
+        "embed_near_dup": """
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+FROM ac a JOIN ac b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.35
 """,
         "text_quality": f"""
 WITH t AS (

@@ -190,3 +190,186 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .distinct()
     )
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine similarity >= threshold (the near-dup
+    ground truth).
+
+    Inherently O(n^2): cosine admits no norm-based pruning (norms
+    cancel), so every pair must be scored.  This is the *oracle* path —
+    run it on samples or small corpora to calibrate
+    ``embedding_near_dup_pairs`` (the LSH scale path).  The join is a
+    broadcast nested-loop on the smaller side; the dot products stay in
+    whole-stage codegen (zip_with/aggregate, no Python)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    cos = cosine(F.col("__va"), F.col("__vb"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path
+# ---------------------------------------------------------------------------
+
+def ivf_train_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    sample_per_centroid: int = 64,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: deterministic hash-ordered sample
+    -> k-means init on the first C sample vectors -> ``iters`` Lloyd
+    steps, all as DataFrame ops (assign = argmin L2 over broadcast
+    centroid literals; update = posexplode + groupBy(cell, dim) mean).
+
+    The sample is bounded (C * sample_per_centroid rows), so training
+    cost is independent of corpus size — at 100 TB the quantizer still
+    trains on a few thousand rows while assignment streams the full
+    corpus once.  Returns the centroids as a plain list (tiny: C x d
+    floats) for broadcasting into literal expressions."""
+    sample = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64(F.col("__id")))
+        .limit(n_centroids * sample_per_centroid)
+        .cache()
+    )
+    cents = [
+        [float(x) for x in r["__v"]]
+        for r in sample.limit(n_centroids).collect()
+    ]
+    for _ in range(iters):
+        assigned = sample.withColumn(
+            "__cell", nearest_centroid(F.col("__v"), cents)
+        )
+        new = (
+            assigned.select(
+                "__cell", F.posexplode(F.col("__v")).alias("__d", "__x")
+            )
+            .groupBy("__cell", "__d")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("__d", "__m"))
+                ).alias("__dm")
+            )
+            .select(
+                "__cell",
+                F.transform(F.col("__dm"), lambda s: s["__m"]).alias("__c"),
+            )
+            .collect()
+        )
+        by_cell = {r["__cell"]: [float(x) for x in r["__c"]] for r in new}
+        cents = [by_cell.get(i, cents[i]) for i in range(n_centroids)]
+    sample.unpersist()
+    return cents
+
+
+def _lit_vec(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||v - c||^2 as a single codegen expression:
+    array_position(dists, array_min(dists)) - 1."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    _lit_vec(c),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
+    """The n_probe nearest cell ids for a query vector, as an array."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        _lit_vec(c),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).cast("int").alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into C cells, probe the
+    n_probe cells nearest each query, exact-cosine re-rank candidates.
+
+    Scale shape: corpus is scanned once to tag cells (narrow, codegen);
+    the candidate join is an equi-join on the cell id (shuffle bounded
+    by n_probe/C of the corpus) — no cross join, no per-row Python.
+    Recall is tunable with n_probe (n_probe = C ==> exact)."""
+    cents = ivf_train_centroids(
+        corpus, id_col, vec_col, n_centroids, iters=iters
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cell", nearest_centroid(F.col("__cvec"), cents))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__cells", probe_cells(F.col("__qvec"), cents, n_probe))
+        .select(
+            "query_id", "__qvec", F.explode(F.col("__cells")).alias("__cell")
+        )
+    )
+    cand = c.join(F.broadcast(q), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("__rn").alias("rank"))
+    )

@@ -68,3 +68,61 @@ def test_embedding_near_dup_pairs_finds_duplicates(spark):
     both = emb.unionByName(dup)
     pairs = embedding_near_dup_pairs(both, threshold=0.999).collect()
     assert any({r["id_a"], r["id_b"]} == {0, 9999} for r in pairs)
+
+def test_exact_cosine_pairs_symmetric_ground_truth(spark):
+    from feast_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").limit(60)
+    pairs = exact_cosine_pairs(emb, threshold=-1.1, round_digits=None).collect()
+    # all n*(n-1)/2 pairs scored exactly once, ids strictly ordered
+    assert len(pairs) == 60 * 59 // 2
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    # spot-check one pair against the scalar cosine
+    r0 = pairs[0]
+    a = emb.filter(F.col("vec_id") == r0["id_a"]).first()["embedding"]
+    b = emb.filter(F.col("vec_id") == r0["id_b"]).first()["embedding"]
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    assert r0["cos"] == pytest.approx(dot / (na * nb), rel=1e-9)
+
+
+def test_ivf_ann_recall_and_validity(spark):
+    from feast_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    queries = emb.filter("vec_id < 10")
+    exact = cosine_topk(emb, queries, k=10, round_digits=4).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = ivf_ann_topk(emb, queries, n_centroids=8, n_probe=4, k=10).collect()
+    by_q = {}
+    for r in got:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # probing half the cells must recover a good chunk of the true top-10
+    total = sum(len(v) for v in truth.values())
+    hit = sum(len(truth[q] & by_q.get(q, set())) for q in truth)
+    assert hit / total >= 0.3
+    # ranks are dense and cosines descend per query
+    for q, rows in {
+        q: sorted([r for r in got if r["query_id"] == q], key=lambda r: r["rank"])
+        for q in by_q
+    }.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["cos"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_ivf_nprobe_all_cells_is_exact(spark):
+    from feast_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").limit(200)
+    queries = emb.filter("vec_id < 5")
+    exact = cosine_topk(emb, queries, k=5, round_digits=4).collect()
+    full = ivf_ann_topk(
+        emb, queries, n_centroids=4, n_probe=4, k=5
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in rows)
+    assert key(full) == key(exact)
