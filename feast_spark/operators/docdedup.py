@@ -24,8 +24,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from feast_spark.functions.text import fingerprint_md5, normalize_text, tokens
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """MEMORY_AND_DISK-persist an intermediate that the downstream plan
+    references more than once (self-joins, candidate verification).
+
+    Without it the expensive shingle/signature expressions are *compiled
+    and executed* once per reference (2-4x); with it they run once and
+    the reuses read the cached columnar blocks.  Eviction is LRU +
+    ContextCleaner-on-GC, so a one-shot query leaks nothing."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def widen_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition UP to the session's default parallelism
+    when the input scan has fewer files than cores — never down.
+
+    Shingling/minhashing is CPU-bound; a small parquet file arrives as
+    ONE input split (maxPartitionBytes), which would serialize the whole
+    pipeline on one core.  The file count is read from the scan metadata
+    (``inputFiles`` — no job, no plan-to-RDD conversion); at 100 TB the
+    input has far more files than cores and this is a no-op."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if n_files == 0 or n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 # ---------------------------------------------------------------------------
@@ -111,9 +142,15 @@ def jaccard_pairs(
     -> count common -> jaccard = common / (|A| + |B| - common).
     Shuffles: one on shingle (the join), one on the pair (the agg).
     """
-    sh = with_shingles(df.select(id_col, text_col), text_col, n)
-    sh = sh.select(
-        F.col(id_col).alias("doc"), F.size("shingles").alias("n_sh"), "shingles"
+    sh = with_shingles(
+        widen_parallelism(df.select(id_col, text_col)), text_col, n
+    )
+    sh = _persist(
+        sh.select(
+            F.col(id_col).alias("doc"),
+            F.size("shingles").alias("n_sh"),
+            "shingles",
+        )
     )
     sizes = sh.select("doc", "n_sh")
     posting = sh.select("doc", F.explode("shingles").alias("shingle"))
@@ -195,7 +232,9 @@ def lsh_candidate_pairs(
     sh = (
         shingles_df
         if shingles_df is not None
-        else with_shingles(df.select(id_col, text_col), text_col, n)
+        else with_shingles(
+            widen_parallelism(df.select(id_col, text_col)), text_col, n
+        )
     )
     mh = with_minhash(sh, num_hashes=num_hashes).select(
         F.col(id_col).alias("doc"), "minhash"
@@ -244,7 +283,11 @@ def minhash_dedup_pairs(
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
     no quadratic all-pairs stage anywhere)."""
-    shingled = with_shingles(df.select(id_col, text_col), text_col, n)
+    shingled = _persist(
+        with_shingles(
+            widen_parallelism(df.select(id_col, text_col)), text_col, n
+        )
+    )
     sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingles_df=shingled
@@ -312,8 +355,10 @@ def simhash_pairs(
     16-bit quadrants (pigeonhole: distance <= 3 => at least one of 4
     quadrants matches exactly), so candidate formation is an equi-join,
     not a cross-join."""
-    sh = with_simhash(df.select(id_col, text_col), text_col).select(
-        F.col(id_col).alias("doc"), "simhash"
+    sh = _persist(
+        with_simhash(
+            widen_parallelism(df.select(id_col, text_col)), text_col
+        ).select(F.col(id_col).alias("doc"), "simhash")
     )
     quads = sh.select(
         "doc",
