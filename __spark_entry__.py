@@ -223,6 +223,20 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization of the events table (1-hour gap):
+    one row per (user, session) with start/end/count.  Streaming twin:
+    feast_spark.streaming.stateful.sessionize_stream."""
+    from datetime import timedelta
+
+    from feast_spark.operators.sessionize import sessionize_batch
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize_batch(
+        events.select("user_id", "ts"), ["user_id"], "ts", timedelta(hours=1)
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cos >= 0.35) — the ground
     truth the LSH near-dup path is calibrated against."""
@@ -378,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
         "ann_ivf": q_ann_ivf,
+        "sessionize": q_sessionize,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -553,6 +568,25 @@ WITH ac AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
+""",
+        "sessionize": """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+), b AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 3600
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM b
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY 1, 2
 """,
         "embed_near_dup": """
 WITH ac AS (
