@@ -237,6 +237,81 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_agg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling hourly rollup of events per user: the derived-feature
+    path (raw events -> PIT-joinable stats view, emit ts = window end)."""
+    from datetime import timedelta
+
+    from feast_spark.operators.window_agg import tumbling_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(
+        events.select("user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        timedelta(hours=1),
+        {
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+        },
+    )
+
+
+def q_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-event aggregates (RANGE frame, one shuffle)."""
+    from datetime import timedelta
+
+    from feast_spark.operators.window_agg import rolling_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return rolling_window_agg(
+        events.select("event_id", "user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        timedelta(days=7),
+        {"sum_7d": ("sum", "value"), "n_7d": ("count", "value")},
+    )
+
+
+def q_rollup_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end derived-feature pipeline: hourly rollup of raw view
+    events becomes a feature view (event_ts = window end), PIT-joined
+    onto purchase entities with a 2-day ttl — the full
+    raw-events -> features -> training-frame path in one plan."""
+    from datetime import timedelta
+
+    from feast_spark.operators.window_agg import tumbling_window_agg
+
+    entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
+    roll = tumbling_window_agg(
+        views,
+        ["user_id"],
+        "ts",
+        timedelta(hours=1),
+        {"n_events": ("count", "value"), "sum_value": ("sum", "value")},
+    ).select("user_id", "event_ts", "n_events", "sum_value")
+    return as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=roll,
+                join_keys=["user_id"],
+                timestamp_col="event_ts",
+                features=["n_events", "sum_value"],
+                ttl=timedelta(days=2),
+            )
+        ],
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("n_events").alias("n_views_1h"),
+        F.col("sum_value").alias("sum_views_1h"),
+    )
+
+
 def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (cos >= 0.35) — the ground
     truth the LSH near-dup path is calibrated against."""
@@ -393,6 +468,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
+        "window_agg_hourly": q_window_agg_hourly,
+        "rolling_7d": q_rolling_7d,
+        "rollup_pit_join": q_rollup_pit_join,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -568,6 +646,58 @@ WITH ac AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
+""",
+        "window_agg_hourly": """
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT user_id,
+       COUNT(value) AS n_events,
+       SUM(value) AS sum_value,
+       AVG(value) AS avg_value,
+       date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS event_ts
+FROM e
+GROUP BY user_id, date_trunc('hour', ts)
+""",
+        "rollup_pit_join": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+  FROM events
+), roll AS (
+  SELECT user_id,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS fts,
+         COUNT(value) AS n_events, SUM(value) AS sum_value
+  FROM e WHERE event_type = 'view'
+  GROUP BY user_id, date_trunc('hour', ts)
+), entity AS (
+  SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT en.event_id, en.user_id, en.ts,
+         r.n_events, r.sum_value, r.fts,
+         ROW_NUMBER() OVER (PARTITION BY en.event_id
+                            ORDER BY r.fts DESC) AS rn
+  FROM entity en
+  LEFT JOIN roll r
+    ON en.user_id = r.user_id
+   AND r.fts <= en.ts
+   AND r.fts >= en.ts - INTERVAL 2 DAYS
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE n_events END AS n_views_1h,
+       CASE WHEN fts IS NULL THEN NULL ELSE sum_value END AS sum_views_1h
+FROM ranked WHERE rn = 1
+""",
+        "rolling_7d": """
+WITH e AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+)
+SELECT event_id, user_id, ts, value,
+       SUM(value) OVER w AS sum_7d,
+       COUNT(value) OVER w AS n_7d
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW)
 """,
         "sessionize": """
 WITH e AS (
