@@ -24,7 +24,11 @@ from feast_spark.data_source import (
     KafkaSource,
     KinesisSource,
 )
-from feast_spark.feature_view import FeatureView, FeatureService
+from feast_spark.feature_view import (
+    FeatureView,
+    FeatureService,
+    OnDemandFeatureView,
+)
 from feast_spark.registry import Registry
 from feast_spark.feature_store import FeatureStore, RepoConfig
 
@@ -38,6 +42,7 @@ __all__ = [
     "KinesisSource",
     "FeatureView",
     "FeatureService",
+    "OnDemandFeatureView",
     "Registry",
     "FeatureStore",
     "RepoConfig",

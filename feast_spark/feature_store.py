@@ -20,7 +20,11 @@ from feast_spark.errors import (
     FeatureNameCollisionError,
     FeatureViewNotFoundError,
 )
-from feast_spark.feature_view import FeatureService, FeatureView
+from feast_spark.feature_view import (
+    FeatureService,
+    FeatureView,
+    OnDemandFeatureView,
+)
 from feast_spark.inference import (
     infer_event_timestamp_column,
     update_entities_with_inferred_types,
@@ -88,6 +92,7 @@ class FeatureStore:
         entities = [o for o in objects if isinstance(o, Entity)]
         views = [o for o in objects if isinstance(o, FeatureView)]
         services = [o for o in objects if isinstance(o, FeatureService)]
+        on_demand = [o for o in objects if isinstance(o, OnDemandFeatureView)]
         # inference pass (repo_operations.py:140-147)
         for view in views:
             if view.batch_source is not None:
@@ -108,6 +113,8 @@ class FeatureStore:
             self.registry.apply_feature_view(v)
         for s in services:
             self.registry.apply_feature_service(s)
+        for ov in on_demand:
+            self.registry.apply_on_demand_view(ov)
         self.registry.commit()
 
     # -- historical retrieval (the query path, §3.2) -------------------
@@ -165,7 +172,36 @@ class FeatureStore:
             entity_sdf = self.spark.createDataFrame(entity_df)
 
         entity_ts_col = infer_event_timestamp_column(entity_sdf)
-        grouped = self._group_feature_refs(features)
+
+        # split on-demand refs from base refs; auto-fetch odfv sources
+        refs = (
+            features.feature_refs
+            if isinstance(features, FeatureService)
+            else list(features)
+        )
+        odfv_feats: dict[str, list[str]] = {}
+        base_refs: list[str] = []
+        for ref in refs:
+            head = ref.split(":", 1)[0]
+            if head in self.registry.on_demand_views:
+                odfv_feats.setdefault(head, []).append(ref.split(":", 1)[1])
+            else:
+                base_refs.append(ref)
+        explicit_base = list(base_refs)
+        seen = set(base_refs)
+        for name in odfv_feats:
+            ov = self.registry.get_on_demand_view(name)
+            bad = set(odfv_feats[name]) - set(ov.feature_names)
+            if bad:
+                raise FeatureViewNotFoundError(
+                    f"{name} has no features {sorted(bad)}"
+                )
+            for src_ref in ov.sources:
+                if src_ref not in seen:
+                    base_refs.append(src_ref)
+                    seen.add(src_ref)
+
+        grouped = self._group_feature_refs(base_refs)
 
         # A4 — entity timestamp bounds for temporal scan pruning
         ts_bounds = None
@@ -176,11 +212,15 @@ class FeatureStore:
             if row is not None and row["lo"] is not None:
                 ts_bounds = (row["lo"], row["hi"])
 
-        # collision validation (feature_store.py:636-657)
+        # collision validation (feature_store.py:636-657) — over the
+        # names the caller actually receives (explicit + on-demand)
         out_names: list[str] = []
-        for view, feats in grouped:
+        for ref in explicit_base:
+            v, f = ref.split(":", 1)
+            out_names.append(f"{v}__{f}" if full_feature_names else f)
+        for name, feats in odfv_feats.items():
             for f in feats:
-                out_names.append(f"{view.name}__{f}" if full_feature_names else f)
+                out_names.append(f"{name}__{f}" if full_feature_names else f)
         dupes = sorted({n for n in out_names if out_names.count(n) > 1})
         if dupes:
             raise FeatureNameCollisionError(dupes)
@@ -221,6 +261,32 @@ class FeatureStore:
         result = as_of_join(
             entity_sdf, entity_ts_col, specs, strategy=self.config.asof_strategy
         )
+
+        if odfv_feats:
+            entity_cols = [
+                c for c in result.columns if c in set(entity_sdf.columns)
+            ]
+            for name in odfv_feats:
+                ov = self.registry.get_on_demand_view(name)
+                if full_feature_names:
+                    # transforms read plain source names; alias the
+                    # prefixed columns back (append-only, no overwrite)
+                    for src_ref in ov.sources:
+                        v, f = src_ref.split(":", 1)
+                        pref = f"{v}__{f}"
+                        if pref in result.columns and f not in result.columns:
+                            result = result.withColumn(f, F.col(pref))
+                result = ov.apply_transform(result)
+            sel = [F.col(c) for c in entity_cols]
+            for ref in explicit_base:
+                v, f = ref.split(":", 1)
+                out = f"{v}__{f}" if full_feature_names else f
+                sel.append(F.col(out))
+            for name, feats in odfv_feats.items():
+                for f in feats:
+                    out = f"{name}__{f}" if full_feature_names else f
+                    sel.append(F.col(f).alias(out))
+            result = result.select(*sel)
         return RetrievalJob(result)
 
     # -- materialization (§2.2) ----------------------------------------

@@ -141,3 +141,100 @@ class FeatureService:
             ],
             "tags": self.tags,
         }
+
+
+@dataclass
+class OnDemandFeatureView:
+    """Derived features computed at retrieval time from already-joined
+    feature values — the capability later Feast versions call an
+    on-demand feature view (absent at the surveyed v0.11; the v0.11
+    extensibility story stops at custom providers, SURVEY §2 "UDF —
+    not present").
+
+    ``sources``: 'view:feature' refs the transform reads; they are
+    fetched (PIT-joined) automatically and dropped from the output
+    unless also requested explicitly.
+
+    ``transform`` modes:
+      * ``spark``  — fn(DataFrame) -> DataFrame appending output
+        columns with built-in column expressions (whole-stage codegen;
+        the fast path).
+      * ``pandas`` — fn(pandas.DataFrame) -> pandas.DataFrame of ONLY
+        the new output columns; applied via Arrow-batched mapInPandas
+        (vectorized, no per-row Python).  Declared output dtypes are
+        the contract (ValueType -> Spark type).
+
+    Transforms are code, so—like the reference's repo.py objects—they
+    live in the repo file and are re-bound at parse/apply time; the
+    JSON registry persists metadata only.
+    """
+
+    name: str
+    sources: list[str]
+    features: list[Feature]
+    transform: object = None  # Callable; None when loaded metadata-only
+    mode: str = "spark"
+
+    @property
+    def feature_names(self) -> list[str]:
+        return [f.name for f in self.features]
+
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "sources": list(self.sources),
+            "features": [f.to_dict() for f in self.features],
+            "mode": self.mode,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "OnDemandFeatureView":
+        return cls(
+            name=d["name"],
+            sources=list(d.get("sources", [])),
+            features=[Feature.from_dict(f) for f in d.get("features", [])],
+            transform=None,
+            mode=d.get("mode", "spark"),
+        )
+
+    def apply_transform(self, df):
+        from pyspark.sql import functions as F  # noqa: F401
+        from feast_spark.types import value_type_to_spark
+
+        if self.transform is None:
+            raise ValueError(
+                f"on-demand view {self.name!r} has no transform bound "
+                "(metadata-only registry load; re-apply from the repo file)"
+            )
+        if self.mode == "spark":
+            return self.transform(df)
+        if self.mode != "pandas":
+            raise ValueError(f"unknown on-demand mode {self.mode!r}")
+
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.types import StructType
+
+        # copy the field list — StructType.add mutates it in place, and
+        # df.schema.fields is the live cached schema of the input frame
+        out_schema = StructType(list(df.schema.fields))
+        for f in self.features:
+            out_schema = out_schema.add(f.name, value_type_to_spark(f.dtype))
+        fn = self.transform
+        out_names = self.feature_names
+
+        def mapper(batches):
+            for pdf in batches:
+                new = fn(pdf)
+                missing = [c for c in out_names if c not in new.columns]
+                if missing:
+                    raise ValueError(
+                        f"pandas transform must return columns {out_names}, "
+                        f"missing {missing}"
+                    )
+                yield pd.concat(
+                    [pdf.reset_index(drop=True),
+                     new[out_names].reset_index(drop=True)],
+                    axis=1,
+                )
+
+        return df.mapInPandas(mapper, out_schema)

@@ -15,7 +15,11 @@ from datetime import datetime
 
 from feast_spark.entity import Entity
 from feast_spark.errors import EntityNotFoundError, FeatureViewNotFoundError
-from feast_spark.feature_view import FeatureService, FeatureView
+from feast_spark.feature_view import (
+    FeatureService,
+    FeatureView,
+    OnDemandFeatureView,
+)
 
 
 class Registry:
@@ -24,6 +28,7 @@ class Registry:
         self.entities: dict[str, Entity] = {}
         self.feature_views: dict[str, FeatureView] = {}
         self.feature_services: dict[str, FeatureService] = {}
+        self.on_demand_views: dict[str, OnDemandFeatureView] = {}
         if os.path.exists(path):
             self._load()
 
@@ -40,6 +45,14 @@ class Registry:
 
     def apply_feature_service(self, service: FeatureService) -> None:
         self.feature_services[service.name] = service
+
+    def apply_on_demand_view(self, view: OnDemandFeatureView) -> None:
+        self.on_demand_views[view.name] = view
+
+    def get_on_demand_view(self, name: str) -> OnDemandFeatureView:
+        if name not in self.on_demand_views:
+            raise FeatureViewNotFoundError(name)
+        return self.on_demand_views[name]
 
     def delete_entity(self, name: str) -> None:
         if name not in self.entities:
@@ -85,6 +98,7 @@ class Registry:
             "entities": [e.to_dict() for e in self.entities.values()],
             "feature_views": [v.to_dict() for v in self.feature_views.values()],
             "feature_services": [s.to_dict() for s in self.feature_services.values()],
+            "on_demand_views": [v.to_dict() for v in self.on_demand_views.values()],
         }
         d = os.path.dirname(os.path.abspath(self.path))
         os.makedirs(d, exist_ok=True)
@@ -117,3 +131,9 @@ class Registry:
             self.feature_services[s["name"]] = FeatureService(
                 name=s["name"], features=projections, tags=s.get("tags", {})
             )
+        # transforms are code: loaded entries are metadata-only until
+        # re-applied from the repo file (OnDemandFeatureView docstring)
+        self.on_demand_views = {
+            v["name"]: OnDemandFeatureView.from_dict(v)
+            for v in payload.get("on_demand_views", [])
+        }
