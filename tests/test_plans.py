@@ -142,3 +142,75 @@ def test_cosine_topk_broadcasts_queries(spark):
     out = cosine_topk(emb, emb.filter("vec_id < 2"), k=3)
     plan = _executed_plan(out)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sessionize_single_shuffle_reused_exchange(spark):
+    """Both windows and the final agg share the key partitioning: one
+    hash Exchange on user_id, everything else reuses it."""
+    import re
+    from datetime import timedelta as td
+
+    from feast_spark.operators.sessionize import sessionize_batch
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    out = sessionize_batch(
+        events.select("user_id", "ts"), ["user_id"], "ts", td(hours=1)
+    )
+    plan = _optimized_explain(out)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_tumbling_agg_partial_combine(spark):
+    """Map-side partial aggregation must precede the shuffle: shuffle
+    volume is O(distinct (key, window)), not O(events)."""
+    from datetime import timedelta as td
+
+    from feast_spark.operators.window_agg import tumbling_window_agg
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    out = tumbling_window_agg(
+        events.select("user_id", "ts", "value"),
+        ["user_id"], "ts", td(hours=1),
+        {"n": ("count", "value"), "s": ("sum", "value")},
+    )
+    plan = _executed_plan(out)
+    # partial agg before the exchange, final after
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+    first_agg = plan.lower().index("hashaggregate")
+    first_exchange = plan.lower().index("exchange")
+    assert first_exchange < first_agg or "partial" in plan.lower()
+
+
+def test_rolling_agg_single_shuffle(spark):
+    import re
+    from datetime import timedelta as td
+
+    from feast_spark.operators.window_agg import rolling_window_agg
+    from feast_spark.sources.testdata import load_table
+
+    events = load_table(spark, SF_MED, "events")
+    out = rolling_window_agg(
+        events.select("user_id", "ts", "value"),
+        ["user_id"], "ts", td(days=7), {"s": ("sum", "value")},
+    )
+    plan = _optimized_explain(out)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+
+
+def test_ivf_candidate_join_is_equi_not_cross(spark):
+    """IVF candidates must form via an equi-join on the cell id — no
+    cartesian/nested-loop between corpus and queries."""
+    from feast_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    out = ivf_ann_topk(
+        emb, emb.filter("vec_id < 3"), n_centroids=4, n_probe=2, k=5
+    )
+    plan = _executed_plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
