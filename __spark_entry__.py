@@ -223,6 +223,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary over lineitem: the general
+    hash-agg path (partial combine, O(groups) shuffle) feeding derived
+    feature tables at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_order_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim enrichment: orders joined to customer + nation with
+    explicit broadcast of the dims — the star-schema join that must
+    never shuffle the fact side."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_name", "c_nationkey")),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the events table (1-hour gap):
     one row per (user, session) with start/end/count.  Streaming twin:
@@ -468,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": q_embed_near_dup,
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "order_enrich": q_order_enrich_broadcast,
         "window_agg_hourly": q_window_agg_hourly,
         "rolling_7d": q_rolling_7d,
         "rollup_pit_join": q_rollup_pit_join,
@@ -646,6 +694,24 @@ WITH ac AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= 10
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+       AVG(l_quantity) AS avg_qty,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "order_enrich": """
+SELECT o_orderkey, o_totalprice, c_name, n_name AS nation_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
 """,
         "window_agg_hourly": """
 WITH e AS (
