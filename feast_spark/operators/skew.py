@@ -1,0 +1,81 @@
+"""Skew- and shuffle-management utilities.
+
+AQE handles moderate skew transparently (split oversized reduce
+partitions); these are the explicit tools for the cases AQE can't fix:
+
+* ``salted_join`` — a hot join key whose matching right-side rows still
+  fit in memory but whose *left-side* row count dwarfs every other
+  partition: salt the left into B sub-keys, replicate the right B times,
+  join on (key, salt). Turns one straggler task into B even ones at the
+  cost of B× the (small) right side — the standard salting rewrite, as
+  a reusable operator instead of hand-rolled per pipeline.
+
+* ``write_bucketed`` / co-located reads — pre-shuffle the big fact
+  table ONCE at write time (``bucketBy`` on the join key); every later
+  join or aggregation on that key skips its Exchange entirely. The
+  right answer for feature tables that are PIT-joined every training
+  run: pay the shuffle at materialization, never at retrieval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with the left side salted into ``salt_buckets`` sub-keys and
+    the right side replicated per salt value.
+
+    Semantics identical to ``left.join(right, keys, how)`` for
+    ``inner`` and ``left`` joins (each left row carries exactly one
+    salt; every (key, salt) finds the replicated right rows).  The salt
+    is deterministic (xxhash64 of the whole left row) so task retries
+    and speculative execution stay consistent.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = [c for c in right.columns if c in left.columns and c not in keys]
+    if overlap:
+        raise ValueError(
+            f"ambiguous non-key columns on both sides: {overlap}"
+        )
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).cast("int")
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return lhs.join(rhs, keys + ["__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) on the join
+    key.  Joins and aggregations between tables bucketed with the SAME
+    column set and bucket count read co-located: Catalyst drops both
+    Exchanges (pinned by tests/test_skew.py).
+
+    Buckets are Spark's write-side hash partitioning; at 100 TB choose
+    n_buckets so each bucket file lands near the target partition size
+    (e.g. 2048 buckets for a 1 TB table → ~500 MB buckets)."""
+    writer = df.write.format(format).mode(mode).bucketBy(
+        n_buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
