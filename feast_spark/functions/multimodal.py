@@ -162,3 +162,107 @@ def with_image_meta(
             F.lit(None).cast("int").alias("height"),
         ),
     )
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "image",
+    width: int = 224,
+    height: int = 224,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Resize contract: (id, blob) -> (id, blob', meta') with the target
+    dimensions stamped into the metadata struct.  The fake "resize"
+    re-encodes the blob as md5(blob) || dims (deterministic, size-
+    bounded); a real one decodes + resamples + re-encodes in the same
+    batch loop — the plan, schema, and batch shape don't change."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField(blob_col, T.BinaryType()),
+            T.StructField("meta", IMAGE_META),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real image resizing needs Pillow/opencv; "
+                    "pass use_fake_decoder=True in this environment"
+                )
+
+            def fake_resize(b):
+                if b is None:
+                    return None
+                digest = hashlib.md5(bytes(b)).digest()
+                return digest + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    blob_col: pdf[blob_col].map(fake_resize),
+                    "meta": [
+                        {"format": "raw", "width": width, "height": height}
+                        for _ in range(len(pdf))
+                    ],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, out_schema)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "audio",
+    dim: int = 8,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Audio feature contract: (id, blob) -> (id, n_bytes, rms,
+    features).  Fake decoder treats the payload as signed 8-bit PCM
+    (deterministic rms + md5 features); a real one swaps in
+    soundfile/torchaudio inside the same Arrow batch loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real audio decoding needs soundfile/torchaudio; "
+                    "pass use_fake_decoder=True in this environment"
+                )
+
+            def rms(b):
+                if b is None or len(b) == 0:
+                    return 0.0
+                samples = [x - 128 for x in bytes(b)]
+                return (sum(s * s for s in samples) / len(samples)) ** 0.5
+
+            blobs = pdf[blob_col]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].astype("int64"),
+                    "n_bytes": blobs.map(
+                        lambda b: len(b) if b is not None else 0
+                    ).astype("int64"),
+                    "rms": blobs.map(rms).astype("float64"),
+                    "features": blobs.map(
+                        lambda b: _fake_features(bytes(b), dim)
+                        if b is not None
+                        else None
+                    ),
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

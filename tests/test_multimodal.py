@@ -62,3 +62,32 @@ def test_image_meta_routing(blobs):
     assert got[1] == "jpeg"
     assert got[2] == "png"
     assert got[3] == "unknown"
+
+
+def test_resize_contract_dims_and_determinism(spark):
+    from feast_spark.functions.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [Row(id=1, image=b"\xff\xd8\xff\xe0" + b"x" * 100),
+         Row(id=2, image=None)]
+    )
+    out = {r["id"]: r for r in resize_images(df, width=64, height=32).collect()}
+    assert out[1]["meta"]["width"] == 64
+    assert out[1]["meta"]["height"] == 32
+    assert out[2]["image"] is None
+    # deterministic fake payload: md5 + packed dims
+    again = {r["id"]: r for r in resize_images(df, width=64, height=32).collect()}
+    assert bytes(out[1]["image"]) == bytes(again[1]["image"])
+    assert len(bytes(out[1]["image"])) == 16 + 4
+
+
+def test_audio_features_rms_fake_pcm(spark):
+    from feast_spark.functions.multimodal import extract_audio_features
+
+    silent = bytes([128] * 64)          # zero signal
+    loud = bytes([255, 0] * 32)         # max swing
+    df = spark.createDataFrame([Row(id=1, audio=silent), Row(id=2, audio=loud)])
+    out = {r["id"]: r for r in extract_audio_features(df).collect()}
+    assert out[1]["rms"] == 0.0
+    assert out[2]["rms"] > 100.0
+    assert len(out[2]["features"]) == 8
