@@ -43,6 +43,10 @@ def main() -> None:
             "pit_join",
             "pit_join_multiview",
             "latest_per_key",
+            "rollup_pit_join",
+            "window_agg_hourly",
+            "sessionize",
+            "pricing_summary",
             "dedup_exact",
             "minhash_lsh_dedup",
             "ann_topk_cosine",
