@@ -20,7 +20,11 @@ import sys
 from datetime import datetime
 
 from feast_spark.entity import Entity
-from feast_spark.feature_view import FeatureService, FeatureView
+from feast_spark.feature_view import (
+    FeatureService,
+    FeatureView,
+    OnDemandFeatureView,
+)
 
 
 def parse_repo(path: str) -> list:
@@ -32,7 +36,9 @@ def parse_repo(path: str) -> list:
     spec.loader.exec_module(module)
     objs = []
     for v in vars(module).values():
-        if isinstance(v, (Entity, FeatureView, FeatureService)):
+        if isinstance(
+            v, (Entity, FeatureView, FeatureService, OnDemandFeatureView)
+        ):
             objs.append(v)
     return objs
 
@@ -82,6 +88,10 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("entities", help="list registry entities")
     sub.add_parser("feature-views", help="list registry feature views")
+    sub.add_parser("registry-dump", help="print the raw registry JSON")
+    sub.add_parser(
+        "teardown", help="delete the online store and registry (cli.py teardown)"
+    )
 
     args = p.parse_args(argv)
 
@@ -116,6 +126,26 @@ def main(argv: list[str] | None = None) -> int:
         for v in store.registry.list_feature_views():
             feats = ",".join(v.feature_names)
             print(f"{v.name}\tentities={','.join(v.entities)}\tfeatures={feats}")
+        return 0
+    if args.cmd == "registry-dump":
+        import os
+
+        if os.path.exists(args.registry):
+            with open(args.registry) as f:
+                print(f.read())
+            return 0
+        print(f"no registry at {args.registry}", file=sys.stderr)
+        return 1
+    if args.cmd == "teardown":
+        import os
+        import shutil
+
+        if os.path.isdir(args.online_path):
+            shutil.rmtree(args.online_path)
+            print(f"removed online store {args.online_path}")
+        if os.path.exists(args.registry):
+            os.unlink(args.registry)
+            print(f"removed registry {args.registry}")
         return 0
     return 1
 

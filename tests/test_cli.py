@@ -46,3 +46,27 @@ def test_cli_apply_and_list(spark, tmp_path, capsys):
     assert "driver\tINT64\tdriver_id" in capsys.readouterr().out
     assert main(common + ["feature-views"]) == 0
     assert "features=conv" in capsys.readouterr().out
+
+
+def test_registry_dump_and_teardown(tmp_path, capsys):
+    import json
+    import os
+
+    from feast_spark.cli import main
+
+    repo = tmp_path / "repo.py"
+    repo.write_text(
+        "from feast_spark import Entity, ValueType\n"
+        "driver = Entity(name='driver', join_key='driver_id', "
+        "value_type=ValueType.INT64)\n"
+    )
+    reg = str(tmp_path / "registry.json")
+    onl = str(tmp_path / "online")
+    base = ["--registry", reg, "--online-path", onl, "--master", "local[2]"]
+    assert main(base + ["apply", str(repo)]) == 0
+    assert main(base + ["registry-dump"]) == 0
+    dumped = capsys.readouterr().out
+    payload = json.loads(dumped[dumped.index("{"):])
+    assert payload["entities"][0]["name"] == "driver"
+    assert main(base + ["teardown"]) == 0
+    assert not os.path.exists(reg)
