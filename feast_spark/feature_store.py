@@ -357,7 +357,27 @@ class FeatureStore:
     ) -> dict:
         """Multiget with per-feature PRESENT/NOT_FOUND statuses
         (feature_store.py:504-617, ServingService FieldStatus)."""
-        grouped = self._group_feature_refs(features)
+        refs = (
+            features.feature_refs
+            if isinstance(features, FeatureService)
+            else list(features)
+        )
+        odfv_feats: dict[str, list[str]] = {}
+        base_refs: list[str] = []
+        for ref in refs:
+            head = ref.split(":", 1)[0]
+            if head in self.registry.on_demand_views:
+                odfv_feats.setdefault(head, []).append(ref.split(":", 1)[1])
+            else:
+                base_refs.append(ref)
+        seen = set(base_refs)
+        for name in odfv_feats:
+            for src_ref in self.registry.get_on_demand_view(name).sources:
+                if src_ref not in seen:
+                    base_refs.append(src_ref)
+                    seen.add(src_ref)
+
+        grouped = self._group_feature_refs(base_refs)
         req = self.spark.createDataFrame(entity_rows)  # small request batch
         req = req.withColumn("__req_id", F.monotonically_increasing_id())
         base = {c: [r[c] for r in entity_rows] for c in entity_rows[0].keys()}
@@ -376,5 +396,28 @@ class FeatureStore:
                     "PRESENT" if (r["__found"] and r[f] is not None) else "NOT_FOUND"
                     for r in ordered
                 ]
+        # on-demand transforms over the assembled response (the serving
+        # half of OnDemandFeatureView; batch sizes here are request-
+        # sized, so the transform runs driver-side on pandas)
+        if odfv_feats:
+            import pandas as pd
+
+            pdf = pd.DataFrame({k: v for k, v in result.items()})
+            for name, feats in odfv_feats.items():
+                ov = self.registry.get_on_demand_view(name)
+                if ov.mode == "pandas":
+                    new = ov.transform(pdf)
+                else:
+                    sdf = ov.apply_transform(self.spark.createDataFrame(pdf))
+                    new = sdf.toPandas()
+                for f in feats:
+                    vals = [
+                        None if pd.isna(v) else v for v in new[f].tolist()
+                    ]
+                    result[f] = vals
+                    statuses[f] = [
+                        "PRESENT" if v is not None else "NOT_FOUND"
+                        for v in vals
+                    ]
         result["__statuses"] = statuses
         return result

@@ -132,3 +132,18 @@ def test_registry_roundtrip_metadata_only(store, tmp_path):
     assert ov.transform is None
     with pytest.raises(ValueError, match="no transform bound"):
         ov.apply_transform(None)
+
+
+def test_on_demand_at_online_serving(store, spark):
+    from datetime import timedelta
+
+    now = store._now
+    store.materialize(now - timedelta(days=1), now + timedelta(days=1))
+    out = store.get_online_features(
+        ["derived:value_x10"],
+        [{"driver_id": 1}, {"driver_id": 2}, {"driver_id": 42}],
+    )
+    assert out["value_x10"][0] == pytest.approx(1.0)
+    assert out["value_x10"][1] == pytest.approx(5.0)
+    assert out["value_x10"][2] is None
+    assert out["__statuses"]["value_x10"] == ["PRESENT", "PRESENT", "NOT_FOUND"]
