@@ -67,16 +67,21 @@ def exact_dedup(
     df: DataFrame, id_col: str, text_col: str, keep: str = "min"
 ) -> DataFrame:
     """Keep one representative per identical (normalized) text: the
-    min/max id wins.  One shuffle on the 16-byte fingerprint, not the
-    full text — at 100 TB the shuffle payload is the id + hash only."""
-    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    min/max id wins.
+
+    groupBy(fingerprint).agg(min_by(row, id)): hash aggregation with
+    MAP-SIDE PARTIAL COMBINE — each task reduces to one survivor per
+    fingerprint before the shuffle, so shuffle volume is O(distinct
+    texts), not O(rows).  A window formulation would ship every
+    duplicate through the exchange; at 100 TB with near-dup-heavy crawl
+    data that is most of the corpus."""
+    pick = F.min_by if keep == "min" else F.max_by
+    cols = list(df.columns)
     fp = df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
-    w = Window.partitionBy("__fp").orderBy(order)
-    return (
-        fp.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+    picked = fp.groupBy("__fp").agg(
+        pick(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("__row")
     )
+    return picked.select(*[F.col(f"__row.{c}").alias(c) for c in cols])
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
