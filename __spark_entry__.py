@@ -269,6 +269,49 @@ def q_order_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact (lineitem) against three
+    broadcast dims (supplier -> nation -> region), revenue per nation.
+    The fact side never shuffles before the final small agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = (
+        supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension rollup over part: per-type price stats (min/max/avg)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.avg("p_retailprice").alias("avg_price"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands sessionization of the events table (1-hour gap):
     one row per (user, session) with start/end/count.  Streaming twin:
@@ -516,6 +559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "order_enrich": q_order_enrich_broadcast,
+        "nation_revenue": q_nation_revenue,
+        "part_type_stats": q_part_type_stats,
         "window_agg_hourly": q_window_agg_hourly,
         "rolling_7d": q_rolling_7d,
         "rollup_pit_join": q_rollup_pit_join,
@@ -712,6 +757,23 @@ SELECT o_orderkey, o_totalprice, c_name, n_name AS nation_name
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
+""",
+        "nation_revenue": """
+SELECT r_name, n_name,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "part_type_stats": """
+SELECT p_type, COUNT(*) AS n_parts,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       AVG(p_retailprice) AS avg_price
+FROM part GROUP BY p_type
 """,
         "window_agg_hourly": """
 WITH e AS (
