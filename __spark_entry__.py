@@ -533,6 +533,137 @@ def q_entity_row_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-surface — top-k by aggregate with deterministic tie-break.
+    Plan must be TakeOrderedAndProject (driver-side heap merge of
+    per-partition top-k), never a global sort: at 100 TB a full sort of
+    the agg output is an extra shuffle; top-k is partial-agg + bounded
+    per-partition heaps."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped star join + top-k: broadcast the filtered
+    customer dim, shuffle-join orders↔lineitem on orderkey, partial agg
+    before the limit. Date predicates push to both parquet scans."""
+    cutoff = "1998-06-01"
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: ROLLUP(region, nation) revenue — subtotals and a
+    grand total in one pass (Expand + single hash agg; Catalyst's Expand
+    multiplies rows 3x pre-shuffle but keeps ONE exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: CUBE(returnflag, linestatus) over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_distinct_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: per-day COUNT(DISTINCT user) + row count.
+    Catalyst plans this as a two-phase expand-agg (partial distinct on
+    (day,user) then final) — no driver-side set."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def q_doc_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of document length per language
+    (training-corpus length profiling). Exact `percentile` (sort-based
+    per group) is fine at per-language group counts; at petabyte scale
+    swap to approx_percentile with the same call shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90"),
+        F.expr("percentile(n_chars, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no order in 2001+. Expressed as
+    left_anti so AQE picks broadcast-anti when the filtered right
+    side's distinct keys are small; the date filter pushes to the
+    orders parquet scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_buyers_never_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (EXCEPT DISTINCT): users who purchased but never clicked
+    in the last third of the month. Spark plans EXCEPT as a left-anti
+    over pre-aggregated distinct sides — same single-shuffle shape as
+    the oracle's EXCEPT."""
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = ev.filter(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-20").cast("timestamp"))
+    ).select("user_id")
+    return buyers.subtract(clickers)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -572,6 +703,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_key_mapping": q_pit_join_key_mapping,
         "json_props": q_json_props,
         "entity_row_key": q_entity_row_key,
+        "topk_revenue": q_topk_revenue,
+        "shipping_priority": q_shipping_priority,
+        "rollup_revenue": q_rollup_revenue,
+        "cube_flags": q_cube_flags,
+        "distinct_daily_users": q_distinct_daily_users,
+        "doc_len_percentiles": q_doc_len_percentiles,
+        "customers_no_orders": q_customers_no_orders,
+        "buyers_never_click": q_buyers_never_click,
     }
 
 
@@ -972,5 +1111,76 @@ SELECT event_id,
        md5(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
          AS row_key
 FROM events
+""",
+        "topk_revenue": """
+SELECT l_orderkey,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "shipping_priority": """
+SELECT l_orderkey,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        "rollup_revenue": """
+SELECT r_name, n_name,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+        "cube_flags": """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+        "distinct_daily_users": """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1
+""",
+        "doc_len_percentiles": """
+SELECT lang,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       quantile_cont(n_chars, 0.99) AS p99,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+""",
+        "customers_no_orders": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+""",
+        "buyers_never_click": """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-20'
 """,
     }

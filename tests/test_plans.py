@@ -214,3 +214,44 @@ def test_ivf_candidate_join_is_equi_not_cross(spark):
     plan = _executed_plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (bounded
+    per-partition heaps merged on the driver), never a global Sort —
+    at 100 TB a full sort of the agg output is an extra range shuffle."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_topk_revenue(spark, SF_MED)
+    plan = _executed_plan(out)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rollup_single_exchange_broadcast_dims(spark):
+    """ROLLUP plans as Expand + one hash agg: one Exchange for the agg;
+    all three dimension tables broadcast (no shuffle join)."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_rollup_revenue(spark, SF_MED)
+    plan = _optimized_explain(out)
+    assert "Expand" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = [
+        e
+        for e in re.findall(r"^\(\d+\) Exchange.*$", plan, flags=re.M)
+        if "broadcast" not in e.lower()
+    ]
+    assert len(exchanges) == 1, plan
+
+
+def test_distinct_agg_two_phase(spark):
+    """COUNT(DISTINCT) plans as the two-phase expand/partial-agg shape,
+    never a driver-side collect."""
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.q_distinct_daily_users(spark, SF_MED)
+    plan = _executed_plan(out)
+    assert "HashAggregate" in plan
+    assert "CollectLimit" not in plan

@@ -33,7 +33,8 @@ def _norm(v):
 
 
 def _key(row):
-    return tuple(_norm(v) for v in row)
+    # repr-wrap so rows with NULLs / mixed types still sort deterministically
+    return tuple(repr(_norm(v)) for v in row)
 
 
 def main() -> int:
