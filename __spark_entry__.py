@@ -664,6 +664,25 @@ def q_buyers_never_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.subtract(clickers)
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning pipeline: exact dedup (keep
+    min doc_id per normalized fingerprint) -> quality features ->
+    language ID -> keep docs above the quality bar inside the token
+    band. One shuffle (the dedup agg); everything downstream is
+    narrow column expressions in the same stage."""
+    from feast_spark.functions.text import with_lang_id, with_quality_features
+    from feast_spark.operators.docdedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = exact_dedup(docs, "doc_id", "text")
+    scored = with_lang_id(with_quality_features(deduped, "text"), "text")
+    return scored.filter(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 5000)
+    ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -711,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_percentiles": q_doc_len_percentiles,
         "customers_no_orders": q_customers_no_orders,
         "buyers_never_click": q_buyers_never_click,
+        "corpus_clean": q_corpus_clean,
     }
 
 
@@ -1182,5 +1202,56 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 EXCEPT
 SELECT DISTINCT user_id FROM events
 WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-20'
+""",
+        "corpus_clean": f"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY {_NORM_MD5} ORDER BY doc_id) rn
+    FROM documents
+  ) WHERE rn = 1
+), t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars_q,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+           AS punct
+  FROM dd
+), f AS (
+  SELECT doc_id, toks, n_chars_q,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars_q > 0 THEN punct / n_chars_q ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, s -> s IN ({_SW_EN}))) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / len(toks)
+              ELSE 0.0 END AS distinct_ratio
+  FROM t
+), q AS (
+  SELECT doc_id, toks, n_tokens,
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+           * 0.25
+         + stopword_ratio * 0.25
+         + distinct_ratio * 0.25
+         + (1.0 - punct_ratio) * 0.25 AS quality_score
+  FROM f
+), s AS (
+  SELECT doc_id, n_tokens, quality_score,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_EN}))) / len(toks) ELSE 0.0 END AS s_en,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_ES}))) / len(toks) ELSE 0.0 END AS s_es,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_DE}))) / len(toks) ELSE 0.0 END AS s_de,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ({_SW_FR}))) / len(toks) ELSE 0.0 END AS s_fr
+  FROM q
+)
+SELECT doc_id, CASE
+  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+  WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+  WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr THEN 'de'
+  ELSE 'fr' END AS lang_pred,
+  n_tokens, quality_score
+FROM s
+WHERE quality_score >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """,
     }

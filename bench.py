@@ -48,6 +48,7 @@ def main() -> None:
             "sessionize",
             "pricing_summary",
             "dedup_exact",
+            "corpus_clean",
             "minhash_lsh_dedup",
             "ann_topk_cosine",
             "text_quality",
