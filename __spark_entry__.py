@@ -683,6 +683,16 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass per-column profile of the events table (nulls /
+    distincts / min-max) — the pre-flight stats pass of a training
+    pipeline."""
+    from feast_spark.operators.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(ev, ["user_id", "event_type", "value"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -731,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_no_orders": q_customers_no_orders,
         "buyers_never_click": q_buyers_never_click,
         "corpus_clean": q_corpus_clean,
+        "table_profile": q_table_profile,
     }
 
 
@@ -1253,5 +1264,28 @@ SELECT doc_id, CASE
   n_tokens, quality_score
 FROM s
 WHERE quality_score >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+""",
+        "table_profile": """
+SELECT 'user_id' AS column, COUNT(*) AS n_rows,
+       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       COUNT(DISTINCT user_id) AS n_distinct,
+       CAST(MIN(user_id) AS DOUBLE) AS min_num,
+       CAST(MAX(user_id) AS DOUBLE) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*),
+       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT event_type),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       MIN(event_type), MAX(event_type)
+FROM events
+UNION ALL
+SELECT 'value', COUNT(*),
+       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       COUNT(DISTINCT value),
+       CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM events
 """,
     }

@@ -373,3 +373,80 @@ def ivf_ann_topk(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cos", F.col("__rn").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — build once, query many times
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> None:
+    """Train the coarse quantizer once and persist the index:
+
+    - ``{path}/centroids``: tiny parquet (cell, centroid) table
+    - ``{path}/vectors``: the cell-tagged corpus, ``partitionBy(cell)``
+
+    Querying then reads ONLY the probed cells' directories (partition
+    pruning / dynamic partition pruning on the broadcast cell join) —
+    at 100 TB with C=4096 cells and n_probe=64, a query batch touches
+    ~1.5% of the corpus bytes, and nothing is retrained per query
+    (``ivf_ann_topk`` retrains every call; this is its repeated-workload
+    counterpart)."""
+    spark = corpus.sparkSession
+    cents = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k cosine ANN against a persisted IVF index (see
+    ``build_ivf_index``). Same output schema/semantics as
+    ``ivf_ann_topk`` with identical params — pinned by tests."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [list(r.centroid) for r in cent_rows]
+    vectors = spark.read.parquet(f"{path}/vectors").select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__cells", probe_cells(F.col("__qvec"), cents, n_probe))
+        .select("query_id", "__qvec", F.explode(F.col("__cells")).alias("cell"))
+    )
+    cand = vectors.join(F.broadcast(q), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    cos = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cos", F.col("__rn").alias("rank"))
+    )

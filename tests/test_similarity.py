@@ -126,3 +126,44 @@ def test_ivf_nprobe_all_cells_is_exact(spark):
     ).collect()
     key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in rows)
     assert key(full) == key(exact)
+
+
+def test_ivf_persisted_index_matches_inline(spark, tmp_path):
+    """build_ivf_index + ivf_index_topk must return exactly what the
+    retrain-per-call ivf_ann_topk returns for the same params, and the
+    on-disk layout must be partitioned by cell (so queries prune)."""
+    import os
+
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_ann_topk,
+        ivf_index_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=2)
+
+    got = ivf_index_topk(spark, path, queries, n_probe=3, k=5)
+    want = ivf_ann_topk(emb, queries, n_centroids=8, n_probe=3, k=5, iters=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    cells = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
+    assert len(cells) > 1, "corpus must be laid out one directory per cell"
+
+
+def test_ivf_index_query_prunes_partitions(spark, tmp_path):
+    """With literal probe cells, the vectors scan must read only the
+    probed cells (partition filters in the scan, not a full read)."""
+    from feast_spark.operators.similarity import build_ivf_index
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=2)
+    vectors = spark.read.parquet(f"{path}/vectors")
+    pruned = vectors.filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell"
+    ) or "cell IN (0,1)" in plan, plan
