@@ -693,6 +693,54 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(ev, ["user_id", "event_type", "value"])
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
+    stable under repartitioning and corpus growth (a doc's split never
+    changes when new docs arrive)."""
+    from feast_spark.functions.split import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: views attributed to the purchase whose
+    1-day window [purchase_ts, purchase_ts + 1d) contains them, then
+    per-purchase attribution stats (left join: purchases with no
+    attributed views keep a 0 count)."""
+    from feast_spark.operators.interval_join import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("win_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join(
+        views, purchases, ["user_id"], "ts", "win_start", "win_end", how="inner"
+    )
+    per_purchase = joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("value").alias("view_value"),
+    )
+    return (
+        purchases.select("purchase_id", "user_id")
+        .join(per_purchase, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            "view_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -742,6 +790,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buyers_never_click": q_buyers_never_click,
         "corpus_clean": q_corpus_clean,
         "table_profile": q_table_profile,
+        "hash_split": q_hash_split,
+        "attribution_join": q_attribution_join,
     }
 
 
@@ -1287,5 +1337,40 @@ SELECT 'value', COUNT(*),
        CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM events
+""",
+        "hash_split": """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+""",
+        "attribution_join": """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS win_start,
+         CAST(ts AS TIMESTAMP) + INTERVAL 1 DAY AS win_end
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+), agg AS (
+  SELECT p.purchase_id,
+         COUNT(*) AS n_views,
+         SUM(v.value) AS view_value
+  FROM v JOIN p
+    ON v.user_id = p.user_id
+   AND v.ts >= p.win_start AND v.ts < p.win_end
+  GROUP BY p.purchase_id
+)
+SELECT p.purchase_id, p.user_id,
+       COALESCE(agg.n_views, 0) AS n_views,
+       agg.view_value
+FROM p LEFT JOIN agg ON p.purchase_id = agg.purchase_id
 """,
     }

@@ -1,0 +1,62 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``hash_split`` assigns every row a stable split label (train/val/test)
+from an md5 of its id — no sampling state, no shuffle, reproducible
+across engines and runs, stable under repartitioning and incremental
+arrival of new rows (a row's split never changes when the corpus
+grows, unlike fraction-based ``randomSplit``).
+
+Scale: a narrow projection (md5 + substring + mod) inside whole-stage
+codegen; the split can be used as a partition column on write so each
+split lands in its own directory (`partitionBy("split")`).
+
+The reference has no splitting surface; this generalizes the
+deterministic-hash idiom its online store uses for entity keys
+(infra/online_stores/helpers.py:50-66) to corpus partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_split"]
+
+
+def hash_bucket(id_col: Column, n_buckets: int = 100, salt: str = "") -> Column:
+    """Stable bucket in [0, n_buckets) from md5(salt || id).
+
+    Uses the first 8 hex chars (32 bits) of the md5 — engine-portable
+    (DuckDB computes the identical value, which the driver oracle
+    relies on)."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("long") % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Label each row with a split name, proportions from ``weights``
+    (e.g. {"train": 0.8, "val": 0.1, "test": 0.1}; must sum to ~1).
+
+    Buckets are carved from [0, 100) in the dict's insertion order, so
+    the assignment is fully deterministic given (id, salt, weights)."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(id_col), 100, salt=salt)
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w * 100
+        bounds.append((name, int(round(acc))))
+    if bounds[-1][1] != 100:
+        raise ValueError(f"weights carve {bounds[-1][1]}/100 buckets, not 100")
+    expr: Column = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(bucket < F.lit(upper), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
