@@ -741,6 +741,29 @@ def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pit_join_list_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 with an ArrayType feature column — list-typed values must ride
+    through the as-of join unchanged (ValueType *_LIST parity,
+    type_map.py:177-271)."""
+    entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
+    feats = views.withColumn(
+        "vals", F.array(F.col("value"), F.col("value") * 2)
+    ).drop("value")
+    return as_of_join(
+        entity,
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["user_id"],
+                timestamp_col="ts",
+                features=["vals"],
+                ttl=timedelta(days=2),
+            )
+        ],
+    ).select("event_id", "user_id", "ts", "vals")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -792,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": q_table_profile,
         "hash_split": q_hash_split,
         "attribution_join": q_attribution_join,
+        "pit_join_list_feature": q_pit_join_list_feature,
     }
 
 
@@ -1372,5 +1396,25 @@ SELECT p.purchase_id, p.user_id,
        COALESCE(agg.n_views, 0) AS n_views,
        agg.view_value
 FROM p LEFT JOIN agg ON p.purchase_id = agg.purchase_id
+""",
+        "pit_join_list_feature": """
+WITH entity AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), feat AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, [value, value * 2] AS vals
+  FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         f.vals, f.ts AS fts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
+  FROM entity e
+  LEFT JOIN feat f
+    ON e.user_id = f.user_id AND f.ts <= e.ts
+   AND f.ts >= e.ts - INTERVAL 2 DAY
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE vals END AS vals
+FROM ranked WHERE rn = 1
 """,
     }
