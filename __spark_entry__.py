@@ -764,6 +764,17 @@ def q_pit_join_list_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "vals")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 20 docs per language, chosen by
+    md5 order — the balanced-mini-corpus primitive."""
+    from feast_spark.functions.split import sample_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_per_group(docs, ["lang"], "doc_id", 20).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -816,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "attribution_join": q_attribution_join,
         "pit_join_list_feature": q_pit_join_list_feature,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1416,5 +1428,14 @@ WITH entity AS (
 SELECT event_id, user_id, ts,
        CASE WHEN fts IS NULL THEN NULL ELSE vals END AS vals
 FROM ranked WHERE rn = 1
+""",
+        "stratified_sample": """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 20
 """,
     }

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split"]
+__all__ = ["hash_bucket", "hash_split", "sample_per_group"]
 
 
 def hash_bucket(id_col: Column, n_buckets: int = 100, salt: str = "") -> Column:
@@ -60,3 +60,31 @@ def hash_split(
     for name, upper in reversed(bounds[:-1]):
         expr = F.when(bucket < F.lit(upper), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified sample: up to ``n`` rows per group,
+    chosen by md5(salt || id) order (ties broken by id) — the balanced
+    mini-corpus primitive (e.g. equal docs per language), reproducible
+    across runs and engines.
+
+    One shuffle (hash on group_cols) + per-partition sort; rows beyond
+    rank n are dropped before any downstream stage. For groups far
+    larger than n at extreme scale, pre-filter with hash_bucket to cut
+    the sorted volume (bucket < ceil(n * safety / group_size * 100))
+    before ranking."""
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*group_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rank", F.row_number().over(w))
+        .filter(F.col("__rank") <= n)
+        .drop("__rank")
+    )

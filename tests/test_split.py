@@ -43,3 +43,22 @@ def test_split_salt_changes_assignment(spark, docs):
 def test_split_weight_validation(docs):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, "id", {"train": 0.5, "val": 0.1})
+
+
+def test_sample_per_group_balanced_and_deterministic(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.functions.split import sample_per_group
+
+    rows = [
+        Row(id=i, g="a" if i % 3 else "b") for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    out = sample_per_group(df, ["g"], "id", 10)
+    counts = {r["g"]: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {"a": 10, "b": 10}
+    again = sample_per_group(df, ["g"], "id", 10)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # small groups are kept whole, not padded
+    tiny = sample_per_group(df.filter("id < 4"), ["g"], "id", 10)
+    assert tiny.count() == 4
