@@ -287,13 +287,25 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
-    no quadratic all-pairs stage anywhere)."""
+    no quadratic all-pairs stage anywhere).
+
+    The verify intersect runs over xxhash64(shingle) longs, not the
+    shingle strings: fixed 8-byte compares instead of variable-length
+    string compares (neutral at sf0.1's short docs; wins grow with
+    document length since intersect cost is per-byte for strings).
+    Jaccard is unchanged unless two distinct shingles of the same pair
+    collide in 64 bits (~1e-19 per pair)."""
     shingled = _persist(
         with_shingles(
             widen_parallelism(df.select(id_col, text_col)), text_col, n
         )
     )
-    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
+    sh = shingled.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("shingles"),
+    )
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands, shingles_df=shingled
     )
