@@ -157,3 +157,53 @@ def test_registry_roundtrip(store, spark, tmp_path):
     v = st2.registry.get_feature_view("simple_fv")
     assert v.ttl == timedelta(days=5)
     assert v.batch_source.field_mapping == {"ts_1": "ts", "id": "driver_id"}
+
+
+def test_list_feature_offline_online_roundtrip(spark, tmp_path):
+    """ArrayType feature values survive apply -> historical retrieval ->
+    materialize -> online read (ValueType *_LIST parity)."""
+    now = ts("2021-06-01 12:00:00")
+    rows = [
+        Row(driver_id=1, emb=[1.0, 2.0], ts=now - timedelta(hours=2), created_ts=now),
+        Row(driver_id=1, emb=[3.0, 4.0], ts=now - timedelta(hours=1), created_ts=now),
+        Row(driver_id=2, emb=None, ts=now - timedelta(hours=1), created_ts=now),
+    ]
+    src_path = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(rows).write.parquet(src_path)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="t",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id", value_type=ValueType.INT64),
+            FeatureView(
+                name="emb_fv",
+                entities=["driver"],
+                ttl=timedelta(days=5),
+                batch_source=FileSource(
+                    path=src_path,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                ),
+            ),
+        ]
+    )
+    view = st.registry.get_feature_view("emb_fv")
+    assert view.feature_names == ["emb"]
+
+    entity_df = spark.createDataFrame([Row(driver_id=1, event_timestamp=now)])
+    hist = st.get_historical_features(entity_df, ["emb_fv:emb"]).to_spark_df()
+    assert hist.collect()[0]["emb"] == [3.0, 4.0]
+
+    st.materialize(now - timedelta(days=1), now)
+    resp = st.get_online_features(
+        ["emb_fv:emb"], [{"driver_id": 1}, {"driver_id": 2}, {"driver_id": 9}]
+    )
+    assert list(resp["emb"][0]) == [3.0, 4.0]
+    assert resp["emb"][1] is None
+    assert resp["__statuses"]["emb"] == ["PRESENT", "NOT_FOUND", "NOT_FOUND"]
