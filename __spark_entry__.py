@@ -775,6 +775,27 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — arbitrary SQL subquery as a feature source
+    (get_table_query_string parity, bigquery.py:794-799): register the
+    parquet table as a view, declare the source as SQL, field-map it."""
+    from feast_spark.data_source import SparkSqlSource
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    src = SparkSqlSource(
+        query="""
+            SELECT o_custkey, o_orderstatus,
+                   SUM(o_totalprice) AS total_spend,
+                   COUNT(*) AS n_orders
+            FROM orders_v GROUP BY o_custkey, o_orderstatus
+        """,
+        field_mapping={"o_custkey": "customer_id"},
+    )
+    return src.load(spark).select(
+        "customer_id", "o_orderstatus", "total_spend", "n_orders"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -828,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_join": q_attribution_join,
         "pit_join_list_feature": q_pit_join_list_feature,
         "stratified_sample": q_stratified_sample,
+        "sql_source": q_sql_source,
     }
 
 
@@ -1437,5 +1459,11 @@ SELECT doc_id, lang, source FROM (
            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
   FROM documents
 ) WHERE rn <= 20
+""",
+        "sql_source": """
+SELECT o_custkey AS customer_id, o_orderstatus,
+       SUM(o_totalprice) AS total_spend,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey, o_orderstatus
 """,
     }
