@@ -796,6 +796,79 @@ def q_sql_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join: revenue by nation where the
+    customer and supplier share a nation (join condition across two
+    dimension paths). Dims broadcast; the only shuffle joins the two
+    fact tables on orderkey."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel: first view -> first click at/after
+    that view -> first purchase at/after that click. Three chained
+    whole-partition window mins over the SAME user_id partitioning
+    (Catalyst plans one Exchange + one Sort for the chain) — no
+    per-user arrays, so a hot user with 10M events costs sort space,
+    not memory."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    ev = ev.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    return ev.select(
+        "user_id", "first_view", "first_click", "first_purchase"
+    ).distinct()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -850,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_list_feature": q_pit_join_list_feature,
         "stratified_sample": q_stratified_sample,
         "sql_source": q_sql_source,
+        "local_supplier_volume": q_local_supplier_volume,
+        "funnel": q_funnel,
     }
 
 
@@ -1465,5 +1540,40 @@ SELECT o_custkey AS customer_id, o_orderstatus,
        SUM(o_totalprice) AS total_spend,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey, o_orderstatus
+""",
+        "local_supplier_volume": """
+SELECT n_name,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+        "funnel": """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+), fv AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM e GROUP BY user_id
+), fc AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'click' AND e.ts >= fv.first_view
+                  THEN e.ts END) AS first_click
+  FROM e JOIN fv USING (user_id) GROUP BY e.user_id
+), fp AS (
+  SELECT e.user_id,
+         MIN(CASE WHEN e.event_type = 'purchase' AND e.ts >= fc.first_click
+                  THEN e.ts END) AS first_purchase
+  FROM e JOIN fc USING (user_id) GROUP BY e.user_id
+)
+SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
+FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
 """,
     }
