@@ -197,11 +197,24 @@ def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (rows-only)."""
+    """SimHash near-dup pairs within Hamming distance 3 (xxhash64 fast
+    path; rows-only)."""
     from feast_spark.operators.docdedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs with the md5-based 60-bit hash — bit-for-bit
+    reproducible cross-engine, so the full fingerprint pipeline
+    (shingle -> hash -> majority bits -> quadrant blocking -> Hamming)
+    is value-checked against the oracle."""
+    from feast_spark.operators.docdedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=3, portable=True)
+    return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_source": q_sql_source,
         "local_supplier_volume": q_local_supplier_volume,
         "funnel": q_funnel,
+        "simhash_portable": q_simhash_portable,
     }
 
 
@@ -1575,5 +1589,38 @@ WITH e AS (
 )
 SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
 FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
+""",
+        "simhash_portable": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS s FROM sh
+), h AS (
+  SELECT doc, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+  FROM post
+), bits AS (
+  SELECT doc, b AS bit,
+         SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS score
+  FROM h, (SELECT unnest(range(60)) AS b)
+  GROUP BY doc, b
+), fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc
+)
+SELECT a.doc AS id_a, b.doc AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     }

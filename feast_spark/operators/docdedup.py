@@ -328,16 +328,33 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def _md5_hash60(t):
+    """Engine-portable 60-bit shingle hash: first 15 hex chars of md5.
+    DuckDB computes the identical value, so simhash fingerprints built
+    from it are oracle-checkable cross-engine."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def with_simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash", n: int = 3
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "simhash",
+    n: int = 3,
+    n_bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """64-bit SimHash over distinct word n-gram shingles: bit i of the
+    """SimHash over distinct word n-gram shingles: bit i of the
     fingerprint is the sign of sum over shingles of (+1 if bit i of
-    xxhash64(shingle) else -1).  Shingles (not unigrams) keep the
-    feature space large enough that only genuinely similar documents
-    collide.  Expressed as 64 vectorized bit-tests over one hash array."""
+    hash(shingle) else -1).  Shingles (not unigrams) keep the feature
+    space large enough that only genuinely similar documents collide.
+    Expressed as n_bits vectorized bit-tests over one hash array.
+
+    Default hash is xxhash64 (fastest, 64 bits). Pass
+    ``hash_fn=_md5_hash60, n_bits=60`` for the engine-portable variant
+    the driver oracle reproduces bit-for-bit."""
     df = with_shingles(df, text_col, n, out_col="__sh_tmp")
-    hashes = F.transform(F.col("__sh_tmp"), lambda t: F.xxhash64(t))
+    hf = hash_fn if hash_fn is not None else (lambda t: F.xxhash64(t))
+    hashes = F.transform(F.col("__sh_tmp"), lambda t: hf(t))
     df = df.withColumn("__hashes", hashes).drop("__sh_tmp")
     n_tok = F.size("__hashes")
 
@@ -346,7 +363,7 @@ def with_simhash(
         return lambda h: h.bitwiseAND(F.lit(mask)) != 0
 
     bit_cols = []
-    for i in range(64):
+    for i in range(n_bits):
         # two's-complement literal mask (bit 63 is the sign bit of a long)
         mask = (1 << i) if i < 63 else -(1 << 63)
         ones = F.size(F.filter(F.col("__hashes"), bit_test(mask)))
@@ -366,15 +383,24 @@ def hamming64(a: F.Column, b: F.Column) -> F.Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the four
     16-bit quadrants (pigeonhole: distance <= 3 => at least one of 4
     quadrants matches exactly), so candidate formation is an equi-join,
-    not a cross-join."""
+    not a cross-join.
+
+    ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash so
+    the fingerprints (and pairs) are reproducible in any engine with
+    md5 — the oracle-checked mode; xxhash64 stays the fast default."""
+    kwargs = {"hash_fn": _md5_hash60, "n_bits": 60} if portable else {}
     sh = _persist(
         with_simhash(
-            widen_parallelism(df.select(id_col, text_col)), text_col
+            widen_parallelism(df.select(id_col, text_col)), text_col, **kwargs
         ).select(F.col(id_col).alias("doc"), "simhash")
     )
     quads = sh.select(
