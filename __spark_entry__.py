@@ -205,6 +205,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs in portable mode: md5-based 32-bit
+    base hash + (a*x+b)%p signatures + raw band-string buckets — the
+    ENTIRE scale-path pipeline (shingle -> signature -> banding ->
+    candidate join -> exact-Jaccard verify) value-checked against the
+    oracle, which reproduces the same signatures in SQL."""
+    from feast_spark.operators.docdedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, portable=True
+    )
+
+
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pairs with the md5-based 60-bit hash — bit-for-bit
     reproducible cross-engine, so the full fingerprint pipeline
@@ -939,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "funnel": q_funnel,
         "simhash_portable": q_simhash_portable,
+        "minhash_portable": q_minhash_portable,
     }
 
 
@@ -970,6 +985,58 @@ WITH entity AS (
 SELECT event_id, user_id, ts,
        CASE WHEN fts IS NULL THEN NULL ELSE value END AS view_value
 FROM ranked WHERE rn = 1
+"""
+
+
+def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    """SQL twin of minhash_dedup_pairs(portable=True): same (a, b)
+    params, same 32-bit md5 base, same band strings — so the candidate
+    set (not just the verified output) agrees cross-engine."""
+    from feast_spark.operators.docdedup import minhash_params
+
+    rpb = num_hashes // bands
+    seeds = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_params(num_hashes))
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS s FROM sh
+), h AS (
+  SELECT doc, CAST(CONCAT('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv
+  FROM post
+), seeds(i, a, b) AS (
+  VALUES {seeds}
+), sig AS (
+  SELECT doc, i, MIN((a * hv + b) % 2147483647) AS mh
+  FROM h CROSS JOIN seeds GROUP BY doc, i
+), bd AS (
+  SELECT doc, i // {rpb} AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sigs
+  FROM sig GROUP BY doc, i // {rpb}
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.sigs = b.sigs AND a.doc < b.doc
+), ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, common / (na + nb - common) AS jaccard
+FROM ver WHERE common / (na + nb - common) >= 0.5
 """
 
 
@@ -1623,4 +1690,5 @@ SELECT a.doc AS id_a, b.doc AS id_b,
 FROM fp a JOIN fp b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
+        "minhash_portable": _minhash_portable_oracle(),
     }

@@ -190,17 +190,62 @@ def jaccard_pairs(
 # MinHash + LSH (scale path)
 # ---------------------------------------------------------------------------
 
+_MH_PRIME = 2147483647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash params for the portable
+    minhash mode, h_i(x) = (a_i*x + b_i) % p over a 32-bit base hash.
+    a_i odd < 2^30 keeps a*x inside a 64-bit long. The SAME params are
+    embedded into the driver's oracle SQL, so signatures agree
+    cross-engine."""
+    params = []
+    x = 42
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % (1 << 30)
+        a = x | 1
+        x = (1103515245 * x + 12345) % (1 << 30)
+        params.append((a, x))
+    return params
+
+
 def with_minhash(
     df: DataFrame,
     shingles_col: str = "shingles",
     num_hashes: int = 32,
     out_col: str = "minhash",
+    portable: bool = False,
 ) -> DataFrame:
     """H min-hashes per doc.  The variable-length shingle strings are
-    hashed ONCE (xxhash64); each of the H signatures then re-hashes the
-    resulting 8-byte longs with a different seed — H cheap fixed-width
-    passes instead of H string passes (an order of magnitude less CPU on
-    long shingle arrays).  No shuffle; one projection."""
+    hashed ONCE; each of the H signatures then re-hashes the resulting
+    fixed-width values — H cheap passes instead of H string passes (an
+    order of magnitude less CPU on long shingle arrays).  No shuffle;
+    one projection.
+
+    Default: xxhash64 base + per-seed xxhash64 re-hash (fastest).
+    ``portable=True``: md5-derived 32-bit base + (a*x+b) % p re-hash —
+    identical in any engine with md5, so the driver oracle reproduces
+    the exact signatures."""
+    if portable:
+        df = df.withColumn(
+            "__mh_base",
+            F.transform(
+                F.col(shingles_col),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            ),
+        )
+
+        def affine(a: int, b: int):
+            return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("__mh_base"), affine(a, b)))
+                for a, b in minhash_params(num_hashes)
+            ]
+        )
+        return df.withColumn(out_col, sig).drop("__mh_base")
+
     def hash_with_seed(seed: int):
         # NB: the lambda must take exactly ONE arg — PySpark passes the
         # element index as a second arg to two-parameter HOF lambdas.
@@ -226,13 +271,16 @@ def lsh_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingles_df: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
     rows_per_band consecutive min-hashes collide.  One shuffle on
     (band, band_hash); pair fan-out bounded by bucket sizes.
 
     Pass ``shingles_df`` (id_col + 'shingles') to reuse an
-    already-computed shingle frame instead of re-shingling."""
+    already-computed shingle frame instead of re-shingling.
+    ``portable``: engine-portable signatures AND bucket keys (the raw
+    comma-joined band string instead of its xxhash64)."""
     rows_per_band = num_hashes // bands
     sh = (
         shingles_df
@@ -241,26 +289,26 @@ def lsh_candidate_pairs(
             widen_parallelism(df.select(id_col, text_col)), text_col, n
         )
     )
-    mh = with_minhash(sh, num_hashes=num_hashes).select(
+    mh = with_minhash(sh, num_hashes=num_hashes, portable=portable).select(
         F.col(id_col).alias("doc"), "minhash"
     )
+
+    def band_key(b: int):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at("minhash", b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        return joined if portable else F.xxhash64(joined)
+
     banded = mh.select(
         "doc",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("minhash", b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -284,6 +332,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     num_hashes: int = 32,
     bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
@@ -307,7 +356,8 @@ def minhash_dedup_pairs(
         ).alias("shingles"),
     )
     cands = lsh_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands, shingles_df=shingled
+        df, id_col, text_col, n, num_hashes, bands,
+        shingles_df=shingled, portable=portable,
     )
     joined = (
         cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
