@@ -896,6 +896,34 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-50 bigrams by occurrence (NON-distinct within a
+    doc, unlike the dedup shingles): explode -> count -> top-k. The
+    shuffle carries (bigram, partial count) after map-side combine;
+    the limit is TakeOrderedAndProject."""
+    from feast_spark.functions.text import normalize_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokens(normalize_text(F.col("text"))).alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - 2),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)),
+                ),
+            ).otherwise(F.array())
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -954,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "simhash_portable": q_simhash_portable,
         "minhash_portable": q_minhash_portable,
+        "top_ngrams": q_top_ngrams,
     }
 
 
@@ -1691,4 +1720,20 @@ FROM fp a JOIN fp b ON a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "minhash_portable": _minhash_portable_oracle(),
+        "top_ngrams": f"""
+WITH tk AS (
+  SELECT regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks FROM documents
+), bg AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END) AS bigram
+  FROM tk
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 50
+""",
     }
