@@ -771,12 +771,14 @@ def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pit_join_list_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with an ArrayType feature column — list-typed values must ride
     through the as-of join unchanged (ValueType *_LIST parity,
-    type_map.py:177-271)."""
+    type_map.py:177-271). The array survives the join; the final
+    projection unpacks it to scalar elements because the driver's
+    pandas canonicalizer cannot hash list cells."""
     entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
     feats = views.withColumn(
         "vals", F.array(F.col("value"), F.col("value") * 2)
     ).drop("value")
-    return as_of_join(
+    joined = as_of_join(
         entity,
         "ts",
         [
@@ -788,7 +790,14 @@ def q_pit_join_list_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ttl=timedelta(days=2),
             )
         ],
-    ).select("event_id", "user_id", "ts", "vals")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("vals").getItem(0).alias("val0"),
+        F.col("vals").getItem(1).alias("val1"),
+    )
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,7 +1569,7 @@ WHERE quality_score >= 0.5 AND n_tokens BETWEEN 10 AND 5000
 """,
         "table_profile": """
 SELECT 'user_id' AS column, COUNT(*) AS n_rows,
-       SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        COUNT(DISTINCT user_id) AS n_distinct,
        CAST(MIN(user_id) AS DOUBLE) AS min_num,
        CAST(MAX(user_id) AS DOUBLE) AS max_num,
@@ -1568,14 +1577,14 @@ SELECT 'user_id' AS column, COUNT(*) AS n_rows,
 FROM events
 UNION ALL
 SELECT 'event_type', COUNT(*),
-       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT event_type),
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
        MIN(event_type), MAX(event_type)
 FROM events
 UNION ALL
 SELECT 'value', COUNT(*),
-       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        COUNT(DISTINCT value),
        CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
@@ -1633,7 +1642,8 @@ WITH entity AS (
    AND f.ts >= e.ts - INTERVAL 2 DAY
 )
 SELECT event_id, user_id, ts,
-       CASE WHEN fts IS NULL THEN NULL ELSE vals END AS vals
+       CASE WHEN fts IS NULL THEN NULL ELSE vals[1] END AS val0,
+       CASE WHEN fts IS NULL THEN NULL ELSE vals[2] END AS val1
 FROM ranked WHERE rn = 1
 """,
         "stratified_sample": """
