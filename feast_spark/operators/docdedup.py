@@ -263,6 +263,25 @@ def with_minhash(
     return df.withColumn(out_col, sig).drop("__mh_base")
 
 
+def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
+    """All (id_a < id_b) pairs within each bucket's doc array, entirely
+    as array expressions: sort the array, then for each element pair it
+    with every later element.  Runs inside the aggregation's output
+    projection — no self-join, no second shuffle before the final
+    distinct."""
+    docs = F.array_sort(F.array_distinct(F.col(docs_col)))
+    pairs = F.flatten(
+        F.transform(
+            docs,
+            lambda x, i: F.transform(
+                F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -272,10 +291,18 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingles_df: DataFrame | None = None,
     portable: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
-    rows_per_band consecutive min-hashes collide.  One shuffle on
-    (band, band_hash); pair fan-out bounded by bucket sizes.
+    rows_per_band consecutive min-hashes collide.
+
+    Pair formation is groupBy(band, bucket) -> collect_list -> in-array
+    pair expansion: ONE shuffle on the bucket key (map-side partial
+    collect), versus a self-join's two shuffled sides.  Pair fan-out is
+    quadratic in bucket size either way; ``max_bucket_size`` drops
+    larger buckets (boilerplate/empty docs at crawl scale — they carry
+    no near-dup signal and would dominate the expansion at 100 TB).
+    Default None keeps every bucket (exact LSH semantics).
 
     Pass ``shingles_df`` (id_col + 'shingles') to reuse an
     already-computed shingle frame instead of re-shingling.
@@ -314,14 +341,12 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
-    a = banded.select(F.col("doc").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("doc").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    grouped = banded.groupBy("band", "bucket").agg(
+        F.collect_list("doc").alias("docs")
     )
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("docs") <= max_bucket_size)
+    return _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
 
 
 def minhash_dedup_pairs(
@@ -448,11 +473,9 @@ def simhash_pairs(
     the fingerprints (and pairs) are reproducible in any engine with
     md5 — the oracle-checked mode; xxhash64 stays the fast default."""
     kwargs = {"hash_fn": _md5_hash60, "n_bits": 60} if portable else {}
-    sh = _persist(
-        with_simhash(
-            widen_parallelism(df.select(id_col, text_col)), text_col, **kwargs
-        ).select(F.col(id_col).alias("doc"), "simhash")
-    )
+    sh = with_simhash(
+        widen_parallelism(df.select(id_col, text_col)), text_col, **kwargs
+    ).select(F.col(id_col).alias("doc"), "simhash")
     quads = sh.select(
         "doc",
         "simhash",
@@ -470,16 +493,35 @@ def simhash_pairs(
             )
         ).alias("qq"),
     ).select("doc", "simhash", "qq.quad", "qq.qval")
-    a = quads.select(
-        F.col("doc").alias("id_a"), F.col("simhash").alias("sh_a"), "quad", "qval"
+    # one shuffle: bucket on (quad, qval), expand pairs inside the
+    # bucket's array (same shape as lsh_candidate_pairs), hamming filter
+    # on the struct-carried fingerprints, distinct to merge quadrants.
+    grouped = (
+        quads.groupBy("quad", "qval")
+        .agg(
+            F.collect_list(F.struct("doc", "simhash")).alias("members")
+        )
+        .filter(F.size("members") > 1)
     )
-    b = quads.select(
-        F.col("doc").alias("id_b"), F.col("simhash").alias("sh_b"), "quad", "qval"
+    members = F.array_sort(F.array_distinct(F.col("members")))
+    pairs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(
+                    members, i + 2, F.greatest(F.size(members) - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(
+                    x["doc"].alias("id_a"),
+                    y["doc"].alias("id_b"),
+                    hamming64(x["simhash"], y["simhash"]).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["quad", "qval"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        grouped.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.hamming") <= max_hamming)
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
