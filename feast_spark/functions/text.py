@@ -10,7 +10,7 @@ so the driver's DuckDB gate can verify it value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Public, widely-known function-word lists (top closed-class words per
@@ -202,6 +202,94 @@ def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     df = df.withColumn(out_col, expr)
     return df.drop("__l_toks", *[f"__s_{lang}" for lang in LANG_PRIORITY])
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality heuristics) and TF-IDF.
+# Both are explode -> groupBy shapes rather than per-row array scans:
+# the per-(doc, gram) aggregation gets map-side partial combine, so at
+# crawl scale shuffle volume is O(distinct grams per doc), and no single
+# task ever holds a whole document's quadratic gram-pair state.
+# ---------------------------------------------------------------------------
+
+def repetition_stats(df, id_col: str, text_col: str):
+    """Per-document repetition signals over unigrams and bigrams:
+
+    * top_token_frac  — occurrences of the most frequent token / tokens
+    * top_bigram_frac — occurrences of the most frequent bigram / bigrams
+    * dup_bigram_frac — fraction of bigram occurrences whose bigram
+                        appears more than once
+
+    High values flag boilerplate/spam (the repetition filters of the
+    usual pre-training quality stack).  Documents with < 2 tokens get
+    0.0 bigram stats.  Two shuffles: (doc, gram) count, then per-doc
+    rollup."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    bigrams = F.when(
+        F.size("__toks") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 2),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
+        )
+    )
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform("__toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+                F.transform(bigrams, lambda t: F.struct(F.lit(2).alias("n"), t.alias("g"))),
+            )
+        ).alias("gram"),
+    ).select(id_col, "gram.n", "gram.g")
+    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy(id_col, "n").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("total"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+    )
+    uni = per_doc.filter(F.col("n") == 1).select(
+        id_col, (F.col("top_c") / F.col("total")).alias("top_token_frac")
+    )
+    bi = per_doc.filter(F.col("n") == 2).select(
+        id_col,
+        (F.col("top_c") / F.col("total")).alias("top_bigram_frac"),
+        (F.col("dup_c") / F.col("total")).alias("dup_bigram_frac"),
+    )
+    return (
+        uni.join(bi, id_col, "left")
+        .fillna({"top_bigram_frac": 0.0, "dup_bigram_frac": 0.0})
+    )
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
+    """Top-k terms per document by TF-IDF (idf = ln(N/df), ties broken
+    by term asc).  Standard explode -> two aggregations; the corpus size
+    N rides in via a broadcast 1-row aggregate, never a collect."""
+    toks = tokens(normalize_text(F.col(text_col)))
+    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("__n_docs") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(id_col, "term", "tf", "df", F.col("__rn").alias("rank"), "tfidf")
+    )
 
 
 def normalize_text(text: Column) -> Column:
