@@ -187,30 +187,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-Jaccard-verified (scale path;
-    xxhash64 signatures are Spark-specific => rows-only driver check;
-    recall vs the exact operator is pytest-asserted)."""
-    from feast_spark.operators.docdedup import minhash_dedup_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
-
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming distance 3 (xxhash64 fast
-    path; rows-only)."""
-    from feast_spark.operators.docdedup import simhash_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
-
-
-def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs in portable mode: md5-based 32-bit
-    base hash + (a*x+b)%p signatures + raw band-string buckets — the
-    ENTIRE scale-path pipeline (shingle -> signature -> banding ->
-    candidate join -> exact-Jaccard verify) value-checked against the
-    oracle, which reproduces the same signatures in SQL."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified, in portable
+    mode: md5-based 32-bit base hash + (a*x+b)%p signatures + raw
+    band-string buckets — the ENTIRE scale-path pipeline (shingle ->
+    signature -> banding -> capped-bucket candidate join -> exact
+    Jaccard verify) value-checked against the oracle, which reproduces
+    the same signatures in SQL.  ``q_minhash_fast`` (xxhash64
+    signatures, Spark-only) is the throughput path bench.py times."""
     from feast_spark.operators.docdedup import minhash_dedup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -219,11 +202,22 @@ def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash pairs with the md5-based 60-bit hash — bit-for-bit
-    reproducible cross-engine, so the full fingerprint pipeline
-    (shingle -> hash -> majority bits -> quadrant blocking -> Hamming)
-    is value-checked against the oracle."""
+def q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 fast path of minhash_dedup_pairs (bench-only: the
+    signatures are Spark-specific, so correctness is gated via the
+    portable twin ``minhash_lsh_dedup`` + pytest recall pins)."""
+    from feast_spark.operators.docdedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance 3, with the
+    md5-based 60-bit hash — bit-for-bit reproducible cross-engine, so
+    the full fingerprint pipeline (shingle -> hash -> majority bits ->
+    capped quadrant blocking -> Hamming) is value-checked against the
+    oracle.  xxhash64 stays the library's fast default."""
     from feast_spark.operators.docdedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -438,12 +432,19 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-quantized ANN (second scale path; rows-only — recall
-    pytest-asserted against cosine_topk)."""
-    from feast_spark.operators.similarity import ivf_ann_topk
+    """IVF-quantized ANN (second scale path) with the engine-portable
+    md5-selected quantizer, so the full assign/probe/re-rank pipeline
+    is value-checked against the oracle (which re-derives the identical
+    centroids in SQL).  k-means training (``ivf_train_centroids``) is
+    pytest-pinned separately — its centroids depend on float summation
+    order and are not cross-engine stable."""
+    from feast_spark.operators.similarity import ivf_ann_topk, md5_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    cents = md5_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    return ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, centroids=cents
+    )
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -989,10 +990,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_source": q_sql_source,
         "local_supplier_volume": q_local_supplier_volume,
         "funnel": q_funnel,
-        "simhash_portable": q_simhash_portable,
-        "minhash_portable": q_minhash_portable,
         "top_ngrams": q_top_ngrams,
     }
+    # NB: exactly 50 entries — the driver records at most 50 queries
+    # (r02 registered 52, recorded 50).  The former simhash_portable /
+    # minhash_portable entries ARE the gated simhash_pairs /
+    # minhash_lsh_dedup now; the xxhash64 fast paths stay in the
+    # library (bench.py times q_minhash_fast).
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1026,10 +1030,13 @@ FROM ranked WHERE rn = 1
 """
 
 
-def _minhash_portable_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_portable_oracle(
+    num_hashes: int = 32, bands: int = 8, max_bucket_size: int = 1000
+) -> str:
     """SQL twin of minhash_dedup_pairs(portable=True): same (a, b)
-    params, same 32-bit md5 base, same band strings — so the candidate
-    set (not just the verified output) agrees cross-engine."""
+    params, same 32-bit md5 base, same band strings, same hot-bucket
+    cap — so the candidate set (not just the verified output) agrees
+    cross-engine."""
     from feast_spark.operators.docdedup import minhash_params
 
     rpb = num_hashes // bands
@@ -1058,10 +1065,13 @@ WITH tk AS (
 ), sig AS (
   SELECT doc, i, MIN((a * hv + b) % 2147483647) AS mh
   FROM h CROSS JOIN seeds GROUP BY doc, i
-), bd AS (
+), bd0 AS (
   SELECT doc, i // {rpb} AS band,
          string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sigs
   FROM sig GROUP BY doc, i // {rpb}
+), bd AS (
+  SELECT * FROM bd0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, sigs) <= {max_bucket_size}
 ), cand AS (
   SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
   FROM bd a JOIN bd b ON a.band = b.band AND a.sigs = b.sigs AND a.doc < b.doc
@@ -1075,6 +1085,108 @@ WITH tk AS (
 )
 SELECT id_a, id_b, common / (na + nb - common) AS jaccard
 FROM ver WHERE common / (na + nb - common) >= 0.5
+"""
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """Sequential-fold cosine — bit-identical to feast_spark's
+    zip_with/aggregate dot (both engines fold left-to-right)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+        f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+        f" * sqrt(list_sum(list_transform({b}, x -> x * x))))"
+    )
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _ann_lsh_oracle(
+    dims: int = 64, planes: int = 12, probe_hamming: int = 2, k: int = 10
+) -> str:
+    """SQL twin of lsh_ann_topk: the deterministic ±1 hyperplanes are
+    embedded as literal lists, so signatures — and therefore the
+    candidate set — agree cross-engine."""
+    from feast_spark.operators.similarity import hyperplane_sign
+
+    terms = []
+    for p in range(planes):
+        h = ", ".join(str(hyperplane_sign(p, d)) for d in range(dims))
+        dotp = f"list_sum(list_transform(list_zip(e, [{h}]), p -> p[1] * p[2]))"
+        terms.append(f"(CASE WHEN {dotp} > 0 THEN {1 << p} ELSE 0 END)")
+    sig_expr = "\n      + ".join(terms)
+    return f"""
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, e,
+    CAST({sig_expr} AS BIGINT) AS s
+  FROM ac
+), q AS (
+  SELECT * FROM sig WHERE vec_id < 5
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_cos_sql('q.e', 'c.e')}, 4) AS cos
+  FROM q, sig c
+  WHERE c.vec_id <> q.vec_id
+    AND bit_count(xor(q.s, c.s)) <= {probe_hamming}
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """SQL twin of ivf_ann_topk with the md5-selected quantizer: the
+    centroid set, cell assignment (argmin L2, ties -> lowest cell),
+    probe set, and cosine re-rank are all re-derived in SQL."""
+    return f"""
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         e AS ce
+  FROM ac
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+), corp AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.e', 'ct.ce')}, ct.cell) AS rn
+    FROM ac c CROSS JOIN cent ct
+  ) t WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT qv.vec_id, qv.e, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                              ORDER BY {_l2_sql('qv.e', 'ct.ce')}, ct.cell) AS rn
+    FROM ac qv CROSS JOIN cent ct WHERE qv.vec_id < 5
+  ) t WHERE rn <= {n_probe}
+), cand AS (
+  SELECT qp.query_id, corp.vec_id AS neighbor_id,
+         ROUND({_cos_sql('qp.qe', 'corp.e')}, 4) AS cos
+  FROM qp JOIN corp USING (cell)
+  WHERE corp.vec_id <> qp.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1696,7 +1808,7 @@ WITH e AS (
 SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
 FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
 """,
-        "simhash_portable": f"""
+        "simhash_pairs": f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
   FROM documents
@@ -1723,13 +1835,21 @@ WITH tk AS (
          CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << bit) ELSE 0 END)
               AS BIGINT) AS simhash
   FROM bits GROUP BY doc
+), qd0 AS (
+  SELECT doc, simhash, q, (simhash >> (16 * q)) & 65535 AS qval
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS q) qs
+), qd AS (
+  SELECT * FROM qd0
+  QUALIFY COUNT(*) OVER (PARTITION BY q, qval) <= 1000
 )
-SELECT a.doc AS id_a, b.doc AS id_b,
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM fp a JOIN fp b ON a.doc < b.doc
+FROM qd a JOIN qd b ON a.q = b.q AND a.qval = b.qval AND a.doc < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
-        "minhash_portable": _minhash_portable_oracle(),
+        "minhash_lsh_dedup": _minhash_portable_oracle(),
+        "ann_lsh": _ann_lsh_oracle(),
+        "ann_ivf": _ann_ivf_oracle(),
         "top_ngrams": f"""
 WITH tk AS (
   SELECT regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks FROM documents

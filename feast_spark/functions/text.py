@@ -222,7 +222,10 @@ def repetition_stats(df, id_col: str, text_col: str):
 
     High values flag boilerplate/spam (the repetition filters of the
     usual pre-training quality stack).  Documents with < 2 tokens get
-    0.0 bigram stats.  Two shuffles: (doc, gram) count, then per-doc
+    0.0 bigram stats; documents with no tokens at all (null/empty
+    text) get all-0.0 stats — the final left-join back onto the input
+    ids keeps them in the output (an exploded empty array produces no
+    gram rows).  Two shuffles: (doc, gram) count, then per-doc
     rollup."""
     toks = tokens(normalize_text(F.col(text_col)))
     base = df.select(F.col(id_col), toks.alias("__toks"))
@@ -257,9 +260,17 @@ def repetition_stats(df, id_col: str, text_col: str):
         (F.col("top_c") / F.col("total")).alias("top_bigram_frac"),
         (F.col("dup_c") / F.col("total")).alias("dup_bigram_frac"),
     )
+    stats = uni.join(bi, id_col, "left")
     return (
-        uni.join(bi, id_col, "left")
-        .fillna({"top_bigram_frac": 0.0, "dup_bigram_frac": 0.0})
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .fillna(
+            {
+                "top_token_frac": 0.0,
+                "top_bigram_frac": 0.0,
+                "dup_bigram_frac": 0.0,
+            }
+        )
     )
 
 

@@ -291,7 +291,7 @@ def lsh_candidate_pairs(
     bands: int = 8,
     shingles_df: DataFrame | None = None,
     portable: bool = False,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
     rows_per_band consecutive min-hashes collide.
@@ -302,7 +302,12 @@ def lsh_candidate_pairs(
     quadratic in bucket size either way; ``max_bucket_size`` drops
     larger buckets (boilerplate/empty docs at crawl scale — they carry
     no near-dup signal and would dominate the expansion at 100 TB).
-    Default None keeps every bucket (exact LSH semantics).
+    The cap is enforced with a count window over the SAME (band,
+    bucket) key *before* collect_list, so a degenerate bucket never
+    materializes an aggregation buffer — one Exchange either way (the
+    window sort and the groupBy reuse it).  Finite by default: at crawl
+    scale an uncapped bucket of empty/boilerplate docs is an OOM; pass
+    None for exact LSH semantics on trusted corpora.
 
     Pass ``shingles_df`` (id_col + 'shingles') to reuse an
     already-computed shingle frame instead of re-shingling.
@@ -341,11 +346,16 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     grouped = banded.groupBy("band", "bucket").agg(
         F.collect_list("doc").alias("docs")
     )
-    if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("docs") <= max_bucket_size)
     return _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
 
 
@@ -358,6 +368,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
@@ -383,6 +394,7 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(
         df, id_col, text_col, n, num_hashes, bands,
         shingles_df=shingled, portable=portable,
+        max_bucket_size=max_bucket_size,
     )
     joined = (
         cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
@@ -463,11 +475,20 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     portable: bool = False,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the four
     16-bit quadrants (pigeonhole: distance <= 3 => at least one of 4
     quadrants matches exactly), so candidate formation is an equi-join,
     not a cross-join.
+
+    ``max_bucket_size`` caps a (quadrant, value) bucket — at crawl
+    scale identical-fingerprint boilerplate piles ~N/65536 docs into
+    one bucket and the in-array pair expansion is quadratic in it.
+    Enforced by a count window over the SAME key *before* collect_list
+    (one Exchange; a hot bucket never reaches an aggregation buffer);
+    a dropped bucket's pairs usually survive via the doc's other three
+    quadrants.  Pass None for exact blocking semantics.
 
     ``portable=True`` swaps xxhash64 for the md5-based 60-bit hash so
     the fingerprints (and pairs) are reproducible in any engine with
@@ -496,6 +517,13 @@ def simhash_pairs(
     # one shuffle: bucket on (quad, qval), expand pairs inside the
     # bucket's array (same shape as lsh_candidate_pairs), hamming filter
     # on the struct-carried fingerprints, distinct to merge quadrants.
+    if max_bucket_size is not None:
+        qw = Window.partitionBy("quad", "qval")
+        quads = (
+            quads.withColumn("__bsz", F.count(F.lit(1)).over(qw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     grouped = (
         quads.groupBy("quad", "qval")
         .agg(
@@ -521,7 +549,13 @@ def simhash_pairs(
     )
     return (
         grouped.select(F.explode(pairs).alias("p"))
-        .filter(F.col("p.hamming") <= max_hamming)
+        # duplicate doc ids with differing text survive the struct
+        # array_distinct as two entries of the same doc — never pair a
+        # doc with itself.
+        .filter(
+            (F.col("p.hamming") <= max_hamming)
+            & (F.col("p.id_a") != F.col("p.id_b"))
+        )
         .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )

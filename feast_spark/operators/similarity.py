@@ -80,12 +80,17 @@ def cosine_topk(
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------
 
-def _hyperplane_component(plane: int, dim: int) -> Column:
+def hyperplane_sign(plane: int, dim: int) -> float:
     """Deterministic ±1 pseudo-random hyperplane component from a
-    Weyl-sequence-style integer mix — reproducible across sessions with
-    no stored model."""
+    Weyl-sequence-style integer mix — reproducible across sessions
+    (and engines: the driver oracle embeds the same values as SQL
+    literals) with no stored model."""
     mixed = (plane * 1_000_003 + dim * 7_919 + 12_345) * 2_654_435_761
-    return F.lit(1.0) if (mixed >> 16) & 1 else F.lit(-1.0)
+    return 1.0 if (mixed >> 16) & 1 else -1.0
+
+
+def _hyperplane_component(plane: int, dim: int) -> Column:
+    return F.lit(hyperplane_sign(plane, dim))
 
 
 def with_lsh_signature(
@@ -279,6 +284,29 @@ def ivf_train_centroids(
     return cents
 
 
+def md5_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[list[float]]:
+    """Engine-portable coarse quantizer: the n vectors whose
+    md5(CAST(id AS STRING)) sorts first, in that order (cell i = rank
+    i).  No float arithmetic in the selection, so any engine with md5
+    picks the identical centroid set — the driver oracle re-derives it
+    in SQL and value-checks the full IVF assign/probe/re-rank pipeline.
+    k-means (``ivf_train_centroids``) remains the quality path; this is
+    the reproducibility path and a fine quantizer for uniform-ish
+    corpora.  Bounded driver-side collect (n rows)."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["__v"]] for r in rows]
+
+
 def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
@@ -337,6 +365,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     k: int = 10,
     iters: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus into C cells, probe the
     n_probe cells nearest each query, exact-cosine re-rank candidates.
@@ -344,9 +373,14 @@ def ivf_ann_topk(
     Scale shape: corpus is scanned once to tag cells (narrow, codegen);
     the candidate join is an equi-join on the cell id (shuffle bounded
     by n_probe/C of the corpus) — no cross join, no per-row Python.
-    Recall is tunable with n_probe (n_probe = C ==> exact)."""
-    cents = ivf_train_centroids(
-        corpus, id_col, vec_col, n_centroids, iters=iters
+    Recall is tunable with n_probe (n_probe = C ==> exact).
+
+    ``centroids`` skips training and uses the given quantizer (e.g.
+    ``md5_centroids`` for the engine-portable one)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
@@ -471,9 +505,13 @@ def quantize_int8(
     Pure projection — no shuffle, codegen end-to-end.  floor(x + 0.5)
     instead of round() so the oracle reproduces identical values in any
     engine regardless of its round-half mode.  Zero vectors get
-    scale=0 and all-zero qvec."""
+    scale=0 and all-zero qvec; empty arrays (array_max -> NULL) are
+    coalesced into the same scale=0 branch instead of dividing by
+    NULL."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.coalesce(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
+    )
     q = F.when(F.col(scale_col) == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(
             v,

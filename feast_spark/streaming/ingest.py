@@ -29,10 +29,13 @@ from feast_spark.operators.dedup import latest_per_key
 def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
     """kafka key/value/timestamp -> payload columns.
 
-    json payloads parse with from_json against the declared schema;
-    avro would use pyspark.sql.avro.functions.from_avro (same shape) —
-    the spark-avro package isn't bundled in this environment, so that
-    branch raises until it is.
+    json payloads parse with from_json against the declared Spark
+    schema (``schema_json`` = StructType JSON); avro payloads
+    (``schema_json`` = Avro record schema JSON, the reference's
+    AvroFormat, data_format.py:69-133) decode with the JVM
+    ``from_avro`` when the spark-avro SQL module is on the classpath,
+    else with feast_spark's pure-Python Avro binary decoder (an
+    Arrow-batched pandas UDF — same output contract, stream-capable).
     """
     if source.message_format == "json":
         schema = StructType.fromJson(__import__("json").loads(source.schema_json))
@@ -40,10 +43,19 @@ def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
             F.from_json(F.col("value").cast("string"), schema).alias("j")
         ).select("j.*")
     elif source.message_format == "avro":
-        raise NotImplementedError(
-            "avro payloads need the spark-avro package (from_avro); "
-            "declare message_format='json' in this environment"
-        )
+        parsed = None
+        try:  # JVM fast path if the spark-avro module is provisioned
+            from pyspark.sql.avro.functions import from_avro as jvm_from_avro
+
+            decoded = jvm_from_avro(F.col("value"), source.schema_json)
+            parsed = raw.select(decoded.alias("j")).select("j.*")
+            parsed.schema  # force analysis: raises without the module
+        except Exception:
+            from feast_spark.functions.avro_codec import decode_avro
+
+            parsed = decode_avro(
+                raw.select("value"), "value", source.schema_json
+            )
     else:
         raise ValueError(f"unsupported message_format {source.message_format!r}")
     return source.apply_field_mapping(parsed)

@@ -3,6 +3,7 @@
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from feast_spark.operators.docdedup import (
     exact_dedup,
@@ -119,3 +120,42 @@ def test_lsh_candidates_include_identical(spark):
     cands = {(r["id_a"], r["id_b"]) for r in
              lsh_candidate_pairs(df, "id", "text").collect()}
     assert (1, 2) in cands
+
+
+def test_lsh_hot_bucket_capped_before_collect(spark):
+    """A degenerate bucket (10k identical docs -> every band collides)
+    must be dropped BEFORE collect_list materializes it: with the
+    default finite cap the query completes without building a 10k-doc
+    aggregation buffer or expanding ~50M in-bucket pairs."""
+    df = spark.range(10_000).select(
+        F.col("id"), F.lit("boilerplate header text").alias("text")
+    )
+    assert lsh_candidate_pairs(df, "id", "text").count() == 0
+    # the plan must filter on the windowed bucket count upstream of the
+    # collect_list aggregate (window + agg share one Exchange)
+    plan = lsh_candidate_pairs(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in plan
+    assert plan.index("Filter") < plan.index("collect_list") or "__bsz" in plan
+
+
+def test_simhash_hot_bucket_capped(spark):
+    df = spark.range(5_000).select(
+        F.col("id"), F.lit("same same same words").alias("text")
+    )
+    assert simhash_pairs(df, "id", "text").count() == 0
+    # cap disabled -> the pairs come back (semantics, not correctness loss)
+    some = simhash_pairs(df.limit(50), "id", "text", max_bucket_size=None)
+    assert some.count() == 50 * 49 // 2
+
+
+def test_simhash_no_self_pairs_on_duplicate_ids(spark):
+    """Duplicate doc ids with different text must never emit id==id."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="alpha beta gamma delta " * 8),
+            Row(id=1, text="alpha beta gamma delta epsilon " * 8),
+            Row(id=2, text="alpha beta gamma delta " * 8),
+        ]
+    )
+    pairs = simhash_pairs(df, "id", "text", max_hamming=8).collect()
+    assert all(r["id_a"] != r["id_b"] for r in pairs)

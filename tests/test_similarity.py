@@ -167,3 +167,30 @@ def test_ivf_index_query_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
         "cell #", "cell"
     ) or "cell IN (0,1)" in plan, plan
+
+
+def test_quantize_int8_degenerate_vectors(spark):
+    """Zero, empty, and all-null vectors all take the scale=0 branch
+    instead of dividing by a NULL scale."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[2.0, -4.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),
+            Row(vec_id=3, embedding=[]),
+            Row(vec_id=4, embedding=[None, None]),
+        ],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert out[1]["scale"] == 4.0
+    assert out[1]["qvec"] == [64, -127]
+    assert out[2]["scale"] == 0.0
+    assert out[2]["qvec"] == [0, 0]
+    assert out[3]["scale"] == 0.0
+    assert out[3]["qvec"] == []
+    assert out[4]["scale"] == 0.0
+    assert out[4]["qvec"] == [0, 0]

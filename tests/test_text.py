@@ -66,3 +66,33 @@ def test_lang_id_deterministic(spark):
     assert _one(spark, "les chiens et une maison des", lang_id(F.col("text"))) == "fr"
     # tie (no stopwords at all) -> priority order says 'en'
     assert _one(spark, "zzz qqq www", lang_id(F.col("text"))) == "en"
+
+
+def test_repetition_stats_keeps_empty_docs(spark):
+    """Null/empty texts must appear in the output with all-0.0 stats
+    (the exploded empty gram array yields no rows; the join-back onto
+    the input ids restores them)."""
+    from pyspark.sql import Row
+
+    from feast_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="a a a a b"),
+            Row(id=2, text=""),
+            Row(id=3, text=None),
+            Row(id=4, text="x"),  # 1 token: unigram stats, 0.0 bigram stats
+        ],
+        "id INT, text STRING",
+    )
+    out = {r["id"]: r for r in repetition_stats(df, "id", "text").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1]["top_token_frac"] == pytest.approx(0.8)
+    # bigrams of "a a a a b": "a a" x3 (dup) + "a b" x1 -> 3/4
+    assert out[1]["dup_bigram_frac"] == pytest.approx(0.75)
+    for doc in (2, 3):
+        assert out[doc]["top_token_frac"] == 0.0
+        assert out[doc]["top_bigram_frac"] == 0.0
+        assert out[doc]["dup_bigram_frac"] == 0.0
+    assert out[4]["top_token_frac"] == 1.0
+    assert out[4]["top_bigram_frac"] == 0.0
