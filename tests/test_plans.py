@@ -255,3 +255,42 @@ def test_distinct_agg_two_phase(spark):
     plan = _executed_plan(out)
     assert "HashAggregate" in plan
     assert "CollectLimit" not in plan
+
+
+def test_lsh_bucket_expansion_single_exchange(spark):
+    """The rewritten LSH candidate generation: banding + hot-bucket
+    count window + per-bucket collect_list all share ONE hash Exchange
+    on the bucket key (the Window's sort partitioning is reused by the
+    ObjectHashAggregate), plus one Exchange for the pair distinct.  The
+    hot-bucket filter must run BEFORE the collect_list materializes a
+    bucket (Window then Filter then ObjectHashAggregate, top-down)."""
+    import re
+
+    from feast_spark.operators.docdedup import lsh_candidate_pairs
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    out = lsh_candidate_pairs(docs, "doc_id", "text", max_bucket_size=100)
+    plan = _optimized_explain(out)
+    # input repartition (widen_parallelism) + bucket key + pair distinct
+    exchanges = [
+        e
+        for e in re.findall(r"^\(\d+\) Exchange.*$", plan, flags=re.M)
+        if "broadcast" not in e.lower()
+    ]
+    assert len(exchanges) <= 3, plan
+    # the size cap filters the windowed count before any aggregation;
+    # node ids ascend child->parent, so the detail section lists the
+    # dataflow order: Window (count) -> Filter (cap) -> collect_list
+    order = [
+        name
+        for name in re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+        if name in ("Window", "Filter", "ObjectHashAggregate")
+    ]
+    assert "Window" in order, plan
+    w = order.index("Window")
+    assert "Filter" in order[w:], f"no bucket-cap Filter after Window:\n{plan}"
+    f = w + order[w:].index("Filter")
+    assert "ObjectHashAggregate" in order[f:], (
+        f"collect_list must run after the cap filter:\n{plan}"
+    )
