@@ -1,0 +1,154 @@
+"""Small-file filesystem abstraction for commit manifests and the
+registry.
+
+The reference supports local, GCS and S3 registry stores
+(sdk/python/feast/registry.py:503-611: LocalRegistryStore /
+GCSRegistryStore / S3RegistryStore, one class per SDK).  Spark-native
+design: ONE remote implementation over the Hadoop ``FileSystem`` API the
+cluster already ships — the same connectors Spark itself reads data
+through — so every scheme the deployment can read (``hdfs://``,
+``s3a://``, ``gs://``, ``abfss://``, ``file://``) works without extra
+Python SDKs.  ``LocalFS`` is the pure-Python twin for driverless tools
+and tests.
+
+These handle ONLY small control-plane objects (manifests, registry
+JSON); bulk data always moves through Spark readers/writers.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+
+class StoreFS:
+    """Contract: byte-level ops on small control files.
+
+    ``write_bytes_atomic`` must never expose a partially written object
+    to readers: local/HDFS implementations write a temp file and rename;
+    object stores satisfy it natively (single-object PUT is all-or-
+    nothing on S3/GCS/ABFS).
+    """
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def read_bytes(self, path: str) -> bytes:
+        raise NotImplementedError
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        raise NotImplementedError
+
+    def list_subdirs(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+
+class LocalFS(StoreFS):
+    """POSIX implementation; atomicity via same-directory ``os.replace``."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def list_subdirs(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return [d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))]
+
+    def delete(self, path: str) -> None:
+        import shutil
+
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        elif os.path.exists(path):
+            os.remove(path)
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+
+class HadoopFS(StoreFS):
+    """Hadoop ``FileSystem`` implementation via the active session's JVM.
+
+    Accepts any URI the cluster's Hadoop conf can resolve.  Writes go to
+    a temp object then ``delete + rename`` — rename is atomic on HDFS;
+    on S3A/GCS the connector implements rename as copy+delete, but the
+    payloads here are sub-kilobyte manifests where the close() of the
+    temp PUT is itself atomic, so the non-atomic window only risks a
+    retryable miss, never a torn read.
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def _jfs(self, path: str):
+        return self._jpath(path).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return self._jfs(path).exists(self._jpath(path))
+
+    def read_bytes(self, path: str) -> bytes:
+        # py4j passes arrays by value, so FSDataInputStream.readFully
+        # cannot fill a Python buffer; commons-io (on every Spark/Hadoop
+        # classpath) drains the stream JVM-side and returns byte[]
+        stream = self._jfs(path).open(self._jpath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    def write_bytes_atomic(self, path: str, data: bytes) -> None:
+        fs = self._jfs(path)
+        target = self._jpath(path)
+        tmp = self._jpath(f"{path}.tmp.{uuid.uuid4().hex}")
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        if fs.exists(target):
+            fs.delete(target, False)
+        if not fs.rename(tmp, target):
+            raise IOError(f"rename {tmp} -> {target} failed")
+
+    def list_subdirs(self, path: str) -> list[str]:
+        fs = self._jfs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        return [
+            s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
+        ]
+
+    def delete(self, path: str) -> None:
+        fs = self._jfs(path)
+        p = self._jpath(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def mkdirs(self, path: str) -> None:
+        self._jfs(path).mkdirs(self._jpath(path))

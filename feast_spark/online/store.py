@@ -6,9 +6,28 @@ by a canonical serialized entity key (infra/key_encoding_utils.py:22-48:
 sorted join keys, deterministic encoding).  Spark-native design: one
 columnar table per (project, view), keyed by a deterministic string
 encoding of the sorted join keys; upsert = union + latest-per-key +
-atomic directory swap.  On a production deployment the same plan targets
-Delta ``MERGE INTO`` or an external KV via ``foreachBatch``; the storage
-format is pluggable, the plan identical.
+versioned-snapshot commit.  On a production deployment the same plan
+targets Delta ``MERGE INTO`` or an external KV via ``foreachBatch``
+(see ``feast_spark/online/sqlite.py``); the storage backend is
+pluggable, the merge plan identical.
+
+Commit protocol (object-store safe — no directory renames anywhere):
+
+    <root>/<project>/<view>/
+        _MANIFEST.json      <- pointer: {"current": "v_00000003", ...}
+        v_00000001/ ...     <- immutable parquet snapshots
+        v_00000003/ ...
+
+A writer (1) writes the merged table to a FRESH ``v_NNNNNNNN``
+directory, (2) atomically replaces ``_MANIFEST.json`` to point at it,
+(3) best-effort prunes snapshots older than ``keep_versions``.  Readers
+resolve the manifest once per query and only ever see a fully written
+immutable snapshot — a writer crash between (1) and (2) leaves an
+orphan directory the next commit numbers past and GC later removes.
+This works on HDFS/S3/ABFS/GCS semantics (S3 has no atomic directory
+rename, which is why the previous ``os.rename`` swap could not), with
+filesystem access behind ``StoreFS`` (LocalFS for tests/POSIX, HadoopFS
+for any scheme the cluster resolves).
 
 Key encoding: ``k1=v1|k2=v2`` over join keys sorted by name —
 order-insensitive and deterministic across partitions, mirroring the
@@ -18,17 +37,19 @@ reference's sorted length-prefixed binary encoding without wire compat
 
 from __future__ import annotations
 
-import os
-import shutil
+import json
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from feast_spark.io.fs import LocalFS, StoreFS
 from feast_spark.operators.dedup import latest_per_key
 
 _KEY = "__entity_key"
 _EVENT_TS = "__event_ts"
 _CREATED_TS = "__created_ts"
+MANIFEST = "_MANIFEST.json"
 
 
 def encode_entity_key(join_keys: list[str]) -> F.Column:
@@ -40,11 +61,62 @@ def encode_entity_key(join_keys: list[str]) -> F.Column:
 
 
 class OnlineStore:
-    def __init__(self, root: str):
+    def __init__(
+        self,
+        root: str,
+        fs: StoreFS | None = None,
+        keep_versions: int = 2,
+    ):
         self.root = root
+        self.fs = fs or LocalFS()
+        self.keep_versions = max(1, keep_versions)
 
-    def _table_path(self, project: str, view_name: str) -> str:
-        return os.path.join(self.root, project, view_name)
+    def _table_dir(self, project: str, view_name: str) -> str:
+        return posixpath.join(self.root, project, view_name)
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest_path(self, table_dir: str) -> str:
+        return posixpath.join(table_dir, MANIFEST)
+
+    def _current_version(self, table_dir: str) -> str | None:
+        mp = self._manifest_path(table_dir)
+        if not self.fs.exists(mp):
+            return None
+        return json.loads(self.fs.read_bytes(mp))["current"]
+
+    def _current_data_path(self, project: str, view_name: str) -> str | None:
+        table_dir = self._table_dir(project, view_name)
+        version = self._current_version(table_dir)
+        if version is None:
+            return None
+        return posixpath.join(table_dir, version)
+
+    def _next_version(self, table_dir: str) -> str:
+        # number past EVERY existing snapshot dir, committed or orphaned,
+        # so a crashed writer's leftover can never be overwritten
+        versions = [
+            int(d[2:])
+            for d in self.fs.list_subdirs(table_dir)
+            if d.startswith("v_") and d[2:].isdigit()
+        ]
+        return f"v_{(max(versions) + 1 if versions else 1):08d}"
+
+    def _gc(self, table_dir: str, current: str) -> None:
+        versions = sorted(
+            d
+            for d in self.fs.list_subdirs(table_dir)
+            if d.startswith("v_") and d[2:].isdigit()
+        )
+        keep = set(versions[-self.keep_versions :]) | {current}
+        for v in versions:
+            if v not in keep:
+                try:
+                    self.fs.delete(posixpath.join(table_dir, v))
+                except Exception:
+                    pass  # GC is best-effort; next commit retries
+
+    # -- write / read ------------------------------------------------------
 
     def online_write_batch(
         self,
@@ -59,7 +131,7 @@ class OnlineStore:
     ) -> None:
         """Per-key upsert: newest (event_ts, created_ts) wins, matching
         the sqlite UPDATE + INSERT-OR-IGNORE semantics (sqlite.py:76-128)."""
-        path = self._table_path(project, view_name)
+        table_dir = self._table_dir(project, view_name)
         incoming = df.select(
             encode_entity_key(join_keys).alias(_KEY),
             *[F.col(k) for k in join_keys],
@@ -69,8 +141,9 @@ class OnlineStore:
             ).alias(_CREATED_TS),
             *[F.col(f) for f in feature_cols],
         )
-        if os.path.exists(path):
-            existing = spark.read.parquet(path)
+        current = self._current_data_path(project, view_name)
+        if current is not None:
+            existing = spark.read.parquet(current)
             # schema evolution: tolerate new feature columns
             for c in incoming.columns:
                 if c not in existing.columns:
@@ -81,20 +154,15 @@ class OnlineStore:
         merged = latest_per_key(
             incoming, [_KEY], _EVENT_TS, created_col=_CREATED_TS
         )
-        # atomic replace: write beside, then swap
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        staging = path + ".staging"
-        if os.path.exists(staging):
-            shutil.rmtree(staging)
-        merged.write.mode("overwrite").parquet(staging)
-        old = path + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(staging, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        version = self._next_version(table_dir)
+        merged.write.mode("errorifexists").parquet(
+            posixpath.join(table_dir, version)
+        )
+        manifest = json.dumps({"current": version, "format": "parquet"})
+        self.fs.write_bytes_atomic(
+            self._manifest_path(table_dir), manifest.encode()
+        )
+        self._gc(table_dir, version)
 
     def online_read(
         self,
@@ -108,9 +176,9 @@ class OnlineStore:
         """J4 — multiget as a broadcast semi-join of request keys against
         the KV table (feature_store.py:568-587).  Returns one row per
         request row with NULL features on miss, plus ``__found``."""
-        path = self._table_path(project, view_name)
+        path = self._current_data_path(project, view_name)
         keyed = entity_rows_df.withColumn(_KEY, encode_entity_key(join_keys))
-        if not os.path.exists(path):
+        if path is None:
             out = keyed
             for f in feature_cols:
                 out = out.withColumn(f, F.lit(None))
