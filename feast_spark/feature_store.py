@@ -41,6 +41,11 @@ class RepoConfig:
     project: str = "default"
     registry_path: str = "registry.json"
     online_store_path: str = "online_store"
+    # "parquet" (versioned snapshots, any Hadoop scheme), "sqlite"
+    # (online_store_path = db file, reference's local store), or
+    # "redis" (online_store_path = redis:// URL) — the reference's
+    # provider/online_store registry (repo_config.py, infra/provider.py)
+    online_store_type: str = "parquet"
     asof_strategy: str = "union_window"
     # Temporal scan pruning: bound each feature scan to
     # [min(entity_ts) - ttl, max(entity_ts)] (the reference's BQ rewrite,
@@ -49,6 +54,24 @@ class RepoConfig:
     # (PushedFilters -> row-group min/max skipping), which at 100 TB is
     # the difference between scanning a window and scanning all history.
     scan_pruning: bool = True
+
+
+def _make_online_store(config: RepoConfig):
+    """Backend dispatch (reference repo_config.py online-store registry)."""
+    kind = config.online_store_type
+    if kind == "parquet":
+        return OnlineStore(config.online_store_path)
+    if kind == "sqlite":
+        from feast_spark.online.kv import SqliteOnlineStore
+
+        return SqliteOnlineStore(config.online_store_path)
+    if kind == "redis":
+        from feast_spark.online.kv import connect_redis
+
+        return connect_redis(config.online_store_path)
+    raise ValueError(
+        f"unknown online_store_type {kind!r}; expected parquet|sqlite|redis"
+    )
 
 
 class RetrievalJob:
@@ -85,7 +108,7 @@ class FeatureStore:
         self.spark = spark
         self.config = config or RepoConfig()
         self.registry = Registry(self.config.registry_path)
-        self.online_store = OnlineStore(self.config.online_store_path)
+        self.online_store = _make_online_store(self.config)
 
     # -- apply (M1) ----------------------------------------------------
     def apply(self, objects: list[Entity | FeatureView | FeatureService]) -> None:

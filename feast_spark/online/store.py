@@ -60,6 +60,26 @@ def encode_entity_key(join_keys: list[str]) -> F.Column:
     return F.concat_ws("|", *parts)
 
 
+def project_incoming(
+    df: DataFrame,
+    join_keys: list[str],
+    ts_col: str,
+    created_col: str | None,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Canonical online-row projection shared by every backend:
+    encoded entity key + join keys + normalized ts columns + features."""
+    return df.select(
+        encode_entity_key(join_keys).alias(_KEY),
+        *[F.col(k) for k in join_keys],
+        F.col(ts_col).alias(_EVENT_TS),
+        (
+            F.col(created_col) if created_col else F.lit(None).cast("timestamp")
+        ).alias(_CREATED_TS),
+        *[F.col(f) for f in feature_cols],
+    )
+
+
 class OnlineStore:
     def __init__(
         self,
@@ -132,15 +152,7 @@ class OnlineStore:
         """Per-key upsert: newest (event_ts, created_ts) wins, matching
         the sqlite UPDATE + INSERT-OR-IGNORE semantics (sqlite.py:76-128)."""
         table_dir = self._table_dir(project, view_name)
-        incoming = df.select(
-            encode_entity_key(join_keys).alias(_KEY),
-            *[F.col(k) for k in join_keys],
-            F.col(ts_col).alias(_EVENT_TS),
-            (
-                F.col(created_col) if created_col else F.lit(None).cast("timestamp")
-            ).alias(_CREATED_TS),
-            *[F.col(f) for f in feature_cols],
-        )
+        incoming = project_incoming(df, join_keys, ts_col, created_col, feature_cols)
         current = self._current_data_path(project, view_name)
         if current is not None:
             existing = spark.read.parquet(current)
