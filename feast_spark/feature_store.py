@@ -56,11 +56,29 @@ class RepoConfig:
     scan_pruning: bool = True
 
 
-def _make_online_store(config: RepoConfig):
+def _fs_for_path(path: str, spark: SparkSession):
+    """Scheme dispatch replacing the reference's per-SDK RegistryStore
+    classes (registry.py:503-611): plain paths use the pure-Python
+    LocalFS; any URI scheme (s3a, gs, hdfs, abfss, file, ...) resolves
+    through the cluster's Hadoop connectors."""
+    from urllib.parse import urlparse
+
+    from feast_spark.io.fs import HadoopFS, LocalFS
+
+    if urlparse(path).scheme in ("", "c") or "://" not in path:
+        # no scheme (or a Windows drive letter): local filesystem
+        return LocalFS()
+    return HadoopFS(spark)
+
+
+def _make_online_store(config: RepoConfig, spark: SparkSession):
     """Backend dispatch (reference repo_config.py online-store registry)."""
     kind = config.online_store_type
     if kind == "parquet":
-        return OnlineStore(config.online_store_path)
+        return OnlineStore(
+            config.online_store_path,
+            fs=_fs_for_path(config.online_store_path, spark),
+        )
     if kind == "sqlite":
         from feast_spark.online.kv import SqliteOnlineStore
 
@@ -107,8 +125,11 @@ class FeatureStore:
     def __init__(self, spark: SparkSession, config: RepoConfig | None = None):
         self.spark = spark
         self.config = config or RepoConfig()
-        self.registry = Registry(self.config.registry_path)
-        self.online_store = _make_online_store(self.config)
+        self.registry = Registry(
+            self.config.registry_path,
+            fs=_fs_for_path(self.config.registry_path, spark),
+        )
+        self.online_store = _make_online_store(self.config, spark)
 
     # -- apply (M1) ----------------------------------------------------
     def apply(self, objects: list[Entity | FeatureView | FeatureService]) -> None:

@@ -60,7 +60,8 @@ class LocalFS(StoreFS):
             return f.read()
 
     def write_bytes_atomic(self, path: str, data: bytes) -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{uuid.uuid4().hex}"
         with open(tmp, "wb") as f:
             f.write(data)

@@ -1,16 +1,21 @@
 """File-backed registry of declared objects.
 
 The reference persists a protobuf registry file on local/GCS/S3 with a
-cache TTL (sdk/python/feast/registry.py:39-77,444-611).  Here: one JSON
-file, atomic replace on commit, entities + feature views + services +
-materialization intervals (M1/M2).
+cache TTL (sdk/python/feast/registry.py:39-77,444-611: one
+RegistryStore subclass per SDK — Local/GCS/S3).  Here: one JSON file,
+atomic replace on commit, entities + feature views + services +
+materialization intervals (M1/M2).  Remote storage goes through ONE
+implementation — ``StoreFS``/``HadoopFS`` over the cluster's Hadoop
+connectors — so ``s3a://``, ``gs://``, ``hdfs://``, ``abfss://`` all
+work with zero extra Python SDKs (the scheme dispatch lives in
+``FeatureStore``).  ``refresh()`` re-reads the backing object so
+long-lived sessions see other writers' commits, the reference's
+cache-TTL refresh path (registry.py:110-126).
 """
 
 from __future__ import annotations
 
 import json
-import os
-import tempfile
 from datetime import datetime
 
 from feast_spark.entity import Entity
@@ -20,16 +25,18 @@ from feast_spark.feature_view import (
     FeatureView,
     OnDemandFeatureView,
 )
+from feast_spark.io.fs import LocalFS, StoreFS
 
 
 class Registry:
-    def __init__(self, path: str):
+    def __init__(self, path: str, fs: StoreFS | None = None):
         self.path = path
+        self.fs = fs or LocalFS()
         self.entities: dict[str, Entity] = {}
         self.feature_views: dict[str, FeatureView] = {}
         self.feature_services: dict[str, FeatureService] = {}
         self.on_demand_views: dict[str, OnDemandFeatureView] = {}
-        if os.path.exists(path):
+        if self.fs.exists(path):
             self._load()
 
     # -- apply / reconcile (M1, repo_operations.py:114-240) ------------
@@ -93,27 +100,26 @@ class Registry:
 
     # -- persistence ---------------------------------------------------
     def commit(self) -> None:
-        """Single atomic write (registry.py:390-393,473-501)."""
+        """Single atomic write (registry.py:390-393,473-501): temp +
+        rename locally/HDFS, single-object PUT on object stores."""
         payload = {
             "entities": [e.to_dict() for e in self.entities.values()],
             "feature_views": [v.to_dict() for v in self.feature_views.values()],
             "feature_services": [s.to_dict() for s in self.feature_services.values()],
             "on_demand_views": [v.to_dict() for v in self.on_demand_views.values()],
         }
-        d = os.path.dirname(os.path.abspath(self.path))
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".registry.tmp")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(payload, f, indent=1)
-            os.replace(tmp, self.path)
-        finally:
-            if os.path.exists(tmp):
-                os.unlink(tmp)
+        self.fs.write_bytes_atomic(
+            self.path, json.dumps(payload, indent=1).encode()
+        )
+
+    def refresh(self) -> None:
+        """Re-read the backing object (reference registry.py:110-126):
+        long-lived sessions pick up commits from other writers."""
+        if self.fs.exists(self.path):
+            self._load()
 
     def _load(self) -> None:
-        with open(self.path) as f:
-            payload = json.load(f)
+        payload = json.loads(self.fs.read_bytes(self.path))
         self.entities = {
             e["name"]: Entity.from_dict(e) for e in payload.get("entities", [])
         }
