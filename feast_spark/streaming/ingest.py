@@ -56,6 +56,13 @@ def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
             parsed = decode_avro(
                 raw.select("value"), "value", source.schema_json
             )
+    elif source.message_format == "proto":
+        # ProtoFormat (data_format.py:116-133): the reference carries a
+        # compiled-class path; here ``schema_json`` is the JSON field
+        # descriptor of feast_spark.functions.proto_codec
+        from feast_spark.functions.proto_codec import decode_proto
+
+        parsed = decode_proto(raw.select("value"), "value", source.schema_json)
     else:
         raise ValueError(f"unsupported message_format {source.message_format!r}")
     return source.apply_field_mapping(parsed)
