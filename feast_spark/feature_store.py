@@ -131,6 +131,52 @@ class FeatureStore:
         )
         self.online_store = _make_online_store(self.config, spark)
 
+    # -- registry passthroughs (feature_store.py:82-175) ---------------
+    @property
+    def project(self) -> str:
+        return self.config.project
+
+    def version(self) -> str:
+        import feast_spark
+
+        return feast_spark.__version__
+
+    def refresh_registry(self) -> None:
+        """Re-read the registry object (feature_store.py:96-118) so a
+        long-lived session sees other writers' commits."""
+        self.registry.refresh()
+
+    def list_entities(self) -> list[Entity]:
+        return self.registry.list_entities()
+
+    def list_feature_views(self) -> list[FeatureView]:
+        return self.registry.list_feature_views()
+
+    def get_entity(self, name: str) -> Entity:
+        return self.registry.get_entity(name)
+
+    def get_feature_view(self, name: str) -> FeatureView:
+        return self.registry.get_feature_view(name)
+
+    def delete_feature_view(self, name: str) -> None:
+        """Remove the view from the registry AND drop its online table
+        (feature_store.py:175-184 + provider teardown of that table)."""
+        self.registry.delete_feature_view(name)
+        self.registry.commit()
+        self.online_store.teardown(self.config.project, [name])
+
+    def teardown(self) -> None:
+        """Tear down all project infrastructure (feature_store.py:
+        259-274): online state for every view, then the registry
+        content itself."""
+        self.online_store.teardown(self.config.project)
+        for v in list(self.registry.feature_views):
+            self.registry.delete_feature_view(v)
+        self.registry.entities.clear()
+        self.registry.feature_services.clear()
+        self.registry.on_demand_views.clear()
+        self.registry.commit()
+
     # -- apply (M1) ----------------------------------------------------
     def apply(self, objects: list[Entity | FeatureView | FeatureService]) -> None:
         entities = [o for o in objects if isinstance(o, Entity)]

@@ -244,6 +244,23 @@ class SqliteOnlineStore:
     def online_read(self, *args, **kwargs) -> DataFrame:
         return _read_via_lookup(self, *args, **kwargs)
 
+    def teardown(self, project: str, view_names: list[str] | None = None) -> None:
+        """DROP the project's tables (sqlite.py teardown: DROP TABLE)."""
+        conn = self._get_conn()
+        with conn:
+            rows = conn.execute(
+                "SELECT table_id FROM _feast_schemas WHERE table_id LIKE ?",
+                (f"{project}_%",),
+            ).fetchall()
+            for (tid,) in rows:
+                view = tid[len(project) + 1 :]
+                if view_names is not None and view not in view_names:
+                    continue
+                conn.execute(f'DROP TABLE IF EXISTS "{tid}"')
+                conn.execute(
+                    "DELETE FROM _feast_schemas WHERE table_id = ?", (tid,)
+                )
+
 
 class RedisOnlineStore:
     """Redis-backed online store (reference infra/online_stores/redis.py:
@@ -320,6 +337,23 @@ class RedisOnlineStore:
 
     def online_read(self, *args, **kwargs) -> DataFrame:
         return _read_via_lookup(self, *args, **kwargs)
+
+    def teardown(self, project: str, view_names: list[str] | None = None) -> None:
+        """DEL the project's keys (redis.py teardown: delete by
+        ``{project}:*``).  Uses SCAN when the client provides it (the
+        production-safe, non-blocking path); falls back to ``keys``."""
+        patterns = (
+            [f"{project}:{v}:*" for v in view_names]
+            if view_names is not None
+            else [f"{project}:*"]
+        )
+        for pattern in patterns:
+            if hasattr(self.client, "scan_iter"):
+                doomed = list(self.client.scan_iter(match=pattern))
+            else:
+                doomed = list(self.client.keys(pattern))
+            for k in doomed:
+                self.client.delete(k)
 
 
 def connect_redis(url: str):

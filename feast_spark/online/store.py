@@ -176,6 +176,15 @@ class OnlineStore:
         )
         self._gc(table_dir, version)
 
+    def teardown(self, project: str, view_names: list[str] | None = None) -> None:
+        """Drop online state (provider.teardown_infra,
+        infra/local.py): the whole project dir, or named view tables."""
+        if view_names is None:
+            self.fs.delete(posixpath.join(self.root, project))
+        else:
+            for v in view_names:
+                self.fs.delete(self._table_dir(project, v))
+
     def online_read(
         self,
         spark: SparkSession,

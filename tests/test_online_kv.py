@@ -197,3 +197,91 @@ def test_unknown_backend_rejected(spark, tmp_path):
                 online_store_type="dynamo",
             ),
         )
+
+
+def test_delete_feature_view_and_teardown(spark, tmp_path):
+    """delete_feature_view drops the view's online state; teardown
+    empties the project (reference feature_store.py:175-184,259-274)."""
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+    )
+    from feast_spark.errors import FeatureViewNotFoundError
+
+    now = _ts("2021-06-01T12:00:00")
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [Row(driver_id=1, value=1.0, ts=now - timedelta(hours=1))]
+    ).write.parquet(src)
+
+    for kind, path in [
+        ("parquet", str(tmp_path / "online")),
+        ("sqlite", str(tmp_path / "online.db")),
+    ]:
+        st = FeatureStore(
+            spark,
+            RepoConfig(
+                project="t",
+                registry_path=str(tmp_path / f"reg_{kind}.json"),
+                online_store_path=path,
+                online_store_type=kind,
+            ),
+        )
+        st.apply(
+            [
+                Entity(name="driver", join_key="driver_id",
+                       value_type=ValueType.INT64),
+                FeatureView(
+                    name="fv",
+                    entities=["driver"],
+                    ttl=timedelta(days=5),
+                    batch_source=FileSource(path=src,
+                                            event_timestamp_column="ts"),
+                ),
+            ]
+        )
+        st.materialize_incremental(now)
+        assert st.get_online_features(["fv:value"], [{"driver_id": 1}])["value"][0] \
+            == pytest.approx(1.0)
+        st.delete_feature_view("fv")
+        with pytest.raises(FeatureViewNotFoundError):
+            st.get_feature_view("fv")
+        # online state gone: a fresh store of the same view serves a miss
+        assert (
+            st.online_store.online_read(
+                spark, "t", "fv",
+                spark.createDataFrame([Row(driver_id=1)]),
+                ["driver_id"], ["value"],
+            ).collect()[0]["__found"]
+            is False
+        )
+        st.teardown()
+        assert st.list_entities() == []
+        assert st.list_feature_views() == []
+
+
+def test_redis_teardown_fake_client(spark, tmp_path):
+    store = _mk_store("redis", tmp_path)
+    store.client.keys_list = None  # ensure fallback path exercised
+
+    def keys(pattern):
+        import fnmatch
+
+        return [k for k in store.client.hashes if fnmatch.fnmatch(k, pattern)] + [
+            k for k in store.client.kv if fnmatch.fnmatch(k, pattern)
+        ]
+
+    def delete(k):
+        store.client.hashes.pop(k, None)
+        store.client.kv.pop(k, None)
+
+    store.client.keys = keys
+    store.client.delete = delete
+    _write(store, spark, [Row(driver_id=1, ts=_ts("2024-01-01T00:00"), value=1.0)])
+    assert _read(store, spark, [1])[1]["value"] == pytest.approx(1.0)
+    store.teardown("p")
+    assert _read(store, spark, [1])[1]["value"] is None
