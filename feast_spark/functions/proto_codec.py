@@ -246,7 +246,8 @@ def encode_message(descriptor: dict | str, value: dict) -> bytes:
     out = bytearray()
     for f in descriptor["fields"]:
         v = value.get(f["name"])
-        if v is None:
+        if v is None or (f.get("repeated") and len(v) == 0):
+            # absent and empty-repeated both produce no wire entry
             continue
         ftype = f["type"]
         wire = _WIRE_OF[ftype]

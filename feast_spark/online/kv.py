@@ -166,7 +166,10 @@ class SqliteOnlineStore:
             parent = os.path.dirname(self.path)
             if parent:
                 os.makedirs(parent, exist_ok=True)
-            self._conn = sqlite3.connect(self.path)
+            # check_same_thread=False: foreachBatch callbacks run on the
+            # streaming query thread; batch upserts are serialized, so
+            # cross-thread reuse of the single connection is safe
+            self._conn = sqlite3.connect(self.path, check_same_thread=False)
             self._conn.execute(
                 "CREATE TABLE IF NOT EXISTS _feast_schemas ("
                 "table_id TEXT PRIMARY KEY, schema_json TEXT)"

@@ -173,3 +173,57 @@ def test_spark_type_mapping():
     assert st["scores"].dataType.simpleString() == "array<float>"
     assert st["meta"].dataType.simpleString() == "struct<source:string,version:int>"
     assert st["raw"].dataType.simpleString() == "binary"
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _PROP_DESC = {
+        "fields": [
+            {"number": 1, "name": "a", "type": "int64"},
+            {"number": 2, "name": "b", "type": "sint64"},
+            {"number": 3, "name": "c", "type": "double"},
+            {"number": 4, "name": "d", "type": "string"},
+            {"number": 5, "name": "e", "type": "bool"},
+            {"number": 6, "name": "f", "type": "int64", "repeated": True},
+            {"number": 7, "name": "g", "type": "bytes"},
+        ]
+    }
+    _i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.fixed_dictionaries(
+            {
+                "a": st.none() | _i64,
+                "b": st.none() | _i64,
+                "c": st.none()
+                | st.floats(allow_nan=False, allow_infinity=True),
+                "d": st.none() | st.text(max_size=80),
+                "e": st.none() | st.booleans(),
+                "f": st.none() | st.lists(_i64, max_size=20),
+                "g": st.none() | st.binary(max_size=80),
+            }
+        )
+    )
+    def test_proto_roundtrip_property(msg):
+        """decode(encode(m)) == m for arbitrary field values, with
+        None/[] collapsing to absent-on-the-wire (both decode to the
+        null/empty-start state)."""
+        out = compile_decoder(_PROP_DESC)(encode_message(_PROP_DESC, msg))
+        for k, v in msg.items():
+            if v is None or v == []:
+                assert out[k] is None
+            else:
+                assert out[k] == v, k

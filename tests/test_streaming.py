@@ -190,3 +190,38 @@ def test_parse_kafka_avro_payload(spark):
     assert got[2]["rate"] is None
     assert got[2]["label"] is None
     assert got[2]["tags"] == []
+
+
+def test_stream_to_online_sqlite_backend(spark, tmp_path):
+    """stream_to_online is backend-agnostic: the same foreachBatch
+    contract lands in the SQLite KV (late data still loses)."""
+    import time
+
+    from feast_spark.online.kv import SqliteOnlineStore
+
+    src = tmp_path / "stream_in"
+    src.mkdir()
+    store = SqliteOnlineStore(str(tmp_path / "online.db"))
+    view = _view()
+    t0 = ts("2021-04-12 10:00:00")
+    spark.createDataFrame(
+        [
+            Row(driver_id=1, ts=t0, created=t0, conv_rate=0.5),
+            Row(driver_id=1, ts=t0 - timedelta(hours=2), created=t0,
+                conv_rate=0.1),  # older in the same batch: collapsed away
+        ],
+        SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src) + "/*")
+    q = stream_to_online(
+        stream, store, "t", view,
+        join_keys=["driver_id"], ts_col="ts", created_col="created",
+        checkpoint_dir=str(tmp_path / f"ckpt_{time.time_ns()}"),
+    )
+    q.awaitTermination(120)
+    got = store.online_read(
+        spark, "t", "driver_stream",
+        spark.createDataFrame([Row(driver_id=1)]), ["driver_id"], ["conv_rate"]
+    ).collect()[0]
+    assert got["conv_rate"] == 0.5
+    assert got["__found"] is True
