@@ -360,14 +360,19 @@ def lsh_candidate_pairs(
     ).select(F.col(id_col).alias("doc"), "minhash")
 
     def band_key(b: int):
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.element_at("minhash", b * rows_per_band + r + 1)
-                for r in range(rows_per_band)
-            ],
-        )
-        return joined if portable else F.xxhash64(joined)
+        if portable:  # raw band string: reproducible in oracle SQL
+            return F.concat_ws(
+                ",",
+                *[
+                    F.element_at("minhash", b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+        # fast path: hash the signature slice directly (HashExpression
+        # recurses into arrays) — no per-row long->string casts or
+        # concat buffers; bucket identity is unchanged up to 2^-64
+        # hash collisions
+        return F.xxhash64(F.slice("minhash", b * rows_per_band + 1, rows_per_band))
 
     banded = mh.select(
         "doc",
