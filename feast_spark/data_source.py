@@ -153,10 +153,30 @@ class KinesisSource(DataSource):
 
     region: str = ""
     stream_name: str = ""
-    record_format: str = "json"
+    record_format: str = "json"  # 'json' | 'avro' | 'proto'
+    schema_json: str = ""  # payload schema, same contract as KafkaSource
+
+    def load_stream(self, spark: SparkSession) -> DataFrame:
+        """Requires a Kinesis connector on the classpath (spark-sql-
+        kinesis / kinesis-asl — not bundled with Spark).  Payload
+        parsing (streaming.ingest.parse_kinesis_stream) is connector-
+        independent: every connector lands records in a ``data``
+        binary column."""
+        try:
+            return (
+                spark.readStream.format("kinesis")
+                .option("streamName", self.stream_name)
+                .option("region", self.region)
+                .load()
+            )
+        except Exception as e:
+            raise NotImplementedError(
+                "no Kinesis connector on the classpath; provision "
+                "spark-sql-kinesis or kinesis-asl"
+            ) from e
 
     def load(self, spark: SparkSession) -> DataFrame:
-        raise NotImplementedError("KinesisSource is stream-only")
+        raise NotImplementedError("KinesisSource is stream-only; use load_stream")
 
     def to_dict(self) -> dict:
         d = super().to_dict()
@@ -165,6 +185,7 @@ class KinesisSource(DataSource):
                 "region": self.region,
                 "stream_name": self.stream_name,
                 "record_format": self.record_format,
+                "schema_json": self.schema_json,
             }
         )
         return d

@@ -26,8 +26,10 @@ from feast_spark.online.store import OnlineStore
 from feast_spark.operators.dedup import latest_per_key
 
 
-def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
-    """kafka key/value/timestamp -> payload columns.
+def decode_payload(
+    raw: DataFrame, value_col: str, fmt: str, schema_json: str
+) -> DataFrame:
+    """Shared payload decode for every stream transport.
 
     json payloads parse with from_json against the declared Spark
     schema (``schema_json`` = StructType JSON); avro payloads
@@ -35,36 +37,54 @@ def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
     AvroFormat, data_format.py:69-133) decode with the JVM
     ``from_avro`` when the spark-avro SQL module is on the classpath,
     else with feast_spark's pure-Python Avro binary decoder (an
-    Arrow-batched pandas UDF — same output contract, stream-capable).
+    Arrow-batched pandas UDF — same output contract, stream-capable);
+    proto payloads (ProtoFormat, data_format.py:116-133 — here
+    ``schema_json`` is the JSON field descriptor of
+    feast_spark.functions.proto_codec) decode with the pure-Python
+    wire-format codec.
     """
-    if source.message_format == "json":
-        schema = StructType.fromJson(__import__("json").loads(source.schema_json))
-        parsed = raw.select(
-            F.from_json(F.col("value").cast("string"), schema).alias("j")
+    if fmt == "json":
+        schema = StructType.fromJson(__import__("json").loads(schema_json))
+        return raw.select(
+            F.from_json(F.col(value_col).cast("string"), schema).alias("j")
         ).select("j.*")
-    elif source.message_format == "avro":
-        parsed = None
+    if fmt == "avro":
         try:  # JVM fast path if the spark-avro module is provisioned
             from pyspark.sql.avro.functions import from_avro as jvm_from_avro
 
-            decoded = jvm_from_avro(F.col("value"), source.schema_json)
+            decoded = jvm_from_avro(F.col(value_col), schema_json)
             parsed = raw.select(decoded.alias("j")).select("j.*")
             parsed.schema  # force analysis: raises without the module
+            return parsed
         except Exception:
             from feast_spark.functions.avro_codec import decode_avro
 
-            parsed = decode_avro(
-                raw.select("value"), "value", source.schema_json
-            )
-    elif source.message_format == "proto":
-        # ProtoFormat (data_format.py:116-133): the reference carries a
-        # compiled-class path; here ``schema_json`` is the JSON field
-        # descriptor of feast_spark.functions.proto_codec
+            return decode_avro(raw.select(value_col), value_col, schema_json)
+    if fmt == "proto":
         from feast_spark.functions.proto_codec import decode_proto
 
-        parsed = decode_proto(raw.select("value"), "value", source.schema_json)
-    else:
-        raise ValueError(f"unsupported message_format {source.message_format!r}")
+        return decode_proto(raw.select(value_col), value_col, schema_json)
+    raise ValueError(f"unsupported message format {fmt!r}")
+
+
+def parse_kafka_stream(raw: DataFrame, source: KafkaSource) -> DataFrame:
+    """kafka key/value/timestamp -> payload columns."""
+    parsed = decode_payload(
+        raw, "value", source.message_format, source.schema_json
+    )
+    return source.apply_field_mapping(parsed)
+
+
+def parse_kinesis_stream(raw: DataFrame, source) -> DataFrame:
+    """Kinesis connector output -> payload columns (S4,
+    data_source.py:465-547).  Every Spark Kinesis connector
+    (spark-sql-kinesis, kinesis-asl) lands records in a ``data``
+    binary column (plus streamName/partitionKey/sequenceNumber/
+    approximateArrivalTimestamp metadata); the payload pipeline is the
+    Kafka one over that column, so json/avro/proto all work."""
+    parsed = decode_payload(
+        raw, "data", source.record_format, source.schema_json
+    )
     return source.apply_field_mapping(parsed)
 
 

@@ -225,3 +225,65 @@ def test_stream_to_online_sqlite_backend(spark, tmp_path):
     ).collect()[0]
     assert got["conv_rate"] == 0.5
     assert got["__found"] is True
+
+
+def test_parse_kinesis_payload_all_formats(spark):
+    """S4: the Kinesis payload pipeline is the Kafka one over the
+    connector's `data` column — json, avro and proto all decode, field
+    mapping applies."""
+    import json as _json
+
+    from feast_spark.data_source import KinesisSource
+    from feast_spark.functions.avro_codec import encode as avro_encode
+    from feast_spark.functions.proto_codec import encode_message
+    from feast_spark.streaming.ingest import parse_kinesis_stream
+
+    def kinesis_row(payload):
+        return Row(
+            data=payload,
+            streamName="s",
+            partitionKey="pk",
+            sequenceNumber="1",
+        )
+
+    # json
+    src = KinesisSource(
+        stream_name="s",
+        record_format="json",
+        schema_json=T.StructType(
+            [T.StructField("driver_id", T.LongType()),
+             T.StructField("rate", T.DoubleType())]
+        ).json(),
+        field_mapping={"rate": "conv_rate"},
+    )
+    raw = spark.createDataFrame(
+        [kinesis_row(_json.dumps({"driver_id": 5, "rate": 0.25}).encode())]
+    )
+    got = parse_kinesis_stream(raw, src).collect()[0]
+    assert (got["driver_id"], got["conv_rate"]) == (5, 0.25)
+
+    # avro
+    avro_schema = _json.dumps(
+        {"type": "record", "name": "R", "fields": [
+            {"name": "driver_id", "type": "long"},
+            {"name": "rate", "type": "double"}]}
+    )
+    src_a = KinesisSource(stream_name="s", record_format="avro",
+                          schema_json=avro_schema)
+    raw_a = spark.createDataFrame(
+        [kinesis_row(avro_encode(avro_schema, {"driver_id": 6, "rate": 0.5}))]
+    )
+    got_a = parse_kinesis_stream(raw_a, src_a).collect()[0]
+    assert (got_a["driver_id"], got_a["rate"]) == (6, 0.5)
+
+    # proto
+    desc = {"fields": [
+        {"number": 1, "name": "driver_id", "type": "int64"},
+        {"number": 2, "name": "rate", "type": "double"}]}
+    src_p = KinesisSource(stream_name="s", record_format="proto",
+                          schema_json=_json.dumps(desc))
+    raw_p = spark.createDataFrame(
+        [kinesis_row(encode_message(desc, {"driver_id": 7, "rate": 0.75}))]
+    )
+    got_p = parse_kinesis_stream(raw_p, src_p).collect()[0]
+    assert (got_p["driver_id"], got_p["rate"]) == (7, 0.75)
