@@ -312,3 +312,70 @@ def fingerprint_md5(text: Column) -> Column:
     """Document fingerprint: md5 over the normalized text (same hex in
     every engine — DuckDB md5() matches, enabling exact dedup oracles)."""
     return F.md5(normalize_text(text))
+
+
+# -- PII scrubbing (training-data hygiene) ------------------------------
+
+#: pattern -> replacement token, applied in order (emails before URLs so
+#: user@host in a URL query string doesn't split the URL match; specific
+#: numeric shapes before the generic long-digit-run catch-all)
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    (
+        "email",
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "url",
+        r"(?:https?://|www\.)[^\s<>\"']+",
+        "<URL>",
+    ),
+    (
+        "ipv4",
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IP>",
+    ),
+    (
+        "ssn",
+        r"\b\d{3}-\d{2}-\d{4}\b",
+        "<SSN>",
+    ),
+    (
+        "card",
+        r"\b\d(?:[ -]?\d){12,18}\b",
+        "<CARD>",
+    ),
+    (
+        "phone",
+        r"(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]\d{3,4}(?:[ .-]\d{2,4})?",
+        "<PHONE>",
+    ),
+]
+
+
+def scrub_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans with typed placeholder tokens — emails, URLs,
+    IPv4s, SSNs, card-like digit runs, phone numbers — as a chain of
+    ``regexp_replace`` column expressions: pure JVM, codegen'd, no
+    Python on executors.  The standard corpus-hygiene pass a training
+    pipeline runs before dedup/quality (placeholders keep token
+    positions stable so downstream stats stay comparable).
+
+    ``kinds`` restricts which patterns run (default: all, in
+    ``PII_PATTERNS`` order, which is precedence order)."""
+    out = text
+    for name, pattern, token in PII_PATTERNS:
+        if kinds is not None and name not in kinds:
+            continue
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def with_scrubbed_text(
+    df,
+    text_col: str,
+    out_col: str | None = None,
+    kinds: list[str] | None = None,
+):
+    """df + scrubbed text column (in place when ``out_col`` is None)."""
+    return df.withColumn(out_col or text_col, scrub_pii(F.col(text_col), kinds))

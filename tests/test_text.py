@@ -96,3 +96,45 @@ def test_repetition_stats_keeps_empty_docs(spark):
         assert out[doc]["dup_bigram_frac"] == 0.0
     assert out[4]["top_token_frac"] == 1.0
     assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_scrub_pii_masks_each_kind(spark):
+    from feast_spark.functions.text import with_scrubbed_text
+
+    rows = [
+        Row(id=1, text="mail me at jane.doe+spam@example.co.uk today"),
+        Row(id=2, text="see https://example.com/a?b=c&user=x and www.foo.org/bar"),
+        Row(id=3, text="server at 192.168.1.100 responded"),
+        Row(id=4, text="ssn 123-45-6789 leaked"),
+        Row(id=5, text="card 4111 1111 1111 1111 declined"),
+        Row(id=6, text="call +1 (555) 123-4567 or 555-1234"),
+        Row(id=7, text="nothing sensitive here, year 2024 is fine"),
+    ]
+    out = {
+        r["id"]: r["text"]
+        for r in with_scrubbed_text(
+            spark.createDataFrame(rows), "text"
+        ).collect()
+    }
+    assert out[1] == "mail me at <EMAIL> today"
+    assert out[2] == "see <URL> and <URL>"
+    assert out[3] == "server at <IP> responded"
+    assert out[4] == "ssn <SSN> leaked"
+    assert out[5] == "card <CARD> declined"
+    assert "<PHONE>" in out[6] and "555" not in out[6]
+    assert out[7] == "nothing sensitive here, year 2024 is fine"
+
+
+def test_scrub_pii_kinds_subset_and_no_python(spark):
+    from feast_spark.functions.text import with_scrubbed_text
+
+    df = spark.createDataFrame(
+        [Row(id=1, text="a@b.io at 10.0.0.1")]
+    )
+    out = with_scrubbed_text(df, "text", out_col="clean", kinds=["email"])
+    row = out.collect()[0]
+    assert row["clean"] == "<EMAIL> at 10.0.0.1"
+    assert row["text"] == "a@b.io at 10.0.0.1"
+    # pure column expressions: no BatchEvalPython / pandas UDF nodes
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
