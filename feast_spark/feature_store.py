@@ -177,6 +177,58 @@ class FeatureStore:
         self.registry.on_demand_views.clear()
         self.registry.commit()
 
+    # -- stream ingestion (ST2) ----------------------------------------
+    def start_stream_ingestion(
+        self,
+        view_name: str,
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = False,
+        raw_stream: DataFrame | None = None,
+    ):
+        """Launch stream-to-online materialization for a view's
+        declared stream_source and return the StreamingQuery handle.
+
+        The reference only documents this flow (docs/reference/
+        feast-and-spark.md — ingestion jobs launched out-of-band); here
+        it is one call: readStream from the view's KafkaSource (or
+        ``raw_stream``, any DataFrame with the transport's payload
+        column — lets tests and replay jobs feed file/rate sources
+        through the same parse + upsert path), parse json/avro/proto,
+        then per-batch latest-per-key dedup + newest-wins upsert into
+        the configured online backend."""
+        from feast_spark.streaming.ingest import (
+            parse_kafka_stream,
+            stream_to_online,
+        )
+
+        view = self.registry.get_feature_view(view_name)
+        if view.stream_source is None and raw_stream is None:
+            raise ValueError(f"view {view_name!r} declares no stream_source")
+        if raw_stream is None:
+            raw = view.stream_source.load_stream(self.spark)
+        else:
+            raw = raw_stream
+        parsed = (
+            parse_kafka_stream(raw, view.stream_source)
+            if view.stream_source is not None
+            else raw
+        )
+        join_keys = self._join_keys_for_view(view)
+        src = view.stream_source or view.batch_source
+        ts_col = src.event_timestamp_column or "event_timestamp"
+        created = src.created_timestamp_column or None
+        return stream_to_online(
+            parsed,
+            self.online_store,
+            self.config.project,
+            view,
+            join_keys=join_keys,
+            ts_col=ts_col,
+            created_col=created,
+            checkpoint_dir=checkpoint_dir,
+            trigger_available_now=trigger_available_now,
+        )
+
     # -- apply (M1) ----------------------------------------------------
     def apply(self, objects: list[Entity | FeatureView | FeatureService]) -> None:
         entities = [o for o in objects if isinstance(o, Entity)]

@@ -287,3 +287,70 @@ def test_parse_kinesis_payload_all_formats(spark):
     )
     got_p = parse_kinesis_stream(raw_p, src_p).collect()[0]
     assert (got_p["driver_id"], got_p["rate"]) == (7, 0.75)
+
+
+def test_facade_start_stream_ingestion(spark, tmp_path):
+    """One-call stream materialization from the facade: view with a
+    declared KafkaSource(json), raw stream injected (file source with a
+    kafka-shaped `value` column), values land in the online store."""
+    import json as _json
+    import time
+
+    from feast_spark import Entity, FeatureStore, RepoConfig
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("driver_id", T.LongType()),
+            T.StructField("event_ts", T.TimestampType()),
+            T.StructField("conv_rate", T.DoubleType()),
+        ]
+    ).json()
+    stream_src = KafkaSource(
+        topic="drivers",
+        message_format="json",
+        schema_json=payload_schema,
+        event_timestamp_column="ts",
+        field_mapping={"event_ts": "ts"},
+    )
+    view = _view()
+    view.name = "facade_stream_fv"
+    view.stream_source = stream_src
+
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="t",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [Entity(name="driver_id", join_key="driver_id",
+                value_type=ValueType.INT64)]
+    )
+    st.registry.apply_feature_view(view)
+    st.registry.commit()
+
+    src = tmp_path / "kafka_sim"
+    src.mkdir()
+    msgs = [
+        {"driver_id": 1, "event_ts": "2021-04-12T10:00:00", "conv_rate": 0.5},
+        {"driver_id": 1, "event_ts": "2021-04-12T11:00:00", "conv_rate": 0.9},
+        {"driver_id": 2, "event_ts": "2021-04-12T10:00:00", "conv_rate": 0.2},
+    ]
+    spark.createDataFrame(
+        [Row(value=_json.dumps(m).encode()) for m in msgs]
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    raw = spark.readStream.schema("value binary").parquet(str(src) + "/*")
+    q = st.start_stream_ingestion(
+        "facade_stream_fv",
+        checkpoint_dir=str(tmp_path / f"ckpt_{time.time_ns()}"),
+        trigger_available_now=True,
+        raw_stream=raw,
+    )
+    q.awaitTermination(120)
+    resp = st.get_online_features(
+        ["facade_stream_fv:conv_rate"], [{"driver_id": 1}, {"driver_id": 2}]
+    )
+    assert resp["conv_rate"][0] == 0.9  # latest-per-key won
+    assert resp["conv_rate"][1] == 0.2
