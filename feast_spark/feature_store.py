@@ -493,6 +493,45 @@ class FeatureStore:
                 )
             self.materialize(start, end, [view.name])
 
+    def export_online_wire(
+        self,
+        view_name: str,
+        start: datetime,
+        end: datetime,
+        path: str | None = None,
+        key_version: int = 2,
+    ) -> DataFrame:
+        """Materialization window in the reference's *wire* online-store
+        shape: ``(entity_key binary, feature_name, value binary,
+        event_ts[, created_ts])`` with feast.types.Value payloads and
+        the binary entity-key layout (provider.py:263-312 +
+        key_encoding_utils.py:22-48; docs/specs/online_store_format.md).
+
+        This is the hand-off point to a reference-compatible serving
+        stack (Redis/Datastore/DynamoDB writers consume exactly these
+        rows).  Same A1 latest-per-key pull as :meth:`materialize`;
+        the explode to wire rows is an Arrow-batched per-row map with
+        no extra shuffle.  ``path`` writes parquet and returns the
+        frame either way.  ``key_version=1`` is bit-compatible with the
+        reference (int64 keys limited to int32 range — its struct
+        quirk); 2 widens to 8 bytes.
+        """
+        from feast_spark.functions.value_proto import to_online_format
+
+        view = self.registry.get_feature_view(view_name)
+        latest, join_keys, ts_col, created = self._pull_latest(view, start, end)
+        wire = to_online_format(
+            latest,
+            join_keys,
+            view.feature_names,
+            ts_col=ts_col,
+            created_col=created,
+            key_version=key_version,
+        )
+        if path is not None:
+            wire.write.mode("overwrite").parquet(path)
+        return wire
+
     # -- online serving ------------------------------------------------
     def get_online_features(
         self, features: list[str] | FeatureService, entity_rows: list[dict]
