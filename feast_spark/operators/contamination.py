@@ -1,0 +1,138 @@
+"""Train/eval n-gram contamination check (benchmark decontamination).
+
+The standard pre-training hygiene pass: flag evaluation documents whose
+word n-grams appear anywhere in the training corpus (the GPT-3 appendix
+C / PaLM style n-gram-overlap decontamination — public methodology, no
+reference-repo counterpart).  Everything is native DataFrame ops:
+
+    train ─ shingle ─ explode ──────────┐
+                                        ├─ inner join on shingle ─ per-doc agg
+    eval  ─ shingle ─ explode ─ (bcast) ┘
+
+Scale shape (100 TB train corpus, small eval set):
+
+* The eval side is typically tiny (benchmarks: 1e3–1e6 docs).  With
+  ``broadcast_eval=True`` (default) its exploded shingle frame
+  broadcasts, so the 100 TB train side NEVER shuffles: each train
+  partition probes the hash map and emits only hits, and train-side
+  duplicate shingles collapse in the count-distinct aggregate
+  (map-side partial) instead of a global ``distinct()``.
+* The aggregate keyspace is the eval doc ids — small — so the final
+  exchange is negligible regardless of train size.
+* Hot shingles (boilerplate) inflate the hit frame but never an
+  aggregation buffer: counts are additive — no collect_list anywhere.
+
+``portable=True`` keeps string shingles (reproducible in DuckDB SQL for
+the differential oracle); the fast path joins on xxhash64 longs
+(8-byte compares, collision p ~ 2^-64 per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from feast_spark.operators.docdedup import with_hashed_shingles, with_shingles
+
+
+def ngram_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    threshold: float = 0.0,
+    portable: bool = False,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-eval-document contamination against the training corpus.
+
+    Returns ``(id_col, total_ngrams, contaminated_ngrams,
+    contamination_frac)`` — distinct n-grams of the eval doc, how many
+    of them occur in ANY train doc, and the fraction.  ``threshold``
+    keeps only rows with ``contamination_frac > threshold`` (0.0 keeps
+    every eval doc, including clean ones — the left join preserves
+    them with 0 hits).
+
+    Docs shorter than ``n`` tokens contribute their whole text as one
+    shingle (the ``with_shingles`` guard), so short eval docs are
+    still checked — exact-match only, the honest semantics for them.
+    """
+    shingler = with_shingles if portable else with_hashed_shingles
+    ev = shingler(eval_df.select(id_col, text_col), text_col, n).select(
+        id_col, F.explode("shingles").alias("__sh")
+    )
+    tr = shingler(train_df.select(text_col), text_col, n).select(
+        F.explode("shingles").alias("__sh")
+    )
+    # inner-join the train stream against the (broadcast) eval shingle
+    # set, then count DISTINCT hit shingles per eval doc: train-side
+    # duplicates collapse in the aggregate (map-side partial), so the
+    # train corpus needs neither a global distinct() nor any shuffle —
+    # each partition probes the broadcast map and emits only hits.
+    build = F.broadcast(ev) if broadcast_eval else ev
+    hits = tr.join(build, "__sh").groupBy(id_col).agg(
+        F.count_distinct("__sh").alias("contaminated_ngrams")
+    )
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    out = (
+        totals.join(hits, id_col, "left")
+        .withColumn(
+            "contaminated_ngrams",
+            F.coalesce(F.col("contaminated_ngrams"), F.lit(0)),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.col("contaminated_ngrams") / F.col("total_ngrams"),
+        )
+    )
+    if threshold > 0.0:
+        out = out.filter(F.col("contamination_frac") > threshold)
+    return out
+
+
+def contaminated_spans(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    eval_id_col: str,
+    train_id_col: str,
+    text_col: str,
+    n: int = 8,
+    portable: bool = False,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Which train documents contaminate which eval documents.
+
+    Returns ``(eval_id, train_id, shared_ngrams)`` for every
+    (eval doc, train doc) pair sharing at least one n-gram — the audit
+    trail behind :func:`ngram_contamination`'s counts.
+
+    Unlike the count variant this keeps train doc ids through the join,
+    so a boilerplate n-gram shared by k train docs fans out k rows per
+    eval hit.  ``max_shingle_freq`` drops shingles occurring in more
+    than that many train docs before the join (they identify nothing —
+    same reasoning as the LSH hot-bucket cap, enforced with a pre-agg
+    count, never a materialized bucket)."""
+    shingler = with_shingles if portable else with_hashed_shingles
+    ev = (
+        shingler(eval_df.select(eval_id_col, text_col), text_col, n)
+        .select(eval_id_col, F.explode("shingles").alias("__sh"))
+    )
+    tr = (
+        shingler(train_df.select(train_id_col, text_col), text_col, n)
+        .select(train_id_col, F.explode("shingles").alias("__sh"))
+    )
+    if max_shingle_freq is not None:
+        freq = tr.groupBy("__sh").agg(
+            F.count(F.lit(1)).alias("__freq")
+        )
+        tr = (
+            tr.join(freq.filter(F.col("__freq") <= max_shingle_freq), "__sh")
+            .drop("__freq")
+        )
+    # (eval_id, __sh) and (train_id, __sh) are each unique post
+    # array_distinct, so plain count(*) counts distinct shared shingles
+    return (
+        tr.join(F.broadcast(ev), "__sh")
+        .groupBy(eval_id_col, train_id_col)
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
