@@ -693,21 +693,32 @@ def q_buyers_never_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end training-corpus cleaning pipeline: exact dedup (keep
-    min doc_id per normalized fingerprint) -> quality features ->
-    language ID -> keep docs above the quality bar inside the token
-    band. One shuffle (the dedup agg); everything downstream is
-    narrow column expressions in the same stage."""
+    """End-to-end training-corpus cleaning pipeline: quality features ->
+    language ID -> quality/token-band filter -> exact dedup (keep min
+    doc_id per normalized fingerprint).
+
+    Featurize-filter-THEN-dedup is result-identical to dedup-first
+    (every member of an exact-dup group has the same text, hence the
+    same scores and the same filter outcome) but the one shuffle now
+    carries only (doc_id, lang, counts, score, fingerprint) — fixed
+    width — instead of document bodies, and filtered-out docs never
+    reach the exchange at all.  At crawl scale that is the difference
+    between shuffling the corpus and shuffling a table of longs."""
     from feast_spark.functions.text import with_lang_id, with_quality_features
     from feast_spark.operators.docdedup import exact_dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    deduped = exact_dedup(docs, "doc_id", "text")
-    scored = with_lang_id(with_quality_features(deduped, "text"), "text")
-    return scored.filter(
+    scored = with_lang_id(with_quality_features(docs, "text"), "text")
+    passing = scored.filter(
         (F.col("quality_score") >= 0.5)
         & (F.col("n_tokens") >= 10)
         & (F.col("n_tokens") <= 5000)
+    )
+    return exact_dedup(
+        passing,
+        "doc_id",
+        "text",
+        select=["lang_pred", "n_tokens", "quality_score"],
     ).select("doc_id", "lang_pred", "n_tokens", "quality_score")
 
 

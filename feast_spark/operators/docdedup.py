@@ -64,7 +64,11 @@ def widen_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataF
 # ---------------------------------------------------------------------------
 
 def exact_dedup(
-    df: DataFrame, id_col: str, text_col: str, keep: str = "min"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    keep: str = "min",
+    select: list[str] | None = None,
 ) -> DataFrame:
     """Keep one representative per identical (normalized) text: the
     min/max id wins.
@@ -74,9 +78,18 @@ def exact_dedup(
     fingerprint before the shuffle, so shuffle volume is O(distinct
     texts), not O(rows).  A window formulation would ship every
     duplicate through the exchange; at 100 TB with near-dup-heavy crawl
-    data that is most of the corpus."""
+    data that is most of the corpus.
+
+    ``select`` limits the columns carried through the shuffle (id_col
+    is always included).  When downstream only needs text-DERIVED
+    columns (scores, language, token counts — identical across an
+    exact-dup group by construction), compute them map-side first and
+    dedup the narrow projection: the exchange then ships fixed-width
+    rows instead of document bodies."""
     pick = F.min_by if keep == "min" else F.max_by
-    cols = list(df.columns)
+    cols = list(df.columns) if select is None else list(
+        dict.fromkeys([id_col, *select])
+    )
     fp = df.withColumn("__fp", fingerprint_md5(F.col(text_col)))
     picked = fp.groupBy("__fp").agg(
         pick(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias("__row")

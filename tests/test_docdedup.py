@@ -34,6 +34,25 @@ def test_exact_dedup_normalization(spark):
     assert groups[0]["keep_id"] == 1
 
 
+def test_exact_dedup_select_narrow_projection(spark):
+    """select= keeps only id + requested columns through the shuffle;
+    same winners as the full-row form."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            Row(id=2, text="hello world", extra="b"),
+            Row(id=1, text="Hello  World", extra="a"),
+            Row(id=5, text="other", extra="e"),
+        ]
+    ).withColumn("n_chars", F.length("text"))
+    slim = exact_dedup(df, "id", "text", select=["n_chars"])
+    assert set(slim.columns) == {"id", "n_chars"}
+    rows = {r["id"]: r["n_chars"] for r in slim.collect()}
+    # winner per group is the min id, carrying ITS OWN derived column
+    assert rows == {1: len("Hello  World"), 5: len("other")}
+
+
 def test_shingles_short_doc(spark):
     df = spark.createDataFrame([Row(id=1, text="one two"), Row(id=2, text="a b c d")])
     sh = {r["id"]: r["shingles"] for r in with_shingles(df, "text", 3).collect()}
