@@ -294,3 +294,37 @@ def test_lsh_bucket_expansion_single_exchange(spark):
     assert "ObjectHashAggregate" in order[f:], (
         f"collect_list must run after the cap filter:\n{plan}"
     )
+
+
+def test_contamination_train_side_never_shuffles(spark):
+    """ngram_contamination: the train corpus must probe a broadcast of
+    the eval shingles — an inner BroadcastHashJoin with the eval side
+    as build, and NO shuffle Exchange between the train scan and that
+    join (the 100 TB property)."""
+    import re
+
+    from feast_spark.operators.contamination import ngram_contamination
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    ev = docs.filter(F.col("doc_id") % 2 == 1)
+    plan = _optimized_explain(
+        ngram_contamination(train, ev, "doc_id", "text", n=5)
+    )
+    assert "BroadcastHashJoin Inner BuildRight" in plan, plan
+    # walk the detail section: between the LAST train-side Generate
+    # (shingle explode) and the inner join node there must be no
+    # shuffle Exchange — the probe side streams straight into the join
+    nodes = re.findall(r"^\(\d+\) (\w+)", plan, flags=re.M)
+    join_idx = next(
+        i for i, n in enumerate(nodes) if n == "BroadcastHashJoin"
+    )
+    gen_before_join = [
+        i for i, n in enumerate(nodes[:join_idx]) if n == "Generate"
+    ]
+    assert gen_before_join, plan
+    probe_span = nodes[gen_before_join[-1] : join_idx]
+    assert "Exchange" not in probe_span, (
+        f"train probe side shuffles before the join: {probe_span}\n{plan}"
+    )
