@@ -186,6 +186,11 @@ def jaccard_pairs(
     fan-out and carry no discriminative signal) -> self-join on shingle
     -> count common -> jaccard = common / (|A| + |B| - common).
     Shuffles: one on shingle (the join), one on the pair (the agg).
+
+    The hot-shingle cap is a count AGGREGATE (map-side partial combine
+    -> shuffle is O(distinct shingles)) plus a broadcast anti-join of
+    the tiny hot list — not a count window, which would shuffle AND
+    sort every posting row just to count per key.
     """
     sh = with_shingles(
         widen_parallelism(df.select(id_col, text_col)), text_col, n
@@ -199,12 +204,13 @@ def jaccard_pairs(
     )
     sizes = sh.select("doc", "n_sh")
     posting = sh.select("doc", F.explode("shingles").alias("shingle"))
-    freq_w = Window.partitionBy("shingle")
-    posting = (
-        posting.withColumn("__freq", F.count(F.lit(1)).over(freq_w))
-        .filter(F.col("__freq") <= max_shingle_freq)
-        .drop("__freq")
+    hot = (
+        posting.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+        .filter(F.col("__freq") > max_shingle_freq)
+        .select("shingle")
     )
+    posting = posting.join(F.broadcast(hot), "shingle", "left_anti")
     a = posting.select(F.col("doc").alias("id_a"), "shingle")
     b = posting.select(F.col("doc").alias("id_b"), "shingle")
     common = (
