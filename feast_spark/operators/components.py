@@ -1,0 +1,190 @@
+"""Connected components over near-dup pair graphs, and the dup-group
+resolution built on it.
+
+The pair generators (``docdedup.minhash_dedup_pairs`` / ``simhash_pairs``
+/ ``jaccard_pairs``) emit *edges*; an actual dedup pass needs *groups*:
+a transitive near-dup cluster must keep exactly one representative even
+when A~B and B~C but A!~C.  That closure is connected components.
+
+Algorithm: the alternating **large-star / small-star** method of
+Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) — the published shuffle-native CC algorithm:
+
+* large-star: every node points its *larger* neighbors at the minimum
+  of its neighborhood (incl. itself);
+* small-star: every node points its *smaller-or-equal* neighbors (and
+  itself) at that minimum.
+
+Each round is two hash aggregations + a join — **no neighbor-list
+``collect_list``** (a hot node's neighborhood never materializes in one
+aggregation buffer, unlike naive label propagation via
+``groupBy(...).agg(collect_set)``), and convergence is O(log^2 n)
+rounds on adversarial graphs, O(1)-ish on the clique-like clusters LSH
+emits.  Every round ends in ``localCheckpoint`` to truncate lineage —
+an iterative DataFrame loop otherwise compounds the plan and recompiles
+the whole history each round.
+
+At 100 TB: each round shuffles the *current* edge set, which contracts
+monotonically toward one edge per non-root node (star graphs), so later
+rounds are cheap; the convergence check rides the same job via a
+``count`` on the checkpointed frame (no extra scan of anything
+corpus-sized — the edge frame is O(near-dup docs), not O(corpus)).
+
+Reference has no counterpart (dedup is outside Feast's scope); this
+extends the training-data pipeline per the build plan (SURVEY §7
+phase 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_undirected(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u < v, self-loops dropped, duplicates merged."""
+    u = F.least(F.col(src), F.col(dst))
+    v = F.greatest(F.col(src), F.col(dst))
+    return (
+        pairs.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node, attach strictly-larger neighbors to the min of
+    its neighborhood (including itself).  Eliminates long chains fast.
+    Two shuffles: the min aggregate and the (broadcast-eligible,
+    key-aligned) join back onto the directed edge list."""
+    # directed both ways: every node sees its full neighborhood
+    bidir = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = bidir.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        bidir.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node, attach smaller-or-equal neighbors AND itself to
+    the minimum of those — flattens each star to depth 1."""
+    # direct every edge from its larger endpoint: u > v after this
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    attach_neighbors = (
+        directed.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    attach_self = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        attach_neighbors.union(attach_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    node_col: str = "node",
+    component_col: str = "component",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Per-node component labels: ``(node, component)`` where
+    ``component`` is the minimum node id reachable from ``node``.
+    Nodes that appear in ``pairs`` only — isolated corpus docs are not
+    the graph's problem (callers left-join and coalesce to self).
+
+    Iterates large-star/small-star until the edge set is a fixed point
+    (converged = small-star output equals its input, checked via
+    count + checksum on the checkpointed frame), then reads the labels
+    straight off the final star edges.
+    """
+    edges = _canonical_undirected(pairs, src, dst).localCheckpoint(eager=True)
+    nodes = edges.select("u").union(edges.select("v")).distinct() \
+        .withColumnRenamed("u", node_col)
+
+    def _sig(df: DataFrame) -> tuple:
+        # XOR-fold of per-edge hashes: order-insensitive, overflow-free
+        # (ANSI mode), sound as a set signature because edges are
+        # distinct by construction.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # fixed point is a forest of depth-1 stars rooted at each
+    # component's min; in canonical (least, greatest) form every edge
+    # is (root, member), so u carries the label.
+    labels = edges.select(
+        F.col("v").alias(node_col), F.col("u").alias(component_col)
+    )
+    return (
+        nodes.join(labels, node_col, "left")
+        .select(
+            F.col(node_col),
+            F.coalesce(F.col(component_col), F.col(node_col)).alias(component_col),
+        )
+    )
+
+
+def resolve_dup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Deduplicate ``df`` against a near-dup pair graph: transitively
+    close the pairs into components and keep, per component, the row
+    whose id is the component minimum.  Rows never mentioned in
+    ``pairs`` survive untouched.
+
+    The final filter is a left-anti join against the non-representative
+    id set.  No forced broadcast: on clean corpora the loser set is
+    tiny and AQE broadcasts it; on crawl-scale near-dup-heavy corpora
+    it can be a third of all ids, where a shuffled anti-join is the
+    correct plan — the ids are fixed-width either way."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    losers = cc.filter(F.col("node") != F.col("component")) \
+        .select(F.col("node").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
+
+
+def component_stats(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-component size + representative — the audit view of a dedup
+    pass (how big are the dup clusters, what survives)."""
+    cc = connected_components(pairs, src=src, dst=dst)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumnRenamed("component", "representative")
+    )
