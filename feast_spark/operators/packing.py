@@ -1,0 +1,202 @@
+"""Training-corpus assembly operators: sequence packing, weighted
+sampling, and mixture-by-source token budgeting.
+
+These are the last-mile steps of a pre-training data pipeline: after
+cleaning (``functions.text``), dedup (``operators.docdedup`` /
+``components``) and splitting (``functions.split``), the surviving
+documents must be (a) sampled to a target size, (b) mixed across
+sources to target token proportions, and (c) packed into fixed-budget
+training sequences.  The reference has no counterpart (Feast stops at
+feature retrieval); this extends the training-data pipeline per the
+build plan (SURVEY §7 phase 5).
+
+All three operators are **deterministic by construction** — every
+ordering and random draw derives from ``md5(salt || id)``, the same
+engine-portable idiom as ``functions.split.hash_bucket`` — so results
+are reproducible across runs, engines (the DuckDB oracle computes
+identical values), repartitioning, and cluster sizes.
+
+Scale design (the point of shards):
+
+* A faithful "greedy pack in one global order" needs a single global
+  sorted stream — a one-partition window, the classic scale cliff.
+  Instead every operator here shards rows by ``hash(id) % n_shards``
+  and works within shards: all windows are ``partitionBy(shard, ...)``,
+  so the plan is one hash shuffle + per-shard sorts, embarrassingly
+  parallel at any corpus size.  ``n_shards`` is the parallelism knob
+  (set it ≳ cluster cores; default 32).
+* Budgets split exactly across shards (integer division, remainder to
+  the lowest shard ids), so the global budget error of ``corpus_mix``
+  is bounded by one document per shard — negligible against a 100 TB
+  budget, and the price of not serializing on a global cumsum.
+* ``weighted_sample`` needs no shard at all: top-k by a computed key
+  is Spark's distributed TakeOrdered (per-partition partial top-k,
+  then a k-row driver merge) — no global sort materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from feast_spark.functions.split import hash_bucket
+
+__all__ = ["pack_sequences", "weighted_sample", "corpus_mix"]
+
+
+def _ord_key(id_col: Column, salt: str) -> Column:
+    """Deterministic per-row ordering key: full md5 hex of salt||id."""
+    return F.md5(F.concat(F.lit(salt), id_col.cast("string")))
+
+
+def _uniform01(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform draw in (0, 1]: first 8 md5 hex chars as a
+    32-bit int, shifted to (0, 2^32] so log() is always finite."""
+    u32 = F.conv(F.substring(_ord_key(id_col, salt), 1, 8), 16, 10).cast("double")
+    return (u32 + F.lit(1.0)) / F.lit(4294967296.0)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    max_tokens: int,
+    n_shards: int = 32,
+    salt: str = "",
+    seq_col: str = "seq_id",
+    pos_col: str = "seq_pos",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training sequence.
+
+    Documents are laid out in a deterministic md5 order within each
+    shard and chunked at document granularity: a document belongs to
+    the sequence in which its first token falls
+    (``floor(exclusive_cumsum / max_tokens)``), so every sequence holds
+    a contiguous run of documents and may overflow ``max_tokens`` by at
+    most the last document's length minus one — the standard
+    concat-then-split-at-doc-boundaries packing.  Callers that cannot
+    tolerate overflow should pre-filter or truncate documents longer
+    than ``max_tokens`` (flag them with ``F.col(token_col) >
+    max_tokens``).
+
+    Output = input columns + ``shard``, ``seq_col`` (string
+    ``"{shard}-{bin}"``), ``pos_col`` (0-based document position within
+    the sequence).  Deterministic for a given (ids, tokens, salt,
+    n_shards, max_tokens).
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    cid = F.col(id_col)
+    sharded = df.withColumn("shard", hash_bucket(cid, n_shards, salt=salt)) \
+        .withColumn("__ord", _ord_key(cid, salt))
+    w = Window.partitionBy("shard").orderBy("__ord", id_col)
+    prev_cum = F.coalesce(
+        F.sum(F.col(token_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    binned = sharded.withColumn(
+        "__bin", F.floor(prev_cum / F.lit(max_tokens)).cast("long")
+    )
+    wseq = Window.partitionBy("shard", "__bin").orderBy("__ord", id_col)
+    return (
+        binned.withColumn(
+            seq_col, F.concat_ws("-", F.col("shard"), F.col("__bin"))
+        )
+        .withColumn(pos_col, F.row_number().over(wseq) - 1)
+        .drop("__ord", "__bin")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the k rows
+    with the smallest exponential keys ``-ln(u_id) / weight`` win
+    (Efraimidis–Spirakis A-ES, with the uniform ``u_id`` derived from
+    ``md5(salt || id)`` instead of an RNG).  Inclusion probability is
+    proportional to weight, and the draw is reproducible — the same row
+    set for any partitioning, cluster size, or run.
+
+    Rows with NULL or non-positive weight are excluded.  Output keeps
+    the input columns (no key column — callers compare row sets).
+
+    Scale: the key is a narrow codegen expression; ``orderBy().limit(k)``
+    executes as per-partition top-k + k-row merge, never a full sort.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    u = _uniform01(F.col(id_col), salt)
+    key = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__aes_key", key)
+        .orderBy(F.col("__aes_key").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("__aes_key")
+    )
+
+
+def corpus_mix(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    source_col: str,
+    budgets: dict[str, int],
+    n_shards: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Compose a training mix: per source, keep documents (in
+    deterministic md5 order) while the running token total stays within
+    that source's budget; sources absent from ``budgets`` are dropped.
+
+    Never overshoots: a document is kept iff its *inclusive* cumulative
+    token count fits the budget, so the take is the longest prefix of
+    the shard's ordered stream that fits — each source contributes ≤
+    its budget, and the selection is a deterministic function of
+    (id, salt) alone.
+
+    The budget splits exactly across shards — ``budget // n_shards``
+    each, remainder distributed to shards ``0..r-1`` — so per-source
+    totals are exact up to one under-filled document per shard while
+    every shard packs independently (see module docstring).
+    """
+    if not budgets:
+        raise ValueError("budgets must name at least one source")
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    cid = F.col(id_col)
+    base_items: list[Column] = []
+    rem_items: list[Column] = []
+    for s, b in budgets.items():
+        base_items += [F.lit(s), F.lit(b // n_shards)]
+        rem_items += [F.lit(s), F.lit(b % n_shards)]
+    base_map = F.create_map(*base_items)
+    rem_map = F.create_map(*rem_items)
+    src = F.col(source_col)
+    sharded = (
+        df.filter(src.isin(list(budgets.keys())))
+        .withColumn("shard", hash_bucket(cid, n_shards, salt=salt))
+        .withColumn("__ord", _ord_key(cid, salt))
+        .withColumn(
+            "__budget",
+            base_map[src]
+            + F.when(F.col("shard") < rem_map[src], F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    w = Window.partitionBy(source_col, "shard").orderBy("__ord", id_col)
+    cum = F.sum(F.col(token_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        sharded.withColumn("__cum", cum)
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__ord", "__budget", "__cum", "shard")
+    )

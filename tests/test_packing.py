@@ -1,0 +1,185 @@
+"""Sequence packing / weighted sampling / corpus mixing.
+
+Oracle: DuckDB reproduces every md5-derived ordering and draw
+bit-for-bit (the same engine-portable idiom the driver's hash_split
+oracle uses), so all three operators are value-checked, not just
+shape-checked.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.functions.text import token_count
+from feast_spark.operators.packing import (
+    corpus_mix,
+    pack_sequences,
+    weighted_sample,
+)
+
+# DuckDB twins of feast_spark idioms
+_TOK = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+)
+_H32 = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_ORD = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from tests.conftest import SF_MED
+
+    return (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .withColumn("n_tokens", token_count(F.col("text")).cast("long"))
+    )
+
+
+def test_pack_sequences_oracle(spark, duck, docs):
+    out = pack_sequences(
+        docs, "doc_id", "n_tokens", max_tokens=512, n_shards=8
+    ).select("doc_id", "shard", "seq_id", "seq_pos")
+    got = {(r.doc_id, r.shard, r.seq_id, r.seq_pos) for r in out.collect()}
+    want = set(
+        map(
+            tuple,
+            duck.execute(
+                f"""
+        WITH d AS (
+          SELECT doc_id, {_TOK} AS n_tokens,
+                 {_H32} % 8 AS shard, {_ORD} AS ord
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, ord,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 // 512 AS bin
+          FROM d
+        )
+        SELECT doc_id, shard, CONCAT(shard, '-', bin) AS seq_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY shard, bin ORDER BY ord, doc_id) - 1 AS pos
+        FROM c
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_pack_sequences_invariants(spark, docs):
+    max_tokens = 256
+    out = pack_sequences(docs, "doc_id", "n_tokens", max_tokens, n_shards=8)
+    # every row assigned, nothing duplicated
+    assert out.count() == docs.count()
+    assert out.select("doc_id").distinct().count() == docs.count()
+    stats = (
+        out.groupBy("seq_id")
+        .agg(
+            F.sum("n_tokens").alias("total"),
+            F.max("n_tokens").alias("biggest"),
+            F.count("*").alias("n"),
+            F.max("seq_pos").alias("maxpos"),
+        )
+        .collect()
+    )
+    for r in stats:
+        # overflow bounded by the largest member document
+        assert r.total <= max_tokens + r.biggest - 1
+        # positions are 0..n-1
+        assert r.maxpos == r.n - 1
+    # deterministic under repartitioning
+    again = pack_sequences(
+        docs.repartition(7), "doc_id", "n_tokens", max_tokens, n_shards=8
+    )
+    a = {(r.doc_id, r.seq_id, r.seq_pos) for r in out.collect()}
+    b = {(r.doc_id, r.seq_id, r.seq_pos) for r in again.collect()}
+    assert a == b
+
+
+def test_weighted_sample_oracle(spark, duck, docs):
+    out = weighted_sample(docs, "doc_id", "n_chars", k=100)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    want = {
+        r[0]
+        for r in duck.execute(
+            f"""
+        SELECT doc_id FROM (
+          SELECT doc_id,
+                 -ln(({_H32} + 1.0) / 4294967296.0) / n_chars AS key
+          FROM documents WHERE n_chars > 0
+        ) ORDER BY key, doc_id LIMIT 100
+        """
+        ).fetchall()
+    }
+    assert len(got) == 100
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -5.0), (4, None), (5, 3.0)],
+        "id long, w double",
+    )
+    out = weighted_sample(df, "id", "w", k=10)
+    assert {r.id for r in out.collect()} == {1, 5}
+
+
+def test_corpus_mix_oracle(spark, duck, docs):
+    budgets = {"src0": 800, "src1": 400, "src2": 10_000, "src3": 0}
+    n_shards = 4
+    out = corpus_mix(docs, "doc_id", "n_tokens", "source", budgets, n_shards)
+    got = {r.doc_id for r in out.select("doc_id").collect()}
+    cases_b = " ".join(
+        f"WHEN '{s}' THEN {b // n_shards}" for s, b in budgets.items()
+    )
+    cases_r = " ".join(
+        f"WHEN '{s}' THEN {b % n_shards}" for s, b in budgets.items()
+    )
+    want = {
+        r[0]
+        for r in duck.execute(
+            f"""
+        WITH d AS (
+          SELECT doc_id, source, {_TOK} AS n_tokens,
+                 {_H32} % {n_shards} AS shard, {_ORD} AS ord
+          FROM documents
+          WHERE source IN ({",".join(f"'{s}'" for s in budgets)})
+        ), c AS (
+          SELECT doc_id, source,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source, shard ORDER BY ord, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 (CASE source {cases_b} END)
+                 + (CASE WHEN shard < (CASE source {cases_r} END)
+                         THEN 1 ELSE 0 END) AS budget
+          FROM d
+        )
+        SELECT doc_id FROM c WHERE cum <= budget
+        """
+        ).fetchall()
+    }
+    assert got == want
+    # and the budget is actually enforced
+    totals = {
+        r.source: r.total
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("total")).collect()
+    }
+    for s, total in totals.items():
+        assert total <= budgets[s]
+    assert "src3" not in totals
+    assert "src4" not in totals  # unbudgeted source dropped
+    # src2's budget exceeds its corpus: everything survives
+    assert out.filter(F.col("source") == "src2").count() == 25
+
+
+def test_corpus_mix_validation(spark, docs):
+    with pytest.raises(ValueError):
+        corpus_mix(docs, "doc_id", "n_tokens", "source", {})
+    with pytest.raises(ValueError):
+        corpus_mix(docs, "doc_id", "n_tokens", "source", {"src0": -1})
+    with pytest.raises(ValueError):
+        pack_sequences(docs, "doc_id", "n_tokens", 0)
+    with pytest.raises(ValueError):
+        weighted_sample(docs, "doc_id", "n_chars", 0)
