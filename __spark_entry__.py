@@ -744,6 +744,76 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_dup_groups_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup DEDUP (not just pair emission): MinHash+LSH
+    pairs (portable mode, same pipeline as ``minhash_lsh_dedup``) are
+    transitively closed into components via the large-star/small-star
+    contraction, and per component only the min-id document survives.
+    The oracle recomputes the same pair graph in SQL and closes it with
+    a recursive CTE — so the whole chain (shingle -> signature ->
+    banding -> verify -> connected components -> keep-representative)
+    is value-checked cross-engine."""
+    from feast_spark.operators.components import resolve_dup_groups
+    from feast_spark.operators.docdedup import minhash_dedup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, portable=True
+    )
+    return resolve_dup_groups(
+        docs.select("doc_id", "source"), pairs, "doc_id"
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: md5-ordered docs chunked into
+    512-token training sequences within 8 hash shards (no global
+    sort)."""
+    from feast_spark.functions.text import token_count
+    from feast_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", max_tokens=512, n_shards=8
+    ).select(
+        "doc_id", "shard", "seq_id", F.col("seq_pos").cast("long").alias("seq_pos")
+    )
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-by-source token budgeting: per source keep the longest
+    md5-ordered prefix that fits the token budget (exact per-shard
+    budget split; never overshoots)."""
+    from feast_spark.functions.text import token_count
+    from feast_spark.operators.packing import corpus_mix
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text")).cast("long")
+    )
+    return corpus_mix(
+        docs,
+        "doc_id",
+        "n_tokens",
+        "source",
+        budgets={"src0": 800, "src1": 400, "src2": 100000, "src3": 1200},
+        n_shards=4,
+    ).select("doc_id", "source", "n_tokens")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES with
+    md5-derived uniforms), k=100 by n_chars weight — distributed
+    top-k, no RNG state, reproducible across engines."""
+    from feast_spark.operators.packing import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: views attributed to the purchase whose
     1-day window [purchase_ts, purchase_ts + 1d) contains them, then
@@ -987,11 +1057,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_revenue": q_topk_revenue,
         "shipping_priority": q_shipping_priority,
         "rollup_revenue": q_rollup_revenue,
-        "cube_flags": q_cube_flags,
+        "dup_groups_resolved": q_dup_groups_resolved,
         "distinct_daily_users": q_distinct_daily_users,
-        "doc_len_percentiles": q_doc_len_percentiles,
+        "pack_sequences": q_pack_sequences,
         "customers_no_orders": q_customers_no_orders,
-        "buyers_never_click": q_buyers_never_click,
+        "weighted_sample": q_weighted_sample,
         "corpus_clean": q_corpus_clean,
         "table_profile": q_table_profile,
         "hash_split": q_hash_split,
@@ -999,7 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_list_feature": q_pit_join_list_feature,
         "stratified_sample": q_stratified_sample,
         "sql_source": q_sql_source,
-        "local_supplier_volume": q_local_supplier_volume,
+        "corpus_mix": q_corpus_mix,
         "funnel": q_funnel,
         "top_ngrams": q_top_ngrams,
     }
@@ -1008,6 +1078,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # minhash_portable entries ARE the gated simhash_pairs /
     # minhash_lsh_dedup now; the xxhash64 fast paths stay in the
     # library (bench.py times q_minhash_fast).
+    # Round 4 rotated four relational twins out to make room for the
+    # corpus-assembly ops while keeping exactly 50: cube_flags (CUBE;
+    # rollup_revenue still gates grouping sets), buyers_never_click
+    # (anti-join; customers_no_orders remains), local_supplier_volume
+    # (multi-join agg; nation_revenue remains), doc_len_percentiles
+    # (table_profile remains).  The q_* functions stay in the library.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1017,6 +1093,16 @@ _SW_EN = "'the','a','and','of','to','in','is','it'"
 _SW_ES = "'el','la','de','que','y','en','los','se'"
 _SW_DE = "'der','die','und','das','ist','von','mit','den'"
 _SW_FR = "'le','la','de','et','les','des','un','une'"
+
+# DuckDB twins of the corpus-assembly idioms (mirror operators/packing.py
+# and functions/split.py: whitespace token count, md5 ordering key, 32-bit
+# md5-prefix hash used for shards/buckets/uniform draws)
+_TOK_CNT = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END"
+)
+_MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
+_H32_ID = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
 # All oracle timestamps are CAST to µs-precision TIMESTAMP up front so the
 # comparison domain matches Spark's (which truncates the parquet ns column).
@@ -1096,6 +1182,33 @@ WITH tk AS (
 )
 SELECT id_a, id_b, common / (na + nb - common) AS jaccard
 FROM ver WHERE common / (na + nb - common) >= 0.5
+"""
+
+
+def _dup_groups_oracle() -> str:
+    """SQL twin of resolve_dup_groups over the portable MinHash pairs:
+    the recursive CTE computes the full transitive closure (min
+    reachable id per node — exactly the component labels the
+    large-star/small-star contraction converges to), then documents
+    whose id is not their component's min are dropped."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({_minhash_portable_oracle()}),
+e(u, v) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+),
+losers AS (
+  SELECT node FROM (
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+  ) WHERE node <> component
+)
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT node FROM losers)
 """
 
 
@@ -1601,13 +1714,7 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
-        "cube_flags": """
-SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       COUNT(*) AS n_rows
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
+        "dup_groups_resolved": _dup_groups_oracle(),
         "distinct_daily_users": """
 SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
        COUNT(DISTINCT user_id) AS n_users,
@@ -1616,14 +1723,23 @@ SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
 FROM events
 GROUP BY 1
 """,
-        "doc_len_percentiles": """
-SELECT lang,
-       quantile_cont(n_chars, 0.5) AS p50,
-       quantile_cont(n_chars, 0.9) AS p90,
-       quantile_cont(n_chars, 0.99) AS p99,
-       COUNT(*) AS n_docs
-FROM documents
-GROUP BY lang
+        "pack_sequences": f"""
+WITH d AS (
+  SELECT doc_id, {_TOK_CNT} AS n_tokens,
+         {_H32_ID} % 8 AS shard, {_MD5_ID} AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, ord,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         // 512 AS bin
+  FROM d
+)
+SELECT doc_id, shard, CONCAT(shard, '-', bin) AS seq_id,
+       ROW_NUMBER() OVER (PARTITION BY shard, bin ORDER BY ord, doc_id) - 1
+         AS seq_pos
+FROM c
 """,
         "customers_no_orders": """
 SELECT c_custkey, c_name, c_mktsegment
@@ -1633,11 +1749,12 @@ WHERE NOT EXISTS (
   WHERE o.o_custkey = c.c_custkey
     AND o.o_orderdate >= TIMESTAMP '2001-01-01')
 """,
-        "buyers_never_click": """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
-EXCEPT
-SELECT DISTINCT user_id FROM events
-WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-20'
+        "weighted_sample": f"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         -ln(({_H32_ID} + 1.0) / 4294967296.0) / n_chars AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+) ORDER BY key, doc_id LIMIT 100
 """,
         "corpus_clean": f"""
 WITH dd AS (
@@ -1784,19 +1901,23 @@ SELECT o_custkey AS customer_id, o_orderstatus,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_custkey, o_orderstatus
 """,
-        "local_supplier_volume": """
-SELECT n_name,
-       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1996-01-01'
-  AND o_orderdate < TIMESTAMP '1998-01-01'
-GROUP BY n_name
+        "corpus_mix": f"""
+WITH d AS (
+  SELECT doc_id, source, {_TOK_CNT} AS n_tokens,
+         {_H32_ID} % 4 AS shard, {_MD5_ID} AS ord
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 100
+                     WHEN 'src2' THEN 25000 WHEN 'src3' THEN 300 END
+           AS budget
+  FROM d
+)
+SELECT doc_id, source, n_tokens FROM c WHERE cum <= budget
 """,
         "funnel": """
 WITH e AS (
