@@ -328,3 +328,41 @@ def test_contamination_train_side_never_shuffles(spark):
     assert "Exchange" not in probe_span, (
         f"train probe side shuffles before the join: {probe_span}\n{plan}"
     )
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Both windows (cumsum binning + in-sequence position) run on the
+    same shard partitioning: ONE Exchange for the whole pack — the
+    second window adds only a sort, never a reshuffle."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    plan = _optimized_explain(entry_mod.q_pack_sequences(spark, SF_MED))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_corpus_mix_single_exchange(spark):
+    """The budget window partitions by (source, shard): one Exchange,
+    and the budget lookup is a codegen map expression — no join node
+    for the budgets dimension at all."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    plan = _optimized_explain(entry_mod.q_corpus_mix(spark, SF_MED))
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(source" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES top-k must plan as TakeOrderedAndProject (per-partition
+    heaps + k-row driver merge), never a global Sort + Limit."""
+    import __spark_entry__ as entry_mod
+
+    plan = _executed_plan(entry_mod.q_weighted_sample(spark, SF_MED))
+    assert "TakeOrderedAndProject" in plan, plan
