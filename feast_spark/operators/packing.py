@@ -42,7 +42,12 @@ from pyspark.sql.window import Window
 
 from feast_spark.functions.split import hash_bucket
 
-__all__ = ["pack_sequences", "weighted_sample", "corpus_mix"]
+__all__ = [
+    "pack_sequences",
+    "weighted_sample",
+    "corpus_mix",
+    "chunk_documents",
+]
 
 
 def _ord_key(id_col: Column, salt: str) -> Column:
@@ -107,6 +112,63 @@ def pack_sequences(
         )
         .withColumn(pos_col, F.row_number().over(wseq) - 1)
         .drop("__ord", "__bin")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 0,
+    chunk_col: str = "chunk_id",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Split documents into fixed-token-window chunks with optional
+    overlap — the standard pre-embedding / context-window chunker.
+
+    Chunk ``i`` of a document covers whitespace tokens
+    ``[i * stride, i * stride + chunk_tokens)`` where ``stride =
+    chunk_tokens - overlap``; the last chunk may be short, and an
+    empty/blank document yields no chunks.  Output = input columns +
+    ``chunk_col`` (0-based) + ``out_col`` (the chunk's text, tokens
+    re-joined with single spaces) + ``n_chunk_tokens``.
+
+    Scale: pure narrow ops — split, ``posexplode`` of a start-offset
+    sequence, ``slice`` + ``array_join`` — zero shuffles, zero Python;
+    the fan-out factor is ~n_tokens/stride per row, which AQE-era
+    Spark handles by splitting input files, not by materializing
+    anything corpus-sized.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    toks = F.when(
+        F.length(F.trim(F.col(text_col))) == 0,
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+    with_toks = df.withColumn("__toks", toks)
+    n_tok = F.size(F.col("__toks"))
+    # start offsets 0, stride, 2*stride, ... < n_tokens
+    starts = F.when(n_tok > 0, F.sequence(
+        F.lit(0),
+        n_tok - 1,
+        F.lit(stride),
+    )).otherwise(F.array().cast("array<int>"))
+    exploded = with_toks.select(
+        "*", F.posexplode(starts).alias(chunk_col, "__start")
+    )
+    chunk = F.slice(
+        F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)
+    )
+    return (
+        exploded.withColumn(out_col, F.array_join(chunk, " "))
+        .withColumn("n_chunk_tokens", F.size(chunk).cast("long"))
+        .drop("__toks", "__start")
     )
 
 

@@ -183,3 +183,62 @@ def test_corpus_mix_validation(spark, docs):
         pack_sequences(docs, "doc_id", "n_tokens", 0)
     with pytest.raises(ValueError):
         weighted_sample(docs, "doc_id", "n_chars", 0)
+
+
+def test_chunk_documents_oracle(spark, duck, docs):
+    from feast_spark.operators.packing import chunk_documents
+
+    out = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=64, overlap=16
+    ).select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
+    got = {
+        (r.doc_id, r.chunk_id, r.chunk_text, r.n_chunk_tokens)
+        for r in out.collect()
+    }
+    want = set(
+        map(
+            tuple,
+            duck.execute(
+                """
+        WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+          FROM documents
+        ), s AS (
+          SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+          FROM t
+        )
+        SELECT doc_id, start // 48 AS chunk_id,
+               array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text,
+               CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n
+        FROM s
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == want
+
+
+def test_chunk_documents_edges(spark):
+    from feast_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "   "), (4, "x")],
+        "id long, text string",
+    )
+    out = chunk_documents(df, "id", "text", chunk_tokens=2, overlap=1)
+    rows = {(r.id, r.chunk_id): (r.chunk_text, r.n_chunk_tokens) for r in out.collect()}
+    # doc 1: starts 0,1,2,3,4 (stride 1) -> 5 chunks, last is just "e"
+    assert rows[(1, 0)] == ("a b", 2)
+    assert rows[(1, 3)] == ("d e", 2)
+    assert rows[(1, 4)] == ("e", 1)
+    # blank docs vanish; single-token doc yields one chunk
+    assert not any(k[0] in (2, 3) for k in rows)
+    assert rows[(4, 0)] == ("x", 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=2, overlap=2)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", chunk_tokens=0)
