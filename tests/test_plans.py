@@ -366,3 +366,18 @@ def test_weighted_sample_is_take_ordered(spark):
 
     plan = _executed_plan(entry_mod.q_weighted_sample(spark, SF_MED))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_lm_scoring_broadcasts_model(spark):
+    """score_char_lm: the model (top-V rows) broadcasts; the corpus
+    side streams into the join without an exchange before it."""
+    from feast_spark.functions.lm import score_char_lm, train_char_lm
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    model = train_char_lm(docs, "text", n=3, vocab_size=100)
+    plan = _optimized_explain(
+        score_char_lm(docs, "doc_id", "text", model, n=3)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
