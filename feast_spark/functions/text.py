@@ -36,6 +36,33 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer alternation: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then
+# residual whitespace.  Deliberately lookahead-free so Java regex
+# (Spark) and RE2 (DuckDB oracle) agree — both engines resolve
+# alternation leftmost-first, so the match sequence is identical.
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+"
+)
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Subword-boundary pre-tokens (the GPT-2 pre-tokenizer shape):
+    contraction suffixes split off, letters/digits/punctuation runs
+    separated, single leading space folded into the following token.
+    A real BPE would merge within these; counting them is the standard
+    fast proxy for tokenizer-token budgeting."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword / distinctness signals
     (the standard pre-training quality heuristics)."""

@@ -138,3 +138,58 @@ def test_scrub_pii_kinds_subset_and_no_python(spark):
     # pure column expressions: no BatchEvalPython / pandas UDF nodes
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_bpe_ish_tokens_shape(spark):
+    from feast_spark.functions.text import bpe_ish_token_count, bpe_ish_tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("I'll say it's 42 dogs, really!",),
+            ("",),
+            ("   ",),
+            ("hello",),
+        ],
+        "text string",
+    )
+    rows = df.select(
+        bpe_ish_tokens(F.col("text")).alias("t"),
+        bpe_ish_token_count(F.col("text")).alias("n"),
+    ).collect()
+    assert rows[0].t == [
+        "I", "'ll", " say", " it", "'s", " 42", " dogs", ",", " really", "!",
+    ]
+    assert rows[0].n == 10
+    assert rows[1].t == [] and rows[1].n == 0
+    assert rows[2].t == ["   "] and rows[2].n == 1
+    assert rows[3].t == ["hello"] and rows[3].n == 1
+
+
+def test_bpe_ish_token_count_oracle(spark, duck):
+    """Same pattern, same leftmost-first alternation in RE2: counts
+    agree on the whole documents table."""
+    from feast_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_token_count
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_MED
+
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    got = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n")
+        ).collect()
+    }
+    pat_sql = BPE_ISH_PATTERN.replace("'", "''")
+    want = {
+        r[0]: r[1]
+        for r in duck.execute(
+            f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{pat_sql}')) AS BIGINT)
+        FROM documents
+        """
+        ).fetchall()
+    }
+    assert got == want
