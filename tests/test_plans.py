@@ -11,14 +11,21 @@ from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
 from tests.conftest import SF_MED
 
 
-def _executed_plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from feast_spark.plans import executed_plan as _executed_plan
+from feast_spark.plans import explain_formatted as _optimized_explain
+from feast_spark.plans import count_exchanges, plan_nodes
 
 
-def _optimized_explain(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+def test_plan_helpers(spark):
+    """The shared inspection helpers (feast_spark.plans) read node
+    lists and exchange counts off a real plan."""
+    from feast_spark.sources.testdata import load_table
+
+    df = load_table(spark, SF_MED, "documents").groupBy("source").count()
+    plan = _optimized_explain(df)
+    nodes = plan_nodes(plan)
+    assert "Exchange" in nodes and "HashAggregate" in nodes
+    assert count_exchanges(plan) == 1
 
 
 def test_asof_union_window_single_shuffle(spark):
