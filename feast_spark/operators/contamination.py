@@ -102,9 +102,12 @@ def contaminated_spans(
 ) -> DataFrame:
     """Which train documents contaminate which eval documents.
 
-    Returns ``(eval_id, train_id, shared_ngrams)`` for every
-    (eval doc, train doc) pair sharing at least one n-gram — the audit
-    trail behind :func:`ngram_contamination`'s counts.
+    Returns columns literally named ``(eval_id, train_id,
+    shared_ngrams)`` — one row per (eval doc, train doc) pair sharing
+    at least one n-gram, the audit trail behind
+    :func:`ngram_contamination`'s counts.  Output names are fixed (not
+    the input column names) so the two sides may share an id column
+    name without ambiguity.
 
     Unlike the count variant this keeps train doc ids through the join,
     so a boilerplate n-gram shared by k train docs fans out k rows per
@@ -114,12 +117,24 @@ def contaminated_spans(
     count, never a materialized bucket)."""
     shingler = with_shingles if portable else with_hashed_shingles
     ev = (
-        shingler(eval_df.select(eval_id_col, text_col), text_col, n)
-        .select(eval_id_col, F.explode("shingles").alias("__sh"))
+        shingler(
+            eval_df.select(
+                F.col(eval_id_col).alias("eval_id"), text_col
+            ),
+            text_col,
+            n,
+        )
+        .select("eval_id", F.explode("shingles").alias("__sh"))
     )
     tr = (
-        shingler(train_df.select(train_id_col, text_col), text_col, n)
-        .select(train_id_col, F.explode("shingles").alias("__sh"))
+        shingler(
+            train_df.select(
+                F.col(train_id_col).alias("train_id"), text_col
+            ),
+            text_col,
+            n,
+        )
+        .select("train_id", F.explode("shingles").alias("__sh"))
     )
     if max_shingle_freq is not None:
         freq = tr.groupBy("__sh").agg(
@@ -133,6 +148,6 @@ def contaminated_spans(
     # array_distinct, so plain count(*) counts distinct shared shingles
     return (
         tr.join(F.broadcast(ev), "__sh")
-        .groupBy(eval_id_col, train_id_col)
+        .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )

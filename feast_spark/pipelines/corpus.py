@@ -1,0 +1,164 @@
+"""The end-to-end training-corpus pipeline: one declarative call
+chaining the package's corpus operators in their canonical order —
+
+    featurize → filter → exact dedup → near-dup resolve →
+    decontaminate → split → mix → pack
+
+Every stage is the already-tested operator (nothing is reimplemented
+here); the value of the facade is the ORDER and the plan properties it
+preserves end-to-end:
+
+* Featurize-then-filter runs BEFORE any shuffle, so documents that
+  fail quality/language gates never reach an exchange (same argument
+  as the driver's ``corpus_clean`` query, which this generalizes).
+* Exact dedup shuffles fixed-width fingerprints, never text.
+* Near-dup resolution (MinHash→LSH→connected components) and
+  decontamination each see the already-shrunk corpus.
+* Split/mix/pack are deterministic md5-derived assignments, so the
+  whole pipeline is reproducible row-for-row across runs and cluster
+  sizes — rerunning on a grown corpus never reassigns an existing
+  document's split.
+
+The composition stays lazy: one Catalyst plan, no collect between
+stages.  ``report=True`` adds per-stage row counts (one action per
+stage — use for audits, not in production plans).
+
+Reference has no counterpart (Feast stops at feature retrieval);
+SURVEY §7 phase 5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feast_spark.functions.split import hash_split
+from feast_spark.functions.text import with_lang_id, with_quality_features
+from feast_spark.operators.components import resolve_dup_groups
+from feast_spark.operators.contamination import contaminated_spans
+from feast_spark.operators.docdedup import exact_dedup, minhash_dedup_pairs
+from feast_spark.operators.packing import corpus_mix, pack_sequences
+
+__all__ = ["CorpusConfig", "build_corpus"]
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Declarative knobs for :func:`build_corpus`.  Every stage can be
+    disabled: ``None`` budgets skip mixing, ``None`` pack_max_tokens
+    skips packing, ``near_dedup=False`` skips the MinHash pass."""
+
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    source_col: str = "source"
+    # filter gates
+    min_quality: float = 0.5
+    min_tokens: int = 10
+    max_tokens_per_doc: int = 5_000
+    langs: tuple[str, ...] | None = None
+    # dedup
+    near_dedup: bool = True
+    jaccard_threshold: float = 0.5
+    # decontamination (active when an eval_df is passed)
+    contamination_ngram: int = 8
+    # splitting
+    split_weights: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    # mixing / packing
+    budgets: dict[str, int] | None = None
+    pack_max_tokens: int | None = None
+    n_shards: int = 32
+
+
+def build_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    config: CorpusConfig = CorpusConfig(),
+    report: bool = False,
+) -> DataFrame | tuple[DataFrame, dict[str, int]]:
+    """Run the full corpus pipeline over ``docs``.
+
+    Output columns: the input's, plus ``quality_score``, ``n_tokens``,
+    ``lang_pred``, ``split``, and — when packing — ``shard`` /
+    ``seq_id`` / ``seq_pos``.  With ``report=True`` returns
+    ``(df, {stage: rows_surviving})``.
+    """
+    c = config
+    stages: dict[str, int] = {}
+
+    def _mark(name: str, df: DataFrame) -> DataFrame:
+        if report:
+            stages[name] = df.count()
+        return df
+
+    _mark("input", docs)
+
+    # 1. featurize + filter (narrow, pre-shuffle)
+    scored = with_lang_id(
+        with_quality_features(docs, c.text_col), c.text_col
+    )
+    gate = (
+        (F.col("quality_score") >= c.min_quality)
+        & (F.col("n_tokens") >= c.min_tokens)
+        & (F.col("n_tokens") <= c.max_tokens_per_doc)
+    )
+    if c.langs is not None:
+        gate = gate & F.col("lang_pred").isin(list(c.langs))
+    filtered = _mark("filtered", scored.filter(gate))
+
+    # 2. exact dedup on the normalized fingerprint (min id survives)
+    deduped = _mark(
+        "exact_dedup", exact_dedup(filtered, c.id_col, c.text_col)
+    )
+
+    # 3. near-dup resolution: pair graph → components → representative
+    if c.near_dedup:
+        pairs = minhash_dedup_pairs(
+            deduped, c.id_col, c.text_col, threshold=c.jaccard_threshold
+        )
+        deduped = _mark(
+            "near_dedup", resolve_dup_groups(deduped, pairs, c.id_col)
+        )
+
+    # 4. decontamination: drop train docs sharing any n-gram with eval
+    if eval_df is not None:
+        hits = (
+            contaminated_spans(
+                deduped,
+                eval_df,
+                eval_id_col=c.id_col,
+                train_id_col=c.id_col,
+                text_col=c.text_col,
+                n=c.contamination_ngram,
+            )
+            .select(F.col("train_id").alias(c.id_col))
+            .distinct()
+        )
+        deduped = _mark(
+            "decontaminated", deduped.join(hits, c.id_col, "left_anti")
+        )
+
+    # 5. deterministic split
+    split = hash_split(deduped, c.id_col, c.split_weights)
+
+    # 6. optional mixture-by-source budgeting
+    if c.budgets is not None:
+        split = _mark(
+            "mixed",
+            corpus_mix(
+                split, c.id_col, "n_tokens", c.source_col, c.budgets,
+                n_shards=c.n_shards,
+            ),
+        )
+
+    # 7. optional sequence packing
+    if c.pack_max_tokens is not None:
+        split = pack_sequences(
+            split, c.id_col, "n_tokens", c.pack_max_tokens,
+            n_shards=c.n_shards,
+        )
+    out = _mark("output", split)
+    return (out, stages) if report else out

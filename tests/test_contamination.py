@@ -88,11 +88,11 @@ def test_contaminated_spans_audit(spark):
     from feast_spark.operators.contamination import contaminated_spans
 
     rows = {
-        (r["eid"], r["doc_id"]): r["shared_ngrams"]
+        (r["eval_id"], r["train_id"]): r["shared_ngrams"]
         for r in contaminated_spans(
             train,
-            ev.withColumnRenamed("doc_id", "eid"),
-            "eid",
+            ev,
+            "doc_id",
             "doc_id",
             "text",
             n=3,

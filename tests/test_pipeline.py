@@ -1,0 +1,84 @@
+"""End-to-end corpus pipeline: stage accounting + output invariants at
+sf0.01, plus config toggles."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.pipelines import CorpusConfig, build_corpus
+from tests.conftest import SF_MED
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_MED}/documents.parquet")
+
+
+def test_full_pipeline(spark, docs):
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cfg = CorpusConfig(
+        budgets={f"src{i}": 1_000 for i in range(20)},
+        pack_max_tokens=256,
+    )
+    out, stages = build_corpus(docs, eval_df=eval_df, config=cfg, report=True)
+    rows = out.collect()
+
+    # stage accounting: monotone non-increasing through the filters
+    order = [
+        "input", "filtered", "exact_dedup", "near_dedup",
+        "decontaminated", "mixed",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert stages[b] <= stages[a], stages
+    assert stages["output"] == stages["mixed"] == len(rows)
+    # decontamination must actually remove the planted eval overlap
+    assert stages["decontaminated"] < stages["near_dedup"]
+
+    # output invariants
+    for r in rows:
+        assert r.quality_score >= 0.5
+        assert 10 <= r.n_tokens <= 5000
+        assert r.split in ("train", "val", "test")
+        assert r.seq_id is not None and r.seq_pos >= 0
+    # per-source budget respected
+    per_source = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + r.n_tokens
+    assert all(v <= 1_000 for v in per_source.values()), per_source
+    # no surviving doc shares an 8-gram with the eval set (spot-check
+    # by construction: every eval doc's id was dropped — eval docs are
+    # drawn from the corpus itself, so each survives only if filtered
+    # out earlier for other reasons)
+    eval_ids = {r.doc_id for r in eval_df.collect()}
+    assert not eval_ids & {r.doc_id for r in rows}
+
+    # determinism end-to-end
+    out2 = build_corpus(
+        docs.repartition(7), eval_df=eval_df, config=cfg
+    )
+    assert {(r.doc_id, r.split, r.seq_id, r.seq_pos) for r in out2.collect()} == {
+        (r.doc_id, r.split, r.seq_id, r.seq_pos) for r in rows
+    }
+
+
+def test_pipeline_minimal_config(spark, docs):
+    """All optional stages off: featurize -> filter -> exact dedup ->
+    split only."""
+    cfg = CorpusConfig(near_dedup=False)
+    out = build_corpus(docs, config=cfg)
+    cols = set(out.columns)
+    assert {"quality_score", "n_tokens", "lang_pred", "split"} <= cols
+    assert "seq_id" not in cols
+    # exact dedup held: normalized fingerprints unique
+    from feast_spark.functions.text import fingerprint_md5
+
+    n = out.count()
+    assert (
+        out.select(fingerprint_md5(F.col("text")).alias("fp")).distinct().count()
+        == n
+    )
+
+
+def test_pipeline_lang_gate(spark, docs):
+    cfg = CorpusConfig(near_dedup=False, langs=("en",))
+    out = build_corpus(docs, config=cfg)
+    assert out.filter(F.col("lang_pred") != "en").count() == 0
