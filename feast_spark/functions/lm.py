@@ -39,16 +39,14 @@ from pyspark.sql import functions as F
 __all__ = ["char_ngrams", "train_char_lm", "score_char_lm"]
 
 
-def _norm(text: Column) -> Column:
-    """lowercase + whitespace-collapsed — same normalization as
-    functions.text.normalize_text (and the driver's _NORM_TEXT)."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
-
-
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """All overlapping character n-grams of the normalized text, in
-    order (empty array when shorter than n)."""
-    t = _norm(text)
+    """All overlapping character n-grams of the normalized text
+    (functions.text.normalize_text — the same canonical form the
+    dedup fingerprints use), in order; empty array when shorter than
+    n."""
+    from feast_spark.functions.text import normalize_text
+
+    t = normalize_text(text)
     # substr() inside transform takes a column position (F.substring
     # does not), so build the expression over a self-contained lambda.
     # NB: sequence(1, 0) counts DOWN in Spark — guard short strings.

@@ -41,12 +41,15 @@ def token_count(text: Column) -> Column:
 # residual whitespace.  Deliberately lookahead-free so Java regex
 # (Spark) and RE2 (DuckDB oracle) agree — both engines resolve
 # alternation leftmost-first, so the match sequence is identical.
+# Whitespace is an EXPLICIT class (Java \s includes \x0B, RE2 \s does
+# not — spelling it out keeps the two engines byte-identical).
+_WS = r" \t\n\x0B\f\r"
 BPE_ISH_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)"
     r"| ?\p{L}+"
     r"| ?\p{N}+"
-    r"| ?[^\s\p{L}\p{N}]+"
-    r"|\s+"
+    rf"| ?[^{_WS}\p{{L}}\p{{N}}]+"
+    rf"|[{_WS}]+"
 )
 
 

@@ -147,11 +147,9 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    toks = F.when(
-        F.length(F.trim(F.col(text_col))) == 0,
-        F.array().cast("array<string>"),
-    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
-    with_toks = df.withColumn("__toks", toks)
+    from feast_spark.functions.text import tokens
+
+    with_toks = df.withColumn("__toks", tokens(F.col(text_col)))
     n_tok = F.size(F.col("__toks"))
     # start offsets 0, stride, 2*stride, ... < n_tokens
     starts = F.when(n_tok > 0, F.sequence(

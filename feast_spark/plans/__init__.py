@@ -46,10 +46,9 @@ def count_exchanges(plan: str, include_broadcast: bool = False) -> int:
     """Shuffle Exchanges in a formatted plan (broadcast exchanges are
     data movement too, but not a repartitioning — excluded unless
     asked for)."""
-    nodes = re.findall(r"^\(\d+\) (\w*Exchange)\b.*$", plan, flags=re.M)
     lines = re.findall(r"^\(\d+\) \w*Exchange\b.*$", plan, flags=re.M)
     if include_broadcast:
-        return len(nodes)
+        return len(lines)
     return sum(1 for line in lines if "broadcast" not in line.lower())
 
 

@@ -193,3 +193,29 @@ def test_bpe_ish_token_count_oracle(spark, duck):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bpe_ish_vertical_tab_cross_engine(spark, duck):
+    """Java \\s includes \\x0B, RE2's does not — the explicit
+    whitespace class in BPE_ISH_PATTERN keeps both engines identical
+    on vertical-tab text."""
+    from feast_spark.functions.text import BPE_ISH_PATTERN, bpe_ish_token_count
+    from pyspark.sql import functions as F
+
+    samples = ["a\x0b b", "x\x0b", "\x0b\x0b", "tail \x0b "]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [
+        r.n
+        for r in df.select(
+            bpe_ish_token_count(F.col("text")).cast("long").alias("n")
+        ).collect()
+    ]
+    pat_sql = BPE_ISH_PATTERN.replace("'", "''")
+    want = [
+        duck.execute(
+            f"SELECT CAST(len(regexp_extract_all(?, '{pat_sql}')) AS BIGINT)",
+            [s],
+        ).fetchone()[0]
+        for s in samples
+    ]
+    assert got == want
