@@ -1,0 +1,130 @@
+"""Time-series subsequence similarity search over keyed event
+streams — "find the k windows most similar to this pattern" (the
+distributed variant of the streaming-subsequence problem; cf. the
+EDBT'19 line of work on time-series similarity search in distributed
+systems, re-expressed as DataFrame ops).
+
+Pipeline: per-key sliding windows (a bounded ROWS frame collect —
+state is O(window_len) per row, never a per-key series materialize) →
+optional z-normalization (amplitude/offset invariance, the standard
+preprocessing) → Euclidean distance to the broadcast query pattern (a
+codegen ``zip_with``/``aggregate`` fold) → distributed top-k
+(``orderBy().limit(k)`` = per-partition heaps + k-row merge).
+
+Scale: ONE shuffle (the per-key window sort); everything after is
+narrow. The window collect is a ROWS BETWEEN frame, so a key with a
+billion events never materializes more than ``window_len`` values per
+output row. Skewed keys are the window sort's problem, not a join's —
+AQE splits oversized partitions.
+
+Determinism: window order is (ts, tiebreak_col) — fully ordered, so
+windows and distances reproduce across engines; ties in distance break
+on (key, window ts).  Reference has no counterpart; SURVEY §7 phase 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["sliding_windows", "znorm", "ts_topk_similar"]
+
+
+def sliding_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_len: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key forward-looking sliding windows: one row per position
+    with ``values`` = the next ``window_len`` values in time order
+    (positions with fewer than ``window_len`` remaining are dropped, so
+    every window is full-length).  Output: key, ts (window start),
+    values."""
+    if window_len <= 0:
+        raise ValueError(f"window_len must be positive, got {window_len}")
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, window_len - 1)
+    )
+    return (
+        df.withColumn("values", F.collect_list(F.col(value_col)).over(w))
+        .filter(F.size("values") == window_len)
+        .select(F.col(key_col), F.col(ts_col), "values")
+    )
+
+
+def znorm(arr: Column, length: int) -> Column:
+    """Z-normalize a fixed-length double array: (x - mean) / std
+    (population std); constant windows (std = 0) normalize to all
+    zeros.  Sequential folds, so DuckDB reproduces values
+    bit-for-bit."""
+    total = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    mean = total / F.lit(float(length))
+    var = (
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc
+            + (x.cast("double") - mean) * (x.cast("double") - mean),
+        )
+        / F.lit(float(length))
+    )
+    std = F.sqrt(var)
+    return F.when(std == 0.0, F.transform(arr, lambda x: F.lit(0.0))).otherwise(
+        F.transform(arr, lambda x: (x.cast("double") - mean) / std)
+    )
+
+
+def ts_topk_similar(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    query: list[float],
+    k: int = 10,
+    znormalize: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """The k keyed windows most similar to ``query`` (squared Euclidean
+    distance, optionally over z-normalized windows and query).
+    Output: key, ts (window start), dist — ascending, ties broken by
+    (key, ts)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n = len(query)
+    if n == 0:
+        raise ValueError("query pattern must be non-empty")
+    if znormalize:
+        qm = sum(query) / n
+        qv = sum((x - qm) ** 2 for x in query) / n
+        qs = qv ** 0.5
+        qn = [0.0] * n if qs == 0 else [(x - qm) / qs for x in query]
+    else:
+        qn = [float(x) for x in query]
+    qcol = F.array(*[F.lit(x) for x in qn])
+    wins = sliding_windows(
+        df, key_col, ts_col, value_col, n, tiebreak_col=tiebreak_col
+    )
+    vals = znorm(F.col("values"), n) if znormalize else F.transform(
+        F.col("values"), lambda x: x.cast("double")
+    )
+    dist = F.aggregate(
+        F.zip_with(vals, qcol, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        wins.withColumn("dist", dist)
+        .orderBy(F.col("dist").asc(), F.col(key_col).asc(), F.col(ts_col).asc())
+        .limit(k)
+    )

@@ -388,3 +388,19 @@ def test_lm_scoring_broadcasts_model(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ts_topk_single_shuffle_take_ordered(spark):
+    """Subsequence search: ONE exchange (the per-key window sort);
+    distance + top-k stay narrow (TakeOrderedAndProject)."""
+    from feast_spark.operators.timeseries import ts_topk_similar
+    from feast_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_MED, "events")
+    out = ts_topk_similar(
+        ev, "user_id", "ts", "value", [1.0, 2.0, 1.0, 0.0], k=5,
+        tiebreak_col="event_id",
+    )
+    plan = _optimized_explain(out)
+    assert count_exchanges(plan) == 1, plan
+    assert "TakeOrderedAndProject" in _executed_plan(out)

@@ -1,0 +1,108 @@
+"""Time-series subsequence search vs a DuckDB oracle (same window
+frames, same sequential folds, same z-normalization), plus edge
+cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.timeseries import (
+    sliding_windows,
+    ts_topk_similar,
+)
+from feast_spark.sources.testdata import load_table
+from tests.conftest import SF_MED
+
+QUERY = [1.0, 2.0, 4.0, 8.0, 4.0, 2.0, 1.0, 0.0]  # a spike pattern
+N = len(QUERY)
+
+
+def test_sliding_windows_shape(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(5)] + [(2, 0, 9.0)],
+        "k long, t long, v double",
+    )
+    out = sliding_windows(df, "k", "t", "v", 3).collect()
+    by = {(r.k, r.t): r["values"] for r in out}
+    assert by[(1, 0)] == [0.0, 1.0, 2.0]
+    assert by[(1, 2)] == [2.0, 3.0, 4.0]
+    assert (1, 3) not in by  # short tail dropped
+    assert (2, 0) not in by  # key with < window_len events yields none
+
+
+def test_ts_topk_oracle(spark, duck):
+    ev = load_table(spark, SF_MED, "events")
+    out = ts_topk_similar(
+        ev, "user_id", "ts", "value", QUERY, k=20, tiebreak_col="event_id"
+    ).collect()
+    got = [(r.user_id, r.ts.isoformat()) for r in out]
+
+    qm = sum(QUERY) / N
+    qs = math.sqrt(sum((x - qm) ** 2 for x in QUERY) / N)
+    qn = [(x - qm) / qs for x in QUERY]
+    qlit = "[" + ", ".join(repr(x) for x in qn) + "]"
+    rows = duck.execute(
+        f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(value AS DOUBLE) AS value
+      FROM events
+    ), w AS (
+      SELECT user_id, ts,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND {N - 1} FOLLOWING) AS vals
+      FROM e
+    ), f AS (
+      SELECT * FROM w WHERE len(vals) = {N}
+    ), m AS (
+      SELECT user_id, ts, vals, list_sum(vals) / {N}.0 AS mu FROM f
+    ), s AS (
+      SELECT user_id, ts, vals, mu,
+             sqrt(list_sum(list_transform(vals, x -> (x - mu) * (x - mu)))
+                  / {N}.0) AS sd
+      FROM m
+    ), nz AS (
+      SELECT user_id, ts,
+             CASE WHEN sd = 0 THEN list_transform(vals, x -> 0.0)
+                  ELSE list_transform(vals, x -> (x - mu) / sd) END AS nv
+      FROM s
+    )
+    SELECT user_id, ts,
+           list_sum(list_transform(list_zip(nv, {qlit}),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+    FROM nz
+    ORDER BY dist, user_id, ts
+    LIMIT 20
+    """
+    ).fetchall()
+    want = [(r[0], r[1].isoformat()) for r in rows]
+    assert got == want
+    # distances agree numerically too
+    for spark_row, duck_row in zip(out, rows):
+        assert math.isclose(spark_row.dist, duck_row[2], rel_tol=1e-9)
+
+
+def test_ts_topk_finds_planted_pattern(spark):
+    base = [(1, i, 0.5) for i in range(50)]
+    planted = list(enumerate(QUERY))
+    rows = [
+        (k, t, v)
+        for k, t, v in base
+        if not (10 <= t < 10 + N)
+    ] + [(1, 10 + i, v) for i, v in planted] + [(2, i, 3.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "user_id long, ts long, value double")
+    out = ts_topk_similar(df, "user_id", "ts", "value", QUERY, k=1).collect()
+    assert out[0].user_id == 1 and out[0].ts == 10
+    assert out[0].dist == pytest.approx(0.0, abs=1e-12)
+
+
+def test_ts_validation(spark):
+    df = spark.createDataFrame([(1, 1, 1.0)], "k long, t long, v double")
+    with pytest.raises(ValueError):
+        sliding_windows(df, "k", "t", "v", 0)
+    with pytest.raises(ValueError):
+        ts_topk_similar(df, "k", "t", "v", [], k=1)
+    with pytest.raises(ValueError):
+        ts_topk_similar(df, "k", "t", "v", [1.0], k=0)
