@@ -160,20 +160,44 @@ def resolve_dup_groups(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    keep_by: str | None = None,
 ) -> DataFrame:
     """Deduplicate ``df`` against a near-dup pair graph: transitively
-    close the pairs into components and keep, per component, the row
-    whose id is the component minimum.  Rows never mentioned in
-    ``pairs`` survive untouched.
+    close the pairs into components and keep ONE representative per
+    component.  Rows never mentioned in ``pairs`` survive untouched.
+
+    Representative choice: with ``keep_by=None`` the component-minimum
+    id (cheapest — the label IS the survivor, no second look at the
+    data); with ``keep_by=<column>`` the row with the highest value of
+    that column wins (ties break on the lower id) — the keep-the-best-
+    quality variant of a production dedup pass.  Either way the choice
+    is deterministic.
 
     The final filter is a left-anti join against the non-representative
     id set.  No forced broadcast: on clean corpora the loser set is
     tiny and AQE broadcasts it; on crawl-scale near-dup-heavy corpora
     it can be a third of all ids, where a shuffled anti-join is the
-    correct plan — the ids are fixed-width either way."""
+    correct plan — the ids are fixed-width either way.  The
+    ``keep_by`` ranking shuffles only the labeled near-dup rows
+    (O(docs in components), not O(corpus))."""
+    from pyspark.sql.window import Window
+
     cc = connected_components(pairs, src=src, dst=dst)
-    losers = cc.filter(F.col("node") != F.col("component")) \
-        .select(F.col("node").alias(id_col))
+    if keep_by is None:
+        losers = cc.filter(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias(id_col))
+    else:
+        labeled = df.select(
+            F.col(id_col).alias("node"), F.col(keep_by).alias("__kb")
+        ).join(cc, "node")
+        w = Window.partitionBy("component").orderBy(
+            F.col("__kb").desc_nulls_last(), F.col("node").asc()
+        )
+        losers = (
+            labeled.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > 1)
+            .select(F.col("node").alias(id_col))
+        )
     return df.join(losers, id_col, "left_anti")
 
 

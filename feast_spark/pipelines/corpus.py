@@ -61,6 +61,9 @@ class CorpusConfig:
     # dedup
     near_dedup: bool = True
     jaccard_threshold: float = 0.5
+    # keep the highest value of this column per near-dup cluster
+    # (None = cheapest: min id wins)
+    near_dedup_keep: str | None = None
     # decontamination (active when an eval_df is passed)
     contamination_ngram: int = 8
     # splitting
@@ -120,7 +123,10 @@ def build_corpus(
             deduped, c.id_col, c.text_col, threshold=c.jaccard_threshold
         )
         deduped = _mark(
-            "near_dedup", resolve_dup_groups(deduped, pairs, c.id_col)
+            "near_dedup",
+            resolve_dup_groups(
+                deduped, pairs, c.id_col, keep_by=c.near_dedup_keep
+            ),
         )
 
     # 4. decontamination: drop train docs sharing any n-gram with eval

@@ -127,3 +127,28 @@ def test_cc_converges_within_logn_rounds(spark):
     rows = out.collect()
     assert all(r["component"] == 0 for r in rows)
     assert len(rows) == 65
+
+
+def test_resolve_keep_by_quality(spark):
+    """keep_by keeps the highest-scoring member per component (ties ->
+    lower id), and untouched rows always survive."""
+    df = spark.createDataFrame(
+        [
+            (1, 0.2), (2, 0.9), (3, 0.9),   # component {1,2,3}: 2 wins
+            (10, 0.5), (11, 0.1),           # component {10,11}: 10 wins
+            (99, 0.0),                       # isolated: survives
+        ],
+        "doc_id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id for r in resolve_dup_groups(
+        df, pairs, "doc_id", keep_by="q"
+    ).collect()}
+    assert out == {2, 10, 99}
+    # default keep (min id) differs on the first component
+    out_min = {r.doc_id for r in resolve_dup_groups(
+        df, pairs, "doc_id"
+    ).collect()}
+    assert out_min == {1, 10, 99}
