@@ -74,17 +74,36 @@ def main() -> None:
     load_table(spark, sf_dir, "events").count()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    for name in headline:
-        fn = queries[name]
-        samples = []
-        for _ in range(runs):
-            # cold plan per run, like the driver (new DataFrame each time)
-            t0 = time.monotonic()
-            df = fn(spark, sf_dir)
-            df.count()
-            samples.append(time.monotonic() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+
+    def _time(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            samples = []
+            for _ in range(runs):
+                # cold plan per run, like the driver (new DataFrame each run)
+                t0 = time.monotonic()
+                df = fn(spark, sf_dir)
+                df.count()
+                samples.append(time.monotonic() - t0)
+            out[name] = round(statistics.median(samples), 3)
+        return out
+
+    timings = _time(headline)
+    # Newer corpus-assembly ops, timed OUTSIDE the headline so the
+    # headline_total stays comparable across rounds.
+    extra = _time(
+        [
+            n
+            for n in (
+                "dup_groups_resolved",
+                "pack_sequences",
+                "corpus_mix",
+                "weighted_sample",
+            )
+            if n in queries
+        ]
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -95,6 +114,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
