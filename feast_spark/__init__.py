@@ -31,8 +31,11 @@ from feast_spark.feature_view import (
 )
 from feast_spark.registry import Registry
 from feast_spark.feature_store import FeatureStore, RepoConfig
+from feast_spark.pipelines import CorpusConfig, build_corpus
 
 __all__ = [
+    "CorpusConfig",
+    "build_corpus",
     "ValueType",
     "Entity",
     "Feature",
