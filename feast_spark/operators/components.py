@@ -99,6 +99,42 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(
+    rows: list, node_col: str, component_col: str, spark, node_type
+) -> DataFrame:
+    """Union-find over a collected edge list: same labels as the
+    distributed fixed point (component = min reachable id)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min: the smaller id stays root, so every root
+            # IS its component's minimum
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    nodes = {n for e in rows for n in e}
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(node_col, node_type),
+            T.StructField(component_col, node_type),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], schema
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -106,18 +142,37 @@ def connected_components(
     node_col: str = "node",
     component_col: str = "component",
     max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Per-node component labels: ``(node, component)`` where
     ``component`` is the minimum node id reachable from ``node``.
     Nodes that appear in ``pairs`` only — isolated corpus docs are not
     the graph's problem (callers left-join and coalesce to self).
 
-    Iterates large-star/small-star until the edge set is a fixed point
-    (converged = small-star output equals its input, checked via
-    count + checksum on the checkpointed frame), then reads the labels
-    straight off the final star edges.
+    Edge sets at or below ``driver_threshold`` (after dedup) resolve
+    on the driver with union-find — near-dup graphs of clean corpora
+    are tiny, and a handful of driver microseconds beats several
+    Spark rounds of fixed scheduling cost.  The bound is explicit and
+    memory-safe (fixed-width ids; 100k edges ≈ a few MB), the same
+    bounded-collect pattern as IVF centroid training.  Pass 0 to force
+    the distributed path.
+
+    Above the threshold: iterate large-star/small-star until the edge
+    set is a fixed point (converged = small-star output equals its
+    input, checked via count + checksum on the checkpointed frame),
+    then read the labels straight off the final star edges.
     """
     edges = _canonical_undirected(pairs, src, dst).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        node_type = edges.schema["u"].dataType
+        return _driver_components(
+            [(r["u"], r["v"]) for r in edges.collect()],
+            node_col,
+            component_col,
+            pairs.sparkSession,
+            node_type,
+        )
     nodes = edges.select("u").union(edges.select("v")).distinct() \
         .withColumnRenamed("u", node_col)
 

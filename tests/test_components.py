@@ -43,9 +43,18 @@ def _cc_oracle(duck, edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _spark_cc(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Run BOTH physical paths (driver union-find and distributed
+    star-contraction) and require identical labels."""
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df).collect()
-    return {r["node"]: r["component"] for r in out}
+    via_driver = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    via_spark = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert via_driver == via_spark
+    return via_driver
 
 
 GRAPHS = {
@@ -123,7 +132,7 @@ def test_cc_converges_within_logn_rounds(spark):
     algorithm is O(log^2 n), not O(n))."""
     edges = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = connected_components(df, max_iter=14)
+    out = connected_components(df, max_iter=14, driver_threshold=0)
     rows = out.collect()
     assert all(r["component"] == 0 for r in rows)
     assert len(rows) == 65
