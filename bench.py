@@ -42,10 +42,14 @@ def main() -> None:
 
     queries = dict(entry_mod.queries())
     # The throughput path of MinHash+LSH (xxhash64 signatures) is what
-    # a production pipeline runs; the driver-gated minhash_lsh_dedup is
-    # its value-checked portable twin (md5 signatures, ~2x the hash
-    # cost).  Bench the fast path under the canonical name.
-    queries["minhash_lsh_dedup"] = entry_mod.q_minhash_fast
+    # a production pipeline runs; the driver-gated minhash_lsh_dedup
+    # is its value-checked portable twin (md5 signatures, ~2x the
+    # hash cost).  r2-r4 benched the fast path UNDER the gated name;
+    # per the r4 verdict each name now times exactly the code it
+    # names: headline slot is minhash_lsh_fast (same code r2-r4
+    # headlines timed, so headline_total stays comparable), and the
+    # portable gated query is timed separately in extra_queries.
+    queries["minhash_lsh_fast"] = entry_mod.q_minhash_fast
     # Headline subset: the core temporal operators + the heaviest
     # training-data ops. Everything else still runs under selfcheck.
     headline = [
@@ -60,7 +64,7 @@ def main() -> None:
             "pricing_summary",
             "dedup_exact",
             "corpus_clean",
-            "minhash_lsh_dedup",
+            "minhash_lsh_fast",
             "ann_topk_cosine",
             "text_quality",
         )
@@ -96,6 +100,7 @@ def main() -> None:
         [
             n
             for n in (
+                "minhash_lsh_dedup",  # portable md5 twin, the gated query
                 "dup_groups_resolved",
                 "pack_sequences",
                 "corpus_mix",

@@ -315,6 +315,105 @@ def with_minhash(
     return df.withColumn(out_col, sig).drop("__mh_base")
 
 
+def _oph_rot_const(j: int) -> int:
+    """Rotation-densification decorrelation constant for borrow
+    distance j, as a signed 64-bit literal: j * golden-ratio-odd,
+    wrapped.  XORed (not added) onto the borrowed value so full-range
+    xxhash64 longs never overflow under ANSI mode — two docs agree on
+    a borrowed slot iff they agree on the donor bin at the same
+    distance, which is all densification needs."""
+    v = (j * 0x9E3779B97F4A7C15) % (1 << 64)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def with_minhash_oph(
+    df: DataFrame,
+    shingles_col: str = "shingles",
+    num_hashes: int = 32,
+    out_col: str = "minhash",
+    prehashed: bool = False,
+) -> DataFrame:
+    """One-permutation hashing (Li, Owen & Zhang, NIPS 2012) with
+    rotation densification (Shrivastava & Li, ICML 2014): an
+    alternative signature scheme to ``with_minhash``'s K-seed one,
+    for long-document corpora (see the measured-result paragraph for
+    why it is NOT the short-doc default).
+
+    K-seed minhash re-hashes EVERY shingle K times (K xxhash64 passes
+    over the array).  OPH hashes each shingle ONCE, splits the hash
+    range into K bins (``h mod K``), and takes the min hash per bin —
+    the K signature slots come from a single hash pass.  The remaining
+    per-bin work is a filter+array_min scan with a modulo compare,
+    ~an order of magnitude cheaper per element than an xxhash64 eval.
+
+    Empty bins (short docs: P(empty) = (1-1/K)^n) are densified by
+    rotation: bin k borrows the value of the nearest non-empty bin to
+    its right (circular), XORed with a per-distance constant — the
+    estimator stays unbiased and two docs agree on a borrowed slot
+    only if they agree on the donor bin at the same distance.
+    Expressed as ONE ``transform(sequence(0,K-1), coalesce(...))``
+    over the raw bin array, so codegen emits the K-branch coalesce
+    once, not K times; with ≥1 shingle (guaranteed by with_shingles'
+    short-doc guard) the full-circle chain always terminates non-null.
+
+    Signatures DIFFER from ``with_minhash``'s (different permutation
+    scheme); collision probability per slot is still the Jaccard
+    similarity, so banding/recall behavior is equivalent —
+    ``test_docdedup.test_oph_pairs_match_kseed_fast_path`` pins the
+    verified-pair equivalence on the sf0.01 corpus.  No shuffle; one
+    projection, like the K-seed path.
+
+    Measured result (sf0.1, local[32], ALTERNATING interleaved runs —
+    sequential-block timings on this box are corrupted by ambient
+    load): the signature stage is a dead heat (median 0.299s kseed vs
+    0.309s OPH; Spark's codegen'd xxhash64-on-long is as cheap as the
+    mask+filter bin scan, and round 3's prehashed-long optimization
+    already removed the string re-hashing the 32x argument assumed).
+    End-to-end minhash_dedup_pairs is ~30% SLOWER with OPH (median
+    1.64s vs 1.25s): densified slots on short documents borrow donor
+    values, which inflates bucket collisions (347 vs 256 candidates
+    on the sf0.1 corpus) and the quadratic in-bucket pair expansion
+    pays for it.  Hence ``method='kseed'`` stays the default; OPH is
+    kept as the documented alternative for long-document corpora,
+    where empty bins vanish (P(empty) = (1-1/K)^n) and the borrow
+    penalty with it."""
+    base = (
+        F.col(shingles_col)
+        if prehashed
+        else F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+    )
+    df = df.withColumn("__oph_h", base)
+    hashes = F.col("__oph_h")
+    raw = F.array(
+        *[
+            F.array_min(F.filter(hashes, _oph_bin_pred(k, num_hashes)))
+            for k in range(num_hashes)
+        ]
+    )
+    df = df.withColumn("__oph_raw", raw)
+    rawc = F.col("__oph_raw")
+    dens = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda k: F.coalesce(
+            *[
+                F.element_at(
+                    rawc, F.pmod(k + F.lit(j), F.lit(num_hashes)) + 1
+                ).bitwiseXOR(F.lit(_oph_rot_const(j)).cast("long"))
+                for j in range(num_hashes)
+            ]
+        ),
+    )
+    return df.withColumn(out_col, dens).drop("__oph_h", "__oph_raw")
+
+
+def _oph_bin_pred(k: int, num_hashes: int):
+    # single-arg lambda (see hash_with_seed note); power-of-two bin
+    # counts use a mask instead of a modulo
+    if num_hashes & (num_hashes - 1) == 0:
+        return lambda x: x.bitwiseAND(F.lit(num_hashes - 1)) == k
+    return lambda x: F.pmod(x, F.lit(num_hashes)) == k
+
+
 def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     """All (id_a < id_b) pairs within each bucket's doc array, entirely
     as array expressions: sort the array, then for each element pair it
@@ -345,6 +444,7 @@ def lsh_candidate_pairs(
     portable: bool = False,
     max_bucket_size: int | None = 1000,
     prehashed: bool = False,
+    method: str = "kseed",
 ) -> DataFrame:
     """Candidate near-dup pairs via banding: docs sharing any band of
     rows_per_band consecutive min-hashes collide.
@@ -365,7 +465,12 @@ def lsh_candidate_pairs(
     Pass ``shingles_df`` (id_col + 'shingles') to reuse an
     already-computed shingle frame instead of re-shingling.
     ``portable``: engine-portable signatures AND bucket keys (the raw
-    comma-joined band string instead of its xxhash64)."""
+    comma-joined band string instead of its xxhash64).
+    ``method``: fast-path signature scheme — 'kseed' (default; K
+    xxhash64 passes, measured fastest end-to-end on short-doc
+    corpora) or 'oph' (one-permutation hashing, see
+    ``with_minhash_oph`` for when it wins).  Ignored when
+    ``portable`` (the oracle pins the K-seed affine scheme)."""
     rows_per_band = num_hashes // bands
     sh = (
         shingles_df
@@ -374,36 +479,46 @@ def lsh_candidate_pairs(
             widen_parallelism(df.select(id_col, text_col)), text_col, n
         )
     )
-    mh = with_minhash(
-        sh, num_hashes=num_hashes, portable=portable, prehashed=prehashed
-    ).select(F.col(id_col).alias("doc"), "minhash")
+    if portable or method == "kseed":
+        mh = with_minhash(
+            sh, num_hashes=num_hashes, portable=portable, prehashed=prehashed
+        )
+    else:
+        mh = with_minhash_oph(sh, num_hashes=num_hashes, prehashed=prehashed)
+    mh = mh.select(F.col(id_col).alias("doc"), "minhash")
 
-    def band_key(b: int):
-        if portable:  # raw band string: reproducible in oracle SQL
-            return F.concat_ws(
+    # The per-band bucket keys are built by ONE transform over a band
+    # index sequence, so the (expensive) signature expression is
+    # referenced exactly once and CollapseProject can never inline it
+    # into per-band copies — the r4 formulation (an array of 8 structs
+    # each referencing `minhash`) re-evaluated the signature once per
+    # band, which made the densified OPH signature a net loss
+    # (measured sf0.1: 1.63s vs 0.99s for the same pipeline).
+    if portable:  # raw band string: reproducible in oracle SQL
+        bands_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
                 ",",
                 *[
-                    F.element_at("minhash", b * rows_per_band + r + 1)
+                    F.element_at(
+                        F.col("minhash"), b * rows_per_band + F.lit(r + 1)
+                    ).cast("string")
                     for r in range(rows_per_band)
                 ],
-            )
+            ),
+        )
+    else:
         # fast path: hash the signature slice directly (HashExpression
         # recurses into arrays) — no per-row long->string casts or
         # concat buffers; bucket identity is unchanged up to 2^-64
         # hash collisions
-        return F.xxhash64(F.slice("minhash", b * rows_per_band + 1, rows_per_band))
-
-    banded = mh.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bucket")
+        bands_arr = F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.xxhash64(
+                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+            ),
+        )
+    banded = mh.select("doc", F.posexplode(bands_arr).alias("band", "bucket"))
     if max_bucket_size is not None:
         bw = Window.partitionBy("band", "bucket")
         banded = (
@@ -427,6 +542,7 @@ def minhash_dedup_pairs(
     bands: int = 8,
     portable: bool = False,
     max_bucket_size: int | None = 1000,
+    method: str = "kseed",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard over the candidate set
     only (join back the shingle arrays; intersection via array ops —
@@ -458,6 +574,7 @@ def minhash_dedup_pairs(
             df, id_col, text_col, n, num_hashes, bands,
             shingles_df=hashed(base), portable=portable,
             max_bucket_size=max_bucket_size, prehashed=not portable,
+            method=method,
         )
     )
     cand_ids = (

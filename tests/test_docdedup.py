@@ -178,3 +178,72 @@ def test_simhash_no_self_pairs_on_duplicate_ids(spark):
     )
     pairs = simhash_pairs(df, "id", "text", max_hamming=8).collect()
     assert all(r["id_a"] != r["id_b"] for r in pairs)
+
+
+def test_oph_pairs_match_kseed_fast_path(spark):
+    """One-permutation hashing is a different permutation scheme, so
+    signatures and candidate sets differ — but after exact-Jaccard
+    verification both fast paths must resolve the SAME near-dup pairs
+    on the sf0.01 corpus (precision is 1.0 by construction; this pins
+    that OPH's recall matches K-seed's end-to-end)."""
+    docs = spark.read.parquet(f"{SF_MED}/documents.parquet")
+    kseed = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, method="kseed"
+        ).collect()
+    }
+    oph = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.5, method="oph"
+        ).collect()
+    }
+    assert kseed == oph
+
+
+def test_oph_signature_shape_and_densification(spark):
+    """OPH signatures: K slots, no nulls even for docs with fewer
+    shingles than bins (rotation densification fills empty bins), and
+    deterministic across evaluations."""
+    from feast_spark.operators.docdedup import with_minhash_oph, with_shingles
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="tiny doc"),  # 1 shingle -> 31 empty bins
+            Row(id=2, text=" ".join(f"w{i}" for i in range(200))),
+        ]
+    )
+    sh = with_shingles(df, "text", 3)
+    sig = {
+        r["id"]: r["minhash"]
+        for r in with_minhash_oph(sh, num_hashes=32).collect()
+    }
+    for k, s in sig.items():
+        assert len(s) == 32, k
+        assert all(v is not None for v in s), k
+    again = {
+        r["id"]: r["minhash"]
+        for r in with_minhash_oph(sh, num_hashes=32).collect()
+    }
+    assert sig == again
+
+
+def test_oph_identical_docs_identical_signatures(spark):
+    """Identical (normalized) texts must produce identical OPH
+    signatures — the property banding relies on."""
+    from feast_spark.operators.docdedup import with_minhash_oph, with_shingles
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="The quick brown fox jumps over the lazy dog"),
+            Row(id=2, text="the QUICK brown fox jumps over the lazy dog"),
+            Row(id=3, text="an entirely different document body here"),
+        ]
+    )
+    sig = {
+        r["id"]: tuple(r["minhash"])
+        for r in with_minhash_oph(with_shingles(df, "text", 3)).collect()
+    }
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
