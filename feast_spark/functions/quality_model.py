@@ -105,10 +105,32 @@ def score_quality(
     out_col: str = "quality_prob",
 ) -> DataFrame:
     """P(high quality) per document under the fitted pipeline —
-    input columns + ``out_col``, everything else dropped."""
+    input columns + ``out_col``, everything else dropped.
+
+    Scoring recomputes the quality features under their canonical
+    names (the fitted VectorAssembler is bound to them), so caller
+    columns that happen to share a feature name (``n_tokens``,
+    ``quality_score``, ...) are first moved to temp names and restored
+    on output — the caller's values come back untouched instead of
+    being silently replaced by the recomputed ones."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = model.transform(_featurize(df, text_col))
+    reserved = set(QUALITY_FEATURES) | {
+        "n_chars_q",
+        "quality_score",
+        "probability",
+        "prediction",
+        "rawPrediction",
+        "__features",
+    }
+    if text_col in reserved:
+        raise ValueError(
+            f"text_col {text_col!r} collides with a quality feature name; "
+            "rename the text column before scoring"
+        )
+    renames = {c: f"__orig_{c}" for c in df.columns if c in reserved}
+    work = df.withColumnsRenamed(renames) if renames else df
+    scored = model.transform(_featurize(work, text_col))
     prob = vector_to_array(F.col("probability")).getItem(1)
-    keep = [c for c in df.columns]
+    keep = [F.col(renames.get(c, c)).alias(c) for c in df.columns]
     return scored.select(*keep, prob.alias(out_col))

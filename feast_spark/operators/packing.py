@@ -55,6 +55,25 @@ def _ord_key(id_col: Column, salt: str) -> Column:
     return F.md5(F.concat(F.lit(salt), id_col.cast("string")))
 
 
+def _checked_tokens(token_col: str, op: str) -> Column:
+    """Token counts must be positive non-NULL: a NULL is silently
+    skipped by window SUMs (the document would pack/mix at zero budget
+    cost) and a negative breaks the monotone-cumsum guarantees, so
+    budgeting over either is meaningless.  Enforced lazily inside the
+    plan (``raise_error`` at first bad row) — no extra action, no
+    driver round-trip."""
+    c = F.col(token_col)
+    return F.when(
+        c.isNull() | (c <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: {token_col} must be a positive token count, got "),
+                F.coalesce(c.cast("string"), F.lit("NULL")),
+            )
+        ).cast("long"),
+    ).otherwise(c)
+
+
 def _uniform01(id_col: Column, salt: str) -> Column:
     """Deterministic uniform draw in (0, 1]: first 8 md5 hex chars as a
     32-bit int, shifted to (0, 2^32] so log() is always finite."""
@@ -71,6 +90,7 @@ def pack_sequences(
     salt: str = "",
     seq_col: str = "seq_id",
     pos_col: str = "seq_pos",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign every document to a fixed-token-budget training sequence.
 
@@ -85,17 +105,29 @@ def pack_sequences(
     than ``max_tokens`` (flag them with ``F.col(token_col) >
     max_tokens``).
 
+    ``group_cols`` names columns a sequence must never straddle (e.g.
+    ``["split"]`` after :func:`~feast_spark.functions.split.hash_split`
+    — a train sequence must not contain val/test documents): they are
+    added to every window partition AND prefixed onto ``seq_col`` so
+    sequence ids stay globally unique.  Documents with a NULL or
+    non-positive ``token_col`` are rejected at plan-execution time
+    (``raise_error``): a NULL would be silently skipped by the window
+    SUM (packed at zero budget cost) and a negative count breaks the
+    monotone-bin guarantee, so neither is a meaningful packing input.
+
     Output = input columns + ``shard``, ``seq_col`` (string
-    ``"{shard}-{bin}"``), ``pos_col`` (0-based document position within
-    the sequence).  Deterministic for a given (ids, tokens, salt,
-    n_shards, max_tokens).
+    ``"{shard}-{bin}"``, group-cols-prefixed when given), ``pos_col``
+    (0-based document position within the sequence).  Deterministic
+    for a given (ids, tokens, salt, n_shards, max_tokens).
     """
     if max_tokens <= 0:
         raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    groups = list(group_cols or [])
     cid = F.col(id_col)
     sharded = df.withColumn("shard", hash_bucket(cid, n_shards, salt=salt)) \
-        .withColumn("__ord", _ord_key(cid, salt))
-    w = Window.partitionBy("shard").orderBy("__ord", id_col)
+        .withColumn("__ord", _ord_key(cid, salt)) \
+        .withColumn(token_col, _checked_tokens(token_col, "pack_sequences"))
+    w = Window.partitionBy("shard", *groups).orderBy("__ord", id_col)
     prev_cum = F.coalesce(
         F.sum(F.col(token_col)).over(
             w.rowsBetween(Window.unboundedPreceding, -1)
@@ -105,10 +137,13 @@ def pack_sequences(
     binned = sharded.withColumn(
         "__bin", F.floor(prev_cum / F.lit(max_tokens)).cast("long")
     )
-    wseq = Window.partitionBy("shard", "__bin").orderBy("__ord", id_col)
+    wseq = Window.partitionBy("shard", *groups, "__bin").orderBy("__ord", id_col)
     return (
         binned.withColumn(
-            seq_col, F.concat_ws("-", F.col("shard"), F.col("__bin"))
+            seq_col,
+            F.concat_ws(
+                "-", *[F.col(g) for g in groups], F.col("shard"), F.col("__bin")
+            ),
         )
         .withColumn(pos_col, F.row_number().over(wseq) - 1)
         .drop("__ord", "__bin")
@@ -226,6 +261,10 @@ def corpus_mix(
     each, remainder distributed to shards ``0..r-1`` — so per-source
     totals are exact up to one under-filled document per shard while
     every shard packs independently (see module docstring).
+
+    NULL or non-positive ``token_col`` values are rejected at
+    plan-execution time (see :func:`pack_sequences` — a NULL would
+    otherwise leave the running cumsum NULL and silently drop rows).
     """
     if not budgets:
         raise ValueError("budgets must name at least one source")
@@ -243,6 +282,7 @@ def corpus_mix(
     src = F.col(source_col)
     sharded = (
         df.filter(src.isin(list(budgets.keys())))
+        .withColumn(token_col, _checked_tokens(token_col, "corpus_mix"))
         .withColumn("shard", hash_bucket(cid, n_shards, salt=salt))
         .withColumn("__ord", _ord_key(cid, salt))
         .withColumn(

@@ -66,6 +66,12 @@ class CorpusConfig:
     near_dedup_keep: str | None = None
     # decontamination (active when an eval_df is passed)
     contamination_ngram: int = 8
+    # id column of eval_df; None = same name as id_col (the docs side)
+    eval_id_col: str | None = None
+    # shingles occurring in more than this many TRAIN docs are too
+    # common to be contamination evidence and are skipped (None =
+    # consider every shingle, at quadratic hot-shingle join risk)
+    contamination_max_shingle_freq: int | None = 1000
     # splitting
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -129,16 +135,19 @@ def build_corpus(
             ),
         )
 
-    # 4. decontamination: drop train docs sharing any n-gram with eval
+    # 4. decontamination: drop train docs sharing any n-gram with eval.
+    # eval_df's id column defaults to the docs side's name (c.id_col);
+    # pass eval_id_col when the eval frame names its ids differently.
     if eval_df is not None:
         hits = (
             contaminated_spans(
                 deduped,
                 eval_df,
-                eval_id_col=c.id_col,
+                eval_id_col=c.eval_id_col or c.id_col,
                 train_id_col=c.id_col,
                 text_col=c.text_col,
                 n=c.contamination_ngram,
+                max_shingle_freq=c.contamination_max_shingle_freq,
             )
             .select(F.col("train_id").alias(c.id_col))
             .distinct()
@@ -160,11 +169,14 @@ def build_corpus(
             ),
         )
 
-    # 7. optional sequence packing
+    # 7. optional sequence packing — grouped by the split column so a
+    # training sequence can never contain val/test documents (a
+    # sequence straddling splits would leak eval text into train and
+    # leave seq_pos gaps when one split is filtered out downstream)
     if c.pack_max_tokens is not None:
         split = pack_sequences(
             split, c.id_col, "n_tokens", c.pack_max_tokens,
-            n_shards=c.n_shards,
+            n_shards=c.n_shards, group_cols=["split"],
         )
     out = _mark("output", split)
     return (out, stages) if report else out

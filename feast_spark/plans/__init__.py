@@ -24,16 +24,41 @@ __all__ = [
 ]
 
 
+def _explain_stdout(df: DataFrame, mode: str) -> str:
+    """Capture the public ``df.explain(mode)`` print output — works on
+    any PySpark release, whatever the JVM-side entry points look like."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
 def explain_formatted(df: DataFrame) -> str:
-    """The `.explain("formatted")` text of the final (pre-AQE) plan."""
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
-    )
+    """The `.explain("formatted")` text of the final (pre-AQE) plan.
+
+    Primary path uses JVM internals (string straight back, no stdout
+    games); falls back to capturing the public ``df.explain`` print if
+    a Spark upgrade moves them, so plan-pinned tests degrade
+    gracefully instead of erroring on an AttributeError."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        return _explain_stdout(df, "formatted")
 
 
 def executed_plan(df: DataFrame) -> str:
-    """The executed SparkPlan tree (post-preparation, pre-execution)."""
-    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    """The executed SparkPlan tree (post-preparation, pre-execution).
+    Falls back to the formatted explain text (same node vocabulary,
+    coarser detail) if the internal accessor moves."""
+    try:
+        return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+    except Exception:
+        return _explain_stdout(df, "formatted")
 
 
 def plan_nodes(plan: str) -> list[str]:

@@ -242,3 +242,45 @@ def test_chunk_documents_edges(spark):
         chunk_documents(df, "id", "text", chunk_tokens=2, overlap=2)
     with _pytest.raises(ValueError):
         chunk_documents(df, "id", "text", chunk_tokens=0)
+
+
+def test_pack_sequences_group_cols_never_straddle(spark, docs):
+    """group_cols columns join every window partition and prefix
+    seq_id, so a sequence holds exactly one group value."""
+    from feast_spark.functions.split import hash_split
+
+    split = hash_split(docs.select("doc_id", "n_tokens"), "doc_id",
+                       {"train": 0.8, "val": 0.2})
+    packed = pack_sequences(
+        split, "doc_id", "n_tokens", 512, group_cols=["split"]
+    ).collect()
+    seqs = {}
+    for r in packed:
+        seqs.setdefault(r["seq_id"], set()).add(r["split"])
+    assert all(len(v) == 1 for v in seqs.values())
+    # group value is embedded in the id -> ids unique across groups
+    assert all(r["seq_id"].startswith(f"{r['split']}-") for r in packed)
+    # positions still gapless within each sequence
+    pos = {}
+    for r in packed:
+        pos.setdefault(r["seq_id"], []).append(r["seq_pos"])
+    assert all(sorted(v) == list(range(len(v))) for v in pos.values())
+
+
+def test_pack_and_mix_reject_bad_token_counts(spark):
+    """NULL / non-positive token counts would silently corrupt the
+    cumsum budgeting — the plan must raise, not drop or mispack."""
+    import pytest
+    from pyspark.sql import Row, utils as sql_utils
+
+    bad_null = spark.createDataFrame(
+        [Row(id=1, n_tokens=10, source="a"), Row(id=2, n_tokens=None, source="a")]
+    )
+    bad_neg = spark.createDataFrame(
+        [Row(id=1, n_tokens=10, source="a"), Row(id=2, n_tokens=-5, source="a")]
+    )
+    for bad in (bad_null, bad_neg):
+        with pytest.raises(Exception, match="positive token count"):
+            pack_sequences(bad, "id", "n_tokens", 64).collect()
+        with pytest.raises(Exception, match="positive token count"):
+            corpus_mix(bad, "id", "n_tokens", "source", {"a": 100}).collect()

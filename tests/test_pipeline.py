@@ -51,6 +51,16 @@ def test_full_pipeline(spark, docs):
     eval_ids = {r.doc_id for r in eval_df.collect()}
     assert not eval_ids & {r.doc_id for r in rows}
 
+    # a training sequence must never straddle splits: filtering one
+    # split downstream would otherwise leave seq_pos gaps and leak
+    # val/test text into packed train sequences
+    splits_per_seq = {}
+    for r in rows:
+        splits_per_seq.setdefault(r.seq_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits_per_seq.values()), {
+        k: v for k, v in splits_per_seq.items() if len(v) > 1
+    }
+
     # determinism end-to-end
     out2 = build_corpus(
         docs.repartition(7), eval_df=eval_df, config=cfg

@@ -404,3 +404,41 @@ def test_ts_topk_single_shuffle_take_ordered(spark):
     plan = _optimized_explain(out)
     assert count_exchanges(plan) == 1, plan
     assert "TakeOrderedAndProject" in _executed_plan(out)
+
+
+def test_explain_helpers_degrade_to_public_explain(spark):
+    """If a Spark upgrade moves the private JVM accessors, the plan
+    helpers must fall back to capturing public df.explain output
+    instead of erroring — plan-pinned tests then degrade, not break."""
+    from feast_spark.plans import (
+        _explain_stdout,
+        explain_formatted,
+        executed_plan,
+        plan_nodes,
+    )
+
+    df = spark.range(10).groupBy((F.col("id") % 2).alias("k")).count()
+
+    class _Broken:
+        """Proxy whose private accessors raise, as after an upgrade."""
+
+        def __init__(self, inner):
+            self.__inner = inner
+
+        @property
+        def _sc(self):
+            raise AttributeError("internals moved")
+
+        @property
+        def _jdf(self):
+            raise AttributeError("internals moved")
+
+        def explain(self, mode):
+            return self.__inner.explain(mode)
+
+    via_fallback = explain_formatted(_Broken(df))
+    assert "Exchange" in via_fallback
+    assert plan_nodes(via_fallback), "fallback text must stay node-parseable"
+    assert "Exchange" in executed_plan(_Broken(df))
+    direct = _explain_stdout(df, "formatted")
+    assert plan_nodes(direct) == plan_nodes(via_fallback)

@@ -74,3 +74,30 @@ def test_validation(spark, model_and_docs):
     _, docs = model_and_docs
     with pytest.raises(ValueError):
         train_quality_classifier(docs, "text", label_frac=0.9)
+
+
+def test_scoring_preserves_caller_feature_named_columns(spark, model_and_docs):
+    """A caller column that happens to share a quality-feature name
+    must come back with the CALLER's values, not the recomputed
+    features the model scored on."""
+    model, docs = model_and_docs
+    from feast_spark.functions.quality_model import score_quality
+
+    tagged = docs.withColumn("n_tokens", F.lit(-777).cast("long")) \
+                 .withColumn("quality_score", F.lit(-1.5))
+    out = score_quality(tagged, model, "text")
+    rows = out.collect()
+    assert set(out.columns) == set(tagged.columns) | {"quality_prob"}
+    assert all(r["n_tokens"] == -777 for r in rows)
+    assert all(r["quality_score"] == -1.5 for r in rows)
+    assert all(0.0 <= r["quality_prob"] <= 1.0 for r in rows)
+
+
+def test_scoring_rejects_feature_named_text_col(spark, model_and_docs):
+    model, docs = model_and_docs
+    import pytest
+    from feast_spark.functions.quality_model import score_quality
+
+    renamed = docs.withColumnRenamed("text", "n_tokens")
+    with pytest.raises(ValueError, match="collides"):
+        score_quality(renamed, model, "n_tokens")
