@@ -23,6 +23,7 @@ from feast_spark.data_source import (
     FileSource,
     KafkaSource,
     KinesisSource,
+    SparkSqlSource,
 )
 from feast_spark.feature_view import (
     FeatureView,
@@ -43,6 +44,7 @@ __all__ = [
     "FileSource",
     "KafkaSource",
     "KinesisSource",
+    "SparkSqlSource",
     "FeatureView",
     "FeatureService",
     "OnDemandFeatureView",

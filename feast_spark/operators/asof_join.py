@@ -207,7 +207,16 @@ def _asof_range_join(
             F.col(_TS) >= F.col(entity_ts_col) - F.expr(f"INTERVAL {ttl_secs} SECONDS")
         )
     joined = ent.join(feat, cond, "left")
-    w = Window.partitionBy(_ROW_ID).orderBy(
+    # Dedup window partitioned by (entity keys, row id): row id alone
+    # already identifies an entity row, so grouping is identical — but
+    # leading with the join keys lets an input that is ALREADY
+    # hash-partitioned on them (a bucketed entity table, or the SMJ
+    # output of two co-bucketed tables) satisfy the window's required
+    # distribution without a new Exchange: HashPartitioning(keys) ⊆
+    # ClusteredDistribution(keys, row_id).  This is what makes
+    # bucketed PIT retrieval exchange-free end-to-end
+    # (tests/test_skew.py::test_bucketed_pit_retrieval_zero_exchange).
+    w = Window.partitionBy(*keys, _ROW_ID).orderBy(
         F.col(_TS).desc_nulls_last(), F.col(_CREATED).desc_nulls_last()
     )
     ranked = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
