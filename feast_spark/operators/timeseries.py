@@ -28,7 +28,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["sliding_windows", "znorm", "ts_topk_similar"]
+__all__ = [
+    "sliding_windows",
+    "znorm",
+    "ts_topk_similar",
+    "ts_topk_similar_batch",
+]
 
 
 def sliding_windows(
@@ -127,4 +132,85 @@ def ts_topk_similar(
         wins.withColumn("dist", dist)
         .orderBy(F.col("dist").asc(), F.col(key_col).asc(), F.col(ts_col).asc())
         .limit(k)
+    )
+
+
+def ts_topk_similar_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    queries: DataFrame,
+    window_len: int,
+    query_id_col: str = "query_id",
+    pattern_col: str = "pattern",
+    k: int = 10,
+    znormalize: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-query top-k subsequence matches for a DataFrame of query
+    patterns — the retrieval-workload shape of :func:`ts_topk_similar`,
+    mirroring ``similarity.cosine_topk``: the (small) query set is
+    BROADCAST against the corpus windows; the series side streams
+    through once.
+
+    ``queries`` holds (``query_id_col``, ``pattern_col``:
+    array<double>); every pattern must have exactly ``window_len``
+    elements — the sliding-window frame is fixed before any data is
+    seen, so a mismatched pattern is rejected inside the plan
+    (``raise_error`` at first evaluation, no driver-side collect of the
+    query table).  Output: (query_id, key, ts, dist, rank), rank 1..k
+    per query, ties broken by (key, ts).
+
+    Plan shape (pinned by ``test_plans``): windows shuffle ONCE on the
+    key (same as the single-query path); the query join is a broadcast
+    nested loop over O(windows x queries) rows that never shuffles; the
+    only added exchange is the per-query rank window's hash exchange on
+    query_id — identical to ``cosine_topk``'s, and it moves only
+    (key, ts, dist) triples, never the window arrays (pruned before the
+    exchange)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if window_len <= 0:
+        raise ValueError(f"window_len must be positive, got {window_len}")
+    checked = F.when(
+        F.size(F.col(pattern_col)) != window_len,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"ts_topk_similar_batch: pattern length must equal "
+                    f"window_len={window_len}, got "
+                ),
+                F.size(F.col(pattern_col)).cast("string"),
+                F.lit(" for query "),
+                F.col(query_id_col).cast("string"),
+            )
+        ).cast("array<double>"),
+    ).otherwise(F.transform(F.col(pattern_col), lambda x: x.cast("double")))
+    qvec = znorm(checked, window_len) if znormalize else checked
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), qvec.alias("__qvec")
+    )
+    wins = sliding_windows(
+        df, key_col, ts_col, value_col, window_len, tiebreak_col=tiebreak_col
+    )
+    vals = (
+        znorm(F.col("values"), window_len)
+        if znormalize
+        else F.transform(F.col("values"), lambda x: x.cast("double"))
+    )
+    dist = F.aggregate(
+        F.zip_with(vals, F.col("__qvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    pairs = wins.crossJoin(F.broadcast(q)).select(
+        "query_id", F.col(key_col), F.col(ts_col), dist.alias("dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(key_col).asc(), F.col(ts_col).asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

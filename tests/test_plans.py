@@ -442,3 +442,34 @@ def test_explain_helpers_degrade_to_public_explain(spark):
     assert "Exchange" in executed_plan(_Broken(df))
     direct = _explain_stdout(df, "formatted")
     assert plan_nodes(direct) == plan_nodes(via_fallback)
+
+
+def test_ts_topk_batch_broadcasts_queries_two_exchanges(spark):
+    """Batch subsequence search: the query table is broadcast (never
+    shuffled), the series side shuffles once for the key window, and
+    the only other exchange is the per-query rank window's — and that
+    exchange moves (query_id, key, ts, dist), never the window
+    arrays."""
+    from feast_spark.operators.timeseries import ts_topk_similar_batch
+    from feast_spark.plans import count_exchanges, explain_formatted
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 2.0, 3.0, 4.0]), ("q2", [4.0, 3.0, 2.0, 1.0])],
+        "query_id string, pattern array<double>",
+    )
+    out = ts_topk_similar_batch(df, "k", "t", "v", queries, window_len=4, k=5)
+    plan = explain_formatted(out)
+    assert count_exchanges(plan) == 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the rank exchange's hashpartitioning(query_id...) row must not
+    # carry the collected window arrays
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange\b.*$", plan, flags=re.M):
+        if "hashpartitioning(query_id" in m.group(0):
+            assert "values" not in m.group(0), m.group(0)

@@ -106,3 +106,57 @@ def test_ts_validation(spark):
         ts_topk_similar(df, "k", "t", "v", [], k=1)
     with pytest.raises(ValueError):
         ts_topk_similar(df, "k", "t", "v", [1.0], k=0)
+
+
+QUERY2 = [5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0]  # alternating pattern
+
+
+def test_ts_topk_batch_matches_single_query_oracle(spark):
+    """The batch API must reproduce the single-query operator's exact
+    results per query id (same windows, same normalization, same
+    ordering) — the single-query path is itself DuckDB-differentialed
+    above, so equality here chains the oracle through."""
+    from feast_spark.operators.timeseries import ts_topk_similar_batch
+
+    ev = load_table(spark, SF_MED, "events")
+    queries = spark.createDataFrame(
+        [("spike", QUERY), ("alt", QUERY2)], "query_id string, pattern array<double>"
+    )
+    out = ts_topk_similar_batch(
+        ev, "user_id", "ts", "value", queries, window_len=N, k=20,
+        tiebreak_col="event_id",
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {"spike", "alt"}
+    for qid, pattern in (("spike", QUERY), ("alt", QUERY2)):
+        got = [
+            (r["user_id"], r["ts"], round(r["dist"], 9), r["rank"])
+            for r in sorted(by_q[qid], key=lambda r: r["rank"])
+        ]
+        want = [
+            (r["user_id"], r["ts"], round(r["dist"], 9), i + 1)
+            for i, r in enumerate(
+                ts_topk_similar(
+                    ev, "user_id", "ts", "value", pattern, k=20,
+                    tiebreak_col="event_id",
+                ).collect()
+            )
+        ]
+        assert got == want, qid
+
+
+def test_ts_topk_batch_rejects_mislength_pattern(spark):
+    from feast_spark.operators.timeseries import ts_topk_similar_batch
+
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(10)], "k long, t long, v double"
+    )
+    queries = spark.createDataFrame(
+        [("bad", [1.0, 2.0])], "query_id string, pattern array<double>"
+    )
+    with pytest.raises(Exception, match="pattern length"):
+        ts_topk_similar_batch(
+            df, "k", "t", "v", queries, window_len=4, k=3
+        ).collect()
