@@ -127,6 +127,166 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# PNG: 8-bit decode / encode (stdlib zlib + numpy unfiltering)
+# ---------------------------------------------------------------------------
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    i = 8
+    n = len(payload)
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        ctype = payload[i + 4 : i + 8]
+        yield ctype, payload[i + 8 : i + 8 + length]
+        i += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit PNG -> (height, width, channels) uint8 array.
+
+    Real decode via stdlib ``zlib`` + numpy scanline unfiltering —
+    no Pillow.  Supported: color types 0 (gray), 2 (RGB), 3 (palette;
+    + tRNS alpha -> RGBA), 4 (gray+alpha), 6 (RGBA), non-interlaced.
+    16-bit depth and Adam7 interlacing raise (genuinely need a full
+    imaging library).  Filters: None/Up are whole-row vectorized; Sub
+    is a per-lane uint8 cumulative sum; Average/Paeth fall back to a
+    per-pixel loop along the row (sequential by definition)."""
+    import zlib
+
+    payload = bytes(payload)
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    ihdr = plte = trns = None
+    idat: list[bytes] = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(
+            f"only 8-bit PNG supported (got depth {depth}); 16-bit needs Pillow"
+        )
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG needs Pillow")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {color_type}")
+    bpp = channels
+    stride = w * bpp
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG pixel data")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = arr[:, 0]
+    rows = arr[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 1:  # Sub: per-byte-lane cumsum, uint8 wrap = mod 256
+            cur = np.add.accumulate(
+                row.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraps
+        elif f == 3:  # Average
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = recon.reshape(h, w)
+        img = pal[idx]
+        if trns is not None:
+            alpha_lut = np.full(pal.shape[0], 255, dtype=np.uint8)
+            alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            img = np.concatenate([img, alpha_lut[idx][..., None]], axis=2)
+        return img
+    return recon.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, channels]) uint8 -> 8-bit PNG bytes (filter 0 rows,
+    one zlib stream; gray / gray+alpha / RGB / RGBA by channel count)."""
+    import zlib
+
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, channels = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    body = np.zeros((h, w * channels + 1), dtype=np.uint8)
+    body[:, 1:] = img.reshape(h, w * channels)
+    idat = zlib.compress(body.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize a decoded image to (h, w, 3) RGB: replicate gray,
+    drop alpha (training-pipeline convention: alpha is metadata, not
+    signal, and compositing policy belongs to the caller)."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if c == 3:
+        return img
+    if c == 4:
+        return img[:, :, :3]
+    raise ValueError(f"unsupported channel count {c}")
+
+
+# ---------------------------------------------------------------------------
 # WAV: PCM decode + features
 # ---------------------------------------------------------------------------
 

@@ -82,17 +82,45 @@ def extract_image_features(
 ) -> DataFrame:
     """mapInPandas over Arrow batches: (id, blob) -> (id, n_bytes,
     content_hash, features).  The batch shape (pandas DataFrame per
-    Arrow batch) is the real production contract; only the innermost
-    decode call is stubbed."""
+    Arrow batch) is the real production contract.
+
+    With ``use_fake_decoder=False``, BMP and PNG payloads get REAL
+    pixel features from the pure-Python decoders (per-channel RGB
+    means and stds in [0,1], then normalized log-dimensions, truncated
+    or zero-padded to ``dim``); other formats raise (Pillow territory).
+    The default fake path stays md5-derived for cheap plumbing tests."""
+
+    def _real_features(b: bytes, dim: int = dim) -> list[float]:
+        from feast_spark.functions.codecs import (
+            _PNG_MAGIC,
+            decode_bmp,
+            decode_png,
+            to_rgb,
+        )
+        import math
+
+        if b[:2] == b"BM":
+            img = decode_bmp(b)
+        elif b[:8] == _PNG_MAGIC:
+            img = to_rgb(decode_png(b))
+        else:
+            raise NotImplementedError(
+                "real decoding beyond BMP/PNG needs Pillow/opencv; "
+                "pass use_fake_decoder=True for other formats"
+            )
+        px = img.reshape(-1, 3).astype("float64") / 255.0
+        h, w = img.shape[:2]
+        vals = (
+            list(px.mean(axis=0))
+            + list(px.std(axis=0))
+            + [math.log1p(w) / 10.0, math.log1p(h) / 10.0]
+        )
+        return [float(v) for v in (vals[:dim] + [0.0] * max(0, dim - len(vals)))]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        featurize = _fake_features if use_fake_decoder else _real_features
         for pdf in batches:
             blobs = pdf[blob_col]
-            if not use_fake_decoder:
-                raise NotImplementedError(
-                    "real image decoding needs Pillow/opencv; "
-                    "pass use_fake_decoder=True in this environment"
-                )
             out = pd.DataFrame(
                 {
                     "id": pdf[id_col].astype("int64"),
@@ -101,7 +129,7 @@ def extract_image_features(
                         lambda b: hashlib.md5(b).hexdigest() if b is not None else None
                     ),
                     "features": blobs.map(
-                        lambda b: _fake_features(bytes(b), dim) if b is not None else None
+                        lambda b: featurize(bytes(b), dim) if b is not None else None
                     ),
                 }
             )
@@ -240,12 +268,13 @@ def resize_images(
     use_fake_decoder: bool = True,
 ) -> DataFrame:
     """Resize contract: (id, blob) -> (id, blob', meta') with the target
-    dimensions stamped into the metadata struct.  24-bit BMP payloads
-    get a REAL decode -> nearest-neighbor resample -> re-encode
-    (pure numpy, ``functions/codecs.py``).  Other formats use the
-    deterministic fake (md5(blob) || dims) when ``use_fake_decoder``,
-    else raise — a Pillow-backed branch slots into the same batch loop
-    with no plan/schema change."""
+    dimensions stamped into the metadata struct.  24-bit BMP and 8-bit
+    PNG payloads get a REAL decode -> nearest-neighbor resample ->
+    re-encode (pure numpy + stdlib zlib, ``functions/codecs.py``;
+    PNG output is RGB — gray replicated, alpha dropped).  Other
+    formats use the deterministic fake (md5(blob) || dims) when
+    ``use_fake_decoder``, else raise — a Pillow-backed branch slots
+    into the same batch loop with no plan/schema change."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -256,9 +285,13 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from feast_spark.functions.codecs import (
+            _PNG_MAGIC,
             decode_bmp,
+            decode_png,
             encode_bmp,
+            encode_png,
             resize_nearest,
+            to_rgb,
         )
 
         for pdf in batches:
@@ -273,6 +306,12 @@ def resize_images(
                     out = encode_bmp(resize_nearest(decode_bmp(b), width, height))
                     blobs.append(out)
                     metas.append({"format": "bmp", "width": width, "height": height})
+                elif b[:8] == _PNG_MAGIC:
+                    out = encode_png(
+                        resize_nearest(to_rgb(decode_png(b)), width, height)
+                    )
+                    blobs.append(out)
+                    metas.append({"format": "png", "width": width, "height": height})
                 elif use_fake_decoder:
                     digest = hashlib.md5(b).digest()
                     blobs.append(
