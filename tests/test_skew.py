@@ -183,3 +183,139 @@ def test_bucketed_pit_retrieval_zero_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tf}")
         spark.sql(f"DROP TABLE IF EXISTS {te}")
+
+
+# ---------------------------------------------------------------------------
+# Adversarial hot-key cases (one key owns ~50% of the table)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hot_events(spark):
+    """~60k events where key 0 owns half the table; values and
+    timestamps deterministic so the winners are known."""
+    hot = spark.range(0, 30000).select(
+        F.lit(0).alias("user_id"),
+        F.timestamp_seconds(1600000000 + F.col("id")).alias("ts"),
+        F.col("id").alias("value"),
+    )
+    cold = spark.range(0, 30000).select(
+        (F.col("id") % 500 + 1).alias("user_id"),
+        F.timestamp_seconds(1600000000 + F.col("id")).alias("ts"),
+        F.col("id").alias("value"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_latest_per_key_hot_key_absorbed_by_partial_combine(
+    spark, hot_events
+):
+    """The agg strategy's map-side partial combine must make a 50%-hot
+    key a non-event: the shuffle carries one candidate per (task, key),
+    so results stay exact and the plan shows the two-phase hash
+    aggregate (partial before the exchange)."""
+    from feast_spark.operators.dedup import latest_per_key
+    from feast_spark.plans import explain_formatted, plan_nodes
+
+    out = latest_per_key(
+        hot_events, join_keys=["user_id"], ts_col="ts", strategy="agg"
+    )
+    rows = {r["user_id"]: (r["ts"], r["value"]) for r in out.collect()}
+    assert len(rows) == 501
+    # winner for every key is its max-ts event; key 0's is id 29999
+    assert rows[0][1] == 29999
+    assert rows[1][1] == 29500  # last cold event for user 1: id 29500
+    plan = explain_formatted(out)
+    nodes = plan_nodes(plan)
+    # max_by over a struct payload aggregates via SortAggregate (struct
+    # buffers aren't hash-aggregable); the scale property is the same:
+    # a PARTIAL aggregate runs before the exchange, so the shuffle
+    # carries one candidate per (task, key), not the raw rows
+    aggs = [i for i, n in enumerate(nodes) if n.endswith("Aggregate")]
+    first_ex = nodes.index("Exchange")
+    assert len(aggs) >= 2, nodes  # partial + final
+    assert aggs[0] < first_ex < aggs[-1], nodes
+
+
+def test_asof_range_join_hot_key_aqe_skew_split(spark, hot_events):
+    """A 50%-hot entity key through the range_join as-of strategy,
+    broadcast off.  Two pinned behaviors:
+
+    1. DEFAULT: the dedup window rides the join's key partitioning
+       (no extra exchange — the bucketed-retrieval optimization), which
+       means AQE declines to split the skewed join partition (splitting
+       would break the downstream window's required distribution).  The
+       final plan must therefore show the window WITHOUT an exchange
+       between it and the join, and no skew split.
+    2. With spark.sql.adaptive.forceOptimizeSkewedJoin=true — the knob
+       a 100 TB operator flips when a hot key stalls retrieval — AQE
+       marks and splits the skewed partition (skew=true) and inserts
+       the exchange the window needs; results are identical either way
+       and equal the union_window strategy's."""
+    from datetime import timedelta
+
+    from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+
+    entity = hot_events.select(
+        "user_id", F.col("ts").alias("event_timestamp")
+    )
+    feats = spark.range(0, 5000).select(
+        (F.col("id") % 501).alias("user_id"),
+        F.timestamp_seconds(1600000000 + (F.col("id") / 501).cast("long") * 3600)
+        .alias("fts"),
+        (F.col("id") * 2).alias("score"),
+    )
+
+    def run(strategy):
+        return as_of_join(
+            entity,
+            "event_timestamp",
+            [
+                AsOfJoinSpec(
+                    feature_df=feats,
+                    join_keys=["user_id"],
+                    timestamp_col="fts",
+                    features=["score"],
+                    ttl=timedelta(days=1),
+                )
+            ],
+            strategy=strategy,
+        )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    force = "spark.sql.adaptive.forceOptimizeSkewedJoin"
+    saved_force = spark.conf.get(force)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        # default: window reuses the join partitioning; no skew split
+        out = run("range_join")
+        got_default = {tuple(r) for r in out.collect()}
+        plan_default = _executed_plan(out)
+        assert "skew=true" not in plan_default
+        smj_to_window = plan_default[
+            plan_default.index("Window") : plan_default.index("SortMergeJoin")
+        ]
+        assert "Exchange" not in smj_to_window, smj_to_window
+
+        # forced: AQE splits the hot partition, restoring even tasks
+        spark.conf.set(force, "true")
+        out2 = run("range_join")
+        got_forced = {tuple(r) for r in out2.collect()}
+        plan_forced = _executed_plan(out2)
+        assert "skew=true" in plan_forced, plan_forced
+
+        assert got_default == got_forced
+        want = {tuple(r) for r in run("union_window").collect()}
+        assert got_default == want and len(want) == entity.count()
+    finally:
+        spark.conf.set(force, saved_force)
+        for k, v in saved.items():
+            spark.conf.set(k, v)
