@@ -33,6 +33,7 @@ from feast_spark.feature_view import (
 from feast_spark.registry import Registry
 from feast_spark.feature_store import FeatureStore, RepoConfig
 from feast_spark.pipelines import CorpusConfig, build_corpus
+from feast_spark.serving import OnlineServingServer, serve_online
 
 __all__ = [
     "CorpusConfig",
@@ -45,6 +46,8 @@ __all__ = [
     "KafkaSource",
     "KinesisSource",
     "SparkSqlSource",
+    "OnlineServingServer",
+    "serve_online",
     "FeatureView",
     "FeatureService",
     "OnDemandFeatureView",

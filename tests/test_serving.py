@@ -1,0 +1,134 @@
+"""HTTP serving edge: a real client resolves online features through
+the server path and gets byte-identical values/statuses to in-process
+get_online_features (the server is a transport, not a second read
+path)."""
+
+import json
+import urllib.request
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark import (
+    Entity,
+    FeatureStore,
+    FeatureView,
+    FileSource,
+    OnlineServingServer,
+    RepoConfig,
+    ValueType,
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    now = ts("2021-06-01 12:00:00")
+    rows = [
+        Row(id=1, value=0.1, ts_1=now - timedelta(hours=4), created_ts=now),
+        Row(id=1, value=0.3, ts_1=now - timedelta(hours=3), created_ts=now),
+        Row(id=3, value=4.0, ts_1=now - timedelta(hours=4), created_ts=now),
+    ]
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows).write.parquet(src_path)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="serve_t",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id", value_type=ValueType.INT64),
+            FeatureView(
+                name="simple_fv",
+                entities=["driver"],
+                ttl=timedelta(days=5),
+                batch_source=FileSource(
+                    path=src_path,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                    field_mapping={"ts_1": "ts", "id": "driver_id"},
+                ),
+            ),
+        ]
+    )
+    st.materialize(now - timedelta(hours=5), now)
+    return st
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_client_resolves_features_through_server(store):
+    with OnlineServingServer(store) as srv:
+        status, body = _post(
+            f"{srv.address}/get-online-features",
+            {
+                "features": ["simple_fv:value"],
+                "entity_rows": [
+                    {"driver_id": 1},
+                    {"driver_id": 3},
+                    {"driver_id": 99},  # never materialized
+                ],
+            },
+        )
+    assert status == 200
+    fvs = body["field_values"]
+    assert len(fvs) == 3
+    assert fvs[0]["fields"]["value"] == pytest.approx(0.3)  # latest wins
+    assert fvs[0]["statuses"]["value"] == "PRESENT"
+    assert fvs[1]["fields"]["value"] == pytest.approx(4.0)
+    assert fvs[2]["fields"]["value"] is None
+    assert fvs[2]["statuses"]["value"] == "NOT_FOUND"
+    # entity keys echo back per row, like the proto's EntityRow fields
+    assert [fv["fields"]["driver_id"] for fv in fvs] == [1, 3, 99]
+
+    # server path ≡ in-process path, value for value and status for status
+    direct = store.get_online_features(
+        ["simple_fv:value"],
+        [{"driver_id": 1}, {"driver_id": 3}, {"driver_id": 99}],
+    )
+    assert [fv["fields"]["value"] for fv in fvs] == direct["value"]
+    assert [fv["statuses"]["value"] for fv in fvs] == direct["__statuses"]["value"]
+
+
+def test_info_health_and_errors(store):
+    with OnlineServingServer(store) as srv:
+        with urllib.request.urlopen(f"{srv.address}/health") as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"{srv.address}/info") as r:
+            info = json.loads(r.read())
+        assert info["type"] == "FEAST_SERVING_TYPE_ONLINE"
+        assert info["project"] == "serve_t"
+
+        # malformed request -> 400 with an error body, server stays up
+        try:
+            _post(f"{srv.address}/get-online-features", {"features": ["x:y"]})
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "entity_rows" in json.loads(e.read())["error"]
+        status, body = _post(
+            f"{srv.address}/get-online-features",
+            {
+                "features": ["simple_fv:value"],
+                "entity_rows": [{"driver_id": 1}],
+            },
+        )
+        assert status == 200
+        assert body["field_values"][0]["fields"]["value"] == pytest.approx(0.3)
