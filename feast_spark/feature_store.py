@@ -8,7 +8,7 @@ DataFrames replacing pandas in the execution path.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -534,10 +534,27 @@ class FeatureStore:
 
     # -- online serving ------------------------------------------------
     def get_online_features(
-        self, features: list[str] | FeatureService, entity_rows: list[dict]
+        self,
+        features: list[str] | FeatureService,
+        entity_rows: list[dict],
+        full_field_statuses: bool = False,
+        now: datetime | None = None,
     ) -> dict:
-        """Multiget with per-feature PRESENT/NOT_FOUND statuses
-        (feature_store.py:504-617, ServingService FieldStatus)."""
+        """Multiget with per-feature field statuses
+        (feature_store.py:504-617, ServingService FieldStatus).
+
+        Default statuses are PRESENT/NOT_FOUND — exactly what the
+        reference's Python serving path emits
+        (feature_store.py:588-615).  ``full_field_statuses=True``
+        completes the proto contract
+        (ServingService.proto:96-115, which the reference defines but
+        its Python path never emits): found-but-NULL values report
+        NULL_VALUE instead of NOT_FOUND, and a found value whose event
+        timestamp is older than ``now - view.ttl`` reports
+        OUTSIDE_MAX_AGE with the stale value withheld (served as
+        None — stale features must not silently feed a model).  ``now``
+        is naive-UTC like every stored timestamp; default wall clock.
+        """
         refs = (
             features.feature_refs
             if isinstance(features, FeatureService)
@@ -571,12 +588,34 @@ class FeatureStore:
             )
             rows = {r["__req_id"]: r for r in got.collect()}
             ordered = [rows[i] for i in sorted(rows.keys())]
-            for f in feats:
-                result[f] = [r[f] if r["__found"] else None for r in ordered]
-                statuses[f] = [
-                    "PRESENT" if (r["__found"] and r[f] is not None) else "NOT_FOUND"
-                    for r in ordered
-                ]
+            if full_field_statuses:
+                cutoff = None
+                if view.ttl is not None:
+                    ref_now = now or datetime.now(timezone.utc).replace(
+                        tzinfo=None
+                    )
+                    cutoff = ref_now - view.ttl
+
+                def classify(r, f):
+                    if not r["__found"]:
+                        return None, "NOT_FOUND"
+                    if cutoff is not None and r["__event_ts"] < cutoff:
+                        return None, "OUTSIDE_MAX_AGE"
+                    if r[f] is None:
+                        return None, "NULL_VALUE"
+                    return r[f], "PRESENT"
+
+                for f in feats:
+                    pairs = [classify(r, f) for r in ordered]
+                    result[f] = [v for v, _ in pairs]
+                    statuses[f] = [s for _, s in pairs]
+            else:
+                for f in feats:
+                    result[f] = [r[f] if r["__found"] else None for r in ordered]
+                    statuses[f] = [
+                        "PRESENT" if (r["__found"] and r[f] is not None) else "NOT_FOUND"
+                        for r in ordered
+                    ]
         # on-demand transforms over the assembled response (the serving
         # half of OnDemandFeatureView; batch sizes here are request-
         # sized, so the transform runs driver-side on pandas)

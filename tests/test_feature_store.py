@@ -207,3 +207,36 @@ def test_list_feature_offline_online_roundtrip(spark, tmp_path):
     assert list(resp["emb"][0]) == [3.0, 4.0]
     assert resp["emb"][1] is None
     assert resp["__statuses"]["emb"] == ["PRESENT", "NOT_FOUND", "NOT_FOUND"]
+
+
+def test_full_field_statuses_outside_max_age(store):
+    """full_field_statuses completes the proto's FieldStatus contract
+    (ServingService.proto:96-115): OUTSIDE_MAX_AGE for values older
+    than ttl (value withheld), NULL_VALUE for ingested NULLs, and the
+    default mode stays reference-Python-parity (PRESENT/NOT_FOUND)."""
+    now = store._now
+    store.materialize(now - timedelta(hours=5), now)
+    rows = [{"driver_id": 1}, {"driver_id": 2}, {"driver_id": 4}]
+
+    # ttl is 5 days; at `now` everything is fresh
+    fresh = store.get_online_features(
+        ["simple_fv:value"], rows, full_field_statuses=True, now=now
+    )
+    assert fresh["__statuses"]["value"] == ["PRESENT", "NULL_VALUE", "NOT_FOUND"]
+    assert fresh["value"][0] == pytest.approx(0.3)
+
+    # 6 days later the materialized values exceed ttl -> OUTSIDE_MAX_AGE
+    # and the stale value is withheld
+    stale = store.get_online_features(
+        ["simple_fv:value"], rows,
+        full_field_statuses=True, now=now + timedelta(days=6),
+    )
+    assert stale["__statuses"]["value"] == [
+        "OUTSIDE_MAX_AGE", "OUTSIDE_MAX_AGE", "NOT_FOUND",
+    ]
+    assert stale["value"][0] is None
+
+    # default mode unchanged: reference-Python statuses only
+    default = store.get_online_features(["simple_fv:value"], rows)
+    assert default["__statuses"]["value"] == ["PRESENT", "NOT_FOUND", "NOT_FOUND"]
+    assert default["value"][0] == pytest.approx(0.3)
