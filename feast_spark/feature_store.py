@@ -42,9 +42,11 @@ class RepoConfig:
     registry_path: str = "registry.json"
     online_store_path: str = "online_store"
     # "parquet" (versioned snapshots, any Hadoop scheme), "sqlite"
-    # (online_store_path = db file, reference's local store), or
-    # "redis" (online_store_path = redis:// URL) — the reference's
-    # provider/online_store registry (repo_config.py, infra/provider.py)
+    # (online_store_path = db file, reference's local store), "redis"
+    # (online_store_path = redis:// URL), "dynamodb"
+    # (dynamodb://region[?endpoint=...]), or "datastore"
+    # (project_id[/namespace]) — the reference's provider/online_store
+    # registry (repo_config.py, infra/provider.py, infra/online_stores/)
     online_store_type: str = "parquet"
     asof_strategy: str = "union_window"
     # Temporal scan pruning: bound each feature scan to
@@ -87,8 +89,19 @@ def _make_online_store(config: RepoConfig, spark: SparkSession):
         from feast_spark.online.kv import connect_redis
 
         return connect_redis(config.online_store_path)
+    if kind == "dynamodb":
+        from feast_spark.online.cloud import connect_dynamodb
+
+        return connect_dynamodb(config.online_store_path)
+    if kind == "datastore":
+        from feast_spark.online.cloud import connect_datastore
+
+        # online_store_path carries "project_id" or "project_id/namespace"
+        project_id, _, namespace = config.online_store_path.partition("/")
+        return connect_datastore(project_id, namespace or None)
     raise ValueError(
-        f"unknown online_store_type {kind!r}; expected parquet|sqlite|redis"
+        f"unknown online_store_type {kind!r}; "
+        "expected parquet|sqlite|redis|dynamodb|datastore"
     )
 
 

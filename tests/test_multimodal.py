@@ -44,8 +44,14 @@ def test_extract_image_features_contract(blobs):
 
 
 def test_real_decoder_is_explicitly_stubbed(blobs):
+    # jpeg blob only: the PNG-magic fixture row would reach the REAL
+    # decode_png and fail on its truncated body with a codec error,
+    # making the surfaced message depend on task scheduling order
+    jpeg_only = blobs.filter("id = 1")
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
-        extract_image_features(blobs, blob_col="image", use_fake_decoder=False).collect()
+        extract_image_features(
+            jpeg_only, blob_col="image", use_fake_decoder=False
+        ).collect()
 
 
 def test_video_frame_sampling(spark):
