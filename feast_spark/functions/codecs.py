@@ -11,6 +11,11 @@ gated behind optional libraries:
   fixed offsets);
 - BMP (24-bit uncompressed): full decode to an ndarray, nearest-
   neighbor resize, re-encode — a complete real resize path;
+- PNG (8-bit): full decode via stdlib zlib + numpy scanline
+  unfiltering, and filter-0 encode;
+- GIF (87a/89a incl. animation): full LZW decode of composited RGB
+  frames (interlace, transparency, disposal) and exact-palette
+  encode — the one animation format needing no external codec;
 - WAV (PCM 8/16-bit): stdlib ``wave`` + numpy for sample rate,
   duration, channel count and real RMS/loudness features.
 
@@ -354,3 +359,317 @@ def encode_wav(
         f.setframerate(sample_rate)
         f.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+# ---------------------------------------------------------------------------
+# GIF: LZW decode / encode (pure Python, animated frames supported)
+# ---------------------------------------------------------------------------
+
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW -> uint8 palette-index array of length n_pixels.
+
+    Codes are packed LSB-first; the dictionary starts at
+    2**min_code_size entries, grows to 12-bit codes, and resets on the
+    CLEAR code (GIF89a spec appendix F)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+
+    acc = 0  # bit accumulator, LSB-first
+    n_bits = 0
+    pos = 0
+    code_size = min_code_size + 1
+    # dictionary as (prefix_code, tail_byte) pairs; -1 prefix = root
+    prefix = [0] * 4096
+    tail = [0] * 4096
+    lengths = [1] * 4096
+    next_code = end + 1
+    prev_code = -1
+
+    def emit(code: int) -> int:
+        """Write the expansion of `code` into out; return its first byte."""
+        nonlocal n_out
+        ln = lengths[code]
+        if n_out + ln > n_pixels:
+            raise ValueError("GIF LZW output overruns image size")
+        i = n_out + ln
+        c = code
+        while c >= clear:
+            i -= 1
+            out[i] = tail[c]
+            c = prefix[c]
+        i -= 1
+        out[i] = c
+        first = out[n_out]
+        n_out += ln
+        return int(first)
+
+    while n_out < n_pixels:
+        while n_bits < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << n_bits
+            n_bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        n_bits -= code_size
+        if code == clear:
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev_code = -1
+            continue
+        if code == end:
+            break
+        if prev_code < 0:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-root code")
+            prev_first = emit(code)
+            prev_code = code
+            continue
+        if code < next_code:
+            first = emit(code)
+        elif code == next_code:  # KwKwK case
+            first = emit(prev_code)
+            if n_out >= n_pixels:
+                raise ValueError("GIF LZW output overruns image size")
+            out[n_out] = prev_first
+            n_out += 1
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        if next_code < 4096:
+            prefix[next_code] = prev_code
+            tail[next_code] = first
+            lengths[next_code] = lengths[prev_code] + 1
+            next_code += 1
+            if next_code < 4096 and next_code == (1 << code_size):
+                code_size += 1
+        prev_code = code
+        prev_first = first
+    return out
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """uint8 palette indices -> GIF-variant LZW bytes (LSB-first)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    n_bits = 0
+    code_size = min_code_size + 1
+
+    def push(code: int):
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += code_size
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    table: dict[tuple[int, int], int] = {}
+    next_code = end + 1
+    push(clear)
+    prev = -1
+    for v in indices.tolist():
+        if prev < 0:
+            prev = v
+            continue
+        key = (prev, v)
+        got = table.get(key)
+        if got is not None:
+            prev = got
+            continue
+        push(prev)
+        if next_code < 4096:
+            table[key] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << code_size) and code_size < 12:
+                code_size += 1
+        else:  # table full: reset (keeps decoder dictionaries bounded)
+            push(clear)
+            table.clear()
+            next_code = end + 1
+            code_size = min_code_size + 1
+        prev = v
+    if prev >= 0:
+        push(prev)
+    push(end)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate data sub-blocks starting at pos; return (data, next_pos)."""
+    chunks = []
+    while True:
+        size = payload[pos]
+        pos += 1
+        if size == 0:
+            break
+        chunks.append(payload[pos : pos + size])
+        pos += size
+    return b"".join(chunks), pos
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Animated (or still) GIF -> list of (h, w, 3) uint8 RGB frames,
+    composited onto the logical screen with disposal methods 0/1
+    (keep), 2 (restore to background) and 3 (restore to previous), and
+    transparent-index holes showing the prior canvas — a real decoder
+    for the one animation format that needs no external codec."""
+    payload = bytes(payload)
+    if payload[:6] not in _GIF_MAGICS:
+        raise ValueError("not a GIF payload")
+    w, h, packed, bg_index, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    if gct is not None and bg_index < len(gct):
+        canvas = np.tile(gct[bg_index], (h, w, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    background = canvas.copy()
+
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            data, pos = _gif_subblocks(payload, pos)
+            if label == 0xF9 and len(data) >= 4:  # graphic control
+                flags = data[0]
+                disposal = (flags >> 2) & 0x07
+                transparent = data[3] if flags & 0x01 else -1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, fw, fh, fpacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        palette = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            palette = np.frombuffer(
+                payload[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF frame without any color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw, pos = _gif_subblocks(payload, pos)
+        idx = _gif_lzw_decode(lzw, min_code_size, fw * fh).reshape(fh, fw)
+        if fpacked & 0x40:  # interlaced: rows arrive in 4 passes
+            ordered = np.empty_like(idx)
+            src = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                n_rows = len(range(start, fh, step))
+                ordered[start::step] = idx[src : src + n_rows]
+                src += n_rows
+            idx = ordered
+        prior = canvas.copy()
+        patch = canvas[top : top + fh, left : left + fw]
+        rgb = palette[np.minimum(idx, len(palette) - 1)]
+        if transparent >= 0:
+            mask = (idx != transparent)[:, :, None]
+            patch[:] = np.where(mask, rgb, patch)
+        else:
+            patch[:] = rgb
+        frames.append(canvas.copy())
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = background[
+                top : top + fh, left : left + fw
+            ]
+        elif disposal == 3:
+            canvas = prior
+        disposal = 0
+        transparent = -1
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First (or only) frame of a GIF as (h, w, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0]
+
+
+def encode_gif(
+    frames, delay_cs: int = 10, loop: bool = True
+) -> bytes:
+    """(h, w, 3) uint8 RGB frame or list of frames -> GIF89a bytes.
+
+    Exact (lossless) palette encoding: the union of colors across
+    frames must fit a 256-entry global color table, else this raises —
+    quantization policy belongs to the caller (GIF is the wrong sink
+    for photographic data; use PNG/BMP)."""
+    if isinstance(frames, np.ndarray) and frames.ndim == 3:
+        frames = [frames]
+    frames = [np.ascontiguousarray(np.asarray(f, dtype=np.uint8)) for f in frames]
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all GIF frames must be (h, w, 3) and same size")
+    flat = np.concatenate([f.reshape(-1, 3) for f in frames])
+    colors = np.unique(flat, axis=0)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF needs <=256 distinct colors (got {len(colors)}); "
+            "quantize first or encode PNG/BMP"
+        )
+    # palette size = power of two >= len(colors), minimum 2
+    size_exp = 1
+    while (1 << size_exp) < len(colors):
+        size_exp += 1
+    pal = np.zeros((1 << size_exp, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    # color -> index lookup via a packed-int dict (exact, no quantizing)
+    packed = (
+        colors[:, 0].astype(np.int64) << 16
+        | colors[:, 1].astype(np.int64) << 8
+        | colors[:, 2].astype(np.int64)
+    )
+    lut = {int(p): i for i, p in enumerate(packed)}
+    min_code_size = max(2, size_exp)
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((size_exp - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    if loop and len(frames) > 1:  # NETSCAPE2.0 infinite-loop extension
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in frames:
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay_cs, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        fp = (
+            f[:, :, 0].astype(np.int64) << 16
+            | f[:, :, 1].astype(np.int64) << 8
+            | f[:, :, 2].astype(np.int64)
+        ).reshape(-1)
+        idx = np.array([lut[int(p)] for p in fp], dtype=np.uint8)
+        out.append(min_code_size)
+        lzw = _gif_lzw_encode(idx, min_code_size)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out += b"\x3b"
+    return bytes(out)

@@ -92,8 +92,10 @@ def extract_image_features(
 
     def _real_features(b: bytes, dim: int = dim) -> list[float]:
         from feast_spark.functions.codecs import (
+            _GIF_MAGICS,
             _PNG_MAGIC,
             decode_bmp,
+            decode_gif,
             decode_png,
             to_rgb,
         )
@@ -103,9 +105,11 @@ def extract_image_features(
             img = decode_bmp(b)
         elif b[:8] == _PNG_MAGIC:
             img = to_rgb(decode_png(b))
+        elif b[:6] in _GIF_MAGICS:
+            img = decode_gif(b)
         else:
             raise NotImplementedError(
-                "real decoding beyond BMP/PNG needs Pillow/opencv; "
+                "real decoding beyond BMP/PNG/GIF needs Pillow/opencv; "
                 "pass use_fake_decoder=True for other formats"
             )
         px = img.reshape(-1, 3).astype("float64") / 255.0
@@ -145,8 +149,11 @@ def sample_video_frames(
     every_n: int = 30,
 ) -> DataFrame:
     """Frame-sampling contract: one output row per sampled frame with a
-    frame index — implemented against the fake decoder (frames =
-    fixed-size byte windows) to exercise the explode/batch shape."""
+    frame index.  Animated GIF payloads get a REAL frame decode (pure
+    LZW, ``codecs.decode_gif_frames``) with the hash taken over the
+    composited RGB pixels; other containers (MP4/AVI need pyav/ffmpeg)
+    use the fake decoder (frames = fixed-size byte windows) to
+    exercise the explode/batch shape."""
     frame_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -156,6 +163,8 @@ def sample_video_frames(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from feast_spark.functions.codecs import _GIF_MAGICS, decode_gif_frames
+
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for _, row in pdf.iterrows():
@@ -163,6 +172,13 @@ def sample_video_frames(
                 if blob is None:
                     continue
                 blob = bytes(blob)
+                if blob[:6] in _GIF_MAGICS:
+                    frames = decode_gif_frames(blob)
+                    for f in range(0, len(frames), every_n):
+                        ids.append(int(row[id_col]))
+                        idxs.append(f)
+                        hashes.append(hashlib.md5(frames[f].tobytes()).hexdigest())
+                    continue
                 # fake: treat each 64-byte window as one "frame"
                 n_frames = max(len(blob) // 64, 1)
                 for f in range(0, n_frames, every_n):
@@ -268,10 +284,12 @@ def resize_images(
     use_fake_decoder: bool = True,
 ) -> DataFrame:
     """Resize contract: (id, blob) -> (id, blob', meta') with the target
-    dimensions stamped into the metadata struct.  24-bit BMP and 8-bit
-    PNG payloads get a REAL decode -> nearest-neighbor resample ->
-    re-encode (pure numpy + stdlib zlib, ``functions/codecs.py``;
-    PNG output is RGB — gray replicated, alpha dropped).  Other
+    dimensions stamped into the metadata struct.  24-bit BMP, 8-bit
+    PNG and GIF payloads get a REAL decode -> nearest-neighbor
+    resample -> re-encode (pure numpy + stdlib zlib/LZW,
+    ``functions/codecs.py``; PNG output is RGB — gray replicated,
+    alpha dropped; GIF re-encodes losslessly since nearest-neighbor
+    only samples existing palette colors).  Other
     formats use the deterministic fake (md5(blob) || dims) when
     ``use_fake_decoder``, else raise — a Pillow-backed branch slots
     into the same batch loop with no plan/schema change."""
@@ -285,10 +303,13 @@ def resize_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from feast_spark.functions.codecs import (
+            _GIF_MAGICS,
             _PNG_MAGIC,
             decode_bmp,
+            decode_gif,
             decode_png,
             encode_bmp,
+            encode_gif,
             encode_png,
             resize_nearest,
             to_rgb,
@@ -312,6 +333,10 @@ def resize_images(
                     )
                     blobs.append(out)
                     metas.append({"format": "png", "width": width, "height": height})
+                elif b[:6] in _GIF_MAGICS:
+                    out = encode_gif(resize_nearest(decode_gif(b), width, height))
+                    blobs.append(out)
+                    metas.append({"format": "gif", "width": width, "height": height})
                 elif use_fake_decoder:
                     digest = hashlib.md5(b).digest()
                     blobs.append(
@@ -320,8 +345,8 @@ def resize_images(
                     metas.append({"format": "raw", "width": width, "height": height})
                 else:
                     raise NotImplementedError(
-                        "resizing compressed formats needs Pillow/opencv; "
-                        "only 24-bit BMP decodes natively in this environment"
+                        "resizing JPEG/WebP needs Pillow/opencv; BMP, "
+                        "PNG and GIF decode natively in this environment"
                     )
             yield pd.DataFrame(
                 {

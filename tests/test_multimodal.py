@@ -411,3 +411,162 @@ def test_extract_image_features_real_decoder(spark):
                                 "id long, image binary")
     with pytest.raises(Exception, match="needs Pillow"):
         extract_image_features(bad, use_fake_decoder=False).collect()
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (pure LZW)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    import numpy as np
+    from feast_spark.functions.codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    img = _deterministic_rgb(23, 31) % 64  # bounded values -> <=256 colors? no
+    # force a small exact palette instead: map pixels through 13 colors
+    pal = _deterministic_rgb(1, 13)[0]
+    idx = (img[:, :, 0].astype(int) + img[:, :, 1]) % 13
+    img = pal[idx]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    frames = [pal[(idx + k) % 13] for k in range(4)]
+    back = decode_gif_frames(encode_gif(frames, delay_cs=5))
+    assert len(back) == 4
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+
+def test_gif_lzw_table_growth_and_reset():
+    """Enough distinct patterns to grow codes to 12 bits and reset the
+    dictionary mid-stream — the stress path of both codec directions."""
+    import numpy as np
+    from feast_spark.functions.codecs import decode_gif, encode_gif
+
+    pal = np.unique(_deterministic_rgb(16, 16).reshape(-1, 3), axis=0)[:250]
+    # LCG-indexed noise over 250 colors fills the 4096-entry table
+    n = 120 * 180
+    xs = np.empty(n, dtype=np.int64)
+    x = 11
+    for i in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        xs[i] = x
+    img = pal[(xs % len(pal)).reshape(120, 180)]
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF: rows stored in the 4-pass order
+    must come back in display order."""
+    import struct
+
+    import numpy as np
+    from feast_spark.functions.codecs import (
+        _gif_lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = _deterministic_rgb(1, 8)[0]
+    idx = (np.arange(16)[:, None] + np.arange(12)[None, :]) % 8
+    img = pal[idx]
+    # pass order for h=16: rows 0,8 | 4,12 | 2,6,10,14 | odd rows
+    order = (
+        list(range(0, 16, 8))
+        + list(range(4, 16, 8))
+        + list(range(2, 16, 4))
+        + list(range(1, 16, 2))
+    )
+    stored = idx[order].astype(np.uint8).reshape(-1)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 12, 16, 0x80 | 2, 0, 0)
+    out += pal.tobytes() + b"\x00" * (3 * 8 - pal.size)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 12, 16, 0x40)  # interlace flag
+    out.append(3)  # min code size for 8 colors
+    lzw = _gif_lzw_encode(stored, 3)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    assert np.array_equal(decode_gif(bytes(out)), img)
+
+
+def test_gif_transparency_composites_over_previous_frame():
+    """A second frame with a transparent hole shows frame 1's pixels
+    through it (GIF89a graphic-control compositing)."""
+    import struct
+
+    import numpy as np
+    from feast_spark.functions.codecs import _gif_lzw_encode, decode_gif_frames
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], np.uint8)
+    f1 = np.zeros((4, 4), np.uint8)  # all red
+    f2 = np.full((4, 4), 1, np.uint8)
+    f2[1:3, 1:3] = 2  # transparent index 2 -> red shows through
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+    out += pal.tobytes()
+    for frame, flags in ((f1, 0x00), (f2, 0x01)):
+        gce_packed = flags  # bit0 = transparent color follows
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", gce_packed, 2, 2) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 4, 4, 0)
+        out.append(2)
+        lzw = _gif_lzw_encode(frame.reshape(-1), 2)
+        out.append(len(lzw))
+        out += lzw
+        out.append(0)
+    out += b"\x3b"
+    frames = decode_gif_frames(bytes(out))
+    assert len(frames) == 2
+    assert (frames[0] == [255, 0, 0]).all()
+    assert (frames[1][0, 0] == [0, 255, 0]).all()
+    assert (frames[1][1, 1] == [255, 0, 0]).all()  # hole shows frame 1
+
+
+def test_gif_video_frame_sampling_real(spark):
+    """Animated GIF payloads go through the REAL frame decoder: hashes
+    match md5 of the composited RGB frames."""
+    import hashlib as _hl
+
+    import numpy as np
+    from feast_spark.functions.codecs import decode_gif_frames, encode_gif
+
+    pal = _deterministic_rgb(1, 5)[0]
+    frames = [pal[(np.arange(36).reshape(6, 6) + k) % 5] for k in range(7)]
+    blob = encode_gif(frames)
+    df = spark.createDataFrame([Row(id=1, video=bytearray(blob))])
+    out = sample_video_frames(df, blob_col="video", every_n=3).collect()
+    assert [r["frame_idx"] for r in out] == [0, 3, 6]
+    decoded = decode_gif_frames(blob)
+    want = [_hl.md5(decoded[i].tobytes()).hexdigest() for i in (0, 3, 6)]
+    assert [r["frame_hash"] for r in out] == want
+
+
+def test_gif_resize_and_features_real(spark):
+    import numpy as np
+    from feast_spark.functions.codecs import decode_gif, encode_gif
+    from feast_spark.functions.multimodal import resize_images
+
+    solid = np.tile(np.array([40, 80, 120], np.uint8), (10, 12, 1))
+    blob = encode_gif(solid)
+    df = spark.createDataFrame([Row(id=1, image=bytearray(blob))])
+
+    resized = resize_images(
+        df, width=5, height=4, use_fake_decoder=False
+    ).collect()[0]
+    assert resized["meta"]["format"] == "gif"
+    back = decode_gif(bytes(resized["image"]))
+    assert back.shape == (4, 5, 3)
+    assert (back == [40, 80, 120]).all()
+
+    feats = extract_image_features(
+        df, blob_col="image", use_fake_decoder=False
+    ).collect()[0]["features"]
+    assert feats[0] == pytest.approx(40 / 255, abs=1e-6)
+    assert feats[1] == pytest.approx(80 / 255, abs=1e-6)
+    assert feats[2] == pytest.approx(120 / 255, abs=1e-6)
+    assert feats[3] == pytest.approx(0.0, abs=1e-6)  # zero std: solid color
