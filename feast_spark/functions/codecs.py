@@ -1,10 +1,11 @@
 """Pure-Python media codecs for the multimodal operators.
 
 The container has no Pillow/opencv/pyav, but several production formats
-are simple enough to speak directly — which turns part of the
-multimodal surface from "stubbed contract" into "real decode", with the
-compressed formats (JPEG pixel data, PNG pixel data, MP3/AAC) still
-gated behind optional libraries:
+are simple enough to speak directly — which turns most of the
+multimodal surface from "stubbed contract" into "real decode", with
+only the formats that genuinely need big codec libraries (WebP, TIFF,
+MP3/AAC, MP4) still gated behind optional imports.  Baseline JPEG
+lives in the sibling ``functions/jpeg.py`` (numpy DCT math):
 
 - image DIMENSIONS for JPEG/PNG/BMP/GIF: header parsing only, no pixel
   decode needed (JPEG needs a segment scan for SOF; PNG/BMP/GIF are

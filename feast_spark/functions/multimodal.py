@@ -84,10 +84,11 @@ def extract_image_features(
     content_hash, features).  The batch shape (pandas DataFrame per
     Arrow batch) is the real production contract.
 
-    With ``use_fake_decoder=False``, BMP and PNG payloads get REAL
-    pixel features from the pure-Python decoders (per-channel RGB
-    means and stds in [0,1], then normalized log-dimensions, truncated
-    or zero-padded to ``dim``); other formats raise (Pillow territory).
+    With ``use_fake_decoder=False``, BMP, PNG, GIF and baseline JPEG
+    payloads get REAL pixel features from the pure-Python decoders
+    (per-channel RGB means and stds in [0,1], then normalized
+    log-dimensions, truncated or zero-padded to ``dim``); other
+    formats raise (Pillow territory).
     The default fake path stays md5-derived for cheap plumbing tests."""
 
     def _real_features(b: bytes, dim: int = dim) -> list[float]:
@@ -107,10 +108,14 @@ def extract_image_features(
             img = to_rgb(decode_png(b))
         elif b[:6] in _GIF_MAGICS:
             img = decode_gif(b)
+        elif b[:2] == b"\xff\xd8":
+            from feast_spark.functions.jpeg import decode_jpeg
+
+            img = decode_jpeg(b)
         else:
             raise NotImplementedError(
-                "real decoding beyond BMP/PNG/GIF needs Pillow/opencv; "
-                "pass use_fake_decoder=True for other formats"
+                "real decoding beyond BMP/PNG/GIF/JPEG needs Pillow/"
+                "opencv; pass use_fake_decoder=True for other formats"
             )
         px = img.reshape(-1, 3).astype("float64") / 255.0
         h, w = img.shape[:2]
@@ -285,14 +290,16 @@ def resize_images(
 ) -> DataFrame:
     """Resize contract: (id, blob) -> (id, blob', meta') with the target
     dimensions stamped into the metadata struct.  24-bit BMP, 8-bit
-    PNG and GIF payloads get a REAL decode -> nearest-neighbor
-    resample -> re-encode (pure numpy + stdlib zlib/LZW,
-    ``functions/codecs.py``; PNG output is RGB — gray replicated,
-    alpha dropped; GIF re-encodes losslessly since nearest-neighbor
-    only samples existing palette colors).  Other
-    formats use the deterministic fake (md5(blob) || dims) when
-    ``use_fake_decoder``, else raise — a Pillow-backed branch slots
-    into the same batch loop with no plan/schema change."""
+    PNG, GIF and baseline JPEG payloads get a REAL decode ->
+    nearest-neighbor resample -> re-encode (pure numpy + stdlib
+    zlib/LZW/DCT, ``functions/codecs.py`` + ``functions/jpeg.py``; PNG
+    output is RGB — gray replicated, alpha dropped; GIF re-encodes
+    losslessly since nearest-neighbor only samples existing palette
+    colors).  Unknown formats — and corrupt payloads of known formats
+    when ``use_fake_decoder`` — use the deterministic fake
+    (md5(blob) || dims); with ``use_fake_decoder=False`` they raise.
+    A Pillow-backed branch slots into the same batch loop with no
+    plan/schema change."""
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -323,20 +330,43 @@ def resize_images(
                     metas.append({"format": None, "width": None, "height": None})
                     continue
                 b = bytes(b)
-                if b[:2] == b"BM":
-                    out = encode_bmp(resize_nearest(decode_bmp(b), width, height))
-                    blobs.append(out)
-                    metas.append({"format": "bmp", "width": width, "height": height})
-                elif b[:8] == _PNG_MAGIC:
-                    out = encode_png(
-                        resize_nearest(to_rgb(decode_png(b)), width, height)
+                resized = None
+                fmt = None
+                try:
+                    if b[:2] == b"BM":
+                        fmt = "bmp"
+                        resized = encode_bmp(
+                            resize_nearest(decode_bmp(b), width, height)
+                        )
+                    elif b[:8] == _PNG_MAGIC:
+                        fmt = "png"
+                        resized = encode_png(
+                            resize_nearest(to_rgb(decode_png(b)), width, height)
+                        )
+                    elif b[:6] in _GIF_MAGICS:
+                        fmt = "gif"
+                        resized = encode_gif(
+                            resize_nearest(decode_gif(b), width, height)
+                        )
+                    elif b[:2] == b"\xff\xd8":
+                        from feast_spark.functions.jpeg import (
+                            decode_jpeg,
+                            encode_jpeg,
+                        )
+
+                        fmt = "jpeg"
+                        resized = encode_jpeg(
+                            resize_nearest(decode_jpeg(b), width, height)
+                        )
+                except Exception:
+                    if not use_fake_decoder:
+                        raise  # corrupt payload of a supported format
+                    resized = None
+                if resized is not None:
+                    blobs.append(resized)
+                    metas.append(
+                        {"format": fmt, "width": width, "height": height}
                     )
-                    blobs.append(out)
-                    metas.append({"format": "png", "width": width, "height": height})
-                elif b[:6] in _GIF_MAGICS:
-                    out = encode_gif(resize_nearest(decode_gif(b), width, height))
-                    blobs.append(out)
-                    metas.append({"format": "gif", "width": width, "height": height})
                 elif use_fake_decoder:
                     digest = hashlib.md5(b).digest()
                     blobs.append(
@@ -345,8 +375,8 @@ def resize_images(
                     metas.append({"format": "raw", "width": width, "height": height})
                 else:
                     raise NotImplementedError(
-                        "resizing JPEG/WebP needs Pillow/opencv; BMP, "
-                        "PNG and GIF decode natively in this environment"
+                        "resizing WebP/TIFF needs Pillow/opencv; BMP, PNG, "
+                        "GIF and baseline JPEG decode natively"
                     )
             yield pd.DataFrame(
                 {

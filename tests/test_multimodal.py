@@ -43,14 +43,16 @@ def test_extract_image_features_contract(blobs):
     assert again[2]["features"] == rows[2]["features"]
 
 
-def test_real_decoder_is_explicitly_stubbed(blobs):
-    # jpeg blob only: the PNG-magic fixture row would reach the REAL
-    # decode_png and fail on its truncated body with a codec error,
-    # making the surfaced message depend on task scheduling order
-    jpeg_only = blobs.filter("id = 1")
+def test_real_decoder_is_explicitly_stubbed(spark):
+    # WebP: a real format with NO native decoder here (BMP/PNG/GIF/
+    # baseline JPEG all decode for real now), so the raise is the
+    # explicit needs-Pillow stub, not a corrupt-payload codec error
+    webp = spark.createDataFrame(
+        [Row(id=1, image=b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"w" * 40)]
+    )
     with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         extract_image_features(
-            jpeg_only, blob_col="image", use_fake_decoder=False
+            webp, blob_col="image", use_fake_decoder=False
         ).collect()
 
 
@@ -407,10 +409,17 @@ def test_extract_image_features_real_decoder(spark):
     ] * 2
     assert row["features"] == pytest.approx(want, abs=1e-6)
     # unknown formats still refuse loudly without the fake
-    bad = spark.createDataFrame([(2, bytearray(b"\xff\xd8 jpeg-ish"))],
-                                "id long, image binary")
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"RIFF\x24\x00\x00\x00WEBPVP8 webp-ish"))],
+        "id long, image binary",
+    )
     with pytest.raises(Exception, match="needs Pillow"):
         extract_image_features(bad, use_fake_decoder=False).collect()
+    # corrupt payloads of supported formats refuse loudly too
+    corrupt = spark.createDataFrame([(3, bytearray(b"\xff\xd8 jpeg-ish"))],
+                                    "id long, image binary")
+    with pytest.raises(Exception, match="JPEG"):
+        extract_image_features(corrupt, use_fake_decoder=False).collect()
 
 
 # ---------------------------------------------------------------------------
@@ -570,3 +579,131 @@ def test_gif_resize_and_features_real(spark):
     assert feats[1] == pytest.approx(80 / 255, abs=1e-6)
     assert feats[2] == pytest.approx(120 / 255, abs=1e-6)
     assert feats[3] == pytest.approx(0.0, abs=1e-6)  # zero std: solid color
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (pure numpy baseline DCT)
+# ---------------------------------------------------------------------------
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gradient_rgb(h=64, w=80):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [np.clip(x * 2, 0, 255), np.clip(y * 2, 0, 255),
+         np.clip(255 - x - y, 0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_jpeg_solid_color_exact():
+    import numpy as np
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 24, 3), 128, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert np.array_equal(out, img)  # DC-only content survives exactly
+
+
+def test_jpeg_roundtrip_psnr_bounds():
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb()
+    for q, floor in ((95, 45.0), (90, 42.0), (75, 35.0)):
+        out = decode_jpeg(encode_jpeg(img, q))
+        assert out.shape == img.shape
+        assert _psnr(img, out) > floor, f"quality {q} below {floor} dB"
+
+
+def test_jpeg_odd_dims_and_gray():
+    import numpy as np
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb()[:50, :45]
+    out = decode_jpeg(encode_jpeg(img, 90))
+    assert out.shape == (50, 45, 3)
+    assert _psnr(img, out) > 40.0
+    gray = img[:, :, 0]
+    out = decode_jpeg(encode_jpeg(gray, 90))
+    assert out.shape == (50, 45, 3)
+    assert _psnr(np.repeat(gray[:, :, None], 3, 2), out) > 40.0
+
+
+def test_jpeg_420_subsampling_and_restart_markers():
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = _gradient_rgb()
+    out = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+    assert _psnr(img, out) > 38.0  # chroma halved: looser bound
+    out = decode_jpeg(encode_jpeg(img, 90, restart_interval=5))
+    assert _psnr(img, out) > 42.0
+    out = decode_jpeg(
+        encode_jpeg(img[:50, :45], 85, subsampling="420", restart_interval=3)
+    )
+    assert out.shape == (50, 45, 3)
+    assert _psnr(img[:50, :45], out) > 36.0
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import struct
+
+    from feast_spark.functions.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"nonsense")
+    # SOF2 (progressive) marker must raise the explicit unsupported error
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">H", 11)
+        + b"\x08" + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00"
+    )
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(sof2)
+
+
+def test_jpeg_resize_and_features_real(spark):
+    import numpy as np
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from feast_spark.functions.multimodal import resize_images
+
+    solid = np.tile(np.array([40, 80, 120], np.uint8), (24, 32, 1))
+    blob = encode_jpeg(solid, 95)
+    df = spark.createDataFrame([Row(id=1, image=bytearray(blob))])
+
+    resized = resize_images(
+        df, width=8, height=6, use_fake_decoder=False
+    ).collect()[0]
+    assert resized["meta"]["format"] == "jpeg"
+    back = decode_jpeg(bytes(resized["image"]))
+    assert back.shape == (6, 8, 3)
+    assert np.abs(back.astype(int) - [40, 80, 120]).max() <= 4  # lossy
+
+    feats = extract_image_features(
+        df, blob_col="image", use_fake_decoder=False
+    ).collect()[0]["features"]
+    assert feats[0] == pytest.approx(40 / 255, abs=0.02)
+    assert feats[1] == pytest.approx(80 / 255, abs=0.02)
+    assert feats[2] == pytest.approx(120 / 255, abs=0.02)
+
+
+def test_resize_fake_fallback_for_corrupt_known_format(spark):
+    """A truncated JPEG in fake mode falls back to the deterministic
+    fake instead of raising; in real mode it raises."""
+    df = spark.createDataFrame(
+        [Row(id=1, image=b"\xff\xd8\xff\xe0" + b"x" * 100)]
+    )
+    from feast_spark.functions.multimodal import resize_images
+
+    out = resize_images(df, width=64, height=32).collect()[0]
+    assert out["meta"]["format"] == "raw"
+    assert len(bytes(out["image"])) == 16 + 4
+    with pytest.raises(Exception):
+        resize_images(df, width=64, height=32, use_fake_decoder=False).collect()
