@@ -156,9 +156,12 @@ def sample_video_frames(
     """Frame-sampling contract: one output row per sampled frame with a
     frame index.  Animated GIF payloads get a REAL frame decode (pure
     LZW, ``codecs.decode_gif_frames``) with the hash taken over the
-    composited RGB pixels; other containers (MP4/AVI need pyav/ffmpeg)
-    use the fake decoder (frames = fixed-size byte windows) to
-    exercise the explode/batch shape."""
+    composited RGB pixels; AVI payloads get REAL container parsing
+    (``functions/avi.py``) — MJPEG/DIB frames hash over decoded RGB,
+    other AVI codecs hash the extracted per-frame chunks (real frame
+    boundaries even without a pixel decoder).  Remaining containers
+    (MP4/MKV need pyav/ffmpeg) use the fake decoder (frames =
+    fixed-size byte windows) to exercise the explode/batch shape."""
     frame_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -183,6 +186,23 @@ def sample_video_frames(
                         ids.append(int(row[id_col]))
                         idxs.append(f)
                         hashes.append(hashlib.md5(frames[f].tobytes()).hexdigest())
+                    continue
+                if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+                    from feast_spark.functions.avi import (
+                        decode_avi_frames,
+                        parse_avi,
+                    )
+
+                    info = parse_avi(blob)
+                    if info["codec"] in ("mjpeg", "dib"):
+                        frames = decode_avi_frames(blob)
+                        payloads = [f.tobytes() for f in frames]
+                    else:  # real frame boundaries, no pixel decoder
+                        payloads = info["frames"]
+                    for f in range(0, len(payloads), every_n):
+                        ids.append(int(row[id_col]))
+                        idxs.append(f)
+                        hashes.append(hashlib.md5(payloads[f]).hexdigest())
                     continue
                 # fake: treat each 64-byte window as one "frame"
                 n_frames = max(len(blob) // 64, 1)
