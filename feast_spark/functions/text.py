@@ -10,6 +10,8 @@ so the driver's DuckDB gate can verify it value-for-value.
 
 from __future__ import annotations
 
+import pandas  # noqa: F401 — resolves pandas_udf type hints at def time
+
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
@@ -409,3 +411,38 @@ def with_scrubbed_text(
 ):
     """df + scrubbed text column (in place when ``out_col`` is None)."""
     return df.withColumn(out_col or text_col, scrub_pii(F.col(text_col), kinds))
+
+
+def with_compression_stats(
+    df,
+    text_col: str,
+    out_col: str = "deflate_ratio",
+    level: int = 6,
+):
+    """df + per-document deflate compression ratio (compressed bytes /
+    raw UTF-8 bytes; empty text -> NULL).
+
+    The classic cheap quality signal the public corpus pipelines
+    (CCNet, Gopher, RefinedWeb — published methods) filter on: highly
+    repetitive or templated text compresses far below ~0.4, random
+    noise sits near 1.0, natural prose lands in between.  zlib isn't
+    expressible as a column expression, so this is an Arrow-batched
+    pandas UDF — still a narrow map (no shuffle), and the deflate of a
+    document is independent per row so the operator scales linearly."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts: pandas.Series) -> pandas.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return df.withColumn(out_col, ratio(F.col(text_col)))

@@ -219,3 +219,35 @@ def test_bpe_ish_vertical_tab_cross_engine(spark, duck):
         for s in samples
     ]
     assert got == want
+
+
+def test_compression_ratio_quality_signal(spark):
+    """Deflate ratio separates repetitive text (low), natural prose
+    (mid-high), and incompressible noise (~1+); empty text -> NULL."""
+    from pyspark.sql import Row
+
+    from feast_spark.functions.text import with_compression_stats
+
+    import hashlib
+
+    noise = "".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(200)
+    )
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="spam spam spam " * 200),
+            Row(id=2, text=("The committee reviewed seventeen distinct "
+                            "architectural proposals before deciding on the "
+                            "final structure of the bridge. ") * 5),
+            Row(id=3, text=noise),
+            Row(id=4, text=""),
+            Row(id=5, text=None),
+        ]
+    )
+    out = {r["id"]: r["deflate_ratio"]
+           for r in with_compression_stats(df, "text").collect()}
+    assert out[1] < 0.05                    # templated: collapses
+    assert 0.05 < out[2] < 0.5              # repeated prose: mid
+    assert out[3] > 0.5                     # hex noise: poorly compressible
+    assert out[4] is None and out[5] is None
+    assert out[1] < out[2] < out[3]
