@@ -93,6 +93,17 @@ def main() -> None:
             out[name] = round(statistics.median(samples), 3)
         return out
 
+    # BPE end-to-end over the documents table: train on the corpus
+    # (one shuffle + TakeOrdered), then encode every doc (narrow map).
+    def q_bpe_tokenize(spark, sf_dir):
+        from feast_spark.functions.bpe import bpe_token_count, train_bpe
+
+        docs = load_table(spark, sf_dir, "documents")
+        model = train_bpe(docs, "text", num_merges=200, max_words=50_000)
+        return bpe_token_count(docs, "text", model).select("doc_id", "n_bpe_tokens")
+
+    queries["bpe_tokenize"] = q_bpe_tokenize
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -105,6 +116,7 @@ def main() -> None:
                 "pack_sequences",
                 "corpus_mix",
                 "weighted_sample",
+                "bpe_tokenize",
             )
             if n in queries
         ]

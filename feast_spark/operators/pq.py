@@ -1,0 +1,232 @@
+"""Product quantization (PQ) for embedding search at memory scale.
+
+IVF (``operators/similarity.py``) prunes which vectors to score;
+PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+public method) shrinks what a stored vector costs: split d dims into M
+subspaces, k-means each subspace to K centroids, store each vector as
+M uint8 code indices — d*4 bytes become M bytes (e.g. 64-dim float =
+256 B -> 8 B at M=8, 32x).  Search uses asymmetric distance (ADC): per
+query, precompute an (M, K) table of subspace distances, then a
+candidate's distance is M table lookups — no float vector ever loaded.
+
+Spark split of the algorithm:
+
+- **train** (driver-bounded): deterministic hash-ordered sample of
+  ``k_codes * sample_per_code`` vectors -> numpy Lloyd iterations per
+  subspace on the driver.  Sample size is independent of corpus scale,
+  identical in spirit to ``ivf_train_centroids``.
+- **encode** (distributed): codebooks broadcast (M*K*d/M floats, a few
+  hundred KB); encoding is a vectorized Arrow-batched map — argmin
+  over each subspace via one einsum per batch.  No shuffle.
+- **search** (distributed): queries + codebooks broadcast; each corpus
+  partition streams its codes once, computes ADC scores against all
+  queries vectorized, and emits only its local top-k per query.  The
+  single shuffle carries candidates (partitions x queries x k rows),
+  never the corpus.  A final per-query min_by aggregation yields the
+  global top-k.
+
+Numpy in the loop is deliberate here: a 256-entry codebook argmin is
+not expressible as a sane Catalyst expression tree (M*K vector
+literals), and the Arrow-batched einsum is the fastest local kernel
+available — this is the documented "built-ins genuinely can't express
+it" case.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_matrix(rows) -> np.ndarray:
+    return np.array([list(map(float, r)) for r in rows], dtype=np.float64)
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m_subspaces: int = 8,
+    k_codes: int = 256,
+    iters: int = 10,
+    sample_per_code: int = 32,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: returns ``m_subspaces`` codebooks of
+    ``<=k_codes`` centroids each (nested plain lists — tiny, broadcast-
+    friendly, JSON-serializable for a registry).
+
+    The corpus contributes only a bounded deterministic sample
+    (hash-ordered, so retraining is reproducible); Lloyd runs on the
+    driver in numpy — k_codes*sample_per_code rows regardless of
+    corpus size."""
+    n_sample = k_codes * sample_per_code
+    rows = (
+        df.select(F.col(vec_col).alias("__v"), F.col(id_col).alias("__id"))
+        .where(F.size("__v") > 0)
+        .orderBy(F.xxhash64(F.col("__id")))
+        .limit(n_sample)
+        .collect()
+    )
+    X = _as_matrix([r["__v"] for r in rows])
+    n, d = X.shape
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    sub = d // m_subspaces
+    books: list[list[list[float]]] = []
+    for m in range(m_subspaces):
+        Xm = X[:, m * sub : (m + 1) * sub]
+        k = min(k_codes, len(np.unique(Xm, axis=0)))
+        # deterministic init: first k distinct rows in sample order
+        _, first_idx = np.unique(Xm, axis=0, return_index=True)
+        cents = Xm[np.sort(first_idx)[:k]].copy()
+        for _ in range(iters):
+            # assign: (n, k) distances via the expanded dot identity
+            d2 = (
+                (Xm**2).sum(1)[:, None]
+                - 2 * Xm @ cents.T
+                + (cents**2).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = Xm[mask].mean(0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """df + ``out_col`` array<int> of length M — the 32x-smaller stored
+    representation.  Vectorized per Arrow batch: one einsum-shaped
+    argmin per subspace; codebooks ride along as a broadcast closure."""
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m_subspaces = len(books)
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            vecs = pdf[vec_col]
+            mat = np.array(
+                [
+                    v if v is not None and len(v) else [0.0] * (sub * m_subspaces)
+                    for v in vecs
+                ],
+                dtype=np.float64,
+            )
+            codes = np.empty((len(mat), m_subspaces), dtype=np.int64)
+            for m, cents in enumerate(books):
+                Xm = mat[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (Xm**2).sum(1)[:, None]
+                    - 2 * Xm @ cents.T
+                    + (cents**2).sum(1)[None, :]
+                )
+                codes[:, m] = d2.argmin(1)
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if (v is None or not len(v)) else [int(c) for c in row]
+                for v, row in zip(vecs, codes)
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist).
+
+    Per partition: build each query's (M, K) distance table once, score
+    every local code row with M lookups (one fancy-index per subspace,
+    vectorized across the batch), keep the local top-k.  Globally: one
+    aggregation merges partition candidates.  The corpus-side shuffle
+    volume is O(partitions * queries * k), independent of corpus rows."""
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    m_subspaces = len(books)
+    q_rows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    q_ids = [r["qid"] for r in q_rows]
+    Q = _as_matrix([r["qv"] for r in q_rows])
+    if Q.shape[1] != sub * m_subspaces:
+        raise ValueError("query dim does not match codebooks")
+    # (n_queries, M, K) ADC tables, built once on the driver and shipped
+    # in the task closure (small: Q * M * K doubles)
+    tables = np.stack(
+        [
+            (Q[:, m * sub : (m + 1) * sub] ** 2).sum(1)[:, None]
+            - 2 * Q[:, m * sub : (m + 1) * sub] @ books[m].T
+            + (books[m] ** 2).sum(1)[None, :]
+            for m in range(m_subspaces)
+        ],
+        axis=1,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[query_id_col].dataType),
+            T.StructField("neighbor_id", codes_df.schema[id_col].dataType),
+            T.StructField("adc_dist", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            valid = pdf[pdf[codes_col].notna()]
+            if not len(valid):
+                continue
+            C = np.array([list(c) for c in valid[codes_col]], dtype=np.int64)
+            ids = valid[id_col].to_numpy()
+            # dist[q, row] = sum_m tables[q, m, C[row, m]]
+            dist = np.zeros((len(q_ids), len(C)))
+            for m in range(m_subspaces):
+                dist += tables[:, m, :][:, C[:, m]]
+            top = min(k, dist.shape[1])
+            idx = np.argpartition(dist, top - 1, axis=1)[:, :top]
+            rows = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi, qid in enumerate(q_ids):
+                for j in idx[qi]:
+                    rows["query_id"].append(qid)
+                    rows["neighbor_id"].append(ids[j])
+                    rows["adc_dist"].append(float(dist[qi, j]))
+            yield pd.DataFrame(rows)
+
+    candidates = codes_df.select(id_col, codes_col).mapInPandas(run, out_schema)
+    ranked = candidates.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct("adc_dist", "neighbor_id"))
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return ranked.select(
+        "query_id", F.explode("__top").alias("__t")
+    ).select(
+        "query_id",
+        F.col("__t.neighbor_id").alias("neighbor_id"),
+        F.col("__t.adc_dist").alias("adc_dist"),
+    )
