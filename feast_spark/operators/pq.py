@@ -230,3 +230,61 @@ def pq_topk(
         F.col("__t.neighbor_id").alias("neighbor_id"),
         F.col("__t.adc_dist").alias("adc_dist"),
     )
+
+
+def pq_topk_reranked(
+    corpus: DataFrame,
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    vec_col: str = "embedding",
+    k: int = 10,
+    candidates_per_query: int = 50,
+) -> DataFrame:
+    """The full two-stage ANN: PQ ADC recall stage (cheap, codes only)
+    -> exact cosine re-rank of the candidate set (precise, touches
+    only ``candidates_per_query`` float vectors per query).
+
+    Output matches ``similarity.cosine_topk``'s shape: (query_id,
+    neighbor_id, cos), ranked by exact cosine.  The corpus float
+    vectors are read ONLY for candidate ids via a broadcast semi-join
+    — at 100 TB the re-rank fetch is k*queries rows, not a scan."""
+    from feast_spark.operators.similarity import cosine
+
+    cand = pq_topk(
+        codes_df,
+        queries,
+        codebooks,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+        k=candidates_per_query,
+    ).select("query_id", "neighbor_id")
+    fetched = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).join(F.broadcast(cand), on="neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    scored = fetched.join(F.broadcast(q), on="query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("cos"),
+    )
+    ranked = scored.groupBy("query_id").agg(
+        F.slice(
+            F.reverse(
+                F.array_sort(F.collect_list(F.struct("cos", "neighbor_id")))
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return ranked.select("query_id", F.explode("__top").alias("__t")).select(
+        "query_id",
+        F.col("__t.neighbor_id").alias("neighbor_id"),
+        F.col("__t.cos").alias("cos"),
+    )

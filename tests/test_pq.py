@@ -101,3 +101,28 @@ def test_dim_mismatch_raises(spark, corpus, books):
 def test_train_rejects_indivisible_dims(corpus):
     with pytest.raises(ValueError, match="divisible"):
         pq_train(corpus, m_subspaces=5)
+
+
+def test_reranked_matches_exact_topk(spark, corpus, books):
+    """ADC recall + exact cosine re-rank recovers the exact cosine
+    top-k (the production two-stage shape)."""
+    from feast_spark.operators.pq import pq_topk_reranked
+    from feast_spark.operators.similarity import cosine_topk
+
+    queries = corpus.where(F.col("vec_id") < 3)
+    codes = pq_encode(corpus, books)
+    got = pq_topk_reranked(
+        corpus, codes, queries, books, k=5, candidates_per_query=60
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    exact = cosine_topk(corpus, queries, k=6).collect()  # k+1: incl. self
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qid in (0, 1, 2):
+        # cosine_topk excludes self; reranked includes it — align on
+        # the top-5 of (self + exact list)
+        want = ([qid] + exact_by_q[qid])[:5]
+        assert set(by_q[qid]) == set(want), f"query {qid}"
