@@ -674,3 +674,62 @@ def encode_gif(
         out.append(0)
     out += b"\x3b"
     return bytes(out)
+
+
+def wav_spectral_features(
+    payload: bytes,
+    n_bands: int = 16,
+    frame: int = 512,
+    hop: int = 256,
+) -> dict:
+    """Real spectral features from PCM via numpy FFT — no librosa.
+
+    Hann-windowed STFT power spectrum, then:
+    - ``bands``: mean log-power in ``n_bands`` log-spaced frequency
+      bands (a mel-ish filterbank without the mel constant — the
+      log spacing is what matters for band separation);
+    - ``centroid_hz``: power-weighted mean frequency;
+    - ``rolloff_hz``: frequency below which 85% of power sits;
+    - ``flatness``: geometric/arithmetic mean ratio (1.0 = white
+      noise, ->0 = pure tone).
+    """
+    rate, _channels, samples = decode_wav(payload)
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n < frame:
+        mono = np.pad(mono, (0, frame - n))
+        n = frame
+    window = np.hanning(frame)
+    starts = range(0, n - frame + 1, hop)
+    frames = np.stack([mono[s : s + frame] * window for s in starts])
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2  # (n_frames, frame/2+1)
+    power = spec.mean(axis=0)  # average over time
+    freqs = np.fft.rfftfreq(frame, d=1.0 / rate)
+
+    # log-spaced band edges from ~30 Hz to Nyquist
+    lo = max(30.0, freqs[1])
+    edges = np.geomspace(lo, freqs[-1], n_bands + 1)
+    bands = []
+    for b in range(n_bands):
+        mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        bands.append(
+            float(np.log1p(power[mask].mean())) if mask.any() else 0.0
+        )
+    total = power.sum()
+    if total > 0:
+        centroid = float((freqs * power).sum() / total)
+        cum = np.cumsum(power)
+        rolloff = float(freqs[np.searchsorted(cum, 0.85 * total)])
+        pos = power[power > 0]
+        flatness = float(
+            np.exp(np.log(pos).mean()) / pos.mean()
+        ) if len(pos) else 0.0
+    else:
+        centroid = rolloff = flatness = 0.0
+    return {
+        "sample_rate": rate,
+        "bands": bands,
+        "centroid_hz": centroid,
+        "rolloff_hz": rolloff,
+        "flatness": flatness,
+    }

@@ -4,16 +4,18 @@ with typed metadata, processed via Arrow-batched mapInPandas.
 The Spark-side contracts (schemas, partitioning, UDF signatures, batch
 shapes) are real and tested.  Codec coverage is tiered:
 
-- REAL, pure-Python (``functions/codecs.py``): image dimensions for
-  JPEG/PNG/BMP/GIF (header parse — PNG/BMP/GIF even stay in JVM column
-  expressions, see ``with_image_meta``), full 24-bit BMP
-  decode/resize/encode, and WAV PCM decode with genuine RMS/envelope
-  features;
-- STUBBED: compressed pixel/sample data (JPEG/PNG decode, MP3, video
-  frames) — those need Pillow/torchaudio/pyav, absent in this
-  container.  Each stub either uses the deterministic fake (for tests)
-  or raises NotImplementedError naming the library, so wiring a real
-  codec later is a one-function change with no plan changes.
+- REAL, pure-Python (``functions/codecs.py``, ``functions/jpeg.py``,
+  ``functions/avi.py``): image dimensions for JPEG/PNG/BMP/GIF (header
+  parse — PNG/BMP/GIF even stay in JVM column expressions, see
+  ``with_image_meta``); full pixel decode/resize/re-encode for 24-bit
+  BMP, 8-bit PNG, GIF (incl. animation) and baseline JPEG; AVI
+  container parse with MJPEG/DIB frame decode; WAV PCM decode with
+  RMS/envelope and FFT spectral features;
+- STUBBED: formats that genuinely need big codec libraries (WebP,
+  TIFF, MP3/AAC, MP4/MKV) — each stub either uses the deterministic
+  fake (for tests) or raises NotImplementedError naming the library,
+  so wiring a real codec later is a one-function change with no plan
+  changes.
 
 Scale notes: binary payloads stay columnar in parquet; mapInPandas
 streams Arrow batches so a 100 TB corpus of images processes one batch
@@ -503,3 +505,63 @@ def parse_audio_meta(
             yield pd.DataFrame({"id": pdf[id_col].astype("int64"), "meta": metas})
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bands", T.ArrayType(T.DoubleType())),
+        T.StructField("centroid_hz", T.DoubleType()),
+        T.StructField("rolloff_hz", T.DoubleType()),
+        T.StructField("flatness", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_spectral(
+    df: DataFrame,
+    id_col: str = "id",
+    blob_col: str = "audio",
+    n_bands: int = 16,
+) -> DataFrame:
+    """Real spectral audio features for WAV PCM payloads (numpy FFT —
+    ``codecs.wav_spectral_features``): log-spaced band energies,
+    spectral centroid/rolloff/flatness.  Non-WAV payloads (MP3/AAC
+    need an external decoder) and corrupt WAVs yield NULL features —
+    at corpus scale undecodable audio is data to filter on, not an
+    error."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from feast_spark.functions.codecs import wav_spectral_features
+
+        for pdf in batches:
+            out = {
+                "id": [], "sample_rate": [], "bands": [],
+                "centroid_hz": [], "rolloff_hz": [], "flatness": [],
+            }
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                out["id"].append(int(i))
+                feats = None
+                if b is not None:
+                    b = bytes(b)
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                        try:
+                            feats = wav_spectral_features(b, n_bands)
+                        except Exception:
+                            feats = None  # truncated/corrupt RIFF
+                if feats is None:
+                    out["sample_rate"].append(None)
+                    out["bands"].append(None)
+                    out["centroid_hz"].append(None)
+                    out["rolloff_hz"].append(None)
+                    out["flatness"].append(None)
+                else:
+                    out["sample_rate"].append(feats["sample_rate"])
+                    out["bands"].append(feats["bands"])
+                    out["centroid_hz"].append(feats["centroid_hz"])
+                    out["rolloff_hz"].append(feats["rolloff_hz"])
+                    out["flatness"].append(feats["flatness"])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, AUDIO_SPECTRAL_SCHEMA)

@@ -787,3 +787,57 @@ def test_avi_unknown_codec_still_extracts_frames():
 
     with pytest.raises(ValueError, match="ffmpeg"):
         decode_avi_frames(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# spectral audio features (numpy FFT)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_spectral_features_physics():
+    """Pure tones land their energy in the right band; noise is
+    spectrally flat; centroids track the tone frequency."""
+    import numpy as np
+
+    from feast_spark.functions.codecs import encode_wav, wav_spectral_features
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    low = wav_spectral_features(encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), sr))
+    high = wav_spectral_features(encode_wav(0.5 * np.sin(2 * np.pi * 4000 * t), sr))
+    assert low["centroid_hz"] == pytest.approx(440, abs=30)
+    assert high["centroid_hz"] == pytest.approx(4000, abs=100)
+    assert low["rolloff_hz"] < high["rolloff_hz"]
+    assert low["bands"].index(max(low["bands"])) < \
+        high["bands"].index(max(high["bands"]))
+    assert low["flatness"] < 0.01
+
+    # deterministic LCG noise: near-flat spectrum
+    vals = np.empty(sr)
+    x = 9
+    for i in range(sr):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        vals[i] = x / (1 << 31) - 0.5
+    noise = wav_spectral_features(encode_wav(vals, sr))
+    assert noise["flatness"] > 0.8
+
+
+def test_extract_audio_spectral_spark(spark):
+    import numpy as np
+
+    from feast_spark.functions.codecs import encode_wav
+    from feast_spark.functions.multimodal import extract_audio_spectral
+
+    sr = 8000
+    t = np.arange(sr) / sr
+    wav = encode_wav(0.5 * np.sin(2 * np.pi * 1000 * t), sr)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, b"\xffnot-audio"), (3, None)],
+        "id long, audio binary",
+    )
+    out = {r["id"]: r for r in extract_audio_spectral(df, n_bands=8).collect()}
+    assert out[1]["sample_rate"] == sr
+    assert out[1]["centroid_hz"] == pytest.approx(1000, abs=50)
+    assert len(out[1]["bands"]) == 8
+    assert out[2]["bands"] is None      # not WAV: NULL features
+    assert out[3]["bands"] is None
