@@ -95,3 +95,37 @@ def test_lm_scoring_streaming_matches_batch(spark, tmp_path):
             assert got[k] is None
         else:
             assert abs(got[k] - v) < 1e-9
+
+
+def test_bpe_encode_streaming_matches_batch(spark, tmp_path):
+    """A trained BPE model encodes identically inside a streaming
+    micro-batch — the encode stage is a narrow map with a broadcast
+    model, so it drops into readStream pipelines unchanged."""
+    from feast_spark.functions.bpe import encode_bpe, train_bpe
+
+    batch_df = spark.createDataFrame(DOCS, SCHEMA)
+    model = train_bpe(batch_df, "text", num_merges=20)
+
+    def transform(df):
+        return encode_bpe(df, "text", model)
+
+    streamed = _run_stream(spark, tmp_path, transform)
+    batch = encode_bpe(batch_df, "text", model)
+    key = lambda r: (r["doc_id"], tuple(r["tokens"]), tuple(r["token_ids"]))  # noqa: E731
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, batch.collect())
+    )
+
+
+def test_compression_stats_streaming_matches_batch(spark, tmp_path):
+    from feast_spark.functions.text import with_compression_stats
+
+    def transform(df):
+        return with_compression_stats(df, "text")
+
+    streamed = _run_stream(spark, tmp_path, transform)
+    batch = with_compression_stats(spark.createDataFrame(DOCS, SCHEMA), "text")
+    key = lambda r: (r["doc_id"], r["deflate_ratio"])  # noqa: E731
+    assert sorted(map(key, streamed.collect()), key=str) == sorted(
+        map(key, batch.collect()), key=str
+    )
