@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("entities", help="list registry entities")
     sub.add_parser("feature-views", help="list registry feature views")
     sub.add_parser("registry-dump", help="print the raw registry JSON")
+    sp = sub.add_parser(
+        "registry-export",
+        help="write the registry as reference-compatible "
+        "feast.core.Registry protobuf bytes",
+    )
+    sp.add_argument("out_path")
     sub.add_parser(
         "teardown", help="delete the online store and registry (cli.py teardown)"
     )
@@ -126,6 +132,11 @@ def main(argv: list[str] | None = None) -> int:
         for v in store.registry.list_feature_views():
             feats = ",".join(v.feature_names)
             print(f"{v.name}\tentities={','.join(v.entities)}\tfeatures={feats}")
+        return 0
+    if args.cmd == "registry-export":
+        store = _store(args)
+        payload = store.export_registry_proto(args.out_path)
+        print(f"wrote {len(payload)} bytes to {args.out_path}")
         return 0
     if args.cmd == "registry-dump":
         import os

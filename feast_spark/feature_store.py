@@ -545,6 +545,21 @@ class FeatureStore:
             wire.write.mode("overwrite").parquet(path)
         return wire
 
+    def export_registry_proto(self, path: str | None = None) -> bytes:
+        """The registry as reference-compatible ``feast.core.Registry``
+        protobuf bytes (Registry.proto; the reference's ``feast
+        registry-dump`` / Go SDK consume this format).  Writes to
+        ``path`` when given; returns the bytes either way."""
+        from feast_spark.functions.registry_proto import registry_to_proto_bytes
+
+        payload = registry_to_proto_bytes(
+            self.registry, project=self.config.project
+        )
+        if path is not None:
+            with open(path, "wb") as f:
+                f.write(payload)
+        return payload
+
     # -- online serving ------------------------------------------------
     def get_online_features(
         self,

@@ -1,0 +1,155 @@
+"""Registry proto export: golden wire bytes (hand-assembled from the
+reference's field numbers), structural roundtrip through the
+compiled-descriptor decoder, and the FeatureStore facade path."""
+
+from datetime import timedelta
+
+import pytest
+
+from feast_spark import (
+    Entity,
+    Feature,
+    FeatureStore,
+    FeatureView,
+    FileSource,
+    KafkaSource,
+    RepoConfig,
+    ValueType,
+)
+from feast_spark.functions.registry_proto import (
+    parse_registry_proto,
+    registry_to_proto_bytes,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    src = str(tmp_path / "stats.parquet")
+    spark.createDataFrame(
+        [Row(id=1, rate=1.0, tag="x", ts=datetime(2021, 6, 1, 10),
+             created=datetime(2021, 6, 1, 10))]
+    ).write.parquet(src)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="t",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64, description="a driver"),
+            FeatureView(
+                name="stats",
+                entities=["driver"],
+                features=[Feature("rate", ValueType.DOUBLE),
+                          Feature("tag", ValueType.STRING)],
+                ttl=timedelta(hours=2),
+                tags={"team": "core"},
+                batch_source=FileSource(
+                    path=src,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created",
+                    field_mapping={"id": "driver_id"},
+                ),
+                stream_source=KafkaSource(
+                    bootstrap_servers="k:9092",
+                    topic="stats",
+                    message_format="avro",
+                    event_timestamp_column="ts",
+                ),
+            ),
+        ]
+    )
+    return st
+
+
+def test_golden_bytes_minimal_entity():
+    """Hand-assembled wire bytes for a one-entity registry: every tag
+    byte comes straight from the reference's field numbers — pins the
+    encoder against Registry.proto/Entity.proto, not against itself."""
+
+    class _Reg:
+        def list_entities(self):
+            return [Entity(name="driver", join_key="driver_id",
+                           value_type=ValueType.INT64)]
+
+        def list_feature_views(self):
+            return []
+
+    got = registry_to_proto_bytes(_Reg(), project="p")
+    spec = (
+        b"\x0a\x06driver"        # EntitySpecV2.name = 1 (LEN)
+        b"\x10\x04"               # .value_type = 2 (varint, INT64=4)
+        b"\x22\x09driver_id"      # .join_key = 4 (LEN)
+        b"\x4a\x01p"              # .project = 9 (LEN)
+    )
+    entity = b"\x0a" + bytes([len(spec)]) + spec   # Entity.spec = 1
+    want = (
+        b"\x0a" + bytes([len(entity)]) + entity    # Registry.entities = 1
+        + b"\x1a\x011"                             # .registry_schema_version = 3
+    )
+    assert got == want
+
+
+def test_roundtrip_full_store(store):
+    payload = store.export_registry_proto()
+    reg = parse_registry_proto(payload)
+    assert reg["registry_schema_version"] == "1"
+    (ent,) = reg["entities"]
+    assert ent["spec"]["name"] == "driver"
+    assert ent["spec"]["value_type"] == ValueType.INT64.value
+    assert ent["spec"]["join_key"] == "driver_id"
+    assert ent["spec"]["description"] == "a driver"
+    assert ent["spec"]["project"] == "t"
+
+    (view,) = reg["feature_views"]
+    spec = view["spec"]
+    assert spec["name"] == "stats"
+    assert spec["project"] == "t"
+    assert spec["entities"] == ["driver"]
+    assert [f["name"] for f in spec["features"]] == ["rate", "tag"]
+    assert [f["value_type"] for f in spec["features"]] == [
+        ValueType.DOUBLE.value, ValueType.STRING.value,
+    ]
+    assert spec["tags"] == [{"key": "team", "value": "core"}]
+    assert spec["ttl"]["seconds"] == 7200
+    assert spec["online"] is True
+
+    batch = spec["batch_source"]
+    assert batch["type"] == 1  # BATCH_FILE
+    assert batch["event_timestamp_column"] == "ts"
+    assert batch["created_timestamp_column"] == "created"
+    assert batch["field_mapping"] == [{"key": "id", "value": "driver_id"}]
+    assert batch["file_options"]["file_url"].endswith("stats.parquet")
+    assert batch["file_options"]["file_format"]["parquet_format"] is not None
+
+    stream = spec["stream_source"]
+    assert stream["type"] == 3  # STREAM_KAFKA
+    assert stream["kafka_options"]["bootstrap_servers"] == "k:9092"
+    assert stream["kafka_options"]["topic"] == "stats"
+    assert stream["kafka_options"]["message_format"]["avro_format"] is not None
+
+
+def test_materialization_intervals_exported(store):
+    from datetime import datetime
+
+    store.materialize(datetime(2021, 6, 1), datetime(2021, 6, 2), ["stats"])
+    reg = parse_registry_proto(store.export_registry_proto())
+    intervals = reg["feature_views"][0]["meta"]["materialization_intervals"]
+    assert len(intervals) == 1
+    assert intervals[0]["start_time"]["seconds"] is not None
+    assert intervals[0]["end_time"]["seconds"] > intervals[0]["start_time"]["seconds"]
+
+
+def test_export_writes_file(store, tmp_path):
+    path = str(tmp_path / "registry.pb")
+    payload = store.export_registry_proto(path)
+    with open(path, "rb") as f:
+        assert f.read() == payload
