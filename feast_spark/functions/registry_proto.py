@@ -331,3 +331,101 @@ def parse_registry_proto(payload: bytes) -> dict:
     """Decode Registry bytes back to a plain dict (tests + debugging;
     the same compiled-descriptor decoder as the stream payload path)."""
     return compile_decoder(REGISTRY_DESCRIPTOR)(bytes(payload))
+
+
+def registry_from_proto_bytes(payload: bytes):
+    """Decode ``feast.core.Registry`` bytes (e.g. a reference
+    ``registry.db`` file) into this repo's Entity/FeatureView objects,
+    ready for ``FeatureStore.apply`` — the switch-over path for a
+    reference user: point this at their registry file and apply.
+
+    BigQuery/Redshift batch sources have no Spark-native equivalent
+    table reference here and import as ``SparkSqlSource`` with the
+    table/query string; unknown source types raise."""
+    from datetime import timedelta
+
+    from feast_spark.data_source import (
+        FileSource,
+        KafkaSource,
+        KinesisSource,
+        SparkSqlSource,
+    )
+    from feast_spark.entity import Entity
+    from feast_spark.feature import Feature
+    from feast_spark.feature_view import FeatureView
+    from feast_spark.types import ValueType
+
+    reg = parse_registry_proto(payload)
+
+    def _map(entries) -> dict:
+        return {e["key"]: e["value"] for e in (entries or [])}
+
+    def _source(d):
+        if d is None:
+            return None
+        common = {
+            "event_timestamp_column": d.get("event_timestamp_column") or "",
+            "created_timestamp_column": d.get("created_timestamp_column") or "",
+            "date_partition_column": d.get("date_partition_column") or "",
+            "field_mapping": _map(d.get("field_mapping")),
+        }
+        t = d.get("type") or 0
+        if t == 1 and d.get("file_options"):
+            return FileSource(path=d["file_options"].get("file_url") or "",
+                              **common)
+        if t == 3 and d.get("kafka_options"):
+            ko = d["kafka_options"]
+            fmt = ko.get("message_format") or {}
+            return KafkaSource(
+                bootstrap_servers=ko.get("bootstrap_servers") or "",
+                topic=ko.get("topic") or "",
+                message_format="avro" if fmt.get("avro_format") else "proto",
+                **common,
+            )
+        if t == 4 and d.get("kinesis_options"):
+            kio = d["kinesis_options"]
+            return KinesisSource(
+                region=kio.get("region") or "",
+                stream_name=kio.get("stream_name") or "",
+                **common,
+            )
+        if t in (2, 5):  # BATCH_BIGQUERY / BATCH_REDSHIFT
+            return SparkSqlSource(query="", **common)
+        raise ValueError(f"unsupported DataSource type {t} in registry proto")
+
+    objs = []
+    for e in reg["entities"] or []:
+        spec = e["spec"]
+        objs.append(
+            Entity(
+                name=spec["name"],
+                value_type=ValueType(spec.get("value_type") or 0),
+                join_key=spec.get("join_key") or spec["name"],
+                description=spec.get("description") or "",
+                labels=_map(spec.get("labels")),
+            )
+        )
+    for v in reg["feature_views"] or []:
+        spec = v["spec"]
+        ttl = None
+        if spec.get("ttl") is not None:
+            ttl = timedelta(
+                seconds=(spec["ttl"].get("seconds") or 0),
+                microseconds=(spec["ttl"].get("nanos") or 0) / 1000,
+            )
+        objs.append(
+            FeatureView(
+                name=spec["name"],
+                entities=list(spec.get("entities") or []),
+                features=[
+                    Feature(f["name"], ValueType(f.get("value_type") or 0))
+                    for f in (spec.get("features") or [])
+                ],
+                ttl=ttl,
+                online=bool(spec.get("online")),
+                tags=_map(spec.get("tags")),
+                batch_source=_source(spec.get("batch_source")),
+                stream_source=_source(spec.get("stream_source")),
+            )
+        )
+    return objs

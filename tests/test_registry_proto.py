@@ -153,3 +153,35 @@ def test_export_writes_file(store, tmp_path):
     payload = store.export_registry_proto(path)
     with open(path, "rb") as f:
         assert f.read() == payload
+
+
+def test_import_roundtrip_reapply(store, spark, tmp_path):
+    """Export -> import -> apply into a FRESH store reproduces the
+    same registry (the reference-user switch-over path)."""
+    from feast_spark.functions.registry_proto import registry_from_proto_bytes
+
+    payload = store.export_registry_proto()
+    objs = registry_from_proto_bytes(payload)
+    assert [type(o).__name__ for o in objs] == ["Entity", "FeatureView"]
+
+    st2 = FeatureStore(
+        spark,
+        RepoConfig(
+            project="t",  # same project: re-export must be byte-identical
+            registry_path=str(tmp_path / "registry2.json"),
+            online_store_path=str(tmp_path / "online2"),
+        ),
+    )
+    st2.apply(objs)
+    e = st2.registry.get_entity("driver")
+    assert (e.join_key, e.value_type) == ("driver_id", ValueType.INT64)
+    v = st2.registry.get_feature_view("stats")
+    assert v.feature_names == ["rate", "tag"]
+    assert v.ttl == timedelta(hours=2)
+    assert v.tags == {"team": "core"}
+    assert v.batch_source.path.endswith("stats.parquet")
+    assert v.batch_source.field_mapping == {"id": "driver_id"}
+    assert v.stream_source.topic == "stats"
+    assert v.stream_source.message_format == "avro"
+    # and the re-exported bytes match the original export exactly
+    assert st2.export_registry_proto() == store.export_registry_proto()
