@@ -78,19 +78,29 @@ def compact(
     from the table's on-disk bytes (cheap: filesystem metadata via the
     input_file listing, no data read)."""
     df = spark.read.parquet(path)
-    # on-disk size via the file index (metadata only)
-    files = df.select(F.input_file_name().alias("f")).distinct().collect()
-    import os
-    from urllib.parse import urlparse
-
+    # on-disk size via the file index (metadata only); the Hadoop
+    # FileSystem API resolves any scheme the cluster does (s3a, gs,
+    # hdfs, file), with a posix fallback for bare local paths
+    files = [r["f"] for r in
+             df.select(F.input_file_name().alias("f")).distinct().collect()]
     total = 0
-    for r in files:
-        p = urlparse(r["f"]).path
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            total = 0
-            break
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        hconf = spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        for f in files:
+            jp = jvm.org.apache.hadoop.fs.Path(f)
+            total += jp.getFileSystem(hconf).getFileStatus(jp).getLen()
+    except Exception:
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(urlparse(f).path)
+            except OSError:
+                total = 0
+                break
     n_parts = max(1, -(-total // (target_file_mb * 1024 * 1024))) if total else 1
     df.repartition(n_parts).write.mode("overwrite").parquet(out_path)
     return len(
