@@ -104,6 +104,26 @@ def main() -> None:
 
     queries["bpe_tokenize"] = q_bpe_tokenize
 
+    # PQ end-to-end over the embeddings table: train codebooks
+    # (bounded sample), encode the corpus (narrow map), ADC top-10 for
+    # 5 queries + exact re-rank of the candidates.
+    def q_pq_search(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from feast_spark.operators.pq import (
+            pq_encode,
+            pq_topk_reranked,
+            pq_train,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_train(emb, m_subspaces=8, k_codes=64, iters=4)
+        codes = pq_encode(emb, books)
+        queries_df = emb.where(F.col("vec_id") < 5)
+        return pq_topk_reranked(emb, codes, queries_df, books, k=10)
+
+    queries["pq_search"] = q_pq_search
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -117,6 +137,7 @@ def main() -> None:
                 "corpus_mix",
                 "weighted_sample",
                 "bpe_tokenize",
+                "pq_search",
             )
             if n in queries
         ]
