@@ -21,6 +21,15 @@ Progressive (SOF2), arithmetic coding, and 12-bit depth raise — those
 genuinely warrant libjpeg.  Reference parity note: the reference
 (gojek/feast v0.11) has no media codecs at all; this exists for the
 training-data pipeline surface (multimodal.py image contracts).
+
+Performance posture, stated honestly: the Huffman entropy decode is a
+per-bit Python loop — correct and dependency-free, but ~100x slower
+than libjpeg; the IDCT/color stages are vectorized numpy.  Fine for
+thumbnails, tests, and moderate-resolution corpus work (Arrow
+batching spreads images across all cores); a production 100 TB image
+pipeline should drop Pillow/libjpeg-turbo into the same
+``decode_jpeg`` slot in ``multimodal.py`` — the Spark-side plumbing
+(schemas, batching, routing) is unchanged by that swap.
 """
 
 from __future__ import annotations

@@ -446,3 +446,20 @@ def with_compression_stats(
         return texts.map(one)
 
     return df.withColumn(out_col, ratio(F.col(text_col)))
+
+
+def url_domain(url: Column) -> Column:
+    """Registrable host of a URL, lowercased — scheme, userinfo, port,
+    path, query stripped; bare hosts (no scheme) handled.  Pure
+    ``regexp_extract``: JVM-side, codegen'd, and expressible in the
+    DuckDB oracle with the same pattern semantics."""
+    host = F.regexp_extract(
+        F.lower(url), r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)", 1
+    )
+    return F.nullif(host, F.lit(""))
+
+
+def with_url_domain(df, url_col: str, out_col: str = "domain"):
+    """df + lowercased host column (the group key for per-domain caps
+    and domain-mix stats — see ``operators.packing.cap_per_group``)."""
+    return df.withColumn(out_col, url_domain(F.col(url_col)))

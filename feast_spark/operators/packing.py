@@ -300,3 +300,41 @@ def corpus_mix(
         .filter(F.col("__cum") <= F.col("__budget"))
         .drop("__ord", "__budget", "__cum", "shard")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_per_group: int,
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``max_per_group`` rows per group — the standard
+    web-corpus curation cap (per-domain document limits, so one
+    crawler-friendly site cannot dominate the training mix; public
+    C4/Gopher-style rule).
+
+    Deterministic selection: rank by ``order_col`` (quality score,
+    token count, ...) descending by default, ties and the no-order
+    case broken by a stable md5 of the id — growth-stable in the sense
+    that re-running on the same rows always keeps the same subset.
+    One hash-partition window on the group key; skewed groups are
+    bounded by the cap itself (everything past rank N is dropped in
+    the same pass)."""
+    if max_per_group < 1:
+        raise ValueError("max_per_group must be >= 1")
+    tie = F.md5(F.concat_ws("\x1f", F.lit("cap"), F.col(id_col).cast("string")))
+    if order_col is None:
+        ordering = [tie.asc()]
+    else:
+        primary = (
+            F.col(order_col).desc() if descending else F.col(order_col).asc()
+        )
+        ordering = [primary, tie.asc()]
+    w = Window.partitionBy(group_col).orderBy(*ordering)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_per_group)
+        .drop("__rk")
+    )

@@ -284,3 +284,45 @@ def test_pack_and_mix_reject_bad_token_counts(spark):
             pack_sequences(bad, "id", "n_tokens", 64).collect()
         with pytest.raises(Exception, match="positive token count"):
             corpus_mix(bad, "id", "n_tokens", "source", {"a": 100}).collect()
+
+
+def test_cap_per_group_quality_order_and_determinism(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.packing import cap_per_group
+
+    rows = [
+        Row(doc_id=i, domain=f"d{i % 3}", score=float((i * 7) % 10))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows)
+    capped = cap_per_group(df, "domain", 4, order_col="score")
+    got = capped.collect()
+    # exactly 4 per domain, and they are the top-4 by score
+    by_dom = {}
+    for r in got:
+        by_dom.setdefault(r["domain"], []).append(r)
+    assert {d: len(v) for d, v in by_dom.items()} == {"d0": 4, "d1": 4, "d2": 4}
+    for d, kept in by_dom.items():
+        all_scores = sorted(
+            (r.score for r in rows if r.domain == d), reverse=True
+        )
+        assert sorted((r["score"] for r in kept), reverse=True) == all_scores[:4]
+    # rerun keeps the identical subset (md5 tie-break, no randomness)
+    again = cap_per_group(df, "domain", 4, order_col="score").collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(r["doc_id"] for r in again)
+
+
+def test_cap_per_group_no_order_is_stable_hash(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.packing import cap_per_group
+
+    df = spark.createDataFrame([Row(doc_id=i, g="x") for i in range(20)])
+    a = sorted(r["doc_id"] for r in cap_per_group(df, "g", 5).collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(df, "g", 5).collect())
+    assert a == b and len(a) == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="max_per_group"):
+        cap_per_group(df, "g", 0)

@@ -251,3 +251,27 @@ def test_compression_ratio_quality_signal(spark):
     assert out[3] > 0.5                     # hex noise: poorly compressible
     assert out[4] is None and out[5] is None
     assert out[1] < out[2] < out[3]
+
+
+def test_url_domain_extraction(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.functions.text import with_url_domain
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, url="https://www.Example.com/page?q=1"),
+            Row(id=2, url="http://user:pw@example.org:8080/x"),
+            Row(id=3, url="example.org/path"),
+            Row(id=4, url="ftp://sub.example.org/f#frag"),
+            Row(id=5, url=""),
+        ]
+    )
+    got = {r["id"]: r["domain"] for r in with_url_domain(df, "url").collect()}
+    assert got == {
+        1: "www.example.com",
+        2: "example.org",
+        3: "example.org",
+        4: "sub.example.org",
+        5: None,
+    }
