@@ -463,3 +463,36 @@ def with_url_domain(df, url_col: str, out_col: str = "domain"):
     """df + lowercased host column (the group key for per-domain caps
     and domain-mix stats — see ``operators.packing.cap_per_group``)."""
     return df.withColumn(out_col, url_domain(F.col(url_col)))
+
+
+def html_to_text(html: Column) -> Column:
+    """Strip HTML to visible text with a chain of JVM regexp passes:
+    drop script/style/comment blocks, turn block-level closers into
+    newlines, remove remaining tags, decode the common entities, and
+    collapse runs of blank lines/spaces.  Not a browser — a corpus
+    ingestion heuristic (the shape CCNet/C4 apply before quality
+    filtering); pages needing real DOM semantics deserve an external
+    extractor upstream."""
+    t = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)</(p|div|h[1-6]|li|tr|table|ul|ol|blockquote|section|article)>",
+        "\n",
+    )
+    t = F.regexp_replace(t, r"(?i)<br\s*/?>", "\n")
+    t = F.regexp_replace(t, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.regexp_replace(t, r"[ \t\x0B\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{2,}", "\n")
+    # Spark trim() strips spaces only; take newlines off the ends too
+    return F.regexp_replace(F.trim(t), r"^\n+|\n+$", "")
+
+
+def with_extracted_text(df, html_col: str, out_col: str = "text"):
+    """df + extracted-visible-text column."""
+    return df.withColumn(out_col, html_to_text(F.col(html_col)))

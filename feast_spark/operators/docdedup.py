@@ -756,3 +756,95 @@ def simhash_pairs(
         .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
     )
+
+
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    min_occurrences: int = 3,
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """(line_hash, n_docs) for lines appearing in >= min_occurrences
+    DISTINCT documents — the boilerplate set (nav bars, cookie
+    banners, license footers) that cross-document line dedup removes
+    (the public C4/Gopher "repeated lines" rule).
+
+    One explode + hash-aggregate: map-side partial combine means the
+    shuffle carries distinct (line_hash) pairs, and the output is
+    tiny by construction (only lines crossing the threshold).  Short
+    lines are exempt below ``min_line_chars`` — single words repeat
+    naturally and carry no boilerplate signal."""
+    # doc id must be stamped BEFORE the explode: inside the same
+    # projection monotonically_increasing_id() would evaluate once per
+    # exploded row, making every line look like its own document
+    base = df.select(
+        F.monotonically_increasing_id().alias("__doc"), F.col(text_col)
+    )
+    lines = base.select(
+        "__doc",
+        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    ).select("__doc", F.trim("__line").alias("__line"))
+    eligible = lines.where(F.length("__line") >= min_line_chars)
+    return (
+        eligible.select("__doc", F.md5("__line").alias("line_hash"))
+        .distinct()  # count DOCS containing the line, not occurrences
+        .groupBy("line_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_occurrences)
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 3,
+    min_line_chars: int = 10,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove boilerplate lines (those in >= min_occurrences distinct
+    docs) from every document, preserving the order and spacing of
+    what remains.
+
+    Scale shape: the frequent-line set is computed once (one shuffle,
+    output bounded by actual boilerplate) and then BROADCAST — the
+    corpus side explodes to lines, left-anti joins the broadcast set,
+    and reassembles per document with a bounded collect (lines of ONE
+    doc, ordered by position).  The 100 TB corpus shuffles once, on
+    doc id, for the reassembly."""
+    out_col = out_col or text_col
+    boiler = frequent_lines(
+        df, text_col, min_occurrences=min_occurrences,
+        min_line_chars=min_line_chars,
+    ).select("line_hash")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    )
+    kept = lines.join(
+        F.broadcast(boiler),
+        F.md5(F.trim("__line")) == F.col("line_hash"),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("__pos", "__line"))
+            ).alias("__ordered")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("__ordered", lambda s: s["__line"]), "\n"
+            ).alias(out_col),
+        )
+    )
+    if out_col == text_col:
+        base = df.drop(text_col)
+    else:
+        base = df
+    # docs whose every line was boilerplate come back as empty strings
+    return base.join(rebuilt, on=id_col, how="left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(""))
+    )

@@ -247,3 +247,59 @@ def test_oph_identical_docs_identical_signatures(spark):
     }
     assert sig[1] == sig[2]
     assert sig[1] != sig[3]
+
+
+def test_dedup_lines_removes_cross_doc_boilerplate(spark):
+    """Lines repeated across >=3 docs vanish; unique content and line
+    order survive; all-boilerplate docs come back empty."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import dedup_lines, frequent_lines
+
+    footer = "(c) 2021 ExampleCorp - all rights reserved"
+    nav = "home | products | contact us today"
+    docs = [
+        Row(doc_id=1, text=f"{nav}\nunique alpha content here\n{footer}"),
+        Row(doc_id=2, text=f"{nav}\nunique beta content here\n{footer}"),
+        Row(doc_id=3, text=f"{nav}\nunique gamma content here\n{footer}"),
+        Row(doc_id=4, text=f"{nav}\n{footer}"),
+        Row(doc_id=5, text="entirely unique document text"),
+    ]
+    df = spark.createDataFrame(docs)
+    freq = frequent_lines(df, min_occurrences=3).collect()
+    assert len(freq) == 2  # nav + footer
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df).collect()}
+    assert out[1] == "unique alpha content here"
+    assert out[2] == "unique beta content here"
+    assert out[3] == "unique gamma content here"
+    assert out[4] == ""  # everything was boilerplate
+    assert out[5] == "entirely unique document text"
+
+
+def test_dedup_lines_short_lines_exempt_and_order_kept(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import dedup_lines
+
+    # "yes" repeats everywhere but is under min_line_chars: kept
+    docs = [
+        Row(doc_id=i, text=f"yes\nline alpha {i}\nshared boilerplate line\nline beta {i}")
+        for i in range(5)
+    ]
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_lines(spark.createDataFrame(docs)).collect()}
+    for i in range(5):
+        assert out[i] == f"yes\nline alpha {i}\nline beta {i}"
+
+
+def test_dedup_lines_count_is_per_document(spark):
+    """A line repeated many times INSIDE one doc doesn't count as
+    cross-document boilerplate."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import frequent_lines
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="repeated inside only\n" * 10 + "tail line here")]
+    )
+    assert frequent_lines(df, min_occurrences=3).count() == 0

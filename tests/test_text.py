@@ -275,3 +275,28 @@ def test_url_domain_extraction(spark):
         4: "sub.example.org",
         5: None,
     }
+
+
+def test_html_to_text_extraction(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.functions.text import with_extracted_text
+
+    html = (
+        "<html><head><style>p{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><h1>Title</h1><p>Hello &amp; welcome to the <b>site</b>.</p>"
+        "<!-- hidden comment --><div>Second&nbsp;block</div>"
+        "<ul><li>one</li><li>two</li></ul></body></html>"
+    )
+    out = with_extracted_text(
+        spark.createDataFrame([Row(id=1, html=html)]), "html"
+    ).collect()[0]["text"]
+    assert out.splitlines()[0] == "Title"
+    assert "Hello & welcome to the site" in out
+    assert "not text" not in out          # script content dropped
+    assert "hidden comment" not in out    # comments dropped
+    assert "color:red" not in out         # style dropped
+    assert "Second block" in out          # entity decoded
+    assert out.splitlines()[-2:] == ["one", "two"]
+    assert not out.startswith("\n") and not out.endswith("\n")
