@@ -53,6 +53,11 @@ class CorpusConfig:
     id_col: str = "doc_id"
     text_col: str = "text"
     source_col: str = "source"
+    # ingestion: strip HTML to visible text before anything else
+    html_input: bool = False
+    # cross-document boilerplate: remove lines present in >= this many
+    # distinct docs (None = skip the stage)
+    boilerplate_min_docs: int | None = None
     # filter gates
     min_quality: float = 0.5
     min_tokens: int = 10
@@ -104,6 +109,25 @@ def build_corpus(
         return df
 
     _mark("input", docs)
+
+    # 0. ingestion normalization: HTML -> visible text (narrow), then
+    # cross-document boilerplate-line removal (its own bounded
+    # frequent-line aggregate + one doc-id shuffle) — both BEFORE
+    # featurization so quality/lang/dedup see the real prose
+    if c.html_input:
+        from feast_spark.functions.text import with_extracted_text
+
+        docs = with_extracted_text(docs, c.text_col, out_col=c.text_col)
+    if c.boilerplate_min_docs is not None:
+        from feast_spark.operators.docdedup import dedup_lines
+
+        docs = _mark(
+            "line_dedup",
+            dedup_lines(
+                docs, c.id_col, c.text_col,
+                min_occurrences=c.boilerplate_min_docs,
+            ),
+        )
 
     # 1. featurize + filter (narrow, pre-shuffle)
     scored = with_lang_id(

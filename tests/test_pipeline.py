@@ -92,3 +92,48 @@ def test_pipeline_lang_gate(spark, docs):
     cfg = CorpusConfig(near_dedup=False, langs=("en",))
     out = build_corpus(docs, config=cfg)
     assert out.filter(F.col("lang_pred") != "en").count() == 0
+
+
+def test_pipeline_html_and_boilerplate_stages(spark):
+    """html_input extracts prose before featurization; the boilerplate
+    stage removes cross-doc repeated lines before quality gating."""
+    from pyspark.sql import Row
+
+    from feast_spark.pipelines.corpus import CorpusConfig, build_corpus
+
+    footer = "subscribe to our newsletter for weekly updates today"
+    body = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps in the warm sun for a while longer than usual"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=(
+                    f"<html><body><p>{body} variant {i}</p>"
+                    f"<div>{footer}</div></body></html>"
+                ),
+                source="web",
+            )
+            for i in range(6)
+        ]
+    )
+    out, report = build_corpus(
+        docs,
+        config=CorpusConfig(
+            html_input=True,
+            boilerplate_min_docs=3,
+            min_quality=0.0,
+            min_tokens=5,
+            near_dedup=False,
+        ),
+        report=True,
+    )
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert "<p>" not in r["text"] and "<html>" not in r["text"]
+        assert footer not in r["text"]          # boilerplate line removed
+        assert "quick brown fox" in r["text"]   # prose kept
+    assert report["line_dedup"] == 6
