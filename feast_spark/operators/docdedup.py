@@ -801,6 +801,7 @@ def dedup_lines(
     min_occurrences: int = 3,
     min_line_chars: int = 10,
     out_col: str | None = None,
+    max_boilerplate_lines: int | None = 1_000_000,
 ) -> DataFrame:
     """Remove boilerplate lines (those in >= min_occurrences distinct
     docs) from every document, preserving the order and spacing of
@@ -811,12 +812,20 @@ def dedup_lines(
     corpus side explodes to lines, left-anti joins the broadcast set,
     and reassembles per document with a bounded collect (lines of ONE
     doc, ordered by position).  The 100 TB corpus shuffles once, on
-    doc id, for the reassembly."""
+    doc id, for the reassembly.  ``max_boilerplate_lines`` hard-bounds
+    the broadcast (the MOST-repeated lines win via TakeOrdered —
+    exactly the ones worth removing); None lifts the cap at
+    broadcast-size risk."""
     out_col = out_col or text_col
     boiler = frequent_lines(
         df, text_col, min_occurrences=min_occurrences,
         min_line_chars=min_line_chars,
-    ).select("line_hash")
+    )
+    if max_boilerplate_lines is not None:
+        boiler = boiler.orderBy(
+            F.desc("n_docs"), F.asc("line_hash")
+        ).limit(max_boilerplate_lines)
+    boiler = boiler.select("line_hash")
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
