@@ -54,8 +54,10 @@ def parse_avi(payload: bytes) -> dict:
     bit_count = None
     frames: list[bytes] = []
 
+    in_video_stream = False
+
     def walk(start: int, end: int):
-        nonlocal width, height, fps, codec, bit_count
+        nonlocal width, height, fps, codec, bit_count, in_video_stream
         for fourcc, p, size in _riff_chunks(payload, start, end):
             if fourcc == b"LIST":
                 walk(p + 4, p + size)  # skip the list-type fourcc
@@ -65,7 +67,12 @@ def parse_avi(payload: bytes) -> dict:
                     fps = 1_000_000 / us_per_frame
                 width, height = struct.unpack("<II", payload[p + 32 : p + 40])
             elif fourcc == b"strh" and size >= 8:
-                if payload[p : p + 4] == b"vids":
+                # an strf belongs to the stream whose strh preceded it;
+                # only a 'vids' strf is a BITMAPINFOHEADER (an audio
+                # stream's strf is WAVEFORMATEX and must not be parsed
+                # as video)
+                in_video_stream = payload[p : p + 4] == b"vids"
+                if in_video_stream:
                     handler = payload[p + 4 : p + 8].strip(b"\x00 ").upper()
                     if handler in (b"MJPG", b"MJPEG"):
                         codec = "mjpeg"
@@ -73,7 +80,7 @@ def parse_avi(payload: bytes) -> dict:
                         codec = "dib"
                     else:
                         codec = handler.decode("ascii", "replace").lower()
-            elif fourcc == b"strf" and size >= 20 and codec != "audio":
+            elif fourcc == b"strf" and size >= 20 and in_video_stream:
                 # BITMAPINFOHEADER: biCompression at +16, biBitCount at +14
                 (bit_count,) = struct.unpack("<H", payload[p + 14 : p + 16])
                 (compression,) = struct.unpack("<I", payload[p + 16 : p + 20])

@@ -220,7 +220,7 @@ def _str_map(d: dict | None) -> list[dict]:
     return [{"key": k, "value": v} for k, v in sorted((d or {}).items())]
 
 
-def _source_dict(src, project: str) -> dict | None:
+def _source_dict(src) -> dict | None:
     if src is None:
         return None
     kind = type(src).__name__
@@ -305,9 +305,9 @@ def registry_to_proto_bytes(
                     ],
                     "tags": _str_map(v.tags),
                     "ttl": ttl,
-                    "batch_source": _source_dict(v.batch_source, project),
+                    "batch_source": _source_dict(v.batch_source),
                     "online": v.online or None,  # proto3: false is absent
-                    "stream_source": _source_dict(v.stream_source, project),
+                    "stream_source": _source_dict(v.stream_source),
                 },
                 "meta": {
                     "materialization_intervals": [

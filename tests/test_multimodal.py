@@ -841,3 +841,36 @@ def test_extract_audio_spectral_spark(spark):
     assert len(out[1]["bands"]) == 8
     assert out[2]["bands"] is None      # not WAV: NULL features
     assert out[3]["bands"] is None
+
+
+def test_avi_with_audio_stream_parses_video_codec():
+    """An audio strl (whose strf is WAVEFORMATEX, not a bitmap header)
+    must not clobber the video codec detection."""
+    import struct
+
+    from feast_spark.functions.avi import decode_avi_frames, encode_avi, parse_avi
+
+    frames = _avi_frames(n=2)
+    blob = encode_avi(frames, codec="mjpeg")
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    # audio strl: strh('auds') + WAVEFORMATEX strf (16kHz mono pcm)
+    strh = b"auds" + b"\x00" * 52
+    strf = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16) + b"\x00" * 8
+    audio_strl = chunk(b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf))
+    # splice the audio strl just after hdrl's avih, BEFORE video strl
+    i = blob.find(b"LIST", 12)          # hdrl LIST header
+    j = blob.find(b"LIST", i + 8)       # video strl LIST inside hdrl
+    spliced = bytearray(blob)
+    spliced[j:j] = audio_strl
+    # grow the two enclosing sizes (RIFF at 4, hdrl LIST at i+4)
+    for off in (4, i + 4):
+        (old,) = struct.unpack_from("<I", spliced, off)
+        struct.pack_into("<I", spliced, off, old + len(audio_strl))
+    info = parse_avi(bytes(spliced))
+    assert info["codec"] == "mjpeg"      # not overwritten by audio strf
+    assert len(info["frames"]) == 2
+    assert len(decode_avi_frames(bytes(spliced))) == 2
