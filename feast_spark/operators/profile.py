@@ -22,11 +22,11 @@ to value-level statistics.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
 
-__all__ = ["profile_table"]
+__all__ = ["profile_table", "psi_drift"]
 
 
 def _null_of(dtype: str) -> Column:
@@ -95,3 +95,90 @@ def profile_table(
         for c in cols
     ]
     return one.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def psi_drift(
+    reference: DataFrame,
+    current: DataFrame,
+    columns: list[str],
+    n_buckets: int = 10,
+    epsilon: float = 1e-6,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Population Stability Index per numeric column between a
+    reference table (e.g. training-time feature distribution) and a
+    current one (serving-time) — the standard drift monitor
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 action).
+
+    The reference (feast v0.11) has no data-quality surface; this
+    completes the store with the monitor production deployments bolt
+    on.  Shape:
+
+    - bucket edges = approx quantiles of the REFERENCE side (one pass,
+      Greenwald-Khanna sketch, mergeable map-side);
+    - each side then aggregates bucket counts in ONE wide pass over
+      all columns (a CASE cascade per column — codegen'd, no Python);
+    - PSI folds over the (n_buckets)-row-per-column count frame.
+
+    Output: (column, psi, n_ref, n_cur) — one row per column."""
+    if not columns:
+        raise ValueError("columns list is empty")
+    # quantile edges from the reference distribution
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    edges_per_col = {
+        c: qs
+        for c, qs in zip(
+            columns,
+            reference.approxQuantile(columns, probs, relative_error),
+        )
+    }
+
+    def bucket_expr(c: str) -> Column:
+        edges = edges_per_col[c]
+        expr = F.lit(len(edges))  # top bucket
+        for i in range(len(edges) - 1, -1, -1):
+            expr = F.when(F.col(c) <= F.lit(edges[i]), F.lit(i)).otherwise(expr)
+        return F.when(F.col(c).isNull(), F.lit(-1)).otherwise(expr)
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        bucketed = df.select(
+            *[bucket_expr(c).alias(f"__b_{c}") for c in columns]
+        )
+        # one wide agg: per column, a map bucket -> count via the
+        # explode-of-structs unpivot used by profile_table
+        aggs = []
+        for c in columns:
+            aggs.extend(
+                F.sum(F.when(F.col(f"__b_{c}") == b, 1).otherwise(0)).alias(
+                    f"__{c}__{b}"
+                )
+                for b in range(-1, n_buckets)
+            )
+        one = bucketed.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(b).alias("bucket"),
+                F.col(f"__{c}__{b}").alias(side),
+            )
+            for c in columns
+            for b in range(-1, n_buckets)
+        ]
+        return one.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+    ref_counts = counts(reference, "n_ref")
+    cur_counts = counts(current, "n_cur")
+    joined = ref_counts.join(cur_counts, ["column", "bucket"])
+    tot = Window.partitionBy("column")
+    pa = (F.col("n_ref") + epsilon) / (F.sum("n_ref").over(tot) + epsilon)
+    pb = (F.col("n_cur") + epsilon) / (F.sum("n_cur").over(tot) + epsilon)
+    per_bucket = (pa - pb) * (F.log(pa) - F.log(pb))
+    return (
+        joined.withColumn("__psi", per_bucket)
+        .groupBy("column")
+        .agg(
+            F.sum("__psi").alias("psi"),
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+        )
+    )
