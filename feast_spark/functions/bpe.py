@@ -268,3 +268,26 @@ def bpe_token_count(
     ``text.bpe_ish_token_count``'s proxy)."""
     enc = encode_bpe(df, text_col, model, out_col="__toks", ids_col=None)
     return enc.withColumn(out_col, F.size("__toks")).drop("__toks")
+
+
+def save_model(model: BPEModel, path: str) -> None:
+    """Persist merges + vocab as JSON (registry-friendly: plain text,
+    diffable, no pickle)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {"merges": [list(m) for m in model.merges], "vocab": model.vocab},
+            f,
+        )
+
+
+def load_model(path: str) -> BPEModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return BPEModel(
+        merges=tuple((a, b) for a, b in d["merges"]),
+        vocab={k: int(v) for k, v in d["vocab"].items()},
+    )

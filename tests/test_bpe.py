@@ -136,3 +136,16 @@ def test_training_plan_single_shuffle(corpus_df):
     plan = explain_formatted(counts)
     assert "HashAggregate" in plan
     assert "TakeOrderedAndProject" in plan  # never a full sort
+
+
+def test_model_save_load_roundtrip(model, tmp_path, corpus_df):
+    from feast_spark.functions.bpe import load_model, save_model
+
+    path = str(tmp_path / "bpe.json")
+    save_model(model, path)
+    loaded = load_model(path)
+    assert loaded.merges == model.merges
+    assert loaded.vocab == model.vocab
+    a = encode_bpe(corpus_df, "text", model).collect()
+    b = encode_bpe(corpus_df, "text", loaded).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
