@@ -545,6 +545,31 @@ class FeatureStore:
             wire.write.mode("overwrite").parquet(path)
         return wire
 
+    def expire_online_features(
+        self, now: datetime | None = None, views: list[str] | None = None
+    ) -> dict[str, int]:
+        """TTL sweep across feature views: for every view with a ttl,
+        drop online rows whose event_ts fell out of the serving window
+        (event_ts < now - ttl).  Reads already ignore such rows (they
+        surface as OUTSIDE_MAX_AGE / misses); this reclaims the
+        storage.  Backends without a sweep primitive (redis relies on
+        key TTLs; cloud KVs on native TTL attributes) are skipped.
+        Returns {view_name: rows_expired}."""
+        now = now or datetime.utcnow()
+        out: dict[str, int] = {}
+        expire = getattr(self.online_store, "expire", None)
+        if expire is None:
+            return out
+        for view in self.registry.list_feature_views():
+            if view.ttl is None:
+                continue
+            if views is not None and view.name not in views:
+                continue
+            out[view.name] = expire(
+                self.spark, self.config.project, view.name, now - view.ttl
+            )
+        return out
+
     def export_registry_proto(self, path: str | None = None) -> bytes:
         """The registry as reference-compatible ``feast.core.Registry``
         protobuf bytes (Registry.proto; the reference's ``feast

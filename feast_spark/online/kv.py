@@ -247,6 +247,22 @@ class SqliteOnlineStore:
     def online_read(self, *args, **kwargs) -> DataFrame:
         return _read_via_lookup(self, *args, **kwargs)
 
+    def expire(self, spark, project: str, view_name: str, cutoff) -> int:
+        """TTL sweep: one indexed DELETE of rows older than ``cutoff``
+        (storage reclaim; mirrors OnlineStore.expire).  Returns the
+        number of rows removed."""
+        tid = _table_id(project, view_name)
+        conn = self._get_conn()
+        cutoff_us = int(cutoff.timestamp() * 1_000_000)
+        with conn:
+            try:
+                cur = conn.execute(
+                    f'DELETE FROM "{tid}" WHERE event_us < ?', (cutoff_us,)
+                )
+            except Exception:
+                return 0  # table never materialized
+            return cur.rowcount
+
     def teardown(self, project: str, view_names: list[str] | None = None) -> None:
         """DROP the project's tables (sqlite.py teardown: DROP TABLE)."""
         conn = self._get_conn()

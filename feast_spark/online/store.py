@@ -176,6 +176,40 @@ class OnlineStore:
         )
         self._gc(table_dir, version)
 
+    def expire(
+        self,
+        spark: SparkSession,
+        project: str,
+        view_name: str,
+        cutoff,
+    ) -> int:
+        """TTL sweep: drop rows with event_ts older than ``cutoff``,
+        committed as a new snapshot through the same manifest-flip
+        protocol as writes (readers never see a partial sweep; a
+        crashed sweep leaves only an orphan the next commit numbers
+        past).  Returns the number of expired rows.  The reference
+        relies on each read filtering by ttl — this reclaims the
+        storage too."""
+        current = self._current_data_path(project, view_name)
+        if current is None:
+            return 0
+        existing = spark.read.parquet(current)
+        live = existing.where(F.col(_EVENT_TS) >= F.lit(cutoff))
+        n_expired = existing.count() - live.count()
+        if n_expired == 0:
+            return 0
+        table_dir = self._table_dir(project, view_name)
+        version = self._next_version(table_dir)
+        live.write.mode("errorifexists").parquet(
+            posixpath.join(table_dir, version)
+        )
+        manifest = json.dumps({"current": version, "format": "parquet"})
+        self.fs.write_bytes_atomic(
+            self._manifest_path(table_dir), manifest.encode()
+        )
+        self._gc(table_dir, version)
+        return n_expired
+
     def teardown(self, project: str, view_names: list[str] | None = None) -> None:
         """Drop online state (provider.teardown_infra,
         infra/local.py): the whole project dir, or named view tables."""

@@ -285,3 +285,66 @@ def test_redis_teardown_fake_client(spark, tmp_path):
     assert _read(store, spark, [1])[1]["value"] == pytest.approx(1.0)
     store.teardown("p")
     assert _read(store, spark, [1])[1]["value"] is None
+
+
+def test_ttl_expiry_sweep_parquet_and_sqlite(spark, tmp_path):
+    """expire_online_features reclaims storage for rows outside the
+    ttl window on both the parquet-snapshot and sqlite backends; fresh
+    rows and reads survive the sweep."""
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+    )
+
+    now = _ts("2021-06-10T12:00:00")
+    rows = [
+        Row(driver_id=1, value=1.0, ts=now - timedelta(days=30)),  # stale
+        Row(driver_id=2, value=2.0, ts=now - timedelta(hours=1)),  # fresh
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows).write.parquet(src)
+
+    for kind, path in [
+        ("parquet", str(tmp_path / "online")),
+        ("sqlite", str(tmp_path / "online.db")),
+    ]:
+        st = FeatureStore(
+            spark,
+            RepoConfig(
+                project="t",
+                registry_path=str(tmp_path / f"reg_{kind}.json"),
+                online_store_path=path,
+                online_store_type=kind,
+            ),
+        )
+        st.apply(
+            [
+                Entity(name="driver", join_key="driver_id",
+                       value_type=ValueType.INT64),
+                FeatureView(
+                    name="fv",
+                    entities=["driver"],
+                    ttl=timedelta(days=5),
+                    batch_source=FileSource(path=src,
+                                            event_timestamp_column="ts"),
+                ),
+            ]
+        )
+        st.materialize(now - timedelta(days=60), now)
+        swept = st.expire_online_features(now=now)
+        assert swept == {"fv": 1}, kind
+        # fresh row still serves; stale key is now a miss at the store
+        got = st.online_store.online_read(
+            spark, "t", "fv",
+            spark.createDataFrame([Row(driver_id=1), Row(driver_id=2)]),
+            ["driver_id"], ["value"],
+        ).collect()
+        by_id = {r["driver_id"]: r for r in got}
+        assert by_id[2]["value"] == pytest.approx(2.0)
+        assert by_id[1]["__found"] is False
+        # idempotent: second sweep finds nothing
+        assert st.expire_online_features(now=now) == {"fv": 0}
