@@ -86,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("end")
     sp.add_argument("--views", nargs="*", default=None)
 
+    sp = sub.add_parser(
+        "expire-online",
+        help="TTL sweep: reclaim online rows older than each view's ttl",
+    )
+    sp.add_argument("--now", default=None,
+                    help="ISO timestamp to expire against (default: now)")
+
     sub.add_parser("entities", help="list registry entities")
     sub.add_parser("feature-views", help="list registry feature views")
     sub.add_parser("registry-dump", help="print the raw registry JSON")
@@ -121,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
         end = datetime.fromisoformat(args.end)
         store.materialize_incremental(end, args.views)
         print(f"materialized incrementally up to {end}")
+        return 0
+    if args.cmd == "expire-online":
+        store = _store(args)
+        now = datetime.fromisoformat(args.now) if args.now else None
+        swept = store.expire_online_features(now=now)
+        for view, n in sorted(swept.items()):
+            print(f"{view}\texpired={n}")
         return 0
     if args.cmd == "entities":
         store = _store(args)

@@ -70,3 +70,56 @@ def test_registry_dump_and_teardown(tmp_path, capsys):
     assert payload["entities"][0]["name"] == "driver"
     assert main(base + ["teardown"]) == 0
     assert not os.path.exists(reg)
+
+
+def test_cli_expire_online(spark, tmp_path, monkeypatch):
+    """expire-online sweeps stale rows through the CLI path."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    import feast_spark.cli as cli
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+    )
+
+    now = datetime(2021, 6, 10, 12)
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [Row(driver_id=1, value=1.0, ts=now - timedelta(days=30)),
+         Row(driver_id=2, value=2.0, ts=now - timedelta(hours=1))]
+    ).write.parquet(src)
+    cfg = RepoConfig(
+        project="t",
+        registry_path=str(tmp_path / "r.json"),
+        online_store_path=str(tmp_path / "online.db"),
+        online_store_type="sqlite",
+    )
+    st = FeatureStore(spark, cfg)
+    st.apply([
+        Entity(name="driver", join_key="driver_id", value_type=ValueType.INT64),
+        FeatureView(name="fv", entities=["driver"], ttl=timedelta(days=5),
+                    batch_source=FileSource(path=src, event_timestamp_column="ts")),
+    ])
+    st.materialize(now - timedelta(days=60), now)
+
+    monkeypatch.setattr(cli, "_store", lambda args: st)
+    rc = cli.main([
+        "--registry", cfg.registry_path, "expire-online",
+        "--now", now.isoformat(),
+    ])
+    assert rc == 0
+    # stale row gone, fresh row still served
+    got = st.online_store.online_read(
+        spark, "t", "fv",
+        spark.createDataFrame([Row(driver_id=1), Row(driver_id=2)]),
+        ["driver_id"], ["value"],
+    ).collect()
+    by_id = {r["driver_id"]: r for r in got}
+    assert by_id[1]["__found"] is False
+    assert by_id[2]["value"] == 2.0
