@@ -75,7 +75,8 @@ def to_webdataset_shards(
         work = df
         shard_field = shard_col
     sel = work.select(
-        F.col(shard_field).alias("__shard"),
+        # cast: user-supplied shard columns may be int/short/string
+        F.col(shard_field).cast("long").alias("__shard"),
         F.col(key_col).cast("string").alias("__key"),
         *[F.col(c) for c in columns],
     )
