@@ -131,10 +131,17 @@ def write_webdataset(
     shard_col: str | None = None,
 ) -> list[str]:
     """Write ``shard-NNNNNN.tar`` files under ``out_dir`` (a shared or
-    local filesystem path reachable from the driver).  Returns the
-    written paths.  Shards stream to the driver one row at a time
-    (toLocalIterator) — driver memory holds ONE shard, not the
-    dataset."""
+    local filesystem path reachable from the driver), plus a
+    ``_manifest.json`` recording per-shard md5/byte-size/sample-count.
+    Returns the written tar paths.  Shards stream to the driver one
+    row at a time (toLocalIterator) — driver memory holds ONE shard,
+    not the dataset.
+
+    Because shard bytes are reproducible (sorted keys, zeroed mtimes),
+    the manifest md5s double as a cheap incremental-re-export check:
+    regenerate, compare manifests, re-upload only changed shards."""
+    import hashlib
+    import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -142,11 +149,20 @@ def write_webdataset(
         df, columns, key_col=key_col, n_shards=n_shards, shard_col=shard_col
     )
     paths = []
+    manifest: dict[str, dict] = {}
     for row in shards.toLocalIterator():
-        path = os.path.join(out_dir, f"shard-{int(row['shard']):06d}.tar")
-        with open(path, "wb") as f:
-            f.write(bytes(row["tar_bytes"]))
-        paths.append(path)
+        name = f"shard-{int(row['shard']):06d}.tar"
+        blob = bytes(row["tar_bytes"])
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(blob)
+        manifest[name] = {
+            "md5": hashlib.md5(blob).hexdigest(),
+            "n_bytes": len(blob),
+            "n_samples": int(row["n_samples"]),
+        }
+        paths.append(os.path.join(out_dir, name))
+    with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
+        json.dump(dict(sorted(manifest.items())), f, indent=1, sort_keys=True)
     return sorted(paths)
 
 

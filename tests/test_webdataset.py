@@ -122,3 +122,28 @@ def test_validation_errors(docs):
         to_webdataset_shards(docs, {"nope": ".txt"})
     with pytest.raises(ValueError, match="empty"):
         to_webdataset_shards(docs, {})
+
+
+def test_manifest_written_and_stable(docs, tmp_path):
+    """_manifest.json records md5/bytes/samples per shard, and a
+    re-export of the same data produces the identical manifest — the
+    incremental-re-export check."""
+    import hashlib
+    import json
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    paths = write_webdataset(docs, d1, COLS, n_shards=3)
+    with open(f"{d1}/_manifest.json") as f:
+        m1 = json.load(f)
+    assert sorted(m1) == ["shard-000000.tar", "shard-000001.tar",
+                          "shard-000002.tar"]
+    assert sum(e["n_samples"] for e in m1.values()) == 40
+    for p in paths:
+        with open(p, "rb") as f:
+            blob = f.read()
+        entry = m1[p.rsplit("/", 1)[-1]]
+        assert entry["md5"] == hashlib.md5(blob).hexdigest()
+        assert entry["n_bytes"] == len(blob)
+    write_webdataset(docs, d2, COLS, n_shards=3)
+    with open(f"{d2}/_manifest.json") as f:
+        assert json.load(f) == m1
