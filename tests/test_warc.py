@@ -102,3 +102,29 @@ def test_warc_to_corpus_pipeline(spark, tmp_path):
     )
     row = extracted.collect()[0]
     assert row["text"] == "Hello wörld"  # markup stripped, charset kept
+
+
+def test_warc_parser_never_crashes_on_garbage():
+    """Corpus ingestion sees malformed bytes constantly: the parser
+    must yield fewer records, never raise."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(payload=st.binary(max_size=400))
+    def run(payload):
+        list(parse_warc_bytes(payload))
+
+    run()
+
+
+def test_warc_parser_survives_corrupted_valid_stream():
+    """Flipping bytes inside a real WARC.gz degrades gracefully."""
+    base = bytearray(write_warc(RECORDS))
+    for pos in (0, 5, len(base) // 2, len(base) - 3):
+        mutated = bytearray(base)
+        mutated[pos] ^= 0xFF
+        got = list(parse_warc_bytes(bytes(mutated)))  # must not raise
+        assert len(got) <= 2
+    # truncation at any prefix also parses cleanly
+    for cut in (1, 10, len(base) // 2):
+        assert len(list(parse_warc_bytes(bytes(base[:cut])))) <= 2
