@@ -288,3 +288,82 @@ def pq_topk_reranked(
         F.col("__t.neighbor_id").alias("neighbor_id"),
         F.col("__t.cos").alias("cos"),
     )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+    cell_col: str = "cell",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS-IVFPQ shape as relational ops:
+    the coarse quantizer prunes WHICH rows get scored (only rows in a
+    query's ``n_probe`` nearest cells), PQ-ADC decides HOW CHEAPLY
+    each survivor is scored (M table lookups, no float vectors).
+
+    ``codes_df`` must carry both a ``cell_col`` (from
+    ``similarity.assign_nearest`` over the same centroids) and PQ
+    codes (from :func:`pq_encode`).  The probed-cell filter is an
+    isin over the union of all queries' probe sets (queries are few
+    and broadcast by contract), so the corpus scan drops
+    ~(1 - n_probe/n_cells) of rows BEFORE any ADC arithmetic; each
+    query's ADC table then also masks per-query off-probe rows so
+    results match plain ``pq_topk`` restricted to the probed cells."""
+    from feast_spark.operators.similarity import probe_cells
+
+    q_probe = {
+        r["qid"]: list(r["cells"])
+        for r in queries.select(
+            F.col(id_col).alias("qid"),
+            probe_cells(F.col(vec_col), centroids, n_probe).alias("cells"),
+        ).collect()
+    }
+    all_cells = sorted({c for cells in q_probe.values() for c in cells})
+    pruned = codes_df.where(F.col(cell_col).isin(all_cells))
+
+    # per-query ADC over the pruned corpus; mask rows outside the
+    # query's own probe set by joining candidates back to cells
+    cand = pq_topk(
+        pruned.select(id_col, codes_col),
+        queries,
+        codebooks,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+        # over-fetch: union-of-probes rows may belong to other queries'
+        # cells; final per-query filter + top-k trims back to k
+        k=k * max(1, len(all_cells) // max(1, n_probe)),
+    )
+    # candidates (queries x k', small) BROADCAST against the streamed
+    # pruned-cell frame — never the corpus-wide id->cell map
+    pruned_cells = pruned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("__cell")
+    )
+    probe_rows = [
+        (qid, c) for qid, cs in q_probe.items() for c in cs
+    ]
+    probes_df = queries.sparkSession.createDataFrame(
+        probe_rows, ["query_id", "__cell"]
+    )
+    filtered = pruned_cells.join(F.broadcast(cand), "neighbor_id").join(
+        F.broadcast(probes_df), ["query_id", "__cell"]
+    )
+    ranked = filtered.groupBy("query_id").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("adc_dist", "neighbor_id"))),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return ranked.select("query_id", F.explode("__top").alias("__t")).select(
+        "query_id",
+        F.col("__t.neighbor_id").alias("neighbor_id"),
+        F.col("__t.adc_dist").alias("adc_dist"),
+    )

@@ -126,3 +126,49 @@ def test_reranked_matches_exact_topk(spark, corpus, books):
         # the top-5 of (self + exact list)
         want = ([qid] + exact_by_q[qid])[:5]
         assert set(by_q[qid]) == set(want), f"query {qid}"
+
+
+def test_ivfpq_matches_pq_within_probed_cells(spark, corpus, books):
+    """IVF+PQ returns the same neighbors plain PQ-ADC would find when
+    restricted to the query's probed cells — pruning without silent
+    result corruption; with all cells probed it equals plain pq_topk."""
+    from feast_spark.operators.pq import ivfpq_topk
+    from feast_spark.operators.similarity import assign_nearest, md5_centroids
+
+    X = _vectors()
+    cents = md5_centroids(corpus, n_centroids=8, vec_col="embedding",
+                          id_col="vec_id")
+    cells = assign_nearest(
+        corpus,
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    codes = pq_encode(corpus, books).join(cells.select("vec_id", "cell"),
+                                          "vec_id")
+    queries = corpus.where(F.col("vec_id") < 3)
+
+    # full probe == plain PQ (ordering by ADC distance then id)
+    full = ivfpq_topk(codes, queries, cents, books, k=5, n_probe=8)
+    plain = pq_topk(codes.select("vec_id", "pq_codes"), queries, books, k=5)
+    key = lambda r: (r["query_id"], round(r["adc_dist"], 9))  # noqa: E731
+    assert sorted(map(key, full.collect())) == sorted(map(key, plain.collect()))
+
+    # partial probe: every neighbor must come from a probed cell
+    part = ivfpq_topk(codes, queries, cents, books, k=5, n_probe=2)
+    from feast_spark.operators.similarity import probe_cells as _pc
+
+    probed = {
+        r["vec_id"]: set(r["cells"])
+        for r in queries.select(
+            "vec_id", _pc(F.col("embedding"), cents, 2).alias("cells")
+        ).collect()
+    }
+    cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    rows = part.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert cell_of[r["neighbor_id"]] in probed[r["query_id"]]
