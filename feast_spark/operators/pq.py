@@ -367,3 +367,20 @@ def ivfpq_topk(
         F.col("__t.neighbor_id").alias("neighbor_id"),
         F.col("__t.adc_dist").alias("adc_dist"),
     )
+
+
+def save_codebooks(codebooks: list[list[list[float]]], path: str) -> None:
+    """Persist PQ codebooks as JSON (registry-friendly, diffable)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(codebooks, f)
+
+
+def load_codebooks(path: str) -> list[list[list[float]]]:
+    import json
+
+    with open(path) as f:
+        return [
+            [[float(x) for x in c] for c in book] for book in json.load(f)
+        ]

@@ -172,3 +172,15 @@ def test_ivfpq_matches_pq_within_probed_cells(spark, corpus, books):
     assert len(rows) > 0
     for r in rows:
         assert cell_of[r["neighbor_id"]] in probed[r["query_id"]]
+
+
+def test_codebook_save_load_roundtrip(books, corpus, tmp_path):
+    from feast_spark.operators.pq import load_codebooks, save_codebooks
+
+    path = str(tmp_path / "pq.json")
+    save_codebooks(books, path)
+    loaded = load_codebooks(path)
+    assert loaded == books
+    a = {r["vec_id"]: r["pq_codes"] for r in pq_encode(corpus, books).collect()}
+    b = {r["vec_id"]: r["pq_codes"] for r in pq_encode(corpus, loaded).collect()}
+    assert a == b
