@@ -874,3 +874,49 @@ def test_avi_with_audio_stream_parses_video_codec():
     assert info["codec"] == "mjpeg"      # not overwritten by audio strf
     assert len(info["frames"]) == 2
     assert len(decode_avi_frames(bytes(spliced))) == 2
+
+
+def test_gif_disposal_methods_background_and_previous():
+    """Disposal 2 (restore to background) and 3 (restore previous)
+    control what the NEXT frame composites onto."""
+    import struct
+
+    import numpy as np
+    from feast_spark.functions.codecs import _gif_lzw_encode, decode_gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0]], np.uint8)
+
+    def build(disposal):
+        out = bytearray()
+        out += b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80 | 1, 0, 0)
+        out += pal.tobytes() + b"\x00" * (3 * 4 - pal.size % (3 * 4)) * 0
+        out += b"\x00" * (12 - pal.size)  # pad table to 4 entries
+        frames = [
+            (np.full((4, 4), 1, np.uint8), disposal, (0, 0, 4, 4)),  # red
+            (np.full((2, 2), 2, np.uint8), 0, (1, 1, 2, 2)),         # green patch
+        ]
+        for idx, disp, (left, top, w, h) in frames:
+            out += b"\x21\xf9\x04" + struct.pack("<BHB", disp << 2, 2, 0) + b"\x00"
+            out += b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0)
+            out.append(2)
+            lzw = _gif_lzw_encode(idx.reshape(-1), 2)
+            out.append(len(lzw))
+            out += lzw
+            out.append(0)
+        out += b"\x3b"
+        return decode_gif_frames(bytes(out))
+
+    # disposal 2 on frame 1: frame 2's canvas reverts to BACKGROUND
+    # (palette[0]) outside its green patch
+    frames = build(disposal=2)
+    assert (frames[0] == [200, 0, 0]).all()
+    assert (frames[1][0, 0] == [10, 10, 10]).all()   # restored to bg
+    assert (frames[1][1, 1] == [0, 200, 0]).all()    # new patch
+    # disposal 3 on frame 1: canvas reverts to the PRIOR canvas (which
+    # was also the background here) — same observable, different path
+    frames = build(disposal=3)
+    assert (frames[1][0, 0] == [10, 10, 10]).all()
+    assert (frames[1][1, 1] == [0, 200, 0]).all()
+    # disposal 0 keeps frame 1 underneath
+    frames = build(disposal=0)
+    assert (frames[1][0, 0] == [200, 0, 0]).all()
