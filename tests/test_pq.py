@@ -184,3 +184,37 @@ def test_codebook_save_load_roundtrip(books, corpus, tmp_path):
     a = {r["vec_id"]: r["pq_codes"] for r in pq_encode(corpus, books).collect()}
     b = {r["vec_id"]: r["pq_codes"] for r in pq_encode(corpus, loaded).collect()}
     assert a == b
+
+
+def test_cell_partitioned_index_partition_prunes(spark, corpus, books, tmp_path):
+    """Persisting the PQ index partitioned by cell turns the probed-
+    cell filter into PARTITION pruning: the scan's partition filters
+    carry the isin, so unprobed cells are never read at all — the
+    100 TB posture of the IVFPQ layout."""
+    from feast_spark.operators.similarity import assign_nearest, md5_centroids
+    from feast_spark.plans import explain_formatted
+
+    cents = md5_centroids(corpus, n_centroids=8, vec_col="embedding",
+                          id_col="vec_id")
+    cells = assign_nearest(
+        corpus,
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    codes = pq_encode(corpus, books).join(cells.select("vec_id", "cell"),
+                                          "vec_id")
+    path = str(tmp_path / "pq_index")
+    codes.write.partitionBy("cell").parquet(path)
+
+    index = spark.read.parquet(path)
+    pruned = index.where(F.col("cell").isin([1, 3]))
+    plan = explain_formatted(pruned)
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read really only returns those cells
+    assert set(r["cell"] for r in pruned.select("cell").distinct().collect()) \
+        <= {1, 3}
