@@ -178,7 +178,9 @@ class _BitReader:
         d = self.data
         while self.n <= 24:
             if self.pos >= len(d):
-                self.acc |= 0  # pad with zeros past the end (spec allows)
+                # pad with zeros past the end (spec allows); must shift acc
+                # like the marker branch or consumed bits get re-delivered
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
                 self.n += 8
                 continue
             b = d[self.pos]

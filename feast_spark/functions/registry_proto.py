@@ -67,12 +67,14 @@ _FILE_FORMAT = {
 _STREAM_FORMAT = {
     "name": "StreamFormat",
     "fields": [
-        {"name": "proto_format", "number": 1, "type": "message",
-         "message": {"name": "ProtoFormat", "fields": [
-             {"name": "class_path", "number": 1, "type": "string"}]}},
-        {"name": "avro_format", "number": 2, "type": "message",
+        # Field numbers match reference protos/feast/core/DataFormat.proto:53-54
+        # (avro_format = 1, proto_format = 2).
+        {"name": "avro_format", "number": 1, "type": "message",
          "message": {"name": "AvroFormat", "fields": [
              {"name": "schema_json", "number": 1, "type": "string"}]}},
+        {"name": "proto_format", "number": 2, "type": "message",
+         "message": {"name": "ProtoFormat", "fields": [
+             {"name": "class_path", "number": 1, "type": "string"}]}},
     ],
 }
 _DATA_SOURCE = {
@@ -97,10 +99,12 @@ _DATA_SOURCE = {
               "message": _STREAM_FORMAT}]}},
         {"name": "kinesis_options", "number": 14, "type": "message",
          "message": {"name": "KinesisOptions", "fields": [
+             # reference protos/feast/core/DataSource.proto:101-111:
+             # region = 1, stream_name = 2, record_format = 3.
              {"name": "region", "number": 1, "type": "string"},
-             {"name": "record_format", "number": 2, "type": "message",
-              "message": _STREAM_FORMAT},
-             {"name": "stream_name", "number": 3, "type": "string"}]}},
+             {"name": "stream_name", "number": 2, "type": "string"},
+             {"name": "record_format", "number": 3, "type": "message",
+              "message": _STREAM_FORMAT}]}},
         {"name": "data_source_class_type", "number": 17, "type": "string"},
     ],
 }

@@ -126,3 +126,35 @@ def test_jpeg_smooth_psnr_floor(seed):
     mse = np.mean((img.astype(float) - out.astype(float)) ** 2)
     psnr = 10 * np.log10(255**2 / mse) if mse else float("inf")
     assert psnr > 38.0
+
+
+def test_jpeg_truncated_entropy_stream_zero_pads():
+    """A JPEG cut off mid-entropy-stream (no trailing EOI marker) must
+    decode with zero-padded bits, not re-delivered stale bits: for a
+    solid image the already-decoded top rows stay exact."""
+    import numpy as np
+
+    from feast_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((16, 16, 3), 128, dtype=np.uint8)
+    data = encode_jpeg(img, 90)
+    assert data.endswith(b"\xff\xd9")
+    truncated = data[:-2]  # drop EOI so _fill hits the past-end branch
+    out = decode_jpeg(truncated)
+    assert out.shape == img.shape
+    # zero-padding past the end must reproduce the full decode (the
+    # stream was complete; only the marker was removed)
+    full = decode_jpeg(data)
+    assert np.array_equal(out, full)
+
+
+def test_jpeg_bitreader_past_end_shifts_acc():
+    """Direct pin of the _fill past-end branch: bits delivered past the
+    end of data are zeros, not re-reads of consumed bits."""
+    from feast_spark.functions.jpeg import _BitReader
+
+    r = _BitReader(b"\xAB", 0)
+    first = [r.read_bit() for _ in range(8)]
+    assert first == [1, 0, 1, 0, 1, 0, 1, 1]
+    # everything after the last real byte must be zero padding
+    assert [r.read_bit() for _ in range(16)] == [0] * 16

@@ -185,3 +185,82 @@ def test_import_roundtrip_reapply(store, spark, tmp_path):
     assert v.stream_source.message_format == "avro"
     # and the re-exported bytes match the original export exactly
     assert st2.export_registry_proto() == store.export_registry_proto()
+
+
+# ---------------------------------------------------------------------------
+# Cross-check descriptor field numbers against the reference .proto sources.
+# Guards against silent renumbering: an exported registry must decode with
+# the reference's own compiled protos.
+
+_REF_PROTOS = "/root/reference/protos/feast/core"
+
+
+def _proto_field_numbers(path, message):
+    """Parse `field_name -> number` for one message from a .proto file.
+
+    Minimal parser: finds the `message <name> {` block (tracking brace
+    depth) and regexes `<type> <name> = <number>;` lines, including
+    oneof members.
+    """
+    import os
+    import re
+
+    with open(path) as f:
+        text = f.read()
+    m = re.search(r"\bmessage\s+%s\s*\{" % re.escape(message), text)
+    assert m, f"{message} not found in {path}"
+    depth, i = 1, m.end()
+    start = m.end()
+    while depth and i < len(text):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+        i += 1
+    body = text[start:i - 1]
+    out = {}
+    for fm in re.finditer(r"^\s*(?:repeated\s+)?[\w.<>, ]+\s+(\w+)\s*=\s*(\d+)\s*;",
+                          body, re.M):
+        out[fm.group(1)] = int(fm.group(2))
+    return out
+
+
+needs_reference = pytest.mark.skipif(
+    not __import__("os").path.isdir(_REF_PROTOS),
+    reason="reference protos not available")
+
+
+@needs_reference
+def test_stream_format_numbers_match_reference():
+    from feast_spark.functions.registry_proto import _STREAM_FORMAT
+
+    ref = _proto_field_numbers(f"{_REF_PROTOS}/DataFormat.proto", "StreamFormat")
+    ours = {f["name"]: f["number"] for f in _STREAM_FORMAT["fields"]}
+    assert ours == {k: ref[k] for k in ours}, (ours, ref)
+    assert ours["avro_format"] == 1 and ours["proto_format"] == 2
+
+
+@needs_reference
+def test_kinesis_options_numbers_match_reference():
+    from feast_spark.functions.registry_proto import _DATA_SOURCE
+
+    kin = next(f for f in _DATA_SOURCE["fields"]
+               if f["name"] == "kinesis_options")["message"]
+    ref = _proto_field_numbers(f"{_REF_PROTOS}/DataSource.proto", "KinesisOptions")
+    ours = {f["name"]: f["number"] for f in kin["fields"]}
+    assert ours == {k: ref[k] for k in ours}, (ours, ref)
+    assert ours == {"region": 1, "stream_name": 2, "record_format": 3}
+
+
+@needs_reference
+def test_data_source_and_kafka_numbers_match_reference():
+    from feast_spark.functions.registry_proto import _DATA_SOURCE
+
+    ref = _proto_field_numbers(f"{_REF_PROTOS}/DataSource.proto", "DataSource")
+    ours = {f["name"]: f["number"] for f in _DATA_SOURCE["fields"]}
+    assert ours == {k: ref[k] for k in ours}, (ours, ref)
+    kafka = next(f for f in _DATA_SOURCE["fields"]
+                 if f["name"] == "kafka_options")["message"]
+    refk = _proto_field_numbers(f"{_REF_PROTOS}/DataSource.proto", "KafkaOptions")
+    oursk = {f["name"]: f["number"] for f in kafka["fields"]}
+    assert oursk == {k: refk[k] for k in oursk}, (oursk, refk)
