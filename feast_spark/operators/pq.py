@@ -152,6 +152,8 @@ def pq_topk(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     k: int = 10,
+    probe_sets: dict | None = None,
+    cell_col: str = "cell",
 ) -> DataFrame:
     """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist).
 
@@ -159,7 +161,14 @@ def pq_topk(
     every local code row with M lookups (one fancy-index per subspace,
     vectorized across the batch), keep the local top-k.  Globally: one
     aggregation merges partition candidates.  The corpus-side shuffle
-    volume is O(partitions * queries * k), independent of corpus rows."""
+    volume is O(partitions * queries * k), independent of corpus rows.
+
+    ``probe_sets`` (optional, used by :func:`ivfpq_topk`): a
+    ``{query_id: iterable[cell]}`` map.  When given, ``codes_df`` must
+    carry ``cell_col``; rows outside a query's own probe set are masked
+    to +inf INSIDE the kernel BEFORE the partition-local top-k, so each
+    query's k candidates come exclusively from its probed cells — an
+    exact-k guarantee even under cell skew, with no over-fetch."""
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     m_subspaces = len(books)
@@ -189,6 +198,13 @@ def pq_topk(
             T.StructField("adc_dist", T.DoubleType()),
         ]
     )
+    # per-query probe cells as sorted arrays, built once and shipped in
+    # the closure (queries are broadcast-few by contract)
+    probe_arrays = (
+        {qid: np.array(sorted(cells)) for qid, cells in probe_sets.items()}
+        if probe_sets is not None
+        else None
+    )
 
     def run(batches):
         import pandas as pd
@@ -203,17 +219,26 @@ def pq_topk(
             dist = np.zeros((len(q_ids), len(C)))
             for m in range(m_subspaces):
                 dist += tables[:, m, :][:, C[:, m]]
+            if probe_arrays is not None:
+                cells = valid[cell_col].to_numpy()
+                empty = np.array([], dtype=np.int64)
+                for qi, qid in enumerate(q_ids):
+                    allowed = np.isin(cells, probe_arrays.get(qid, empty))
+                    dist[qi, ~allowed] = np.inf
             top = min(k, dist.shape[1])
             idx = np.argpartition(dist, top - 1, axis=1)[:, :top]
             rows = {"query_id": [], "neighbor_id": [], "adc_dist": []}
             for qi, qid in enumerate(q_ids):
                 for j in idx[qi]:
+                    if not np.isfinite(dist[qi, j]):
+                        continue  # masked off-probe row: never a candidate
                     rows["query_id"].append(qid)
                     rows["neighbor_id"].append(ids[j])
                     rows["adc_dist"].append(float(dist[qi, j]))
             yield pd.DataFrame(rows)
 
-    candidates = codes_df.select(id_col, codes_col).mapInPandas(run, out_schema)
+    in_cols = [id_col, codes_col] + ([cell_col] if probe_arrays is not None else [])
+    candidates = codes_df.select(*in_cols).mapInPandas(run, out_schema)
     ranked = candidates.groupBy("query_id").agg(
         F.slice(
             F.array_sort(
@@ -312,9 +337,12 @@ def ivfpq_topk(
     codes (from :func:`pq_encode`).  The probed-cell filter is an
     isin over the union of all queries' probe sets (queries are few
     and broadcast by contract), so the corpus scan drops
-    ~(1 - n_probe/n_cells) of rows BEFORE any ADC arithmetic; each
-    query's ADC table then also masks per-query off-probe rows so
-    results match plain ``pq_topk`` restricted to the probed cells."""
+    ~(1 - n_probe/n_cells) of rows BEFORE any ADC arithmetic; the ADC
+    kernel then masks each query's off-probe rows to +inf BEFORE its
+    partition-local top-k, so every query gets exactly k candidates
+    from its own probe set (when its probed cells hold >= k rows) —
+    identical to plain ``pq_topk`` restricted to those cells, even
+    under cell skew.  No over-fetch, no post-hoc filter join."""
     from feast_spark.operators.similarity import probe_cells
 
     q_probe = {
@@ -327,45 +355,17 @@ def ivfpq_topk(
     all_cells = sorted({c for cells in q_probe.values() for c in cells})
     pruned = codes_df.where(F.col(cell_col).isin(all_cells))
 
-    # per-query ADC over the pruned corpus; mask rows outside the
-    # query's own probe set by joining candidates back to cells
-    cand = pq_topk(
-        pruned.select(id_col, codes_col),
+    return pq_topk(
+        pruned.select(id_col, codes_col, cell_col),
         queries,
         codebooks,
         id_col=id_col,
         codes_col=codes_col,
         query_id_col=id_col,
         query_vec_col=vec_col,
-        # over-fetch: union-of-probes rows may belong to other queries'
-        # cells; final per-query filter + top-k trims back to k
-        k=k * max(1, len(all_cells) // max(1, n_probe)),
-    )
-    # candidates (queries x k', small) BROADCAST against the streamed
-    # pruned-cell frame — never the corpus-wide id->cell map
-    pruned_cells = pruned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(cell_col).alias("__cell")
-    )
-    probe_rows = [
-        (qid, c) for qid, cs in q_probe.items() for c in cs
-    ]
-    probes_df = queries.sparkSession.createDataFrame(
-        probe_rows, ["query_id", "__cell"]
-    )
-    filtered = pruned_cells.join(F.broadcast(cand), "neighbor_id").join(
-        F.broadcast(probes_df), ["query_id", "__cell"]
-    )
-    ranked = filtered.groupBy("query_id").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("adc_dist", "neighbor_id"))),
-            1,
-            k,
-        ).alias("__top")
-    )
-    return ranked.select("query_id", F.explode("__top").alias("__t")).select(
-        "query_id",
-        F.col("__t.neighbor_id").alias("neighbor_id"),
-        F.col("__t.adc_dist").alias("adc_dist"),
+        k=k,
+        probe_sets=q_probe,
+        cell_col=cell_col,
     )
 
 

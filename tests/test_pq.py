@@ -218,3 +218,101 @@ def test_cell_partitioned_index_partition_prunes(spark, corpus, books, tmp_path)
     # and the pruned read really only returns those cells
     assert set(r["cell"] for r in pruned.select("cell").distinct().collect()) \
         <= {1, 3}
+
+
+def test_ivfpq_exact_k_under_cell_skew(spark, books):
+    """Adversarial skew: a huge unprobed cell sits ADC-closer to query A
+    than anything in A's own probe cells.  A union-scored over-fetch
+    heuristic would fill A's top-k' with big-cell rows and deliver <k
+    (here: 0) survivors after masking; the in-kernel probe mask must
+    return EXACTLY k rows per query, equal to plain PQ restricted to
+    that query's probed cells."""
+    from feast_spark.operators.pq import ivfpq_topk
+    from feast_spark.operators.similarity import probe_cells as _pc
+
+    d = 8
+
+    def vec(x, y, i):
+        # embed 2-D geometry in 8-D with tiny deterministic jitter so
+        # rows are distinct (jitter << any inter-point distance)
+        j = [((i * 2654435761 + dim * 40503) % 997) / 997 * 1e-3
+             for dim in range(d - 2)]
+        return [float(x), float(y)] + j
+
+    cents = [vec(0, 0, 0), vec(4, 3, 1), vec(4, -3, 2), vec(20, 0, 3)]
+    rows = []
+    vid = 0
+    # cell 0: 300-row hot cell clustered near (1.8, 0) — ADC-closest to
+    # query A (d~2.2) but NOT in A's probe set
+    for i in range(300):
+        rows.append(Row(vec_id=vid, embedding=vec(1.8 + (i % 7) * 0.01,
+                                                  (i % 5 - 2) * 0.01, vid)))
+        vid += 1
+    # cells 1 and 2: 8 rows each near their centroids (d~3 from A)
+    for cx, cy in ((4, 3), (4, -3)):
+        for i in range(8):
+            rows.append(Row(vec_id=vid,
+                            embedding=vec(cx + (i % 3) * 0.05,
+                                          cy + (i % 2) * 0.05, vid)))
+            vid += 1
+    # cell 3: far away, never probed
+    for i in range(4):
+        rows.append(Row(vec_id=vid, embedding=vec(20 + i * 0.1, 0, vid)))
+        vid += 1
+    corpus2 = spark.createDataFrame(rows)
+    books2 = pq_train(corpus2, m_subspaces=4, k_codes=32, iters=5)
+
+    # query A at (4, 0): centroid distances 4 / 3 / 3 / 16 -> probes
+    # {1, 2}; query B inside the hot cell -> probes {0, ...}
+    queries = spark.createDataFrame(
+        [Row(vec_id=9001, embedding=vec(4, 0, 9001)),
+         Row(vec_id=9002, embedding=vec(1.7, 0.05, 9002))]
+    )
+    probes = {
+        r["vec_id"]: sorted(r["cells"])
+        for r in queries.select(
+            "vec_id", _pc(F.col("embedding"), cents, 2).alias("cells")
+        ).collect()
+    }
+    assert probes[9001] == [1, 2], probes  # the skew-victim setup holds
+    assert 0 in probes[9002]
+
+    codes = pq_encode(corpus2, books2)
+    # cell assignment consistent with the centroids used for probing
+    from feast_spark.operators.similarity import assign_nearest
+
+    cells = assign_nearest(
+        corpus2,
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "cell int, centroid array<double>",
+        ),
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    codes = codes.join(cells.select("vec_id", "cell"), "vec_id")
+
+    k = 6
+    got = ivfpq_topk(codes, queries, cents, books2, k=k, n_probe=2)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    # EXACTLY k per query — the guarantee the over-fetch heuristic broke
+    assert sorted(by_q) == [9001, 9002]
+    assert len(by_q[9001]) == k and len(by_q[9002]) == k
+
+    # and each equals plain pq_topk restricted to that query's probe set
+    for qid in (9001, 9002):
+        restricted = codes.where(F.col("cell").isin(probes[qid]))
+        want = pq_topk(
+            restricted.select("vec_id", "pq_codes"),
+            queries.where(F.col("vec_id") == qid),
+            books2,
+            k=k,
+        ).collect()
+        key = lambda r: (round(r["adc_dist"], 9))  # noqa: E731
+        assert sorted(key(r) for r in by_q[qid]) == sorted(key(r) for r in want)
+    # the victim's neighbors all come from its own (small) probe cells
+    cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
+    for r in by_q[9001]:
+        assert cell_of[r["neighbor_id"]] in {1, 2}
