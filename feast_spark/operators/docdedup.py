@@ -763,17 +763,31 @@ def frequent_lines(
     text_col: str = "text",
     min_occurrences: int = 3,
     min_line_chars: int = 10,
+    approx: bool = False,
+    approx_rsd: float = 0.05,
 ) -> DataFrame:
     """(line_hash, n_docs) for lines appearing in >= min_occurrences
     DISTINCT documents — the boilerplate set (nav bars, cookie
     banners, license footers) that cross-document line dedup removes
-    (the public C4/Gopher "repeated lines" rule).
+    (the public C4/Gopher "repeated lines" rule).  Short lines are
+    exempt below ``min_line_chars`` — single words repeat naturally
+    and carry no boilerplate signal.
 
-    One explode + hash-aggregate: map-side partial combine means the
-    shuffle carries distinct (line_hash) pairs, and the output is
-    tiny by construction (only lines crossing the threshold).  Short
-    lines are exempt below ``min_line_chars`` — single words repeat
-    naturally and carry no boilerplate signal."""
+    Shuffle volume, honestly: the exact path's per-doc ``.distinct()``
+    shuffles distinct **(doc, line_hash) pairs — O(corpus lines)**,
+    not O(distinct lines); partial aggregation only dedups repeats of
+    a line WITHIN one doc's partition.  Exact distinct-doc counting
+    needs this.  The output stays tiny (only lines crossing the
+    threshold), but at 100 TB the intermediate exchange is the cost.
+
+    ``approx=True`` is the scale mode: one
+    ``approx_count_distinct(doc, rsd)`` aggregate replaces
+    distinct+count, so map-side combine folds each line's doc ids into
+    an HLL sketch and the shuffle carries **one sketch per distinct
+    line per partition** — independent of how many docs repeat the
+    line.  Counts are within ±rsd (default 5%) of the true distinct-doc
+    count, so lines near the threshold may flip; genuinely frequent
+    boilerplate (the C4 target: counts >> threshold) is always kept."""
     # doc id must be stamped BEFORE the explode: inside the same
     # projection monotonically_increasing_id() would evaluate once per
     # exploded row, making every line look like its own document
@@ -785,13 +799,18 @@ def frequent_lines(
         F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
     ).select("__doc", F.trim("__line").alias("__line"))
     eligible = lines.where(F.length("__line") >= min_line_chars)
-    return (
-        eligible.select("__doc", F.md5("__line").alias("line_hash"))
-        .distinct()  # count DOCS containing the line, not occurrences
-        .groupBy("line_hash")
-        .agg(F.count("*").alias("n_docs"))
-        .where(F.col("n_docs") >= min_occurrences)
-    )
+    hashed = eligible.select("__doc", F.md5("__line").alias("line_hash"))
+    if approx:
+        counted = hashed.groupBy("line_hash").agg(
+            F.approx_count_distinct("__doc", approx_rsd).alias("n_docs")
+        )
+    else:
+        counted = (
+            hashed.distinct()  # count DOCS containing the line, not occurrences
+            .groupBy("line_hash")
+            .agg(F.count("*").alias("n_docs"))
+        )
+    return counted.where(F.col("n_docs") >= min_occurrences)
 
 
 def dedup_lines(

@@ -303,3 +303,62 @@ def test_dedup_lines_count_is_per_document(spark):
         [Row(doc_id=1, text="repeated inside only\n" * 10 + "tail line here")]
     )
     assert frequent_lines(df, min_occurrences=3).count() == 0
+
+
+def test_frequent_lines_approx_tracks_exact(spark):
+    """The HLL approx mode finds the same boilerplate set as the exact
+    path when counts are clearly above/below threshold, and its counts
+    are within the documented rsd of the exact distinct-doc counts."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import frequent_lines
+
+    # 200 docs: a hot banner in all of them, a footer in 50, a line in
+    # exactly 2 (below threshold), plus unique filler per doc
+    docs = []
+    for i in range(200):
+        lines = [f"unique filler line number {i} padded out"]
+        lines.append("ACCEPT OUR COOKIES TO CONTINUE BROWSING")
+        if i < 50:
+            lines.append("copyright footer all rights reserved")
+        if i < 2:
+            lines.append("a rare line that should not count")
+        # within-doc repetition must not inflate the distinct-doc count
+        lines.append("ACCEPT OUR COOKIES TO CONTINUE BROWSING")
+        docs.append(Row(doc_id=i, text="\n".join(lines)))
+    df = spark.createDataFrame(docs)
+
+    exact = {r["line_hash"]: r["n_docs"]
+             for r in frequent_lines(df, min_occurrences=3).collect()}
+    approx = {r["line_hash"]: r["n_docs"]
+              for r in frequent_lines(df, min_occurrences=3,
+                                      approx=True).collect()}
+    # same boilerplate set: counts here are far from the threshold
+    assert set(approx) == set(exact)
+    assert sorted(exact.values()) == [50, 200]
+    for h, n in exact.items():
+        assert abs(approx[h] - n) <= max(2, 0.15 * n), (n, approx[h])
+
+
+def test_frequent_lines_approx_no_distinct_shuffle(spark):
+    """Plan pin for the scale claim: the approx path has no
+    (doc, line_hash) distinct aggregate — a single HLL aggregate pair
+    (partial + final) replaces distinct+count, and partial_approx...
+    runs map-side before the exchange."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import frequent_lines
+    from feast_spark.plans import explain_formatted
+
+    df = spark.createDataFrame([Row(doc_id=1, text="hello world wide line")])
+    exact_plan = explain_formatted(frequent_lines(df))
+    approx_plan = explain_formatted(frequent_lines(df, approx=True))
+    # exact needs two aggregate pairs (distinct, then count)
+    assert exact_plan.count("HashAggregate") >= approx_plan.count("HashAggregate")
+    # map-side sketch combine before the single exchange
+    assert "partial_approx_count_distinct" in approx_plan
+    # exactly one exchange node (formatted output names each node twice:
+    # once in the tree, once in the details — count detail headers)
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Exchange", approx_plan, re.M)) == 1
