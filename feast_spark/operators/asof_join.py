@@ -25,6 +25,18 @@ Two physical strategies, chosen by ``strategy``:
   BigQuery formulation).  With a small feature table Spark broadcasts
   it and the entity side never shuffles at all — preferable when the
   feature side fits in a broadcast.  O(n·m) per hot key otherwise.
+
+* ``sorted_merge``: cogroup-by-key + vectorized in-group merge_asof
+  (numpy searchsorted).  Its ONLY physical requirements are clustering
+  and ASC ordering on the join keys — exactly what a bucketed table
+  written ``sortBy(keys)`` with one file per bucket provides — so over
+  two co-bucketed sorted tables the whole retrieval runs with ZERO
+  Exchange and ZERO Sort nodes (pay the shuffle+sort once at
+  materialization, never per training run; pinned by
+  tests/test_skew.py::test_bucketed_pit_retrieval_zero_exchange).
+  The per-task unit is one key's rows in pandas, so the hot-key bound
+  is per-key group size; prefer union_window when keys are skewed and
+  inputs are not pre-bucketed.
 """
 
 from __future__ import annotations
@@ -80,6 +92,8 @@ def as_of_join(
             out = _asof_union_window(out, entity_ts_col, spec)
         elif strategy == "range_join":
             out = _asof_range_join(out, entity_ts_col, spec)
+        elif strategy == "sorted_merge":
+            out = _asof_sorted_merge(out, entity_ts_col, spec)
         else:
             raise ValueError(f"unknown as-of join strategy: {strategy}")
     # P5 — entity timestamp column first
@@ -177,6 +191,94 @@ def _asof_union_window(
         for f in spec.features
     ]
     return result.select(*proj)
+
+
+def _asof_sorted_merge(
+    entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
+) -> DataFrame:
+    """Cogroup both sides by the join keys and merge-as-of inside each
+    group with numpy searchsorted (the pandas-merge_asof kernel,
+    vectorized per Arrow group — never row-at-a-time).
+
+    Physical contract: FlatMapCoGroupsInPandas requires only
+    ClusteredDistribution(keys) + keys-ASC ordering on each child.  A
+    pair of tables bucketed AND sortBy'd on the keys (one file per
+    bucket — see ``skew.write_bucketed``) satisfies both straight off
+    the scans: no Exchange, no Sort, anywhere in the plan.  This is
+    the co-bucketed merge-join formulation SCALE.md called out as the
+    union_window strategy's known trade-off.
+
+    Set ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to
+    let the scans report their sortBy order (Spark hides it by default
+    because multi-file buckets would break the guarantee; write with
+    ``write_bucketed(one_file_per_bucket=True)`` to make it sound) —
+    without it the plan stays Exchange-free but inserts a cheap
+    keys-only Sort per side."""
+    from pyspark.sql import types as T
+
+    keys = list(spec.join_keys)
+    feat = _projected_feature_df(spec, entity_df, entity_ts_col)
+    has_created = spec.created_col is not None
+    features = list(spec.features)
+    out_names = [spec.out_name(f) for f in features]
+    ttl_us = (
+        int(spec.ttl.total_seconds() * 1_000_000) if spec.ttl is not None else None
+    )
+    entity_cols = list(entity_df.columns)
+    out_schema = T.StructType(
+        list(entity_df.schema.fields)
+        + [
+            T.StructField(spec.out_name(f), feat.schema[f].dataType, True)
+            for f in features
+        ]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def merge(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if not len(left):
+            # object dtype: Arrow casts empty object columns to any
+            # target type; empty float64 -> timestamp is unsupported
+            return pd.DataFrame(
+                {c: pd.Series([], dtype=object) for c in out_cols}
+            )
+        out = left[entity_cols].copy()
+        right = right[right[_TS].notna()] if len(right) else right
+        if not len(right):
+            for n in out_names:
+                out[n] = None
+            return out
+        sort_cols = [_TS] + ([_CREATED] if has_created else [])
+        # stable sort: among equal (ts, created) the later input row
+        # wins via side='right' — arbitrary, per the ANY_VALUE contract
+        right = right.sort_values(sort_cols, kind="mergesort")
+        rts = right[_TS].to_numpy()
+        ets = left[entity_ts_col].to_numpy(dtype=rts.dtype)
+        # last feature row with ts <= entity ts (inclusive upper bound);
+        # equal-ts runs end at max created because created sorts ASC
+        idx = np.searchsorted(rts, ets, side="right") - 1
+        valid = idx >= 0
+        safe = np.clip(idx, 0, None)
+        if ttl_us is not None:
+            lower = ets - np.timedelta64(ttl_us, "us")
+            valid &= rts[safe] >= lower
+        for f, n in zip(features, out_names):
+            vals = right[f].to_numpy()[safe]
+            if valid.all():
+                out[n] = vals
+            else:
+                col = pd.Series(list(vals), index=out.index, dtype=object)
+                col[~np.asarray(valid)] = None
+                out[n] = col
+        return out
+
+    return (
+        entity_df.groupBy(*keys)
+        .cogroup(feat.groupBy(*keys))
+        .applyInPandas(merge, out_schema)
+    )
 
 
 def _asof_range_join(

@@ -64,15 +64,27 @@ def write_bucketed(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
     format: str = "parquet",
+    one_file_per_bucket: bool = True,
 ) -> None:
     """Persist ``df`` hash-bucketed (and optionally sorted) on the join
     key.  Joins and aggregations between tables bucketed with the SAME
     column set and bucket count read co-located: Catalyst drops both
     Exchanges (pinned by tests/test_skew.py).
 
+    ``one_file_per_bucket`` (default) pre-repartitions on the bucket
+    columns with exactly ``n_buckets`` partitions — the same
+    murmur3-pmod function Spark's bucketing uses — so each bucket is
+    written by one task as ONE file.  That is the condition under which
+    the scan reports its ``sortBy`` ordering (``outputOrdering``):
+    downstream sort-merge joins and cogroups then need no Sort node at
+    all.  Without it, every writing task emits its own file per bucket
+    and the on-disk sort is unusable at read time.
+
     Buckets are Spark's write-side hash partitioning; at 100 TB choose
     n_buckets so each bucket file lands near the target partition size
     (e.g. 2048 buckets for a 1 TB table → ~500 MB buckets)."""
+    if one_file_per_bucket:
+        df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.format(format).mode(mode).bucketBy(
         n_buckets, *bucket_cols
     )

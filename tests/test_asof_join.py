@@ -15,7 +15,7 @@ def ts(s: str) -> datetime:
     return datetime.fromisoformat(s)
 
 
-@pytest.fixture(scope="module", params=["union_window", "range_join"])
+@pytest.fixture(scope="module", params=["union_window", "range_join", "sorted_merge"])
 def strategy(request):
     return request.param
 

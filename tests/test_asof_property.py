@@ -94,7 +94,7 @@ def oracle(feats, ents, ttl_hours, with_created):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "range_join"])
+@pytest.mark.parametrize("strategy", ["union_window", "range_join", "sorted_merge"])
 @settings(
     max_examples=6,
     deadline=None,

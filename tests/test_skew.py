@@ -89,13 +89,15 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
 
 def test_bucketed_pit_retrieval_zero_exchange(spark, tmp_path):
     """The 100 TB retrieval shape: feature table AND entity table
-    written bucketed on the join key -> get_historical_features
-    (range_join strategy) runs with ZERO shuffle Exchange — the
-    sort-merge join reads both bucketed scans co-located, and the
-    dedup window's (keys, row_id) partitioning is satisfied by the
-    join output's key partitioning.  Pay the shuffle once at
-    materialization, never per training run.  Results must equal the
-    default union_window strategy's."""
+    written bucketed+sorted on the join key -> get_historical_features
+    runs with ZERO shuffle Exchange (range_join: the sort-merge join
+    reads both bucketed scans co-located; the dedup window's
+    (keys, row_id) partitioning is satisfied by the join output), and
+    with the sorted_merge strategy ZERO Sort nodes as well — the
+    cogroup needs only keys-ASC ordering, which one-file-per-bucket
+    sortBy scans provide straight from disk.  Pay the shuffle+sort
+    once at materialization, never per training run.  All strategies
+    must agree on results."""
     import uuid
     from datetime import datetime, timedelta
 
@@ -154,6 +156,10 @@ def test_bucketed_pit_retrieval_zero_exchange(spark, tmp_path):
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # let the scans report their sortBy ordering (sound because
+    # write_bucketed guarantees one file per bucket; Spark gates this
+    # behind a conf since 3.0 because multi-file buckets break it)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     try:
         out = mk_store("range_join").get_historical_features(
             spark.table(te), ["drv:conv_rate"]
@@ -161,6 +167,18 @@ def test_bucketed_pit_retrieval_zero_exchange(spark, tmp_path):
         plan = _executed_plan(out)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
+
+        # sorted_merge: zero Exchange AND zero Sort — the cogroup's
+        # required keys-ASC ordering comes straight off the sortBy'd
+        # one-file-per-bucket scans.  ("Sort [" is the Sort exec node's
+        # print shape; "SortMergeJoin [" never matches it.)
+        out_sm = mk_store("sorted_merge").get_historical_features(
+            spark.table(te), ["drv:conv_rate"]
+        ).to_spark_df()
+        plan_sm = _executed_plan(out_sm)
+        assert "FlatMapCoGroupsInPandas" in plan_sm, plan_sm
+        assert "Exchange" not in plan_sm, plan_sm
+        assert "Sort [" not in plan_sm, plan_sm
 
         # union_window over the same co-bucketed tables is ALSO
         # exchange-free: both union children report the bucketed
@@ -179,8 +197,16 @@ def test_bucketed_pit_retrieval_zero_exchange(spark, tmp_path):
             for r in out_uw.collect()
         }
         assert got == want and len(got) > 0
+        got_sm = {
+            (r["driver_id"], r["event_timestamp"], r["conv_rate"])
+            for r in out_sm.collect()
+        }
+        assert got_sm == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
         spark.sql(f"DROP TABLE IF EXISTS {tf}")
         spark.sql(f"DROP TABLE IF EXISTS {te}")
 
