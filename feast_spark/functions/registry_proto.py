@@ -26,6 +26,22 @@ with every field number taken from the reference .proto files:
 
 ValueType numbering matches Value.proto:26-44 exactly (our enum uses
 the same numbers), so ``value_type`` fields are wire-identical.
+
+Compatibility note: builds of this repo before 2026-08 (round 6)
+wrote StreamFormat.proto_format under field 1 and KinesisOptions with
+record_format=2/region=1/stream_name=3 — numbers that do NOT match
+the reference protos (DataFormat.proto:53-54, DataSource.proto:101-111).
+A registry exported by such a build decodes silently wrong under the
+corrected schema (old proto_format bytes parse as
+avro_format.schema_json; old record_format bytes parse as
+stream_name).  Those pre-fix exports are INVALID — re-export from the
+live JSON registry (the source of truth; the proto file is a derived
+artifact, so no data migration is needed).  ``import_registry``
+cannot distinguish them mechanically: the wire bytes are
+self-consistent either way, which is why this is a documented
+invalidation rather than a version gate — Registry.schema_version
+stays at the reference's value so reference tooling accepts our
+exports.
 """
 
 from __future__ import annotations

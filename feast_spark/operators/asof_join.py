@@ -252,14 +252,22 @@ def _asof_sorted_merge(
             return out
         sort_cols = [_TS] + ([_CREATED] if has_created else [])
         # stable sort: among equal (ts, created) the later input row
-        # wins via side='right' — arbitrary, per the ANY_VALUE contract
-        right = right.sort_values(sort_cols, kind="mergesort")
+        # wins via side='right' — arbitrary, per the ANY_VALUE contract.
+        # na_position='first' so a NULL created_ts LOSES ties to any
+        # real created value, matching union_window's `ORDER BY created
+        # ASC` (Spark sorts nulls first ASC) + last-wins semantics.
+        right = right.sort_values(
+            sort_cols, kind="mergesort", na_position="first"
+        )
         rts = right[_TS].to_numpy()
         ets = left[entity_ts_col].to_numpy(dtype=rts.dtype)
         # last feature row with ts <= entity ts (inclusive upper bound);
         # equal-ts runs end at max created because created sorts ASC
         idx = np.searchsorted(rts, ets, side="right") - 1
-        valid = idx >= 0
+        # NaT sorts as +inf in searchsorted, so a NULL entity ts would
+        # otherwise match the newest feature row; the SQL strategies
+        # return NULL features there (ts <= NULL is never true)
+        valid = (idx >= 0) & ~np.isnat(ets)
         safe = np.clip(idx, 0, None)
         if ttl_us is not None:
             lower = ets - np.timedelta64(ttl_us, "us")

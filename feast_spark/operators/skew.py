@@ -80,6 +80,15 @@ def write_bucketed(
     all.  Without it, every writing task emits its own file per bucket
     and the on-disk sort is unusable at read time.
 
+    Cost note: ``one_file_per_bucket=True`` adds a full repartition
+    shuffle to the write, and each bucket is then written by a SINGLE
+    task holding that whole bucket — so n_buckets must be sized for
+    per-task memory as well as file size (a 1 TB table with 64 buckets
+    means ~16 GB per write task: too big; use 2048).  Pass ``False``
+    to skip the shuffle and let each input task write its own file per
+    bucket — cheaper write, but the scan can no longer report
+    ``sortBy`` ordering, so downstream merge joins re-Sort.
+
     Buckets are Spark's write-side hash partitioning; at 100 TB choose
     n_buckets so each bucket file lands near the target partition size
     (e.g. 2048 buckets for a 1 TB table → ~500 MB buckets)."""

@@ -182,3 +182,77 @@ def test_asof_vs_duckdb_oracle(spark, duck, strategy):
     ).fetchall()
     want = {eid: v for eid, v in oracle}
     assert got == want
+
+
+def test_asof_null_entity_ts_yields_null_features(spark, strategy):
+    """A NULL entity timestamp matches nothing (``ts <= NULL`` is never
+    true in SQL); all strategies must agree.  Guards the numpy kernel,
+    where NaT sorts as +inf in searchsorted (reference semantics:
+    sdk/python/feast/pyspark/launchers — entity rows always carry a
+    timestamp, so NULL must not silently grab the newest feature)."""
+    entity = spark.createDataFrame(
+        [
+            Row(driver_id=1, event_timestamp=ts("2021-04-12 10:59:42")),
+            Row(driver_id=1, event_timestamp=None),
+        ],
+        "driver_id int, event_timestamp timestamp",
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+                created=ts("2021-04-12 09:00:00"), conv_rate=0.1),
+        ]
+    )
+    for ttl in (None, timedelta(hours=24)):
+        out = as_of_join(
+            entity,
+            "event_timestamp",
+            [
+                AsOfJoinSpec(
+                    feature_df=feats,
+                    join_keys=["driver_id"],
+                    timestamp_col="datetime",
+                    features=["conv_rate"],
+                    created_col="created",
+                    ttl=ttl,
+                )
+            ],
+            strategy=strategy,
+        )
+        got = {r["event_timestamp"]: r["conv_rate"] for r in out.collect()}
+        assert got == {ts("2021-04-12 10:59:42"): 0.1, None: None}, (strategy, ttl)
+
+
+def test_asof_null_created_ts_loses_ties(spark, strategy):
+    """Among equal event_ts rows, a NULL created_ts loses to any real
+    created value (union_window orders created ASC — Spark puts nulls
+    first — and the last row wins); sorted_merge must match via
+    na_position='first'."""
+    entity = spark.createDataFrame(
+        [Row(driver_id=1, event_timestamp=ts("2021-04-12 10:59:42"))]
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+                created=None, conv_rate=0.9),
+            Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+                created=ts("2021-04-12 09:00:00"), conv_rate=0.2),
+        ],
+        "driver_id int, datetime timestamp, created timestamp, conv_rate double",
+    )
+    out = as_of_join(
+        entity,
+        "event_timestamp",
+        [
+            AsOfJoinSpec(
+                feature_df=feats,
+                join_keys=["driver_id"],
+                timestamp_col="datetime",
+                features=["conv_rate"],
+                created_col="created",
+                ttl=None,
+            )
+        ],
+        strategy=strategy,
+    )
+    assert [r["conv_rate"] for r in out.collect()] == [0.2]
