@@ -23,6 +23,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 
 
+# BPE end-to-end over the documents table: train on the corpus
+# (one shuffle + TakeOrdered), then encode every doc (narrow map).
+# Module-level so tools/scale_curve.py can time the same code.
+def q_bpe_tokenize(spark, sf_dir):
+    from feast_spark.functions.bpe import bpe_token_count, train_bpe
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = train_bpe(docs, "text", num_merges=200, max_words=50_000)
+    return bpe_token_count(docs, "text", model).select("doc_id", "n_bpe_tokens")
+
+
+# PQ end-to-end over the embeddings table: train codebooks
+# (bounded sample), encode the corpus (narrow map), ADC top-10 for
+# 5 queries + exact re-rank of the candidates.
+def q_pq_search(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.pq import pq_encode, pq_topk_reranked, pq_train
+    from feast_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m_subspaces=8, k_codes=64, iters=4)
+    codes = pq_encode(emb, books)
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return pq_topk_reranked(emb, codes, queries_df, books, k=10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -93,35 +121,7 @@ def main() -> None:
             out[name] = round(statistics.median(samples), 3)
         return out
 
-    # BPE end-to-end over the documents table: train on the corpus
-    # (one shuffle + TakeOrdered), then encode every doc (narrow map).
-    def q_bpe_tokenize(spark, sf_dir):
-        from feast_spark.functions.bpe import bpe_token_count, train_bpe
-
-        docs = load_table(spark, sf_dir, "documents")
-        model = train_bpe(docs, "text", num_merges=200, max_words=50_000)
-        return bpe_token_count(docs, "text", model).select("doc_id", "n_bpe_tokens")
-
     queries["bpe_tokenize"] = q_bpe_tokenize
-
-    # PQ end-to-end over the embeddings table: train codebooks
-    # (bounded sample), encode the corpus (narrow map), ADC top-10 for
-    # 5 queries + exact re-rank of the candidates.
-    def q_pq_search(spark, sf_dir):
-        from pyspark.sql import functions as F
-
-        from feast_spark.operators.pq import (
-            pq_encode,
-            pq_topk_reranked,
-            pq_train,
-        )
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        books = pq_train(emb, m_subspaces=8, k_codes=64, iters=4)
-        codes = pq_encode(emb, books)
-        queries_df = emb.where(F.col("vec_id") < 5)
-        return pq_topk_reranked(emb, codes, queries_df, books, k=10)
-
     queries["pq_search"] = q_pq_search
 
     timings = _time(headline)

@@ -69,6 +69,12 @@ class AsOfJoinSpec:
     # entity_df column name -> feature_df column name, when they differ
     # (entity selections, bigquery.py:565-568)
     key_mapping: dict[str, str] = field(default_factory=dict)
+    # sorted_merge only: name of a bucket-id column present on BOTH
+    # sides (a pure function of the join keys, e.g.
+    # skew.with_bucket_id) — the cogroup then runs at BUCKET
+    # granularity, O(buckets) Arrow calls instead of O(distinct keys).
+    # None auto-detects "__bucket" when both frames carry it.
+    bucket_col: str | None = None
 
     def out_name(self, feature: str) -> str:
         return f"{self.prefix}__{feature}" if self.prefix else feature
@@ -102,7 +108,10 @@ def as_of_join(
 
 
 def _projected_feature_df(
-    spec: AsOfJoinSpec, entity_df: DataFrame, entity_ts_col: str
+    spec: AsOfJoinSpec,
+    entity_df: DataFrame,
+    entity_ts_col: str,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Column-prune the feature side to keys + ts [+ created] + features
     (FO:185, BQ:591-597), rename keys to the entity side's names, and
@@ -117,7 +126,24 @@ def _projected_feature_df(
     if spec.created_col:
         sel.append(F.col(spec.created_col).alias(_CREATED))
     sel.extend(F.col(f) for f in spec.features)
+    sel.extend(F.col(c) for c in (extra_cols or []))
     return fdf.select(*sel)
+
+
+def _lex_nondecreasing(arrs) -> bool:
+    """True iff rows are lexicographically nondecreasing over the given
+    parallel int64 arrays (primary key first).  O(n) vectorized."""
+    import numpy as np
+
+    n = len(arrs[0])
+    if n < 2:
+        return True
+    prev_eq = np.ones(n - 1, dtype=bool)
+    for a in arrs:
+        if np.any(prev_eq & (a[1:] < a[:-1])):
+            return False
+        prev_eq &= a[1:] == a[:-1]
+    return True
 
 
 def _asof_union_window(
@@ -196,28 +222,59 @@ def _asof_union_window(
 def _asof_sorted_merge(
     entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
 ) -> DataFrame:
-    """Cogroup both sides by the join keys and merge-as-of inside each
-    group with numpy searchsorted (the pandas-merge_asof kernel,
-    vectorized per Arrow group — never row-at-a-time).
+    """Cogroup both sides and merge-as-of inside each group with numpy
+    searchsorted (the pandas-merge_asof kernel, vectorized per Arrow
+    group — never row-at-a-time).
+
+    Granularity — the deciding cost factor (measured,
+    tools/groupsize_bench.py):
+
+    * **Per key** (default): cogroup on the join keys.
+      FlatMapCoGroupsInPandas invokes the kernel once per DISTINCT
+      KEY, so the fixed per-group cost (Arrow batch framing + pandas
+      construction + Python call, ~300 us/group) dominates tiny
+      groups: at 300k keys x 5 rows this is ~100x slower than
+      union_window.  Only sane when groups are few and fat.
+    * **Per bucket** (``spec.bucket_col``, or a ``__bucket`` column
+      present on both sides): cogroup on a materialized bucket-id
+      column — any pure function of the join keys shared by both
+      sides (``skew.with_bucket_id``) — and merge EVERY key run
+      inside the bucket in one vectorized kernel call (shared
+      code+ts-rank composite, a single searchsorted, no per-key
+      loop).  O(n_buckets) Arrow calls total; this is the scale
+      path, and at 300k tiny keys it matches union_window's
+      wall-time while keeping the zero-Exchange/zero-Sort plan.
 
     Physical contract: FlatMapCoGroupsInPandas requires only
-    ClusteredDistribution(keys) + keys-ASC ordering on each child.  A
-    pair of tables bucketed AND sortBy'd on the keys (one file per
-    bucket — see ``skew.write_bucketed``) satisfies both straight off
-    the scans: no Exchange, no Sort, anywhere in the plan.  This is
-    the co-bucketed merge-join formulation SCALE.md called out as the
-    union_window strategy's known trade-off.
+    ClusteredDistribution(grouping) + grouping-ASC ordering on each
+    child.  A pair of tables bucketed AND sortBy'd on the grouping
+    column (one file per bucket — see ``skew.write_bucketed``)
+    satisfies both straight off the scans: no Exchange, no Sort,
+    anywhere in the plan.  This is the co-bucketed merge-join
+    formulation SCALE.md called out as the union_window strategy's
+    known trade-off.
 
     Set ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` to
     let the scans report their sortBy order (Spark hides it by default
     because multi-file buckets would break the guarantee; write with
     ``write_bucketed(one_file_per_bucket=True)`` to make it sound) —
     without it the plan stays Exchange-free but inserts a cheap
-    keys-only Sort per side."""
+    grouping-only Sort per side.  The kernel never TRUSTS row order:
+    it verifies (key, ts, created) sortedness in O(n) and falls back
+    to a vectorized numpy lexsort, so a non-bucketed input is merely
+    slower, never wrong."""
     from pyspark.sql import types as T
 
     keys = list(spec.join_keys)
-    feat = _projected_feature_df(spec, entity_df, entity_ts_col)
+    bucket_col = spec.bucket_col
+    if bucket_col is None and (
+        "__bucket" in entity_df.columns
+        and "__bucket" in spec.feature_df.columns
+    ):
+        bucket_col = "__bucket"
+    feat = _projected_feature_df(
+        spec, entity_df, entity_ts_col, extra_cols=[bucket_col] if bucket_col else []
+    )
     has_created = spec.created_col is not None
     features = list(spec.features)
     out_names = [spec.out_name(f) for f in features]
@@ -233,6 +290,9 @@ def _asof_sorted_merge(
         ]
     )
     out_cols = [f.name for f in out_schema.fields]
+    # Per-key groups hold exactly one key, so the key-code arrays are
+    # constant zero; per-bucket groups compute real codes.
+    multi_key = bucket_col is not None
 
     def merge(left, right):
         import numpy as np
@@ -250,30 +310,65 @@ def _asof_sorted_merge(
             for n in out_names:
                 out[n] = None
             return out
-        sort_cols = [_TS] + ([_CREATED] if has_created else [])
-        # stable sort: among equal (ts, created) the later input row
-        # wins via side='right' — arbitrary, per the ANY_VALUE contract.
-        # na_position='first' so a NULL created_ts LOSES ties to any
-        # real created value, matching union_window's `ORDER BY created
-        # ASC` (Spark sorts nulls first ASC) + last-wins semantics.
-        right = right.sort_values(
-            sort_cols, kind="mergesort", na_position="first"
-        )
+        nl, nr = len(left), len(right)
         rts = right[_TS].to_numpy()
         ets = left[entity_ts_col].to_numpy(dtype=rts.dtype)
-        # last feature row with ts <= entity ts (inclusive upper bound);
-        # equal-ts runs end at max created because created sorts ASC
-        idx = np.searchsorted(rts, ets, side="right") - 1
-        # NaT sorts as +inf in searchsorted, so a NULL entity ts would
-        # otherwise match the newest feature row; the SQL strategies
-        # return NULL features there (ts <= NULL is never true)
+        rts_i = rts.astype("int64")
+        ets_i = ets.astype("int64")
+        if multi_key:
+            # shared key codes, assigned in SORTED key order so a
+            # key-sorted scan yields nondecreasing codes (nulls group
+            # like groupBy: null == null, matching the per-key path)
+            both = pd.concat([left[keys], right[keys]], ignore_index=True)
+            codes = both.groupby(keys, sort=True, dropna=False).ngroup().to_numpy()
+            lc, rc = codes[:nl], codes[nl:]
+        else:
+            lc = np.zeros(nl, dtype="int64")
+            rc = np.zeros(nr, dtype="int64")
+        # created_ts tie-break: NULL created LOSES ties (union_window
+        # orders created ASC — Spark sorts nulls first — last wins)
+        if has_created:
+            cr = right[_CREATED].to_numpy(dtype=rts.dtype)
+            cr_i = cr.astype("int64")
+            cr_i[np.isnat(cr)] = np.iinfo("int64").min
+        else:
+            cr_i = None
+        # Required right order: (key, ts, created) lexicographic ASC.
+        # Verify in O(n) (true for sortBy'd bucketed scans) else one
+        # vectorized lexsort — still no JVM Sort node, and stable, so
+        # among full ties the later input row wins (ANY_VALUE).
+        arrs = [rc, rts_i] + ([cr_i] if cr_i is not None else [])
+        if not _lex_nondecreasing(arrs):
+            order = np.lexsort(arrs[::-1])
+            rc, rts_i = rc[order], rts_i[order]
+            rts = rts[order]
+        else:
+            order = None
+        # Rank-compress timestamps so (code, ts) packs into one int64:
+        # codes < nl+nr, ranks <= nl+nr  =>  product < (nl+nr)^2,
+        # far inside int64 even for multi-GB buckets.
+        uts = np.unique(np.concatenate([rts_i, ets_i]))
+        m = len(uts) + 1
+        comp_r = rc * m + np.searchsorted(uts, rts_i)
+        comp_l = lc * m + np.searchsorted(uts, ets_i)
+        # last right row with (key, ts) <= (key, entity ts): equal-ts
+        # runs end at max created because created sorts ASC
+        idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+        # NaT sorts as int64 min => rank 0 => idx lands before the
+        # key's run or on another key; both are caught below, but mask
+        # explicitly: the SQL strategies return NULL features for a
+        # NULL entity ts (ts <= NULL is never true)
         valid = (idx >= 0) & ~np.isnat(ets)
         safe = np.clip(idx, 0, None)
+        valid &= rc[safe] == lc
         if ttl_us is not None:
-            lower = ets - np.timedelta64(ttl_us, "us")
-            valid &= rts[safe] >= lower
+            # datetime64 domain (the arrays' native resolution — ns
+            # from pandas — so the us ttl converts, not misreads);
+            # NaT lower bounds compare False and are already masked
+            valid &= rts[safe] >= ets - np.timedelta64(ttl_us, "us")
+        take = order[safe] if order is not None else safe
         for f, n in zip(features, out_names):
-            vals = right[f].to_numpy()[safe]
+            vals = right[f].to_numpy()[take]
             if valid.all():
                 out[n] = vals
             else:
@@ -282,9 +377,10 @@ def _asof_sorted_merge(
                 out[n] = col
         return out
 
+    grouping = [bucket_col] if bucket_col else keys
     return (
-        entity_df.groupBy(*keys)
-        .cogroup(feat.groupBy(*keys))
+        entity_df.groupBy(*grouping)
+        .cogroup(feat.groupBy(*grouping))
         .applyInPandas(merge, out_schema)
     )
 

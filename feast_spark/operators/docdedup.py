@@ -821,6 +821,8 @@ def dedup_lines(
     min_line_chars: int = 10,
     out_col: str | None = None,
     max_boilerplate_lines: int | None = 1_000_000,
+    approx: bool = False,
+    approx_rsd: float = 0.05,
 ) -> DataFrame:
     """Remove boilerplate lines (those in >= min_occurrences distinct
     docs) from every document, preserving the order and spacing of
@@ -834,11 +836,18 @@ def dedup_lines(
     doc id, for the reassembly.  ``max_boilerplate_lines`` hard-bounds
     the broadcast (the MOST-repeated lines win via TakeOrdered —
     exactly the ones worth removing); None lifts the cap at
-    broadcast-size risk."""
+    broadcast-size risk.
+
+    ``approx=True`` switches the frequent-line count to the HLL
+    sketch aggregate (see :func:`frequent_lines`) — the 100 TB mode,
+    where the exact path's distinct-(doc, line) exchange is the
+    bottleneck; counts within ±``approx_rsd``, so only lines AT the
+    threshold can flip in or out of the boilerplate set."""
     out_col = out_col or text_col
     boiler = frequent_lines(
         df, text_col, min_occurrences=min_occurrences,
-        min_line_chars=min_line_chars,
+        min_line_chars=min_line_chars, approx=approx,
+        approx_rsd=approx_rsd,
     )
     if max_boilerplate_lines is not None:
         boiler = boiler.orderBy(

@@ -56,6 +56,29 @@ def salted_join(
     return lhs.join(rhs, keys + ["__salt"], how).drop("__salt")
 
 
+def with_bucket_id(
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int,
+    col: str = "__bucket",
+) -> DataFrame:
+    """Materialize a bucket-id column: ``pmod(murmur3(keys), n)`` — the
+    same function Spark's ``bucketBy`` applies to the keys themselves.
+
+    Written onto BOTH sides of a join with the same keys + n, it is a
+    shared coarse grouping: every key's rows land in the same bucket
+    value on both sides, so a cogroup on this single column co-locates
+    whole key families with O(n_buckets) groups.  That is the bucket-
+    granularity contract of ``as_of_join(strategy='sorted_merge')``
+    (spec.bucket_col): write each table
+    ``write_bucketed(with_bucket_id(df, keys, n), t, ['__bucket'], n,
+    sort_cols=['__bucket', *keys, ts])`` and PIT retrieval runs with
+    zero Exchange, zero Sort, and one Arrow call per bucket."""
+    return df.withColumn(
+        col, F.pmod(F.hash(*[F.col(k) for k in key_cols]), F.lit(n_buckets))
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

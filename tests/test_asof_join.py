@@ -256,3 +256,84 @@ def test_asof_null_created_ts_loses_ties(spark, strategy):
         strategy=strategy,
     )
     assert [r["conv_rate"] for r in out.collect()] == [0.2]
+
+
+def test_asof_bucket_granularity_matches_per_key(spark):
+    """sorted_merge at BUCKET granularity (spec.bucket_col, several
+    keys per cogroup) must reproduce the per-key result exactly —
+    incl. ttl misses, created tie-breaks, inclusive bounds, and keys
+    with no feature rows."""
+    from feast_spark.operators.skew import with_bucket_id
+
+    entity, feats = _handwritten_frames(spark)
+    # driver 5 has no feature rows at all
+    entity = entity.union(
+        spark.createDataFrame(
+            [Row(driver_id=5, event_timestamp=ts("2021-04-12 12:00:00"))]
+        )
+    )
+    # 2 buckets force multiple drivers into one cogroup
+    eb = with_bucket_id(entity, ["driver_id"], 2)
+    fb = with_bucket_id(feats, ["driver_id"], 2)
+    out = as_of_join(
+        eb,
+        "event_timestamp",
+        [
+            AsOfJoinSpec(
+                feature_df=fb,
+                join_keys=["driver_id"],
+                timestamp_col="datetime",
+                features=["conv_rate"],
+                created_col="created",
+                ttl=timedelta(hours=2),
+            )
+        ],
+        strategy="sorted_merge",
+    )
+    assert "FlatMapCoGroupsInPandas" in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["driver_id"]: r["conv_rate"] for r in out.collect()}
+    assert got == {1: 0.2, 2: None, 3: 0.5, 4: 0.6, 5: None}
+    # bucket col is an entity column, so it is preserved in the output
+    assert "__bucket" in out.columns
+
+
+def test_asof_bucket_granularity_multi_rows_per_key(spark):
+    """Bucketed kernel with several entity rows per key and interleaved
+    timestamps — exercises the shared code+rank composite across key
+    runs (no ttl, so every row with any prior feature matches)."""
+    from feast_spark.operators.skew import with_bucket_id
+
+    entity = spark.createDataFrame(
+        [
+            Row(k=i, event_timestamp=ts(f"2021-04-12 {h:02d}:30:00"))
+            for i in range(7)
+            for h in (8, 12, 16)
+        ]
+    )
+    feats = spark.createDataFrame(
+        [
+            Row(k=i, datetime=ts(f"2021-04-12 {h:02d}:00:00"),
+                v=float(i * 100 + h))
+            for i in range(5)  # keys 5, 6 have no features
+            for h in (9, 13)
+        ]
+    )
+    eb = with_bucket_id(entity, ["k"], 2)
+    fb = with_bucket_id(feats, ["k"], 2)
+    spec = lambda f: [
+        AsOfJoinSpec(
+            feature_df=f, join_keys=["k"], timestamp_col="datetime",
+            features=["v"],
+        )
+    ]
+    got = as_of_join(eb, "event_timestamp", spec(fb), strategy="sorted_merge")
+    want = as_of_join(
+        entity, "event_timestamp", spec(feats), strategy="union_window"
+    )
+    gs = sorted(
+        (r["k"], r["event_timestamp"], r["v"]) for r in got.collect()
+    )
+    ws = sorted(
+        (r["k"], r["event_timestamp"], r["v"]) for r in want.collect()
+    )
+    assert gs == ws and len(gs) == 21

@@ -345,3 +345,83 @@ def test_asof_range_join_hot_key_aqe_skew_split(spark, hot_events):
         spark.conf.set(force, saved_force)
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_bucket_granularity_pit_zero_exchange_zero_sort(spark):
+    """Bucket-granularity sorted_merge over tables bucketed + sorted on
+    the materialized __bucket column: ZERO Exchange, ZERO Sort, one
+    cogroup per BUCKET (not per key) — the O(buckets)-task reformulation
+    of the co-bucketed PIT retrieval.  Results must equal union_window
+    over the raw frames."""
+    import uuid
+    from datetime import timedelta
+
+    from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+    from feast_spark.operators.skew import with_bucket_id
+
+    suffix = uuid.uuid4().hex[:8]
+    tf, te = f"bg_feat_{suffix}", f"bg_ent_{suffix}"
+    n_buckets = 8
+    feat = spark.range(0, 3000).select(
+        (F.col("id") % 500).alias("driver_id"),
+        F.timestamp_seconds(F.lit(1622548800) - F.col("id") * 60).alias(
+            "event_ts"
+        ),
+        (F.col("id") * 0.5).alias("conv_rate"),
+    )
+    ent = spark.range(0, 600).select(
+        (F.col("id") % 520).alias("driver_id"),
+        F.timestamp_seconds(
+            F.lit(1622548800) - (F.col("id") % 7) * 3600
+        ).alias("event_timestamp"),
+    )
+    write_bucketed(
+        with_bucket_id(feat, ["driver_id"], n_buckets), tf,
+        ["__bucket"], n_buckets,
+        sort_cols=["__bucket", "driver_id", "event_ts"],
+    )
+    write_bucketed(
+        with_bucket_id(ent, ["driver_id"], n_buckets), te,
+        ["__bucket"], n_buckets,
+        sort_cols=["__bucket", "driver_id", "event_timestamp"],
+    )
+    prev = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try:
+        spec = AsOfJoinSpec(
+            feature_df=spark.table(tf),
+            join_keys=["driver_id"],
+            timestamp_col="event_ts",
+            features=["conv_rate"],
+            ttl=timedelta(days=30),
+        )
+        out = as_of_join(
+            spark.table(te), "event_timestamp", [spec],
+            strategy="sorted_merge",
+        )
+        plan = _executed_plan(out)
+        assert "FlatMapCoGroupsInPandas" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Sort [" not in plan, plan
+
+        want_spec = AsOfJoinSpec(
+            feature_df=feat, join_keys=["driver_id"],
+            timestamp_col="event_ts", features=["conv_rate"],
+            ttl=timedelta(days=30),
+        )
+        want = as_of_join(
+            ent, "event_timestamp", [want_spec], strategy="union_window"
+        )
+        got = sorted(
+            (r["driver_id"], r["event_timestamp"], r["conv_rate"])
+            for r in out.collect()
+        )
+        exp = sorted(
+            (r["driver_id"], r["event_timestamp"], r["conv_rate"])
+            for r in want.collect()
+        )
+        assert got == exp and len(got) == 600
+    finally:
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tf}")
+        spark.sql(f"DROP TABLE IF EXISTS {te}")
