@@ -561,6 +561,36 @@ def q_entity_row_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus facade (pipelines/corpus.build_corpus), fully
+    oracle-gated: featurize -> quality/token filter -> exact dedup ->
+    MinHash+LSH near-dup resolution (portable md5 signatures) ->
+    n-gram decontamination against an eval slice -> deterministic
+    hash split -> mixture-by-source token budgeting.  Every stage is
+    the driver-gated operator (corpus_clean, dup_groups_resolved,
+    hash_split, corpus_mix composed in one lazy plan); the oracle
+    replays the whole chain as one multi-CTE DuckDB query."""
+    from feast_spark.pipelines.corpus import CorpusConfig, build_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 29 == 0).select("doc_id", "text")
+    out = build_corpus(
+        docs,
+        eval_df=eval_df,
+        config=CorpusConfig(
+            portable_hashes=True,
+            split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+            budgets={"src0": 800, "src1": 400, "src2": 100000, "src3": 1200},
+            n_shards=4,
+        ),
+    )
+    return out.select(
+        "doc_id", "source", "lang_pred",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality_score", "split",
+    )
+
+
 def q_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O-surface — top-k by aggregate with deterministic tie-break.
     Plan must be TakeOrderedAndProject (driver-side heap merge of
@@ -1053,7 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_composite_key": q_pit_join_composite_key,
         "pit_join_key_mapping": q_pit_join_key_mapping,
         "json_props": q_json_props,
-        "entity_row_key": q_entity_row_key,
+        "corpus_pipeline": q_corpus_pipeline,
         "topk_revenue": q_topk_revenue,
         "shipping_priority": q_shipping_priority,
         "rollup_revenue": q_rollup_revenue,
@@ -1675,11 +1705,177 @@ FROM ranked WHERE rn = 1
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """,
-        "entity_row_key": """
-SELECT event_id,
-       md5(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
-         AS row_key
-FROM events
+        # The full build_corpus chain replayed as one multi-CTE query:
+        # exact dedup -> quality/lang featurize+filter -> portable
+        # MinHash/LSH pairs -> recursive-CTE closure -> keep min id ->
+        # 8-gram decontamination vs the doc_id%29 eval slice -> md5
+        # hash split -> per-(source, shard) budget mix.
+        "corpus_pipeline": """
+WITH RECURSIVE
+dd AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           ROW_NUMBER() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) ORDER BY doc_id) rn
+    FROM documents
+  ) WHERE rn = 1
+), t AS (
+  SELECT doc_id, text, source,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars_q,
+         length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g'))
+           AS punct
+  FROM dd
+), f AS (
+  SELECT doc_id, text, source, toks, n_chars_q,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN n_chars_q > 0 THEN punct / n_chars_q ELSE 0.0 END
+           AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, s -> s IN ('the','a','and','of','to','in','is','it'))) / len(toks)
+              ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_distinct(toks)) / len(toks)
+              ELSE 0.0 END AS distinct_ratio
+  FROM t
+), q AS (
+  SELECT doc_id, text, source, toks, n_tokens,
+         (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+           * 0.25
+         + stopword_ratio * 0.25
+         + distinct_ratio * 0.25
+         + (1.0 - punct_ratio) * 0.25 AS quality_score
+  FROM f
+), s AS (
+  SELECT doc_id, text, source, n_tokens, quality_score,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it'))) / len(toks) ELSE 0.0 END AS s_en,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','los','se'))) / len(toks) ELSE 0.0 END AS s_es,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','mit','den'))) / len(toks) ELSE 0.0 END AS s_de,
+    CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> x IN ('le','la','de','et','les','des','un','une'))) / len(toks) ELSE 0.0 END AS s_fr
+  FROM q
+), clean AS (
+  SELECT doc_id, text, source, n_tokens, quality_score,
+    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+         WHEN s_es > s_en AND s_es >= s_de AND s_es >= s_fr THEN 'es'
+         WHEN s_de > s_en AND s_de > s_es AND s_de >= s_fr THEN 'de'
+         ELSE 'fr' END AS lang_pred
+  FROM s
+  WHERE quality_score >= 0.5 AND n_tokens BETWEEN 10 AND 5000
+), tk AS (
+  SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks
+  FROM clean
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS s FROM sh
+), h AS (
+  SELECT doc, CAST(CONCAT('0x', substr(md5(s), 1, 8)) AS BIGINT) AS hv
+  FROM post
+), seeds(i, a, b) AS (
+  VALUES (0, 176754203, 42560440), (1, 1000676753, 594932982), (2, 908095735, 71666532), (3, 896336333, 662989442), (4, 241247635, 461502928), (5, 391441865, 34778318), (6, 133072879, 534045436), (7, 901094789, 238077914), (8, 340112395, 705377000), (9, 397905153, 367232934), (10, 899253735, 282367380), (11, 881784893, 749762610), (12, 879663491, 70219520), (13, 142072633, 652862846), (14, 318196447, 865403692), (15, 1030877685, 968547210), (16, 439334395, 719660568), (17, 599570545, 267593302), (18, 481933015, 303205316), (19, 907242157, 529748450), (20, 192473459, 999202864), (21, 631833769, 202943022), (22, 938387919, 762679132), (23, 702825061, 562641722), (24, 542512107, 293225800), (25, 266051553, 876597510), (26, 562037703, 932343284), (27, 93411613, 829945746), (28, 711923043, 392328544), (29, 485452313, 748288734), (30, 229876927, 1013548940), (31, 42176213, 893839082)
+), sig AS (
+  SELECT doc, i, MIN((a * hv + b) % 2147483647) AS mh
+  FROM h CROSS JOIN seeds GROUP BY doc, i
+), bd0 AS (
+  SELECT doc, i // 4 AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sigs
+  FROM sig GROUP BY doc, i // 4
+), bd AS (
+  SELECT * FROM bd0
+  QUALIFY COUNT(*) OVER (PARTITION BY band, sigs) <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc AS id_a, b.doc AS id_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.sigs = b.sigs AND a.doc < b.doc
+), ver AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(sa.shingles, sb.shingles)) AS common,
+         len(sa.shingles) AS na, len(sb.shingles) AS nb
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+), pairs AS (
+  SELECT id_a, id_b FROM ver WHERE common / (na + nb - common) >= 0.5
+),
+e(u, v) AS (
+  SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT u, u FROM e
+  UNION
+  SELECT reach.node, e.v FROM reach JOIN e ON e.u = reach.r
+),
+losers AS (
+  SELECT node FROM (
+    SELECT node, MIN(r) AS component FROM reach GROUP BY node
+  ) WHERE node <> component
+),
+surv AS (
+  SELECT * FROM clean WHERE doc_id NOT IN (SELECT node FROM losers)
+),
+tr8 AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks8) < 8 THEN [array_to_string(toks8, ' ')]
+      ELSE list_transform(range(1, len(toks8) - 6),
+                          i -> array_to_string(toks8[i:i+7], ' '))
+      END) AS shingles
+  FROM (
+    SELECT doc_id, regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks8
+    FROM surv
+  )
+), trx AS (
+  SELECT doc_id AS train_id, unnest(shingles) AS s FROM tr8
+), trf AS (
+  SELECT train_id, s FROM trx
+  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000
+), ev8 AS (
+  SELECT
+    list_distinct(
+      CASE WHEN len(toks8) < 8 THEN [array_to_string(toks8, ' ')]
+      ELSE list_transform(range(1, len(toks8) - 6),
+                          i -> array_to_string(toks8[i:i+7], ' '))
+      END) AS shingles
+  FROM (
+    SELECT regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), '\\s+') AS toks8
+    FROM documents WHERE doc_id % 29 = 0
+  )
+), evs AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM ev8
+), hits AS (
+  SELECT DISTINCT train_id FROM trf JOIN evs USING (s)
+), decont AS (
+  SELECT * FROM surv WHERE doc_id NOT IN (SELECT train_id FROM hits)
+), splitd AS (
+  SELECT *, CASE WHEN b < 80 THEN 'train'
+                 WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM (
+    SELECT *, CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS b
+    FROM decont
+  )
+), mixbase AS (
+  SELECT doc_id, source, lang_pred, n_tokens, quality_score, split,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord
+  FROM splitd WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), mixc AS (
+  SELECT *,
+         SUM(n_tokens) OVER (
+           PARTITION BY source, shard ORDER BY ord, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 100
+                     WHEN 'src2' THEN 25000 WHEN 'src3' THEN 300 END
+           AS budget
+  FROM mixbase
+)
+SELECT doc_id, source, lang_pred, n_tokens, quality_score, split
+FROM mixc WHERE cum <= budget
 """,
         "topk_revenue": """
 SELECT l_orderkey,

@@ -80,6 +80,70 @@ class AsOfJoinSpec:
         return f"{self.prefix}__{feature}" if self.prefix else feature
 
 
+def _parse_size_bytes(v: str) -> int:
+    """Parse Spark size confs ('10485760', '10485760b', '10m', '1g',
+    '-1').  Unknown suffixes parse as plain ints of the digit prefix."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    try:
+        return int(s) * mult
+    except ValueError:
+        return -1
+
+
+def choose_strategy(
+    entity_df: DataFrame, spec: AsOfJoinSpec
+) -> str:
+    """Physical-strategy choice for one as-of spec (``strategy='auto'``).
+
+    1. ``sorted_merge`` when a shared bucket-id column is declared or
+       present on both sides (``spec.bucket_col`` / ``__bucket``): the
+       co-bucketed materialized layout, where the bucket-granularity
+       cogroup runs with zero Exchange and zero Sort (SCALE.md
+       "Measured scale curve").  Key-bucketed tables WITHOUT a bucket
+       column deliberately do NOT dispatch here: per-key cogroup pays
+       ~300 us/group (measured 100x+ slower on tiny groups), while
+       union_window over the same co-bucketed scans is also
+       Exchange-free.
+    2. ``range_join`` when Catalyst's size estimate for the feature
+       side fits the broadcast threshold: the entity side then never
+       shuffles at all.
+    3. ``union_window`` otherwise — the one-shuffle default.
+    """
+    if spec.bucket_col is not None or (
+        "__bucket" in entity_df.columns
+        and "__bucket" in spec.feature_df.columns
+    ):
+        return "sorted_merge"
+    spark = entity_df.sparkSession
+    threshold = _parse_size_bytes(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    )
+    if threshold > 0:
+        try:
+            est = int(
+                str(
+                    spec.feature_df._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            )
+        except Exception:  # stats unavailable (e.g. streaming source)
+            est = None
+        if est is not None and est <= threshold:
+            return "range_join"
+    return "union_window"
+
+
 def as_of_join(
     entity_df: DataFrame,
     entity_ts_col: str,
@@ -91,14 +155,21 @@ def as_of_join(
     Each spec is applied in order; the entity frame grows by each view's
     feature columns.  Output preserves every entity_df column (entity ts
     column first, P5) plus ``spec.out_name(f)`` for each feature.
+
+    ``strategy='auto'`` dispatches per spec via :func:`choose_strategy`
+    (bucket-merge for co-bucketed layouts, broadcast range join for
+    small feature tables, union_window otherwise).
     """
     out = entity_df
     for spec in specs:
-        if strategy == "union_window":
+        chosen = (
+            choose_strategy(out, spec) if strategy == "auto" else strategy
+        )
+        if chosen == "union_window":
             out = _asof_union_window(out, entity_ts_col, spec)
-        elif strategy == "range_join":
+        elif chosen == "range_join":
             out = _asof_range_join(out, entity_ts_col, spec)
-        elif strategy == "sorted_merge":
+        elif chosen == "sorted_merge":
             out = _asof_sorted_merge(out, entity_ts_col, spec)
         else:
             raise ValueError(f"unknown as-of join strategy: {strategy}")

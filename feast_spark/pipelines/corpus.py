@@ -58,6 +58,16 @@ class CorpusConfig:
     # cross-document boilerplate: remove lines present in >= this many
     # distinct docs (None = skip the stage)
     boilerplate_min_docs: int | None = None
+    # 100 TB knob: count boilerplate lines with the HLL sketch
+    # aggregate instead of exact distinct — the exchange then carries
+    # one sketch per (line, partition) instead of every distinct
+    # (doc, line) pair (docdedup.frequent_lines docstring)
+    line_dedup_approx: bool = False
+    line_dedup_rsd: float = 0.05
+    # md5-based signatures/shingles for near-dedup + decontamination:
+    # bit-reproducible cross-engine (the differential-oracle mode);
+    # False = xxhash64 fast path (~2x cheaper hashing)
+    portable_hashes: bool = False
     # filter gates
     min_quality: float = 0.5
     min_tokens: int = 10
@@ -126,6 +136,7 @@ def build_corpus(
             dedup_lines(
                 docs, c.id_col, c.text_col,
                 min_occurrences=c.boilerplate_min_docs,
+                approx=c.line_dedup_approx, approx_rsd=c.line_dedup_rsd,
             ),
         )
 
@@ -150,7 +161,8 @@ def build_corpus(
     # 3. near-dup resolution: pair graph → components → representative
     if c.near_dedup:
         pairs = minhash_dedup_pairs(
-            deduped, c.id_col, c.text_col, threshold=c.jaccard_threshold
+            deduped, c.id_col, c.text_col, threshold=c.jaccard_threshold,
+            portable=c.portable_hashes,
         )
         deduped = _mark(
             "near_dedup",
@@ -171,6 +183,7 @@ def build_corpus(
                 train_id_col=c.id_col,
                 text_col=c.text_col,
                 n=c.contamination_ngram,
+                portable=c.portable_hashes,
                 max_shingle_freq=c.contamination_max_shingle_freq,
             )
             .select(F.col("train_id").alias(c.id_col))

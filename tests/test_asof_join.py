@@ -337,3 +337,59 @@ def test_asof_bucket_granularity_multi_rows_per_key(spark):
         (r["k"], r["event_timestamp"], r["v"]) for r in want.collect()
     )
     assert gs == ws and len(gs) == 21
+
+
+def test_auto_strategy_dispatch(spark, tmp_path):
+    """strategy='auto' dispatch arms: bucket-merge for shared __bucket,
+    broadcast range join under the size threshold, union_window when
+    broadcasting is disabled — and the auto result matches explicit."""
+    from feast_spark.operators.asof_join import choose_strategy
+    from feast_spark.operators.skew import with_bucket_id
+
+    entity, feats = _handwritten_frames(spark)
+    mk = lambda f: AsOfJoinSpec(
+        feature_df=f, join_keys=["driver_id"], timestamp_col="datetime",
+        features=["conv_rate"], created_col="created",
+        ttl=timedelta(hours=2),
+    )
+
+    # tiny parquet-backed feature frame (real size stats) -> range_join
+    feats.write.parquet(str(tmp_path / "feats"))
+    featp = spark.read.parquet(str(tmp_path / "feats"))
+    assert choose_strategy(entity, mk(featp)) == "range_join"
+
+    # a createDataFrame frame reports UNKNOWN stats (Long.MaxValue):
+    # auto must not broadcast blind -> union_window
+    assert choose_strategy(entity, mk(feats)) == "union_window"
+
+    # broadcasting off -> union_window even for the small parquet frame
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert choose_strategy(entity, mk(featp)) == "union_window"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # shared bucket column -> sorted_merge (bucket granularity)
+    eb = with_bucket_id(entity, ["driver_id"], 2)
+    fb = with_bucket_id(feats, ["driver_id"], 2)
+    assert choose_strategy(eb, mk(fb)) == "sorted_merge"
+
+    # explicit bucket_col wins even without the __bucket convention
+    spec = AsOfJoinSpec(
+        feature_df=fb.withColumnRenamed("__bucket", "bkt"),
+        join_keys=["driver_id"], timestamp_col="datetime",
+        features=["conv_rate"], bucket_col="bkt",
+    )
+    assert choose_strategy(
+        eb.withColumnRenamed("__bucket", "bkt"), spec
+    ) == "sorted_merge"
+
+    # end-to-end: auto == explicit union_window result
+    out = as_of_join(entity, "event_timestamp", [mk(feats)], strategy="auto")
+    want = as_of_join(
+        entity, "event_timestamp", [mk(feats)], strategy="union_window"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -137,3 +137,61 @@ def test_pipeline_html_and_boilerplate_stages(spark):
         assert footer not in r["text"]          # boilerplate line removed
         assert "quick brown fox" in r["text"]   # prose kept
     assert report["line_dedup"] == 6
+
+
+def test_portable_hashes_mode_matches_fast_path(spark, docs):
+    """portable_hashes=True (md5 signatures/shingles — the oracle mode,
+    now driver-gated as the corpus_pipeline query) must select the SAME
+    surviving documents as the xxhash64 fast path: both candidate
+    generators feed an exact-Jaccard verify, so results differ only if
+    one hash family misses a true near-dup candidate."""
+    eval_df = docs.filter(F.col("doc_id") % 29 == 0).select("doc_id", "text")
+    cfg = dict(
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        budgets={"src0": 800, "src1": 400, "src2": 100000, "src3": 1200},
+        n_shards=4,
+    )
+    fast = build_corpus(docs, eval_df=eval_df, config=CorpusConfig(**cfg))
+    portable = build_corpus(
+        docs, eval_df=eval_df,
+        config=CorpusConfig(portable_hashes=True, **cfg),
+    )
+    cols = ["doc_id", "source", "lang_pred", "split"]
+    a = sorted(tuple(r) for r in fast.select(*cols).collect())
+    b = sorted(tuple(r) for r in portable.select(*cols).collect())
+    assert a == b and len(a) > 0
+
+
+def test_line_dedup_approx_knob_reaches_facade(spark):
+    """line_dedup_approx=True must remove the same genuinely-frequent
+    boilerplate as the exact mode through the facade (HLL counts are
+    ±rsd, so only threshold-straddling lines may differ — the planted
+    banner is in every doc, far above min_docs)."""
+    import pandas as pd
+
+    banner = "SUBSCRIBE TO OUR NEWSLETTER TODAY"
+    rows = [
+        {
+            "doc_id": i,
+            "text": f"{banner}\n" + " ".join(
+                f"word{i}w{j} the a and of to in is it" for j in range(12)
+            ),
+            "source": "src0",
+        }
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows))
+    cfg = dict(
+        boilerplate_min_docs=5, near_dedup=False,
+        budgets=None, pack_max_tokens=None,
+    )
+    exact, st_exact = build_corpus(
+        docs, config=CorpusConfig(**cfg), report=True
+    )
+    approx, st_approx = build_corpus(
+        docs, config=CorpusConfig(line_dedup_approx=True, **cfg), report=True
+    )
+    assert st_exact["line_dedup"] == st_approx["line_dedup"] == 40
+    for out in (exact, approx):
+        texts = [r.text for r in out.select("text").collect()]
+        assert texts and all(banner not in t for t in texts)

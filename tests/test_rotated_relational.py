@@ -1,6 +1,7 @@
-"""The four relational queries rotated out of the driver's 50-entry
-gate in round 4 (their capabilities keep driver-gated siblings:
-rollup_revenue, customers_no_orders, nation_revenue, table_profile)
+"""Queries rotated out of the driver's 50-entry gate (their
+capabilities keep driver-gated siblings: rollup_revenue,
+customers_no_orders, nation_revenue, table_profile; entity_row_key's
+F1/F2 cast+concat semantics stay gated via pit_join_composite_key)
 stay value-checked here with their original DuckDB oracles.
 """
 
@@ -31,6 +32,12 @@ EXCEPT
 SELECT DISTINCT user_id FROM events
 WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-20'
 """,
+    "entity_row_key": """
+SELECT event_id,
+       md5(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
+         AS row_key
+FROM events
+""",
     "local_supplier_volume": """
 SELECT n_name,
        SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
@@ -52,6 +59,7 @@ _FUNCS = {
     "doc_len_percentiles": entry_mod.q_doc_len_percentiles,
     "buyers_never_click": entry_mod.q_buyers_never_click,
     "local_supplier_volume": entry_mod.q_local_supplier_volume,
+    "entity_row_key": entry_mod.q_entity_row_key,
 }
 
 
