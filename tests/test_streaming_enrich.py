@@ -1,0 +1,214 @@
+"""Streaming PIT enrichment: stream≡batch identity (a feature computed
+for a streamed event equals the one batch retrieval computes for the
+same (key, timestamp)), late-event correctness under the created_ts
+tie-break, and the online-snapshot serving twin."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from feast_spark.operators.asof_join import AsOfJoinSpec, as_of_join
+from feast_spark.streaming.enrich import enrich_stream, online_snapshot_spec
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("driver_id", T.LongType()),
+        T.StructField("event_timestamp", T.TimestampType()),
+    ]
+)
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def _feature_rows(spark):
+    return spark.createDataFrame(
+        [
+            Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+                created=ts("2021-04-12 09:00:00"), conv_rate=0.1),
+            Row(driver_id=1, datetime=ts("2021-04-12 10:00:00"),
+                created=ts("2021-04-12 10:00:00"), conv_rate=0.2),
+            # same event_ts, later created: must win ties (A2)
+            Row(driver_id=1, datetime=ts("2021-04-12 10:00:00"),
+                created=ts("2021-04-12 11:00:00"), conv_rate=0.25),
+            Row(driver_id=2, datetime=ts("2021-04-12 05:00:00"),
+                created=ts("2021-04-12 05:00:00"), conv_rate=0.3),
+        ]
+    )
+
+
+def _events(n0=0):
+    return [
+        Row(event_id=n0 + 1, driver_id=1,
+            event_timestamp=ts("2021-04-12 10:59:42")),
+        Row(event_id=n0 + 2, driver_id=2,  # only feature outside 2h ttl
+            event_timestamp=ts("2021-04-12 08:12:10")),
+        Row(event_id=n0 + 3, driver_id=3,  # no features at all
+            event_timestamp=ts("2021-04-12 16:40:26")),
+    ]
+
+
+def _spec(feats):
+    return AsOfJoinSpec(
+        feature_df=feats,
+        join_keys=["driver_id"],
+        timestamp_col="datetime",
+        features=["conv_rate"],
+        created_col="created",
+        ttl=timedelta(hours=2),
+    )
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """Identical rows for identical timestamps: the streamed enrichment
+    of every micro-batch unions to exactly the batch as_of_join result
+    over the union of events — including a LATE second batch (events
+    older than batch 1's) whose PIT answers must still be correct."""
+    feats = _feature_rows(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    collected = []
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    write_batch("b1", _events(0))
+    # late arrivals: timestamps BEFORE batch 1's events
+    late = [
+        Row(event_id=11, driver_id=1,
+            event_timestamp=ts("2021-04-12 09:30:00")),  # -> 0.1
+        Row(event_id=12, driver_id=1,
+            event_timestamp=ts("2021-04-12 10:00:00")),  # tie: created 11:00 wins -> 0.25
+    ]
+
+    def run_stream():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(
+            str(src) + "/*"
+        )
+        q = enrich_stream(
+            stream,
+            "event_timestamp",
+            [_spec(feats)],
+            sink=lambda df, _bid: collected.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_stream()
+    # late arrivals land, the (checkpointed) stream resumes: only the
+    # new files process, and their PIT answers look at the full past
+    write_batch("b2", late)
+    run_stream()
+
+    batch = as_of_join(
+        spark.createDataFrame(_events(0) + late, EVENT_SCHEMA),
+        "event_timestamp",
+        [_spec(feats)],
+    )
+    want = sorted(
+        (r["event_id"], r["conv_rate"]) for r in batch.collect()
+    )
+    got = sorted((r["event_id"], r["conv_rate"]) for r in collected)
+    assert got == want
+    by_id = dict(got)
+    # event 1 (10:59:42): winner is (10:00, created 11:00) -> 0.25 (A2);
+    # late event 12 at exactly 10:00 hits the same tie -> 0.25
+    assert by_id == {1: 0.25, 2: None, 3: None, 11: 0.1, 12: 0.25}
+
+
+def test_enrich_refreshes_feature_state_per_batch(spark, tmp_path):
+    """With callable specs, a feature table update between micro-batches
+    is visible to the NEXT batch (the per-batch re-resolve contract)."""
+    fdir = tmp_path / "feats"
+    spark.createDataFrame(
+        [Row(driver_id=1, datetime=ts("2021-04-12 09:00:00"),
+             created=ts("2021-04-12 09:00:00"), conv_rate=0.1)]
+    ).write.mode("overwrite").parquet(str(fdir))
+
+    def specs():
+        return [_spec(spark.read.parquet(str(fdir)))]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    collected = []
+
+    def run_stream():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(
+            str(src) + "/*"
+        )
+        q = enrich_stream(
+            stream, "event_timestamp", specs,
+            sink=lambda df, _b: collected.extend(df.collect()),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    spark.createDataFrame(
+        [Row(event_id=1, driver_id=1,
+             event_timestamp=ts("2021-04-12 10:59:00"))],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    run_stream()
+    # newer feature row lands between batches
+    spark.createDataFrame(
+        [Row(driver_id=1, datetime=ts("2021-04-12 10:30:00"),
+             created=ts("2021-04-12 10:30:00"), conv_rate=0.9)]
+    ).write.mode("append").parquet(str(fdir))
+    spark.createDataFrame(
+        [Row(event_id=2, driver_id=1,
+             event_timestamp=ts("2021-04-12 10:59:00"))],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    run_stream()
+    by_id = {r["event_id"]: r["conv_rate"] for r in collected}
+    assert by_id == {1: 0.1, 2: 0.9}
+
+
+def test_online_snapshot_enrichment(spark, tmp_path):
+    """Enrich a stream against the materialized ONLINE snapshot: the
+    serving model evaluated at event time — matches iff the latest
+    materialized value predates the event and is inside ttl."""
+    from feast_spark.online.store import OnlineStore
+
+    store = OnlineStore(str(tmp_path / "online"))
+    store.online_write_batch(
+        spark, "p", "drv", _feature_rows(spark),
+        ["driver_id"], "datetime", "created", ["conv_rate"],
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    collected = []
+    events = [
+        # snapshot row for driver 1 is (10:00, created 11:00, 0.25)
+        Row(event_id=1, driver_id=1,
+            event_timestamp=ts("2021-04-12 10:59:42")),  # -> 0.25
+        Row(event_id=2, driver_id=1,
+            event_timestamp=ts("2021-04-12 09:30:00")),  # before snapshot ts -> None
+        Row(event_id=3, driver_id=2,
+            event_timestamp=ts("2021-04-12 08:12:10")),  # outside ttl -> None
+    ]
+    spark.createDataFrame(events, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src) + "/*")
+    q = enrich_stream(
+        stream,
+        "event_timestamp",
+        lambda: online_snapshot_spec(
+            spark, store, "p", "drv", ["driver_id"], ["conv_rate"],
+            ttl=timedelta(hours=2),
+        ),
+        sink=lambda df, _b: collected.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    by_id = {r["event_id"]: r["conv_rate"] for r in collected}
+    assert by_id == {1: 0.25, 2: None, 3: None}
