@@ -48,6 +48,10 @@ class RepoConfig:
     # (project_id[/namespace]) — the reference's provider/online_store
     # registry (repo_config.py, infra/provider.py, infra/online_stores/)
     online_store_type: str = "parquet"
+    # "union_window" (default), "range_join", "sorted_merge", or
+    # "auto" (per-view dispatch: bucket-merge over shared bucket-id
+    # columns, broadcast range join for small feature tables,
+    # union_window otherwise — operators/asof_join.choose_strategy)
     asof_strategy: str = "union_window"
     # Temporal scan pruning: bound each feature scan to
     # [min(entity_ts) - ttl, max(entity_ts)] (the reference's BQ rewrite,
@@ -306,6 +310,62 @@ class FeatureStore:
             else:
                 keys.append(entity_name)  # entity name == join key shorthand
         return keys
+
+    def enrich_stream(
+        self,
+        stream_df,
+        features,
+        sink,
+        entity_ts_col: str = "event_timestamp",
+        full_feature_names: bool = False,
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """Streaming twin of :meth:`get_historical_features`: as-of join
+        each micro-batch of entity events against the SAME feature
+        views the batch path resolves, with identical PIT semantics
+        (stream≡batch identity — streaming/enrich.py).  Batch sources
+        re-resolve per micro-batch, so newly materialized feature data
+        is visible at the next trigger.  ``sink`` is a table name or a
+        ``(batch_df, batch_id)`` callable; returns the StreamingQuery.
+
+        Scan pruning (A4) does not apply — a stream has no global
+        timestamp bounds; each micro-batch pays the batch operator's
+        plan under ``config.asof_strategy``."""
+        from feast_spark.streaming.enrich import enrich_stream as _enrich
+
+        def specs() -> list[AsOfJoinSpec]:
+            out = []
+            for view, feats in self._group_feature_refs(features):
+                src = view.batch_source
+                if src is None:
+                    raise ValueError(f"view {view.name!r} has no batch source")
+                fdf = src.load(self.spark)
+                ts_col = infer_event_timestamp_column(
+                    fdf, src.event_timestamp_column
+                )
+                out.append(
+                    AsOfJoinSpec(
+                        feature_df=fdf,
+                        join_keys=self._join_keys_for_view(view),
+                        timestamp_col=ts_col,
+                        features=feats,
+                        created_col=src.created_timestamp_column or None,
+                        ttl=view.ttl,
+                        prefix=view.name if full_feature_names else None,
+                    )
+                )
+            return out
+
+        return _enrich(
+            stream_df,
+            entity_ts_col,
+            specs,
+            sink=sink,
+            strategy=self.config.asof_strategy,
+            checkpoint_dir=checkpoint_dir,
+            trigger_available_now=trigger_available_now,
+        )
 
     def get_historical_features(
         self,

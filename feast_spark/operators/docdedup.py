@@ -414,6 +414,32 @@ def _oph_bin_pred(k: int, num_hashes: int):
     return lambda x: F.pmod(x, F.lit(num_hashes)) == k
 
 
+def choose_minhash_method(mean_shingles: float, num_hashes: int) -> str:
+    """Signature-scheme choice for ``method='auto'``, from the measured
+    crossover documented in :func:`with_minhash_oph`: OPH's only loss
+    mode is densification — empty bins (P = (1-1/K)^n ~ e^(-n/K))
+    borrow donor values, inflating bucket collisions and the quadratic
+    in-bucket pair expansion (measured +30% end-to-end at sf0.1, where
+    n/K ~ 1.5).  At n >= 4K the empty-bin probability is under e^-4 ~
+    1.8%, borrows vanish, and OPH's one-hash-pass signature wins;
+    below that, K-seed's extra hashing is cheaper than OPH's extra
+    candidate pairs."""
+    return "oph" if mean_shingles >= 4 * num_hashes else "kseed"
+
+
+def _mean_shingle_count(sh: DataFrame, sample_rows: int = 10_000) -> float:
+    """Bounded probe of the corpus' mean shingle count: LocalLimit
+    stops the scan after ``sample_rows`` rows (first partitions only —
+    one tiny job, never a full corpus pass)."""
+    row = (
+        sh.select(F.size("shingles").alias("__n"))
+        .limit(sample_rows)
+        .agg(F.avg("__n").alias("__m"))
+        .head()
+    )
+    return float(row["__m"] or 0.0)
+
+
 def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     """All (id_a < id_b) pairs within each bucket's doc array, entirely
     as array expressions: sort the array, then for each element pair it
@@ -468,9 +494,12 @@ def lsh_candidate_pairs(
     comma-joined band string instead of its xxhash64).
     ``method``: fast-path signature scheme — 'kseed' (default; K
     xxhash64 passes, measured fastest end-to-end on short-doc
-    corpora) or 'oph' (one-permutation hashing, see
-    ``with_minhash_oph`` for when it wins).  Ignored when
-    ``portable`` (the oracle pins the K-seed affine scheme)."""
+    corpora), 'oph' (one-permutation hashing, see
+    ``with_minhash_oph`` for when it wins), or 'auto' (pick by the
+    measured crossover: a bounded 10k-row probe of the mean shingle
+    count dispatches to OPH iff it is >= 4*num_hashes — see
+    :func:`choose_minhash_method`).  Ignored when ``portable`` (the
+    oracle pins the K-seed affine scheme)."""
     rows_per_band = num_hashes // bands
     sh = (
         shingles_df
@@ -479,6 +508,10 @@ def lsh_candidate_pairs(
             widen_parallelism(df.select(id_col, text_col)), text_col, n
         )
     )
+    if method == "auto" and not portable:
+        method = choose_minhash_method(
+            _mean_shingle_count(sh), num_hashes
+        )
     if portable or method == "kseed":
         mh = with_minhash(
             sh, num_hashes=num_hashes, portable=portable, prehashed=prehashed

@@ -94,7 +94,10 @@ def oracle(feats, ents, ttl_hours, with_created):
     return out
 
 
-@pytest.mark.parametrize("strategy", ["union_window", "range_join", "sorted_merge"])
+@pytest.mark.parametrize(
+    "strategy",
+    ["union_window", "range_join", "sorted_merge", "sorted_merge_bucket"],
+)
 @settings(
     max_examples=6,
     deadline=None,
@@ -110,6 +113,14 @@ def test_asof_matches_bruteforce_oracle(spark, strategy, data):
     edf = spark.createDataFrame(
         [Row(rid=r, k=k, event_timestamp=t) for r, k, t in ents], ENT_SCHEMA
     )
+    if strategy == "sorted_merge_bucket":
+        # bucket-granularity kernel: 2 buckets force several keys per
+        # cogroup, exercising the multi-key composite merge
+        from feast_spark.operators.skew import with_bucket_id
+
+        fdf = with_bucket_id(fdf, ["k"], 2)
+        edf = with_bucket_id(edf, ["k"], 2)
+        strategy = "sorted_merge"
     out = as_of_join(
         edf,
         "event_timestamp",

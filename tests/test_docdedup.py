@@ -362,3 +362,46 @@ def test_frequent_lines_approx_no_distinct_shuffle(spark):
     import re
 
     assert len(re.findall(r"^\(\d+\) Exchange", approx_plan, re.M)) == 1
+
+
+def test_minhash_method_auto(spark):
+    """method='auto' dispatches by the measured crossover (OPH iff mean
+    shingles >= 4*num_hashes) and its verified pairs equal BOTH explicit
+    methods' on short and long synthetic corpora (recall parity)."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.docdedup import (
+        choose_minhash_method,
+        minhash_dedup_pairs,
+    )
+
+    # the pure heuristic
+    assert choose_minhash_method(50.0, 32) == "kseed"
+    assert choose_minhash_method(127.9, 32) == "kseed"
+    assert choose_minhash_method(128.0, 32) == "oph"
+    assert choose_minhash_method(500.0, 32) == "oph"
+
+    def corpus(words_per_doc):
+        rows = []
+        for i in range(60):
+            base = [f"w{i}x{j}" for j in range(words_per_doc)]
+            rows.append(Row(doc_id=2 * i, text=" ".join(base)))
+            # near-dup: mutate one word in the middle
+            mut = list(base)
+            mut[words_per_doc // 2] = "MUT"
+            rows.append(Row(doc_id=2 * i + 1, text=" ".join(mut)))
+        return spark.createDataFrame(rows)
+
+    for words in (30, 200):  # short -> kseed arm, long -> oph arm
+        docs = corpus(words)
+        got = {
+            m: sorted(
+                (r["id_a"], r["id_b"])
+                for r in minhash_dedup_pairs(
+                    docs, "doc_id", "text", threshold=0.5, method=m
+                ).collect()
+            )
+            for m in ("auto", "kseed", "oph")
+        }
+        assert got["auto"] == got["kseed"] == got["oph"], words
+        assert len(got["auto"]) >= 50, (words, len(got["auto"]))

@@ -212,3 +212,68 @@ def test_online_snapshot_enrichment(spark, tmp_path):
     q.stop()
     by_id = {r["event_id"]: r["conv_rate"] for r in collected}
     assert by_id == {1: 0.25, 2: None, 3: None}
+
+
+def test_feature_store_enrich_stream_matches_batch(spark, tmp_path):
+    """FeatureStore.enrich_stream resolves the same feature refs as
+    get_historical_features and produces identical rows for identical
+    timestamps (strategy from config, prefix naming contract)."""
+    import uuid
+
+    from feast_spark import (
+        Entity, FeatureStore, FeatureView, RepoConfig, SparkSqlSource,
+        ValueType,
+    )
+
+    tf = f"enrich_feat_{uuid.uuid4().hex[:8]}"
+    _feature_rows(spark).write.saveAsTable(tf)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="enrich_p",
+            registry_path=str(tmp_path / "reg.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="drv",
+                entities=["driver"],
+                ttl=timedelta(hours=2),
+                batch_source=SparkSqlSource(
+                    table=tf,
+                    event_timestamp_column="datetime",
+                    created_timestamp_column="created",
+                ),
+            ),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    events = _events(0)
+    spark.createDataFrame(events, EVENT_SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    collected = []
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src) + "/*")
+    q = st.enrich_stream(
+        stream,
+        ["drv:conv_rate"],
+        sink=lambda df, _b: collected.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch = st.get_historical_features(
+        spark.createDataFrame(events, EVENT_SCHEMA), ["drv:conv_rate"]
+    ).to_spark_df()
+    want = sorted(
+        (r["event_id"], r["conv_rate"]) for r in batch.collect()
+    )
+    got = sorted((r["event_id"], r["conv_rate"]) for r in collected)
+    assert got == want and len(got) == 3
+    spark.sql(f"DROP TABLE IF EXISTS {tf}")
