@@ -137,6 +137,15 @@ def main() -> None:
     spark.conf.set(
         "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
     )
+    # a previous run's managed-table dirs survive the session (no
+    # persistent metastore), so DROP alone can't clear them
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("bench_pit_ent", "bench_pit_feat"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
     ev = load_table(spark, sf_dir, "events")
     from pyspark.sql import functions as F
 
