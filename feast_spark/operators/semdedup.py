@@ -1,0 +1,142 @@
+"""SemDeDup-style semantic deduplication over embedding columns.
+
+The public method (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"; no
+reference-repo counterpart): cluster the corpus' embeddings with
+k-means, then look for near-duplicate pairs ONLY within each cluster
+— semantically identical documents (paraphrases, templated rewrites,
+boilerplate variants) land in the same cluster, so the quadratic
+pair search shrinks from O(n^2) to sum over clusters of O(|c|^2)
+with |c| ~ n/k.  Survivors keep one representative per transitive
+group (reusing the large-star/small-star connected-components
+resolution — the same machinery as MinHash dedup).
+
+Spark shape, stage by stage:
+
+1. **Fit** — `similarity.ivf_train_centroids`: k-means on a
+   deterministic hash-ordered SAMPLE (k * sample_per_centroid rows),
+   so training cost is independent of corpus size.
+2. **Assign** — `similarity.nearest_centroid`: argmin-L2 over the
+   broadcast centroid literals, a single codegen expression; the
+   corpus streams through one narrow scan, no Python, no shuffle.
+3. **Pair** — equi-self-join on the cluster id (never a cross join),
+   exact cosine verify >= threshold.  `max_cluster_size` drops
+   degenerate mega-clusters before the join (a near-constant
+   embedding region — zero vectors, collapsed encoders — would
+   otherwise cost |c|^2; same reasoning and mechanism as the LSH
+   hot-bucket cap, enforced with a count window on the join key).
+4. **Resolve** — `components.resolve_dup_groups` keeps the min-id
+   (or best-``keep_by``) representative per group.
+
+Known recall trade-off (inherent to the method, documented in the
+paper): a near-dup pair straddling a cluster boundary is missed;
+recall is controlled by ``n_clusters`` (fewer, fatter clusters =
+higher recall, more pair work).  For exact ground truth on small
+corpora use `similarity.exact_cosine_pairs`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from feast_spark.operators.components import resolve_dup_groups
+from feast_spark.operators.similarity import (
+    cosine,
+    ivf_train_centroids,
+    nearest_centroid,
+)
+
+__all__ = ["semantic_dedup_pairs", "semantic_dedup"]
+
+
+def with_cluster_id(
+    df: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    out_col: str = "__cell",
+) -> DataFrame:
+    """Nearest-centroid assignment as one narrow codegen expression."""
+    return df.withColumn(
+        out_col,
+        nearest_centroid(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            centroids,
+        ),
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    iters: int = 2,
+    max_cluster_size: int | None = 10_000,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold, searched
+    within k-means clusters only.  Pass ``centroids`` to reuse a
+    trained quantizer across corpora snapshots (stable cluster ids =
+    stable dedup decisions as the corpus grows)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(
+            df, id_col=id_col, vec_col=vec_col, n_centroids=n_clusters,
+            iters=iters,
+        )
+    )
+    assigned = with_cluster_id(
+        df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")),
+        "__v",
+        cents,
+    )
+    if max_cluster_size is not None:
+        w = Window.partitionBy("__cell")
+        assigned = (
+            assigned.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__csz") <= max_cluster_size)
+            .drop("__csz")
+        )
+    a = assigned.select(
+        F.col("__sid").alias("id_a"), F.col("__v").alias("__va"), "__cell"
+    )
+    b = assigned.select(
+        F.col("__sid").alias("id_b"), F.col("__v").alias("__vb"), "__cell"
+    )
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 64,
+    threshold: float = 0.95,
+    iters: int = 2,
+    max_cluster_size: int | None = 10_000,
+    centroids: list[list[float]] | None = None,
+    keep_by: str | None = None,
+) -> DataFrame:
+    """Drop all but one representative of every semantic-duplicate
+    group: pairs -> transitive closure -> keep min id (or the max
+    ``keep_by`` value) per component.  Returns the surviving rows of
+    ``df`` with their original columns."""
+    pairs = semantic_dedup_pairs(
+        df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
+        threshold=threshold, iters=iters, max_cluster_size=max_cluster_size,
+        centroids=centroids,
+    )
+    return resolve_dup_groups(df, pairs, id_col, keep_by=keep_by)
