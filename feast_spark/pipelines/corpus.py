@@ -79,6 +79,15 @@ class CorpusConfig:
     # keep the highest value of this column per near-dup cluster
     # (None = cheapest: min id wins)
     near_dedup_keep: str | None = None
+    # semantic dedup (active when an embeddings_df is passed to
+    # build_corpus): SemDeDup over the doc embeddings — clusters
+    # searched within only, cosine >= threshold collapses to one
+    # representative (operators/semdedup.py)
+    semantic_threshold: float = 0.95
+    semantic_clusters: int = 64
+    # id column of embeddings_df; None = same name as id_col
+    embedding_id_col: str | None = None
+    embedding_vec_col: str = "embedding"
     # decontamination (active when an eval_df is passed)
     contamination_ngram: int = 8
     # id column of eval_df; None = same name as id_col (the docs side)
@@ -102,6 +111,7 @@ def build_corpus(
     eval_df: DataFrame | None = None,
     config: CorpusConfig = CorpusConfig(),
     report: bool = False,
+    embeddings_df: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Run the full corpus pipeline over ``docs``.
 
@@ -168,6 +178,27 @@ def build_corpus(
             "near_dedup",
             resolve_dup_groups(
                 deduped, pairs, c.id_col, keep_by=c.near_dedup_keep
+            ),
+        )
+
+    # 3b. semantic dedup: SemDeDup over document embeddings — catches
+    # paraphrases and templated rewrites that share no shingles, the
+    # failure mode of both exact and MinHash dedup
+    if embeddings_df is not None:
+        from feast_spark.operators.semdedup import semantic_dedup_pairs
+
+        eid = c.embedding_id_col or c.id_col
+        emb = embeddings_df.select(
+            F.col(eid).alias(c.id_col), F.col(c.embedding_vec_col)
+        ).join(deduped.select(c.id_col), c.id_col, "leftsemi")
+        sem_pairs = semantic_dedup_pairs(
+            emb, id_col=c.id_col, vec_col=c.embedding_vec_col,
+            n_clusters=c.semantic_clusters, threshold=c.semantic_threshold,
+        )
+        deduped = _mark(
+            "semantic_dedup",
+            resolve_dup_groups(
+                deduped, sem_pairs, c.id_col, keep_by=c.near_dedup_keep
             ),
         )
 

@@ -195,3 +195,36 @@ def test_line_dedup_approx_knob_reaches_facade(spark):
     for out in (exact, approx):
         texts = [r.text for r in out.select("text").collect()]
         assert texts and all(banner not in t for t in texts)
+
+
+def test_semantic_dedup_stage(spark, docs):
+    """Passing embeddings_df activates the SemDeDup stage: docs whose
+    embeddings are near-identical collapse to one representative even
+    when their TEXTS share nothing (the paraphrase failure mode of
+    shingle-based dedup)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    ids = [r.doc_id for r in docs.select("doc_id").limit(40).collect()]
+    rng = np.random.default_rng(11)
+    rows = []
+    base = rng.normal(0, 1, 16) * 8
+    for i, did in enumerate(ids):
+        if i < 2:  # first two docs: planted semantic dups of each other
+            v = base + rng.normal(0, 1e-3, 16)
+        else:
+            v = rng.normal(0, 1, 16) * 8
+        rows.append(Row(doc_id=did, embedding=[float(x) for x in v]))
+    emb = spark.createDataFrame(rows)
+    sub = docs.filter(F.col("doc_id").isin(ids))
+    cfg = CorpusConfig(
+        near_dedup=False, min_quality=0.0, min_tokens=1,
+        semantic_clusters=8, semantic_threshold=0.999,
+    )
+    out, stages = build_corpus(
+        sub, config=cfg, report=True, embeddings_df=emb
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    lo, hi = sorted(ids[:2])
+    assert lo in kept and hi not in kept  # min-id representative
+    assert stages["semantic_dedup"] == stages["exact_dedup"] - 1
