@@ -64,6 +64,11 @@ class CorpusConfig:
     # (doc, line) pair (docdedup.frequent_lines docstring)
     line_dedup_approx: bool = False
     line_dedup_rsd: float = 0.05
+    # exact-substring dedup (ExactSubstr / winnowing): splice out runs
+    # duplicated verbatim across >= substring_min_docs documents when
+    # they reach this length in chars (None = skip the stage)
+    substring_dedup_min_chars: int | None = None
+    substring_min_docs: int = 2
     # md5-based signatures/shingles for near-dedup + decontamination:
     # bit-reproducible cross-engine (the differential-oracle mode);
     # False = xxhash64 fast path (~2x cheaper hashing)
@@ -147,6 +152,21 @@ def build_corpus(
                 docs, c.id_col, c.text_col,
                 min_occurrences=c.boilerplate_min_docs,
                 approx=c.line_dedup_approx, approx_rsd=c.line_dedup_rsd,
+            ),
+        )
+
+    if c.substring_dedup_min_chars is not None:
+        from feast_spark.operators.substr_dedup import (
+            strip_duplicate_substrings,
+        )
+
+        # k + w - 1 >= min_chars makes every qualifying run detectable
+        half = (c.substring_dedup_min_chars + 1) // 2
+        docs = _mark(
+            "substring_dedup",
+            strip_duplicate_substrings(
+                docs, c.id_col, c.text_col, k=half, window=half + 1,
+                min_dup_docs=c.substring_min_docs,
             ),
         )
 

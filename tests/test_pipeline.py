@@ -228,3 +228,37 @@ def test_semantic_dedup_stage(spark, docs):
     lo, hi = sorted(ids[:2])
     assert lo in kept and hi not in kept  # min-id representative
     assert stages["semantic_dedup"] == stages["exact_dedup"] - 1
+
+
+def test_substring_dedup_stage(spark):
+    """substring_dedup_min_chars splices cross-doc verbatim runs out
+    before featurization (quality/lang then score the cleaned prose)."""
+    from pyspark.sql import Row
+
+    shared = "this exact legal disclaimer paragraph is repeated verbatim in every document of the batch"
+    rows = [
+        Row(
+            doc_id=i,
+            text=" ".join(f"doc{i}word{j} the a of to in is it" for j in range(10))
+            + " " + shared,
+            source="src0",
+        )
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows)
+    out, stages = build_corpus(
+        docs,
+        config=CorpusConfig(
+            substring_dedup_min_chars=40, near_dedup=False,
+            min_quality=0.0, min_tokens=1,
+        ),
+        report=True,
+    )
+    assert stages["substring_dedup"] == 12
+    assert stages["output"] == 12  # every doc survives (unique prefixes)
+    assert all(
+        shared in r.text for r in docs.collect()
+    )  # sanity: planted everywhere
+    # ...and the repeated run is gone from every output document
+    out_texts = [r.text for r in out.select("text").collect()]
+    assert out_texts and all(shared not in t for t in out_texts)
