@@ -50,17 +50,29 @@ __all__ = [
 ]
 
 
-def _selected_fingerprints(text: Column, k: int, w: int) -> Column:
+def _selected_fingerprints(
+    text: Column, k: int, w: int, portable: bool = False
+) -> Column:
     """array<struct<pos:int, fp:long>> of winnowing-selected char
     k-gram fingerprints (pos is 0-based; ties pick the leftmost min —
-    any deterministic rule preserves the identical-content guarantee)."""
+    any deterministic rule preserves the identical-content guarantee).
+
+    ``portable`` swaps xxhash64 for the md5-prefix 32-bit hash every
+    other portable mode uses — bit-identical in any engine with md5,
+    so a DuckDB oracle can replay the whole selection
+    (tests/test_substr_dedup.py's differential test)."""
+    if portable:
+        def _h(c):
+            return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+    else:
+        _h = F.xxhash64
     n = F.length(text)
     hashes = F.when(
-        n < k, F.array(F.xxhash64(text))
+        n < k, F.array(_h(text))
     ).otherwise(
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.xxhash64(text.substr(i + 1, F.lit(k))),
+            lambda i: _h(text.substr(i + 1, F.lit(k))),
         )
     )
     m = F.size(hashes)
@@ -90,6 +102,7 @@ def with_substring_fingerprints(
     text_col: str = "text",
     k: int = 20,
     window: int = 30,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, pos, fp) rows of winnowing-selected fingerprints — the
     shared substrate of detection and removal.  Docs shorter than k
@@ -100,7 +113,7 @@ def with_substring_fingerprints(
         df.select(
             F.col(id_col),
             F.explode(
-                _selected_fingerprints(F.col(text_col), k, window)
+                _selected_fingerprints(F.col(text_col), k, window, portable)
             ).alias("__s"),
         )
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
@@ -155,6 +168,7 @@ def strip_duplicate_substrings(
     window: int = 30,
     min_dup_docs: int = 2,
     out_col: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Remove cross-document duplicated runs from every document
     (ExactSubstr cut mode): characters covered by fingerprints shared
@@ -166,7 +180,7 @@ def strip_duplicate_substrings(
     with an ``aggregate`` fold, and the cut is a second fold splicing
     the kept segments — no Python anywhere."""
     out_col = out_col or text_col
-    fps = with_substring_fingerprints(df, id_col, text_col, k, window)
+    fps = with_substring_fingerprints(df, id_col, text_col, k, window, portable)
     dup = _dup_fps(fps, id_col, min_dup_docs)
     hits = fps.join(dup, "fp").select(id_col, "pos")
     spans = hits.groupBy(id_col).agg(

@@ -118,3 +118,68 @@ def test_plan_no_python(spark, corpus):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_portable_mode_matches_duckdb_replay(spark, corpus):
+    """Cross-engine differential: DuckDB replays the md5-portable
+    winnowing selection + duplicate detection in SQL; the expected
+    stripped text is spliced in plain Python from DuckDB's spans and
+    must equal Spark's strip output byte-for-byte."""
+    import duckdb
+
+    df, _ = corpus
+    rows = sorted((r["doc_id"], r["text"]) for r in df.collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    q = f"""
+WITH h AS (
+  SELECT doc_id, text,
+    CASE WHEN length(text) < {K}
+      THEN [CAST(CONCAT('0x', substr(md5(text), 1, 8)) AS BIGINT)]
+      ELSE list_transform(range(1, length(text) - {K} + 2),
+           i -> CAST(CONCAT('0x', substr(md5(substr(text, i, {K})), 1, 8)) AS BIGINT))
+    END AS hs
+  FROM docs
+), sel AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, greatest(len(hs) - {W}, 0) + 2),
+      j -> {{'pos': j - 2 + list_position(hs[j:j+{W}-1], list_min(hs[j:j+{W}-1])),
+            'fp': list_min(hs[j:j+{W}-1])}})) AS s
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+), dup AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT doc_id, list_sort(list(pos)) FROM fps JOIN dup USING (fp)
+GROUP BY doc_id
+"""
+    spans_by_doc = dict(con.execute(q).fetchall())
+
+    def splice(text, starts):
+        merged = []
+        for p in starts:
+            if merged and p <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], p + K)
+            else:
+                merged.append([p, p + K])
+        out, cur = [], 0
+        for s0, e0 in merged:
+            out.append(text[cur:s0])
+            cur = min(e0, len(text))
+        out.append(text[cur:])
+        return "".join(out)
+
+    want = {
+        did: splice(text, spans_by_doc.get(did, []))
+        for did, text in rows
+    }
+    got = {
+        r["doc_id"]: r["text"]
+        for r in strip_duplicate_substrings(
+            df, k=K, window=W, portable=True
+        ).collect()
+    }
+    assert got == want
+    assert any(got[d] != dict(rows)[d] for d in got)  # something was cut
