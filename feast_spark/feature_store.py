@@ -311,84 +311,11 @@ class FeatureStore:
                 keys.append(entity_name)  # entity name == join key shorthand
         return keys
 
-    def enrich_stream(
-        self,
-        stream_df,
-        features,
-        sink,
-        entity_ts_col: str = "event_timestamp",
-        full_feature_names: bool = False,
-        checkpoint_dir: str | None = None,
-        trigger_available_now: bool = True,
-    ):
-        """Streaming twin of :meth:`get_historical_features`: as-of join
-        each micro-batch of entity events against the SAME feature
-        views the batch path resolves, with identical PIT semantics
-        (stream≡batch identity — streaming/enrich.py).  Batch sources
-        re-resolve per micro-batch, so newly materialized feature data
-        is visible at the next trigger.  ``sink`` is a table name or a
-        ``(batch_df, batch_id)`` callable; returns the StreamingQuery.
-
-        Scan pruning (A4) does not apply — a stream has no global
-        timestamp bounds; each micro-batch pays the batch operator's
-        plan under ``config.asof_strategy``."""
-        from feast_spark.streaming.enrich import enrich_stream as _enrich
-
-        def specs() -> list[AsOfJoinSpec]:
-            out = []
-            for view, feats in self._group_feature_refs(features):
-                src = view.batch_source
-                if src is None:
-                    raise ValueError(f"view {view.name!r} has no batch source")
-                fdf = src.load(self.spark)
-                ts_col = infer_event_timestamp_column(
-                    fdf, src.event_timestamp_column
-                )
-                out.append(
-                    AsOfJoinSpec(
-                        feature_df=fdf,
-                        join_keys=self._join_keys_for_view(view),
-                        timestamp_col=ts_col,
-                        features=feats,
-                        created_col=src.created_timestamp_column or None,
-                        ttl=view.ttl,
-                        prefix=view.name if full_feature_names else None,
-                    )
-                )
-            return out
-
-        return _enrich(
-            stream_df,
-            entity_ts_col,
-            specs,
-            sink=sink,
-            strategy=self.config.asof_strategy,
-            checkpoint_dir=checkpoint_dir,
-            trigger_available_now=trigger_available_now,
-        )
-
-    def get_historical_features(
-        self,
-        entity_df,
-        features: list[str] | FeatureService,
-        full_feature_names: bool = False,
-    ) -> RetrievalJob:
-        """Point-in-time retrieval (feature_store.py:276-341).
-
-        ``entity_df``: Spark DataFrame, pandas DataFrame, or SQL string
-        (S6 — the reference uploads it to a temp table; here a temp view
-        / createDataFrame).
-        """
-        if isinstance(entity_df, str):
-            entity_sdf = self.spark.sql(entity_df)
-        elif isinstance(entity_df, DataFrame):
-            entity_sdf = entity_df
-        else:  # pandas
-            entity_sdf = self.spark.createDataFrame(entity_df)
-
-        entity_ts_col = infer_event_timestamp_column(entity_sdf)
-
-        # split on-demand refs from base refs; auto-fetch odfv sources
+    def _split_refs(
+        self, features
+    ) -> tuple[list[str], list[str], dict[str, list[str]]]:
+        """Split requested refs into (explicit base refs, base refs incl.
+        auto-fetched odfv sources, odfv name -> requested features)."""
         refs = (
             features.feature_refs
             if isinstance(features, FeatureService)
@@ -415,6 +342,148 @@ class FeatureStore:
                 if src_ref not in seen:
                     base_refs.append(src_ref)
                     seen.add(src_ref)
+        return explicit_base, base_refs, odfv_feats
+
+    def _validate_out_names(
+        self, explicit_base, odfv_feats, full_feature_names: bool
+    ) -> None:
+        out_names: list[str] = []
+        for ref in explicit_base:
+            v, f = ref.split(":", 1)
+            out_names.append(f"{v}__{f}" if full_feature_names else f)
+        for name, feats in odfv_feats.items():
+            for f in feats:
+                out_names.append(f"{name}__{f}" if full_feature_names else f)
+        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+        if dupes:
+            raise FeatureNameCollisionError(dupes)
+
+    def _apply_odfvs(
+        self,
+        result: DataFrame,
+        entity_cols: list[str],
+        explicit_base: list[str],
+        odfv_feats: dict[str, list[str]],
+        full_feature_names: bool,
+    ) -> DataFrame:
+        """Run the on-demand transforms over a joined frame and project
+        to the caller-visible columns (shared by batch retrieval and
+        streaming enrichment)."""
+        if not odfv_feats:
+            return result
+        for name in odfv_feats:
+            ov = self.registry.get_on_demand_view(name)
+            if full_feature_names:
+                # transforms read plain source names; alias the
+                # prefixed columns back (append-only, no overwrite)
+                for src_ref in ov.sources:
+                    v, f = src_ref.split(":", 1)
+                    pref = f"{v}__{f}"
+                    if pref in result.columns and f not in result.columns:
+                        result = result.withColumn(f, F.col(pref))
+            result = ov.apply_transform(result)
+        sel = [F.col(c) for c in entity_cols]
+        for ref in explicit_base:
+            v, f = ref.split(":", 1)
+            out = f"{v}__{f}" if full_feature_names else f
+            sel.append(F.col(out))
+        for name, feats in odfv_feats.items():
+            for f in feats:
+                out = f"{name}__{f}" if full_feature_names else f
+                sel.append(F.col(f).alias(out))
+        return result.select(*sel)
+
+    def enrich_stream(
+        self,
+        stream_df,
+        features,
+        sink,
+        entity_ts_col: str = "event_timestamp",
+        full_feature_names: bool = False,
+        checkpoint_dir: str | None = None,
+        trigger_available_now: bool = True,
+    ):
+        """Streaming twin of :meth:`get_historical_features`: as-of join
+        each micro-batch of entity events against the SAME feature
+        views the batch path resolves, with identical PIT semantics
+        (stream≡batch identity — streaming/enrich.py).  Batch sources
+        re-resolve per micro-batch, so newly materialized feature data
+        is visible at the next trigger.  ``sink`` is a table name or a
+        ``(batch_df, batch_id)`` callable; returns the StreamingQuery.
+
+        Scan pruning (A4) does not apply — a stream has no global
+        timestamp bounds; each micro-batch pays the batch operator's
+        plan under ``config.asof_strategy``.  On-demand feature views
+        are applied per micro-batch exactly like the batch path."""
+        from feast_spark.streaming.enrich import enrich_stream as _enrich
+
+        explicit_base, base_refs, odfv_feats = self._split_refs(features)
+        self._validate_out_names(explicit_base, odfv_feats, full_feature_names)
+        entity_cols = list(stream_df.columns)
+
+        def specs() -> list[AsOfJoinSpec]:
+            out = []
+            for view, feats in self._group_feature_refs(base_refs):
+                src = view.batch_source
+                if src is None:
+                    raise ValueError(f"view {view.name!r} has no batch source")
+                fdf = src.load(self.spark)
+                ts_col = infer_event_timestamp_column(
+                    fdf, src.event_timestamp_column
+                )
+                out.append(
+                    AsOfJoinSpec(
+                        feature_df=fdf,
+                        join_keys=self._join_keys_for_view(view),
+                        timestamp_col=ts_col,
+                        features=feats,
+                        created_col=src.created_timestamp_column or None,
+                        ttl=view.ttl,
+                        prefix=view.name if full_feature_names else None,
+                    )
+                )
+            return out
+
+        def _post(result):
+            return self._apply_odfvs(
+                result, entity_cols, explicit_base, odfv_feats,
+                full_feature_names,
+            )
+
+        return _enrich(
+            stream_df,
+            entity_ts_col,
+            specs,
+            sink=sink,
+            strategy=self.config.asof_strategy,
+            checkpoint_dir=checkpoint_dir,
+            trigger_available_now=trigger_available_now,
+            transform=_post if odfv_feats else None,
+        )
+
+    def get_historical_features(
+        self,
+        entity_df,
+        features: list[str] | FeatureService,
+        full_feature_names: bool = False,
+    ) -> RetrievalJob:
+        """Point-in-time retrieval (feature_store.py:276-341).
+
+        ``entity_df``: Spark DataFrame, pandas DataFrame, or SQL string
+        (S6 — the reference uploads it to a temp table; here a temp view
+        / createDataFrame).
+        """
+        if isinstance(entity_df, str):
+            entity_sdf = self.spark.sql(entity_df)
+        elif isinstance(entity_df, DataFrame):
+            entity_sdf = entity_df
+        else:  # pandas
+            entity_sdf = self.spark.createDataFrame(entity_df)
+
+        entity_ts_col = infer_event_timestamp_column(entity_sdf)
+
+        # split on-demand refs from base refs; auto-fetch odfv sources
+        explicit_base, base_refs, odfv_feats = self._split_refs(features)
 
         grouped = self._group_feature_refs(base_refs)
 
@@ -429,16 +498,7 @@ class FeatureStore:
 
         # collision validation (feature_store.py:636-657) — over the
         # names the caller actually receives (explicit + on-demand)
-        out_names: list[str] = []
-        for ref in explicit_base:
-            v, f = ref.split(":", 1)
-            out_names.append(f"{v}__{f}" if full_feature_names else f)
-        for name, feats in odfv_feats.items():
-            for f in feats:
-                out_names.append(f"{name}__{f}" if full_feature_names else f)
-        dupes = sorted({n for n in out_names if out_names.count(n) > 1})
-        if dupes:
-            raise FeatureNameCollisionError(dupes)
+        self._validate_out_names(explicit_base, odfv_feats, full_feature_names)
 
         specs = []
         for view, feats in grouped:
@@ -481,27 +541,10 @@ class FeatureStore:
             entity_cols = [
                 c for c in result.columns if c in set(entity_sdf.columns)
             ]
-            for name in odfv_feats:
-                ov = self.registry.get_on_demand_view(name)
-                if full_feature_names:
-                    # transforms read plain source names; alias the
-                    # prefixed columns back (append-only, no overwrite)
-                    for src_ref in ov.sources:
-                        v, f = src_ref.split(":", 1)
-                        pref = f"{v}__{f}"
-                        if pref in result.columns and f not in result.columns:
-                            result = result.withColumn(f, F.col(pref))
-                result = ov.apply_transform(result)
-            sel = [F.col(c) for c in entity_cols]
-            for ref in explicit_base:
-                v, f = ref.split(":", 1)
-                out = f"{v}__{f}" if full_feature_names else f
-                sel.append(F.col(out))
-            for name, feats in odfv_feats.items():
-                for f in feats:
-                    out = f"{name}__{f}" if full_feature_names else f
-                    sel.append(F.col(f).alias(out))
-            result = result.select(*sel)
+            result = self._apply_odfvs(
+                result, entity_cols, explicit_base, odfv_feats,
+                full_feature_names,
+            )
         return RetrievalJob(result)
 
     # -- materialization (§2.2) ----------------------------------------

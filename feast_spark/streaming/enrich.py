@@ -62,12 +62,15 @@ def enrich_stream(
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
     watermark: bool = True,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
 ):
     """Start the streaming enrichment query; returns the
     StreamingQuery handle (call ``.awaitTermination()``).
 
     ``sink`` is either a table name (micro-batch output appends to it)
-    or a ``(batch_out_df, batch_id)`` callable.
+    or a ``(batch_out_df, batch_id)`` callable.  ``transform`` runs on
+    each enriched micro-batch before the sink (the on-demand-feature
+    hook of the FeatureStore facade).
     """
     static_specs = specs if not callable(specs) else None
     if watermark:
@@ -85,6 +88,8 @@ def enrich_stream(
         out = as_of_join(
             batch_df, entity_ts_col, batch_specs, strategy=strategy
         )
+        if transform is not None:
+            out = transform(out)
         if callable(sink):
             sink(out, batch_id)
         else:

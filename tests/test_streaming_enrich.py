@@ -5,6 +5,7 @@ tie-break, and the online-snapshot serving twin."""
 
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
@@ -277,3 +278,75 @@ def test_feature_store_enrich_stream_matches_batch(spark, tmp_path):
     got = sorted((r["event_id"], r["conv_rate"]) for r in collected)
     assert got == want and len(got) == 3
     spark.sql(f"DROP TABLE IF EXISTS {tf}")
+
+
+def test_enrich_stream_applies_odfvs(spark, tmp_path):
+    """On-demand feature views run per micro-batch in enrich_stream,
+    matching the batch path column-for-column (auto-fetched sources
+    dropped from the output)."""
+    from pyspark.sql import functions as F
+
+    from feast_spark import (
+        Entity, Feature, FeatureStore, FeatureView, FileSource,
+        OnDemandFeatureView, RepoConfig, ValueType,
+    )
+
+    now = ts("2021-06-01 12:00:00")
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [
+            Row(driver_id=1, value=0.1, ts=now - timedelta(hours=4)),
+            Row(driver_id=2, value=0.5, ts=now - timedelta(hours=2)),
+        ]
+    ).write.parquet(src_path)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="odfv_stream",
+            registry_path=str(tmp_path / "reg.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="stats", entities=["driver"], ttl=timedelta(days=5),
+                batch_source=FileSource(
+                    path=src_path, event_timestamp_column="ts"
+                ),
+            ),
+            OnDemandFeatureView(
+                name="derived",
+                sources=["stats:value"],
+                features=[Feature("value_x10", ValueType.DOUBLE)],
+                transform=lambda df: df.withColumn(
+                    "value_x10", F.col("value") * 10.0
+                ),
+            ),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ent_schema = "driver_id long, event_timestamp timestamp"
+    spark.createDataFrame(
+        [Row(driver_id=i, event_timestamp=now) for i in (1, 2, 3)],
+        ent_schema,
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    collected = []
+    stream = spark.readStream.schema(ent_schema).parquet(str(src) + "/*")
+    q = st.enrich_stream(
+        stream, ["derived:value_x10"],
+        sink=lambda df, _b: collected.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert collected and set(collected[0].asDict()) == {
+        "driver_id", "event_timestamp", "value_x10"
+    }
+    vals = {r["driver_id"]: r["value_x10"] for r in collected}
+    assert vals[1] == pytest.approx(1.0)
+    assert vals[2] == pytest.approx(5.0)
+    assert vals[3] is None
