@@ -547,6 +547,19 @@ class FeatureStore:
             )
         return RetrievalJob(result)
 
+    def validate_source(self, view_name: str, expectations):
+        """Run a single-pass expectation suite over a view's batch
+        source (operators/expectations.py) — the pre-materialize data
+        quality gate.  Returns the ValidationReport; one Spark job
+        regardless of suite size."""
+        from feast_spark.operators.expectations import validate
+
+        view = self.registry.get_feature_view(view_name)
+        src = view.batch_source
+        if src is None:
+            raise ValueError(f"view {view_name!r} has no batch source")
+        return validate(src.load(self.spark), expectations)
+
     # -- materialization (§2.2) ----------------------------------------
     def _pull_latest(
         self, view: FeatureView, start: datetime, end: datetime
