@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "sample_per_group"]
+__all__ = ["hash_bucket", "hash_split", "group_split", "sample_per_group"]
 
 
 def hash_bucket(id_col: Column, n_buckets: int = 100, salt: str = "") -> Column:
@@ -88,3 +88,34 @@ def sample_per_group(
         .filter(F.col("__rank") <= n)
         .drop("__rank")
     )
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    out_col: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Whole-GROUP splitting: every row receives the split of its group
+    id (domain, author, near-dup component label, ...), so related rows
+    can never straddle train and test — the cross-split leakage guard
+    that per-row splitting cannot give (two near-duplicate documents
+    hash-split independently land in different splits ~2 p (1-p) of
+    the time, silently leaking eval text into train).
+
+    Same narrow md5 projection as :func:`hash_split`, keyed by the
+    group column; proportions hold over GROUPS, and over rows only as
+    far as group sizes are balanced (the honest trade — weight by
+    rows-per-group upstream if that matters).
+
+    The leakage-safe composition with the dedup machinery:
+
+        pairs  = minhash_dedup_pairs(docs, "doc_id", "text")
+        labels = connected_components(pairs)          # (node, component)
+        docs   = (docs.join(labels, docs.doc_id == labels.node, "left")
+                      .withColumn("grp", F.coalesce("component", "doc_id"))
+                      .drop("node", "component"))
+        split  = group_split(docs, "grp", weights)    # clusters intact
+    """
+    return hash_split(df, group_col, weights, out_col=out_col, salt=salt)

@@ -62,3 +62,42 @@ def test_sample_per_group_balanced_and_deterministic(spark):
     # small groups are kept whole, not padded
     tiny = sample_per_group(df.filter("id < 4"), ["g"], "id", 10)
     assert tiny.count() == 4
+
+
+def test_group_split_keeps_groups_whole_and_guards_leakage(spark):
+    """Near-dup clusters split as units: labeling components and
+    group-splitting on the label puts every member of a cluster in ONE
+    split, where per-row hash_split demonstrably straddles."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from feast_spark.functions.split import group_split, hash_split
+    from feast_spark.operators.components import connected_components
+
+    # 300 docs in 100 three-member clusters (pair graph chains them)
+    pairs = spark.createDataFrame(
+        [Row(id_a=3 * g, id_b=3 * g + i) for g in range(100) for i in (1, 2)]
+    )
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(300)])
+    labels = connected_components(pairs)
+    grouped = (
+        docs.join(labels, docs.doc_id == labels.node, "left")
+        .withColumn("grp", F.coalesce("component", "doc_id"))
+        .select("doc_id", "grp")
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = group_split(grouped, "grp", w)
+    splits_per_group: dict[int, set] = {}
+    for r in out.collect():
+        splits_per_group.setdefault(r["grp"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in splits_per_group.values())
+    # proportions hold over groups (within tolerance at n=100)
+    by_split = out.select("grp", "split").distinct().groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in by_split.collect()}
+    assert 60 <= counts.get("train", 0) <= 95
+    # the contrast: per-row hash_split straddles at least one cluster
+    naive = hash_split(grouped, "doc_id", w)
+    naive_per_group: dict[int, set] = {}
+    for r in naive.collect():
+        naive_per_group.setdefault(r["grp"], set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_per_group.values())
