@@ -189,6 +189,37 @@ def main() -> None:
 
     queries["pit_sorted_merge_bucketed"] = q_pit_sorted_merge_bucketed
 
+    # Round-7 corpus operators (extra slots: additive, headline
+    # untouched for cross-round comparability)
+    def q_substr_dedup_stats(spark, sf_dir):
+        from feast_spark.operators.substr_dedup import (
+            duplicate_substring_stats,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        return duplicate_substring_stats(docs, "doc_id", "text")
+
+    # quantizer trained ONCE (setup, untimed): the operator's
+    # documented reuse pattern — stable cluster ids across corpus
+    # snapshots — so the slot times the recurring assign+pair+resolve
+    from feast_spark.operators.similarity import ivf_train_centroids
+
+    _sem_cents = ivf_train_centroids(
+        load_table(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        n_centroids=16, iters=2,
+    )
+
+    def q_semantic_dedup(spark, sf_dir):
+        from feast_spark.operators.semdedup import semantic_dedup
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.99, centroids=_sem_cents
+        )
+
+    queries["substr_dedup_stats"] = q_substr_dedup_stats
+    queries["semantic_dedup"] = q_semantic_dedup
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -204,6 +235,8 @@ def main() -> None:
                 "bpe_tokenize",
                 "pq_search",
                 "pit_sorted_merge_bucketed",
+                "substr_dedup_stats",
+                "semantic_dedup",
             )
             if n in queries
         ]
