@@ -19,12 +19,18 @@ Spark shape, stage by stage:
 2. **Assign** — `similarity.nearest_centroid`: argmin-L2 over the
    broadcast centroid literals, a single codegen expression; the
    corpus streams through one narrow scan, no Python, no shuffle.
-3. **Pair** — equi-self-join on the cluster id (never a cross join),
-   exact cosine verify >= threshold.  `max_cluster_size` drops
-   degenerate mega-clusters before the join (a near-constant
-   embedding region — zero vectors, collapsed encoders — would
-   otherwise cost |c|^2; same reasoning and mechanism as the LSH
-   hot-bucket cap, enforced with a count window on the join key).
+3. **Pair** — the LSH-bucket pipeline with cells as buckets: shuffle
+   ONLY (id, cell) — corpus vectors never enter an exchange — then
+   collect each cluster's id array and expand (id_a < id_b) pairs
+   inside the aggregation output (no self-join anywhere; the count
+   window enforcing `max_cluster_size` shares the cell partitioning
+   with the groupBy).  Candidate pairs then fetch their two vectors
+   via candidates-only semi-joins for the exact cosine verify — at
+   scale candidates are <<1% of the corpus, so verify cost ~vanishes
+   (the same argument as minhash_dedup_pairs' verify stage).
+   `max_cluster_size` drops degenerate mega-clusters (near-constant
+   embedding regions — zero vectors, collapsed encoders — would
+   otherwise cost |c|^2).
 4. **Resolve** — `components.resolve_dup_groups` keeps the min-id
    (or best-``keep_by``) representative per group.
 
@@ -80,6 +86,8 @@ def semantic_dedup_pairs(
     within k-means clusters only.  Pass ``centroids`` to reuse a
     trained quantizer across corpora snapshots (stable cluster ids =
     stable dedup decisions as the corpus grows)."""
+    from feast_spark.operators.docdedup import _bucket_pairs, _persist
+
     cents = (
         centroids
         if centroids is not None
@@ -88,11 +96,20 @@ def semantic_dedup_pairs(
             iters=iters,
         )
     )
+    # ONE corpus pass: assign (narrow) then shuffle ONLY (id, cell) —
+    # vectors never enter an exchange.  Cluster cap and the
+    # collect_list share the same __cell partitioning (the window's
+    # exchange is reused by the groupBy, same shape as the LSH bucket
+    # cap), and pair expansion happens inside the aggregation output —
+    # no self-join.  The r7-initial formulation self-joined the
+    # assigned frame on __cell and scanned + assigned the corpus
+    # TWICE (visible as two FileScans in the plan); this shape is the
+    # minhash bucket pipeline's, with cells as buckets.
     assigned = with_cluster_id(
         df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")),
         "__v",
         cents,
-    )
+    ).select("__sid", "__cell")
     if max_cluster_size is not None:
         w = Window.partitionBy("__cell")
         assigned = (
@@ -100,22 +117,32 @@ def semantic_dedup_pairs(
             .filter(F.col("__csz") <= max_cluster_size)
             .drop("__csz")
         )
-    a = assigned.select(
-        F.col("__sid").alias("id_a"), F.col("__v").alias("__va"), "__cell"
+    grouped = assigned.groupBy("__cell").agg(
+        F.collect_list("__sid").alias("docs")
     )
-    b = assigned.select(
-        F.col("__sid").alias("id_b"), F.col("__v").alias("__vb"), "__cell"
+    cands = _persist(_bucket_pairs(grouped.filter(F.size("docs") > 1)))
+    # exact-cosine verify over the candidate ids only
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    vecs = df.select(id_col, vec_col).join(cand_ids, id_col, "semi")
+    va = vecs.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    vb = vecs.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
     return (
-        a.join(b, "__cell")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .distinct()
     )
 
 
