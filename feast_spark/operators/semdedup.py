@@ -39,6 +39,19 @@ paper): a near-dup pair straddling a cluster boundary is missed;
 recall is controlled by ``n_clusters`` (fewer, fatter clusters =
 higher recall, more pair work).  For exact ground truth on small
 corpora use `similarity.exact_cosine_pairs`.
+
+**The scaling discipline that makes or breaks this operator** (caught
+empirically by the r7 scale curve, SCALE.md): per-cell pair expansion
+is C(|c|, 2) BEFORE the threshold filters anything, so cluster
+POPULATION — not cluster count — is the complexity knob.  A fixed
+``n_clusters`` while the corpus grows 10x grows |c| 10x and pair work
+100x (measured: tail exponent 1.98, 209 s at 20k vectors).  Scale
+``n_clusters`` with the corpus so mean |c| stays at
+``target_cluster_size`` (the paper's own regime — they cluster to
+fixed-size cells): the default ``n_clusters=None`` does exactly that
+from a cheap count, and the same curve then measures ~linear.
+``max_cluster_size`` remains the backstop against individual
+degenerate cells, not a substitute for scaling k.
 """
 
 from __future__ import annotations
@@ -76,18 +89,27 @@ def semantic_dedup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     iters: int = 2,
     max_cluster_size: int | None = 10_000,
     centroids: list[list[float]] | None = None,
+    target_cluster_size: int = 1_024,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine >= threshold, searched
     within k-means clusters only.  Pass ``centroids`` to reuse a
     trained quantizer across corpora snapshots (stable cluster ids =
-    stable dedup decisions as the corpus grows)."""
+    stable dedup decisions as the corpus grows).
+
+    ``n_clusters=None`` (default) picks ``max(8, n /
+    target_cluster_size)`` from one cheap count, holding mean cell
+    population — and therefore per-cell C(|c|, 2) pair work — CONSTANT
+    as the corpus grows (the module docstring's scaling discipline; a
+    fixed k measured quadratic on the r7 scale curve)."""
     from feast_spark.operators.docdedup import _bucket_pairs, _persist
 
+    if centroids is None and n_clusters is None:
+        n_clusters = max(8, int(df.count()) // target_cluster_size)
     cents = (
         centroids
         if centroids is not None
@@ -150,12 +172,13 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 64,
+    n_clusters: int | None = None,
     threshold: float = 0.95,
     iters: int = 2,
     max_cluster_size: int | None = 10_000,
     centroids: list[list[float]] | None = None,
     keep_by: str | None = None,
+    target_cluster_size: int = 1_024,
 ) -> DataFrame:
     """Drop all but one representative of every semantic-duplicate
     group: pairs -> transitive closure -> keep min id (or the max
@@ -164,6 +187,6 @@ def semantic_dedup(
     pairs = semantic_dedup_pairs(
         df, id_col=id_col, vec_col=vec_col, n_clusters=n_clusters,
         threshold=threshold, iters=iters, max_cluster_size=max_cluster_size,
-        centroids=centroids,
+        centroids=centroids, target_cluster_size=target_cluster_size,
     )
     return resolve_dup_groups(df, pairs, id_col, keep_by=keep_by)

@@ -89,7 +89,8 @@ class CorpusConfig:
     # searched within only, cosine >= threshold collapses to one
     # representative (operators/semdedup.py)
     semantic_threshold: float = 0.95
-    semantic_clusters: int = 64
+    # None = scale cluster count with the corpus (semdedup auto-k)
+    semantic_clusters: int | None = None
     # id column of embeddings_df; None = same name as id_col
     embedding_id_col: str | None = None
     embedding_vec_col: str = "embedding"
