@@ -210,6 +210,54 @@ class OnlineStore:
         self._gc(table_dir, version)
         return n_expired
 
+    def staleness(
+        self,
+        spark: SparkSession,
+        project: str,
+        view_name: str,
+        now,
+    ):
+        """Serving-freshness profile of the current snapshot — one
+        aggregate job over the KV table: key count, age quantiles of
+        the latest materialized value per key (p50/p90/p99/max), and
+        the fraction older than a given reference instant would deem
+        stale is left to the caller via the quantiles.  ``now`` is an
+        explicit datetime (deterministic verdicts; pass the clock you
+        serve against).  Returns a dict; empty table -> n_keys=0 and
+        None ages.
+
+        This is the monitoring half of the freshness story: the
+        ``expectations.freshness`` check gates the SOURCE before
+        materialize; this profiles what serving actually holds."""
+        path = self._current_data_path(project, view_name)
+        if path is None:
+            return {"n_keys": 0, "age_p50_s": None, "age_p90_s": None,
+                    "age_p99_s": None, "age_max_s": None}
+        snap = spark.read.parquet(path)
+        age = F.lit(now).cast("timestamp").cast("double") - F.col(
+            _EVENT_TS
+        ).cast("double")
+        row = snap.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_approx("
+                f"CAST('{now}' AS TIMESTAMP) - {_EVENT_TS}, "
+                "array(0.5, 0.9, 0.99), 10000)"
+            ).alias("q"),
+            F.max(age).alias("mx"),
+        ).head()
+        if row["n"] == 0:
+            return {"n_keys": 0, "age_p50_s": None, "age_p90_s": None,
+                    "age_p99_s": None, "age_max_s": None}
+        q = [v.total_seconds() if v is not None else None for v in row["q"]]
+        return {
+            "n_keys": row["n"],
+            "age_p50_s": q[0],
+            "age_p90_s": q[1],
+            "age_p99_s": q[2],
+            "age_max_s": row["mx"],
+        }
+
     def teardown(self, project: str, view_names: list[str] | None = None) -> None:
         """Drop online state (provider.teardown_infra,
         infra/local.py): the whole project dir, or named view tables."""
