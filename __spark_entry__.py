@@ -483,6 +483,53 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (training-data hygiene, text.scrub_pii): a chain
+    of six JVM regexp_replace passes in precedence order (email, url,
+    ipv4, ssn, card, phone).  The synthetic documents corpus is
+    word-salad with no real PII, so deterministic spans derived from
+    doc_id are appended first — both engines build the identical
+    string, then the oracle applies the byte-identical patterns (built
+    programmatically from text.PII_PATTERNS so they cannot drift), so
+    the hash match verifies the whole regex chain cross-engine."""
+    from feast_spark.functions.text import scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+        F.lit(" via https://crawl"), (d % 50).cast("string"),
+        F.lit(".example.org/p?u="), d.cast("string"),
+        F.lit(" from 10."), (d % 200).cast("string"),
+        F.lit(".0."), (d % 250).cast("string"),
+        F.lit(" ssn 123-45-"), F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" card 4111 1111 1111 1111 call (415) 555-01"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+    )
+    return docs.select("doc_id", scrub_pii(synth).alias("scrubbed"))
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG / context-window chunking (text.chunk_documents): fixed
+    100-char windows with 20-char overlap; sequence+posexplode+substr,
+    one codegen stage, zero shuffle (plan-pinned in test_text.py)."""
+    from feast_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", size=100, overlap=20)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals (Gopher-style quality filters):
+    top-token / top-bigram / dup-bigram fractions via one gram explode
+    and two aggregations (text.repetition_stats)."""
+    from feast_spark.functions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
 def q_pit_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with a composite entity key (l_orderkey, l_suppkey) and an
     integer created-tiebreak column (A2 on l_linenumber)."""
@@ -1058,7 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_per_key": q_latest_per_key,
         "latest_per_key_created": q_latest_per_key_created,
         "time_range_filter": q_time_range_filter,
-        "field_mapping": q_field_mapping,
+        "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
         "dedup_groups": q_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1072,13 +1119,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "order_enrich": q_order_enrich_broadcast,
         "nation_revenue": q_nation_revenue,
-        "part_type_stats": q_part_type_stats,
+        "doc_chunks": q_doc_chunks,
         "window_agg_hourly": q_window_agg_hourly,
         "rolling_7d": q_rolling_7d,
         "rollup_pit_join": q_rollup_pit_join,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
-        "token_count": q_token_count,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "pit_join_composite_key": q_pit_join_composite_key,
         "pit_join_key_mapping": q_pit_join_key_mapping,
@@ -1114,6 +1161,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (anti-join; customers_no_orders remains), local_supplier_volume
     # (multi-join agg; nation_revenue remains), doc_len_percentiles
     # (table_profile remains).  The q_* functions stay in the library.
+    # Round 8 rotated three double-covered slots for the new hygiene
+    # ops: field_mapping (P1 stays gated via pit_join_key_mapping),
+    # part_type_stats (dimension rollup; pricing_summary remains),
+    # token_count (n_tokens is literally a text_quality output column).
+    # All three keep their original oracles in
+    # tests/test_rotated_relational.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1344,6 +1397,37 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _pii_scrub_oracle() -> str:
+    """DuckDB mirror of q_pii_scrub, with the regexp_replace chain
+    built from text.PII_PATTERNS itself so the oracle patterns are
+    byte-identical to the Spark ones (no drift possible).  DuckDB
+    needs the explicit 'g' flag (Java regexp_replace is global by
+    default); single quotes inside patterns are SQL-doubled."""
+    from feast_spark.functions.text import PII_PATTERNS
+
+    expr = "t"
+    for _name, pat, token in PII_PATTERNS:
+        expr = (
+            f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39) * 2)}',"
+            f" '{token}', 'g')"
+        )
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' via https://crawl' || CAST(doc_id % 50 AS VARCHAR)
+              || '.example.org/p?u=' || CAST(doc_id AS VARCHAR)
+              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' card 4111 1111 1111 1111 call (415) 555-01'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS t
+  FROM documents
+)
+SELECT doc_id, {expr} AS scrubbed FROM synth
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pit_join": _PIT_ORACLE.format(
@@ -1406,10 +1490,7 @@ SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
 FROM events
 WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
 """,
-        "field_mapping": """
-SELECT c_custkey AS customer_id, c_acctbal AS balance, c_mktsegment
-FROM customer
-""",
+        "pii_scrub": _pii_scrub_oracle(),
         "dedup_exact": f"""
 WITH fp AS (
   SELECT doc_id, lang, n_chars, {_NORM_MD5} AS f FROM documents
@@ -1506,12 +1587,20 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
 """,
-        "part_type_stats": """
-SELECT p_type, COUNT(*) AS n_parts,
-       MIN(p_retailprice) AS min_price,
-       MAX(p_retailprice) AS max_price,
-       AVG(p_retailprice) AS avg_price
-FROM part GROUP BY p_type
+        "doc_chunks": """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(1, length(text) - 20), 80))
+           AS chunk_start
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) // 80 AS BIGINT) AS chunk_id,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substring(text, chunk_start, 100) AS chunk,
+       CAST(length(substring(text, chunk_start, 100)) AS BIGINT)
+         AS n_chunk_chars
+FROM s
 """,
         "window_agg_hourly": """
 WITH e AS (
@@ -1652,12 +1741,44 @@ SELECT doc_id, CASE
   ELSE 'fr' END AS lang_pred
 FROM s
 """,
-        "token_count": """
-SELECT doc_id,
-       CASE WHEN length(trim(text)) = 0 THEN 0
-            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
-       END AS n_tokens
-FROM documents
+        "repetition_stats": f"""
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array({_NORM_TEXT}, '\\s+')
+         END AS toks
+  FROM documents
+),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM tk),
+ucnt AS (SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2),
+uagg AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_token_frac
+  FROM ucnt GROUP BY 1
+),
+bg AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                             i -> array_to_string(toks[i:i+1], ' '))
+         ELSE [] END) AS g
+  FROM tk
+),
+bcnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+bagg AS (
+  SELECT doc_id,
+         max(c)::DOUBLE / sum(c) AS top_bigram_frac,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)
+             AS dup_bigram_frac
+  FROM bcnt GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(u.top_token_frac, 0.0) AS top_token_frac,
+       coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+       coalesce(b.dup_bigram_frac, 0.0) AS dup_bigram_frac
+FROM documents d
+LEFT JOIN uagg u USING (doc_id)
+LEFT JOIN bagg b USING (doc_id)
 """,
         "doc_fingerprint": f"""
 SELECT doc_id, {_NORM_MD5} AS fp FROM documents

@@ -496,3 +496,58 @@ def html_to_text(html: Column) -> Column:
 def with_extracted_text(df, html_col: str, out_col: str = "text"):
     """df + extracted-visible-text column."""
     return df.withColumn(out_col, html_to_text(F.col(html_col)))
+
+
+# -- RAG / context-window chunking --------------------------------------
+
+def chunk_documents(
+    df,
+    id_col: str,
+    text_col: str,
+    size: int = 100,
+    overlap: int = 20,
+):
+    """Split documents into fixed-size overlapping character windows —
+    the retrieval/embedding chunking pass of a RAG or long-context
+    training pipeline.  One row per chunk with its 0-based ``chunk_id``,
+    1-based ``chunk_start`` offset, the ``chunk`` text, and
+    ``n_chunk_chars`` (the tail chunk may be shorter).
+
+    Start offsets are ``1, 1+step, 1+2*step, ...`` with
+    ``step = size - overlap``, up to ``greatest(1, length - overlap)``
+    so the final window still covers the document tail without
+    emitting a chunk that lies entirely inside the previous one.
+    Null/empty documents produce no chunks.
+
+    Scale: pure narrow plan — ``sequence`` + ``posexplode`` +
+    ``substr`` are all JVM column expressions inside one codegen stage;
+    zero shuffle, zero Python, and the row expansion factor is
+    ``~length/step`` per document, independent of corpus size.  At
+    100 TB this runs at parquet-scan speed and the output can be
+    written back partition-aligned with the input (no Exchange is ever
+    introduced).  An embedding/tokenizer stage downstream would be the
+    expensive part, not this."""
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.length(text) - F.lit(overlap)),
+        F.lit(step),
+    )
+    return (
+        df.filter(text.isNotNull() & (F.length(text) > 0))
+        .select(
+            F.col(id_col),
+            text.alias("__text"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.col("__text").substr(F.col("chunk_start"), F.lit(size)).alias("chunk"),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk").cast("long"))
+    )

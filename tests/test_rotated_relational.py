@@ -52,6 +52,25 @@ WHERE r_name = 'ASIA'
   AND o_orderdate < TIMESTAMP '1998-01-01'
 GROUP BY n_name
 """,
+    # -- rotated out in round 8 (each double-covered by a gated sibling) --
+    "field_mapping": """
+SELECT c_custkey AS customer_id, c_acctbal AS balance, c_mktsegment
+FROM customer
+""",
+    "part_type_stats": """
+SELECT p_type, COUNT(*) AS n_parts,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       AVG(p_retailprice) AS avg_price
+FROM part GROUP BY p_type
+""",
+    "token_count": """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+""",
 }
 
 _FUNCS = {
@@ -60,6 +79,9 @@ _FUNCS = {
     "buyers_never_click": entry_mod.q_buyers_never_click,
     "local_supplier_volume": entry_mod.q_local_supplier_volume,
     "entity_row_key": entry_mod.q_entity_row_key,
+    "field_mapping": entry_mod.q_field_mapping,
+    "part_type_stats": entry_mod.q_part_type_stats,
+    "token_count": entry_mod.q_token_count,
 }
 
 

@@ -300,3 +300,86 @@ def test_html_to_text_extraction(spark):
     assert "Second block" in out          # entity decoded
     assert out.splitlines()[-2:] == ["one", "two"]
     assert not out.startswith("\n") and not out.endswith("\n")
+
+
+# -- chunk_documents ----------------------------------------------------
+
+
+def test_chunk_documents_semantics(spark):
+    from feast_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="abcdefghij"),     # 10 chars
+            Row(id=2, text="abc"),            # shorter than size
+            Row(id=3, text=""),               # empty -> no chunks
+            Row(id=4, text=None),             # null -> no chunks
+            Row(id=5, text="abcdefgh"),       # length == size -> one chunk
+        ]
+    )
+    out = chunk_documents(df, "id", "text", size=8, overlap=2)
+    rows = {(r["id"], r["chunk_id"]): r for r in out.collect()}
+    # doc 1: step=6, starts = sequence(1, 10-2=8, 6) = [1, 7]
+    assert rows[(1, 0)]["chunk"] == "abcdefgh"
+    assert rows[(1, 0)]["chunk_start"] == 1
+    assert rows[(1, 1)]["chunk"] == "ghij"
+    assert rows[(1, 1)]["chunk_start"] == 7
+    assert rows[(1, 1)]["n_chunk_chars"] == 4
+    # short doc: single chunk, whole text
+    assert rows[(2, 0)]["chunk"] == "abc"
+    # exact-size doc: starts = sequence(1, 6, 6) = [1] -> one chunk
+    assert rows[(5, 0)]["chunk"] == "abcdefgh"
+    assert (5, 1) not in rows
+    # empty/null docs contribute nothing
+    assert not any(k[0] in (3, 4) for k in rows)
+    # successive chunks overlap by exactly `overlap` chars
+    assert rows[(1, 0)]["chunk"][-2:] == rows[(1, 1)]["chunk"][:2]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from feast_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([Row(id=1, text="abc")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "id", "text", size=10, overlap=10)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark):
+    """The chunking plan must stay narrow: no Exchange, no Python."""
+    from feast_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame([Row(id=i, text="x" * 50) for i in range(4)])
+    plan = chunk_documents(df, "id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF fell into the path
+
+
+def test_chunk_documents_reassembles(spark):
+    """Dropping each chunk's overlap prefix (except the first) and
+    concatenating in chunk_id order reconstructs the document."""
+    from feast_spark.functions.text import chunk_documents
+
+    text = "the quick brown fox jumps over the lazy dog " * 7  # 308 chars
+    df = spark.createDataFrame([Row(id=1, text=text)])
+    out = chunk_documents(df, "id", "text", size=100, overlap=20).collect()
+    parts = {r["chunk_id"]: r["chunk"] for r in out}
+    rebuilt = parts[0] + "".join(
+        parts[i][20:] for i in sorted(parts) if i > 0
+    )
+    assert rebuilt == text
+
+
+def test_scrub_pii_masks_all_kinds(spark):
+    from feast_spark.functions.text import scrub_pii
+
+    raw = (
+        "mail a.b+c@x-corp.io see https://ex.org/a?b=1 or www.foo.com "
+        "host 192.168.0.1 ssn 123-45-6789 card 4111 1111 1111 1111 "
+        "call (415) 555-0132 plain words stay"
+    )
+    got = _one(spark, raw, scrub_pii(F.col("text")))
+    assert got == (
+        "mail <EMAIL> see <URL> or <URL> "
+        "host <IP> ssn <SSN> card <CARD> "
+        "call <PHONE> plain words stay"
+    )
