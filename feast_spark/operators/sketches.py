@@ -1,0 +1,232 @@
+"""Mergeable distinct-count sketch rollups (DataSketches HLL).
+
+The 100 TB pattern for "how many distinct users did X over range Y":
+scan the raw events ONCE and materialize one tiny row per grain —
+``(day,)``, ``(day, event_type)``, ... — holding an Apache DataSketches
+HLL sketch of the key column (Spark's built-in ``hll_sketch_agg``
+family; JVM-side, partial-aggregated map-side like any SUM).  Every
+later question — distinct over an arbitrary date range, per dimension
+subset, whole history — is answered by unioning the relevant sketch
+rows: kilobytes of sketch I/O instead of a fresh multi-TB scan, and no
+giant COUNT(DISTINCT) shuffle of the raw keys ever again.
+
+Sketch unions are associative and order-insensitive, which buys the
+three properties exact pre-aggregation cannot offer together:
+
+* **rollup**    — daily sketches union to weekly/monthly/any-range;
+* **late data** — a backfilled partition merges in with one more union
+  (exact pre-aggregated distinct counts are NOT mergeable: you cannot
+  add yesterday's 1.2M distinct and today's 1.1M distinct);
+* **streaming** — micro-batch sketches fold into the same table
+  (see :meth:`SketchTable.foreach_batch_writer`).
+
+Size/accuracy: at ``lgk=12`` a dense sketch is ~2-4 KB with a relative
+standard error of about 1.04/sqrt(2^12) ~ 1.6%; one year of daily
+sketches for 100 dimensions is ~150 MB — driver-broadcastable.  Union
+of sketches is estimate-identical to a sketch built over the unioned
+raw data (same lgK), so incremental maintenance loses nothing vs a
+full rebuild — pinned by tests/test_sketches.py.
+
+Persistence uses the same object-store-safe manifest-flip commit as
+the online store (``io.fs.write_bytes_atomic``): a crashed writer
+leaves an orphan snapshot dir that is never pointed to, readers always
+see a complete table.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.io.fs import LocalFS, StoreFS
+
+_MANIFEST = "_MANIFEST.json"
+DEFAULT_LGK = 12
+
+
+def build_distinct_sketches(
+    df: DataFrame,
+    key_col: str,
+    grain_cols: list[str],
+    lgk: int = DEFAULT_LGK,
+    sketch_col: str = "key_sketch",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """One HLL sketch row per grain: ``groupBy(grains).agg(hll_sketch_agg)``.
+
+    A single shuffle whose payload is O(groups x sketch_size), with the
+    heavy lifting (hashing keys into registers) done map-side in the
+    partial aggregate — the raw keys never cross the wire.  ``n_rows``
+    rides along for free (total vs distinct gives a repeat-rate for
+    nothing)."""
+    return df.groupBy(*grain_cols).agg(
+        F.hll_sketch_agg(key_col, lgk).alias(sketch_col),
+        F.count(F.lit(1)).alias(count_col),
+    )
+
+
+def estimate_distinct(
+    sketch_df: DataFrame,
+    group_cols: list[str] | None = None,
+    sketch_col: str = "key_sketch",
+    out_col: str = "n_distinct",
+) -> DataFrame:
+    """Union sketch rows (optionally re-grouped to a coarser grain) and
+    estimate.  ``group_cols=None`` collapses everything to one global
+    row.  Filter the input first for range queries::
+
+        estimate_distinct(sk.filter(F.col("day").between(a, b)))
+
+    — partition pruning on the sketch table makes this touch only the
+    selected rows; the union agg itself is a few KB per group."""
+    agg = F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col)
+    if group_cols:
+        return sketch_df.groupBy(*group_cols).agg(agg)
+    return sketch_df.agg(agg)
+
+
+def merge_sketch_tables(
+    existing: DataFrame,
+    incoming: DataFrame,
+    grain_cols: list[str],
+    sketch_col: str = "key_sketch",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Fold a new sketch table into an existing one grain-by-grain —
+    the late-data / incremental-maintenance / stream-fold primitive.
+    Grains present on only one side pass through; grains on both sides
+    union their sketches and add their row counts.  One shuffle of
+    O(groups) sketch rows, never the raw data."""
+    return (
+        existing.select(*grain_cols, sketch_col, count_col)
+        .unionByName(incoming.select(*grain_cols, sketch_col, count_col))
+        .groupBy(*grain_cols)
+        .agg(
+            F.hll_union_agg(sketch_col).alias(sketch_col),
+            F.sum(count_col).alias(count_col),
+        )
+    )
+
+
+class SketchTable:
+    """A materialized, incrementally-maintained distinct-count sketch
+    table over one key column at a fixed grain.
+
+    ``update(spark, events)`` sketches the incoming slice and merges it
+    into the stored table under a manifest-flip commit;
+    ``estimate(spark, ...)`` answers distinct-count questions from the
+    sketches alone.  The same ``update`` serves batch backfill, late
+    partitions, and — via :meth:`foreach_batch_writer` — a Structured
+    Streaming sink, because sketch union makes all three the same
+    operation."""
+
+    def __init__(
+        self,
+        root: str,
+        key_col: str,
+        grain_cols: list[str],
+        lgk: int = DEFAULT_LGK,
+        fs: StoreFS | None = None,
+        keep_versions: int = 2,
+    ):
+        self.root = root
+        self.key_col = key_col
+        self.grain_cols = list(grain_cols)
+        self.lgk = lgk
+        self.fs = fs or LocalFS()
+        self.keep_versions = max(1, keep_versions)
+
+    # -- manifest-flip commit (same protocol as online.store) ------------
+
+    def _manifest_path(self) -> str:
+        return posixpath.join(self.root, _MANIFEST)
+
+    def _current_path(self) -> str | None:
+        mp = self._manifest_path()
+        if not self.fs.exists(mp):
+            return None
+        version = json.loads(self.fs.read_bytes(mp))["current"]
+        return posixpath.join(self.root, version)
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[2:])
+            for d in self.fs.list_subdirs(self.root)
+            if d.startswith("v_") and d[2:].isdigit()
+        ]
+        return f"v_{(max(versions) + 1 if versions else 1):08d}"
+
+    def _commit(self, df: DataFrame) -> None:
+        version = self._next_version()
+        df.write.mode("errorifexists").parquet(posixpath.join(self.root, version))
+        self.fs.write_bytes_atomic(
+            self._manifest_path(),
+            json.dumps({"current": version, "format": "parquet"}).encode(),
+        )
+        versions = sorted(
+            d
+            for d in self.fs.list_subdirs(self.root)
+            if d.startswith("v_") and d[2:].isdigit()
+        )
+        keep = set(versions[-self.keep_versions :]) | {version}
+        for v in versions:
+            if v not in keep:
+                try:
+                    self.fs.delete(posixpath.join(self.root, v))
+                except Exception:
+                    pass  # GC is best-effort; next commit retries
+
+    # -- read / write ----------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        current = self._current_path()
+        if current is None:
+            return None
+        return spark.read.parquet(current)
+
+    def update(self, spark: SparkSession, events: DataFrame) -> None:
+        """Sketch the incoming event slice and fold it into the table.
+        Cost is one scan of the slice (never of history) plus a
+        O(groups)-row merge; crash-safe via the manifest flip."""
+        incoming = build_distinct_sketches(
+            events, self.key_col, self.grain_cols, lgk=self.lgk
+        )
+        existing = self.read(spark)
+        merged = (
+            incoming
+            if existing is None
+            else merge_sketch_tables(existing, incoming, self.grain_cols)
+        )
+        self._commit(merged)
+
+    def estimate(
+        self,
+        spark: SparkSession,
+        group_cols: list[str] | None = None,
+        where=None,
+    ) -> DataFrame:
+        """Distinct-count estimates from the stored sketches; ``where``
+        is an optional Column predicate over the grain columns (range
+        queries prune to the matching sketch rows)."""
+        df = self.read(spark)
+        if df is None:
+            raise ValueError(f"sketch table at {self.root} has no data yet")
+        if where is not None:
+            df = df.filter(where)
+        return estimate_distinct(df, group_cols=group_cols)
+
+    def foreach_batch_writer(self, spark: SparkSession):
+        """``writeStream.foreachBatch`` sink: each micro-batch's keys
+        are sketched and folded in — the streaming twin of ``update``
+        with identical results to batch-processing the same rows,
+        because sketch union is order- and batching-insensitive."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.update(spark, batch_df)
+
+        return fn

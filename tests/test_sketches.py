@@ -1,0 +1,160 @@
+"""Mergeable HLL sketch rollups: accuracy, union-equals-rebuild,
+incremental maintenance, and the streaming fold."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.sketches import (
+    SketchTable,
+    build_distinct_sketches,
+    estimate_distinct,
+    merge_sketch_tables,
+)
+from feast_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    return load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+
+
+def test_estimate_within_error_bounds(spark):
+    ev = _events(spark)
+    sk = build_distinct_sketches(ev, "user_id", ["day"], lgk=12)
+    est = estimate_distinct(sk).collect()[0]["n_distinct"]
+    exact = ev.select(F.countDistinct("user_id")).collect()[0][0]
+    # rsd at lgk=12 is ~1.04/sqrt(2^12) ~ 1.6%; allow 5 sigma
+    assert abs(est - exact) <= max(1, 5 * 1.04 / math.sqrt(2**12) * exact)
+
+
+def test_union_of_daily_equals_global_sketch(spark):
+    """Sketch-of-union == union-of-sketches (same lgK): rollups and
+    incremental maintenance lose nothing vs a full rebuild."""
+    ev = _events(spark)
+    daily = build_distinct_sketches(ev, "user_id", ["day"], lgk=12)
+    rolled = estimate_distinct(daily).collect()[0]["n_distinct"]
+    direct = (
+        ev.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 12)).alias("n")
+        ).collect()[0]["n"]
+    )
+    assert rolled == direct
+
+
+def test_range_query_uses_only_selected_rows(spark):
+    ev = _events(spark)
+    daily = build_distinct_sketches(ev, "user_id", ["day"], lgk=12)
+    lo, hi = "2024-01-05", "2024-01-12"
+    est = (
+        estimate_distinct(daily.filter(F.col("day").between(lo, hi)))
+        .collect()[0]["n_distinct"]
+    )
+    exact = (
+        ev.filter(F.col("day").between(lo, hi))
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert abs(est - exact) <= max(1, 0.1 * exact)
+
+
+def test_grouped_estimate_per_event_type(spark):
+    ev = _events(spark)
+    sk = build_distinct_sketches(ev, "user_id", ["day", "event_type"], lgk=12)
+    per_type = {
+        r["event_type"]: r["n_distinct"]
+        for r in estimate_distinct(sk, group_cols=["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(per_type) == set(exact)
+    for t, n in exact.items():
+        assert abs(per_type[t] - n) <= max(1, 0.1 * n)
+
+
+def test_merge_matches_full_rebuild(spark):
+    """Folding a late slice into an existing table gives the exact same
+    estimates as rebuilding over all the data."""
+    ev = _events(spark)
+    early = ev.filter(F.col("day") < "2024-01-15")
+    late = ev.filter(F.col("day") >= "2024-01-15")
+    merged = merge_sketch_tables(
+        build_distinct_sketches(early, "user_id", ["day"]),
+        build_distinct_sketches(late, "user_id", ["day"]),
+        ["day"],
+    )
+    rebuilt = build_distinct_sketches(ev, "user_id", ["day"])
+    m = estimate_distinct(merged).collect()[0]["n_distinct"]
+    r = estimate_distinct(rebuilt).collect()[0]["n_distinct"]
+    assert m == r
+    # row counts survive the merge too
+    assert (
+        merged.agg(F.sum("n_rows")).collect()[0][0]
+        == rebuilt.agg(F.sum("n_rows")).collect()[0][0]
+        == ev.count()
+    )
+
+
+def test_sketch_table_incremental_update(spark, tmp_path):
+    ev = _events(spark)
+    table = SketchTable(str(tmp_path / "sk"), "user_id", ["day"])
+    table.update(spark, ev.filter(F.col("day") < "2024-01-10"))
+    table.update(spark, ev.filter(F.col("day") >= "2024-01-10"))
+    est = table.estimate(spark).collect()[0]["n_distinct"]
+    full = estimate_distinct(
+        build_distinct_sketches(ev, "user_id", ["day"])
+    ).collect()[0]["n_distinct"]
+    assert est == full
+    # range query through the table facade
+    jan_est = table.estimate(
+        spark, where=F.col("day") < "2024-01-10"
+    ).collect()[0]["n_distinct"]
+    jan_exact = (
+        ev.filter(F.col("day") < "2024-01-10")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert abs(jan_est - jan_exact) <= max(1, 0.1 * jan_exact)
+
+
+def test_sketch_table_estimate_before_data_raises(spark, tmp_path):
+    table = SketchTable(str(tmp_path / "empty"), "user_id", ["day"])
+    with pytest.raises(ValueError):
+        table.estimate(spark)
+
+
+def test_foreach_batch_fold_is_batching_insensitive(spark, tmp_path):
+    """Feeding the same rows in different micro-batch splits yields
+    identical sketch estimates — the stream==batch identity."""
+    ev = _events(spark)
+    a = SketchTable(str(tmp_path / "a"), "user_id", ["day"])
+    b = SketchTable(str(tmp_path / "b"), "user_id", ["day"])
+    fa = a.foreach_batch_writer(spark)
+    fb = b.foreach_batch_writer(spark)
+    # stream A: two uneven batches; stream B: one batch + an empty one
+    fa(ev.filter(F.col("user_id") % 3 == 0), 0)
+    fa(ev.filter(F.col("user_id") % 3 != 0), 1)
+    fb(ev, 0)
+    fb(ev.limit(0), 1)
+    ea = a.estimate(spark).collect()[0]["n_distinct"]
+    eb = b.estimate(spark).collect()[0]["n_distinct"]
+    assert ea == eb
+
+
+def test_gc_keeps_bounded_versions(spark, tmp_path):
+    import os
+
+    ev = _events(spark)
+    root = str(tmp_path / "gc")
+    table = SketchTable(root, "user_id", ["day"], keep_versions=2)
+    for cut in ("2024-01-05", "2024-01-10", "2024-01-15", "2024-01-20"):
+        table.update(spark, ev.filter(F.col("day") < cut))
+    dirs = [d for d in os.listdir(root) if d.startswith("v_")]
+    assert len(dirs) <= 2
