@@ -506,6 +506,7 @@ def chunk_documents(
     text_col: str,
     size: int = 100,
     overlap: int = 20,
+    keep_cols: list[str] | None = None,
 ):
     """Split documents into fixed-size overlapping character windows —
     the retrieval/embedding chunking pass of a RAG or long-context
@@ -526,7 +527,10 @@ def chunk_documents(
     100 TB this runs at parquet-scan speed and the output can be
     written back partition-aligned with the input (no Exchange is ever
     introduced).  An embedding/tokenizer stage downstream would be the
-    expensive part, not this."""
+    expensive part, not this.
+
+    ``keep_cols`` carries extra per-document columns (split labels,
+    language, source) onto every chunk row — still narrow, no join."""
     if overlap >= size:
         raise ValueError(f"overlap ({overlap}) must be < size ({size})")
     step = size - overlap
@@ -536,18 +540,39 @@ def chunk_documents(
         F.greatest(F.lit(1), F.length(text) - F.lit(overlap)),
         F.lit(step),
     )
+    extras = list(keep_cols or [])
     return (
         df.filter(text.isNotNull() & (F.length(text) > 0))
         .select(
             F.col(id_col),
+            *[F.col(c) for c in extras],
             text.alias("__text"),
             F.posexplode(starts).alias("chunk_id", "chunk_start"),
         )
         .select(
             id_col,
+            *extras,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             F.col("chunk_start").cast("long").alias("chunk_start"),
             F.col("__text").substr(F.col("chunk_start"), F.lit(size)).alias("chunk"),
         )
         .withColumn("n_chunk_chars", F.length("chunk").cast("long"))
+    )
+
+
+def dedup_chunks(chunks, id_col: str, chunk_col: str = "chunk"):
+    """Exact chunk-level dedup: among chunks with the same normalized
+    fingerprint, the first by (doc id, chunk_id) survives.  Catches
+    the RAG failure mode chunking CREATES — boilerplate windows
+    (headers, footers, licenses) repeated across thousands of
+    documents that doc-level dedup cannot see.  One shuffle of
+    fixed-width fingerprints (same cost argument as exact_dedup)."""
+    w = Window.partitionBy("__cfp").orderBy(
+        F.col(id_col).asc(), F.col("chunk_id").asc()
+    )
+    return (
+        chunks.withColumn("__cfp", fingerprint_md5(F.col(chunk_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__cfp", "__rn")
     )

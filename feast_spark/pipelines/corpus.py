@@ -2,7 +2,7 @@
 chaining the package's corpus operators in their canonical order —
 
     featurize → filter → exact dedup → near-dup resolve →
-    decontaminate → split → mix → pack
+    decontaminate → split → mix → pack | chunk
 
 Every stage is the already-tested operator (nothing is reimplemented
 here); the value of the facade is the ORDER and the plan properties it
@@ -110,6 +110,14 @@ class CorpusConfig:
     budgets: dict[str, int] | None = None
     pack_max_tokens: int | None = None
     n_shards: int = 32
+    # RAG chunking: emit chunk-granularity rows (doc_id, chunk_id,
+    # chunk, split, ...) instead of document rows.  Mutually exclusive
+    # with pack_max_tokens — packing builds training sequences,
+    # chunking builds retrieval units.  chunk_dedup drops exact-repeat
+    # chunks (boilerplate windows doc-level dedup cannot see).
+    chunk_size: int | None = None
+    chunk_overlap: int = 0
+    chunk_dedup: bool = True
 
 
 def build_corpus(
@@ -267,5 +275,25 @@ def build_corpus(
             split, c.id_col, "n_tokens", c.pack_max_tokens,
             n_shards=c.n_shards, group_cols=["split"],
         )
+
+    # 7c. optional RAG chunking — chunk-granularity output; the split
+    # label rides onto every chunk (narrow, no join) so retrieval
+    # index builds can still respect train/val/test boundaries
+    if c.chunk_size is not None:
+        if c.pack_max_tokens is not None:
+            raise ValueError(
+                "chunk_size and pack_max_tokens are mutually exclusive: "
+                "packing emits training sequences, chunking emits "
+                "retrieval units"
+            )
+        from feast_spark.functions.text import chunk_documents, dedup_chunks
+
+        split = chunk_documents(
+            split, c.id_col, c.text_col,
+            size=c.chunk_size, overlap=c.chunk_overlap,
+            keep_cols=["split"],
+        )
+        if c.chunk_dedup:
+            split = _mark("chunk_dedup", dedup_chunks(split, c.id_col))
     out = _mark("output", split)
     return (out, stages) if report else out

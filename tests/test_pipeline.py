@@ -262,3 +262,59 @@ def test_substring_dedup_stage(spark):
     # ...and the repeated run is gone from every output document
     out_texts = [r.text for r in out.select("text").collect()]
     assert out_texts and all(shared not in t for t in out_texts)
+
+
+def test_chunk_stage(spark, docs):
+    cfg = CorpusConfig(chunk_size=120, chunk_overlap=24, near_dedup=False)
+    out, stages = build_corpus(docs, config=cfg, report=True)
+    rows = out.collect()
+    assert stages["output"] == len(rows) > stages["exact_dedup"]  # expansion
+    cols = set(out.columns)
+    assert {"doc_id", "chunk_id", "chunk_start", "chunk",
+            "n_chunk_chars", "split"} <= cols
+    # split label rides onto every chunk, consistent within a doc
+    by_doc = {}
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        by_doc.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_doc.values())
+    # chunk length bounded by chunk_size
+    assert all(r["n_chunk_chars"] <= 120 for r in rows)
+
+
+def test_chunk_dedup_drops_boilerplate_chunks(spark):
+    from pyspark.sql import Row
+
+    # 40-char boilerplate prefix shared by all docs; chunk_size 40,
+    # overlap 0 -> first window identical across docs
+    boiler = "LICENSE HEADER COMMON TO EVERY DOCUMENT "  # 40 chars
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=boiler + f"unique body {i} " +
+                " ".join(f"tok{i}w{j}" for j in range(30)))
+            for i in range(6)
+        ]
+    )
+    cfg = CorpusConfig(
+        chunk_size=40, chunk_overlap=0, near_dedup=False,
+        min_quality=0.0, min_tokens=1,
+    )
+    out = build_corpus(docs, config=cfg)
+    first_windows = [r for r in out.collect() if r["chunk_id"] == 0]
+    # only ONE copy of the boilerplate first window survives
+    assert len([r for r in first_windows if r["chunk"] == boiler]) == 1
+    # without chunk_dedup every copy survives
+    cfg2 = CorpusConfig(
+        chunk_size=40, chunk_overlap=0, near_dedup=False,
+        min_quality=0.0, min_tokens=1, chunk_dedup=False,
+    )
+    out2 = build_corpus(docs, config=cfg2)
+    kept = [r for r in out2.collect()
+            if r["chunk_id"] == 0 and r["chunk"] == boiler]
+    assert len(kept) == 6
+
+
+def test_chunk_and_pack_mutually_exclusive(spark, docs):
+    cfg = CorpusConfig(chunk_size=100, pack_max_tokens=256)
+    with pytest.raises(ValueError):
+        build_corpus(docs, config=cfg)
