@@ -220,6 +220,23 @@ def main() -> None:
     queries["substr_dedup_stats"] = q_substr_dedup_stats
     queries["semantic_dedup"] = q_semantic_dedup
 
+    # Round-8 extras: chunking (gated query; narrow, zero-shuffle) and
+    # the HLL sketch rollup build+estimate over the events table
+    def q_sketch_rollup(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from feast_spark.operators.sketches import (
+            build_distinct_sketches, estimate_distinct,
+        )
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        sk = build_distinct_sketches(ev, "user_id", ["day", "event_type"])
+        return estimate_distinct(sk, group_cols=["event_type"])
+
+    queries["sketch_rollup"] = q_sketch_rollup
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -237,6 +254,8 @@ def main() -> None:
                 "pit_sorted_merge_bucketed",
                 "substr_dedup_stats",
                 "semantic_dedup",
+                "doc_chunks",
+                "sketch_rollup",
             )
             if n in queries
         ]

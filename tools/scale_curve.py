@@ -175,6 +175,16 @@ def generate(root: str, scale: float, seed: int = SEED) -> str:
     return out_dir
 
 
+def _sketch_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.sketches import build_distinct_sketches
+    from feast_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return build_distinct_sketches(ev, "user_id", ["day"])
+
+
 def _ops():
     import __spark_entry__ as e
     from bench import q_pq_search
@@ -186,6 +196,8 @@ def _ops():
         "minhash_lsh_fast": e.q_minhash_fast,
         "dup_groups_resolved": e.q_dup_groups_resolved,
         "pq_search": q_pq_search,
+        "doc_chunks": e.q_doc_chunks,
+        "sketch_build": _sketch_build,
     }
 
 
