@@ -38,7 +38,7 @@ from __future__ import annotations
 import json
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_spark.io.fs import LocalFS, StoreFS
@@ -230,3 +230,152 @@ class SketchTable:
             self.update(spark, batch_df)
 
         return fn
+
+
+# -- Mergeable value histograms (quantile / distribution rollups) -------
+#
+# The same materialize-once-answer-forever pattern as the HLL rollup,
+# for VALUE DISTRIBUTIONS: one exact fixed-bin histogram row per grain
+# (counts are plain longs, so the rollup is exact and the merge is
+# elementwise addition — no sketch error at all), quantiles estimated
+# by linear interpolation inside the hit bin.  Exact percentiles over
+# an arbitrary range need a full re-sort of the raw values at query
+# time; histogram rollups answer from O(groups x bins) longs, and the
+# bounded error is the bin width.  (Druid/Pinot rollup segments, the
+# OLAP-standard trade.)
+
+
+def build_histogram_sketches(
+    df: DataFrame,
+    val_col: str,
+    grain_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    counts_col: str = "bin_counts",
+) -> DataFrame:
+    """One exact histogram row per grain: ``bin_counts`` is a dense
+    ``n_bins + 2``-long array — index 0 is the underflow bin
+    (val < lo), index ``n_bins + 1`` the overflow bin (val >= hi),
+    NULL values are not counted.
+
+    Two shuffles, both tiny after map-side combine: (grain, bucket)
+    counts — at most ``groups x (n_bins + 2)`` rows regardless of raw
+    volume — then a per-grain densify into the array.  The raw values
+    never cross the wire."""
+    bucket = F.when(
+        F.col(val_col).isNull(), F.lit(None)
+    ).otherwise(
+        F.width_bucket(F.col(val_col), F.lit(lo), F.lit(hi), F.lit(n_bins))
+    )
+    per_bucket = (
+        df.select(*grain_cols, bucket.alias("__bucket"))
+        .filter(F.col("__bucket").isNotNull())
+        .groupBy(*grain_cols, "__bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins + 1)),
+        lambda i: F.coalesce(F.try_element_at("__m", i.cast("int")), F.lit(0)),
+    )
+    return (
+        per_bucket.groupBy(*grain_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__bucket").cast("int"), "__c"))
+            ).alias("__m")
+        )
+        .select(*grain_cols, dense.alias(counts_col))
+    )
+
+
+def merge_histogram_tables(
+    existing: DataFrame,
+    incoming: DataFrame,
+    grain_cols: list[str],
+    counts_col: str = "bin_counts",
+) -> DataFrame:
+    """Elementwise-add histograms grain-by-grain — EXACT (longs, no
+    sketch error), so late data, backfills, and stream folds compose
+    losslessly.  Bins are posexploded and re-summed: the shuffle is
+    O(groups x bins) longs, independent of raw volume."""
+    both = existing.select(*grain_cols, counts_col).unionByName(
+        incoming.select(*grain_cols, counts_col)
+    )
+    return (
+        both.select(
+            *grain_cols, F.posexplode(counts_col).alias("__bin", "__c")
+        )
+        .groupBy(*grain_cols, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+        .groupBy(*grain_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__bin", "__c"))
+            ).alias("__m")
+        )
+        .select(
+            *grain_cols,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__m") - 1),
+                lambda i: F.coalesce(
+                    F.try_element_at("__m", i.cast("int")), F.lit(0)
+                ),
+            ).alias(counts_col),
+        )
+    )
+
+
+def estimate_quantiles(
+    hist_df: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    group_cols: list[str] | None = None,
+    counts_col: str = "bin_counts",
+) -> DataFrame:
+    """Quantile estimates from histogram rows (optionally re-rolled to
+    a coarser grain first — histograms merge exactly, so a monthly
+    quantile from daily rows costs one tiny aggregation).  Linear
+    interpolation inside the hit bin; under/overflow bins clamp to
+    ``lo`` / ``hi``.  Output: one row per group with ``q_<q>`` columns.
+
+    Everything is array expressions + one explode over O(groups x
+    bins) rows — the raw data is never touched.  Quantiles must lie in
+    (0, 1]."""
+    # re-roll to the requested grain: elementwise sum via explode
+    rolled = (
+        hist_df.select(
+            *(group_cols or []),
+            F.posexplode(counts_col).alias("__bin", "__c"),
+        )
+        .groupBy(*(group_cols or []), "__bin")
+        .agg(F.sum("__c").alias("__c"))
+    )
+    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("__bin")
+    cum = rolled.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__total", F.sum("__c").over(Window.partitionBy(*(group_cols or [F.lit(1)])))
+    ).withColumn("__nb", F.count(F.lit(1)).over(
+        Window.partitionBy(*(group_cols or [F.lit(1)]))
+    ) - 2)
+    width = (F.lit(hi) - F.lit(lo)) / F.col("__nb")
+    exprs = []
+    for q in quantiles:
+        target = F.lit(q) * F.col("__total")
+        # first bin whose cumulative count reaches the target
+        hit = (F.col("__cum") >= target) & (
+            F.col("__cum") - F.col("__c") < target
+        )
+        # position inside the bin: (target - cum_before) / bin_count
+        frac = (target - (F.col("__cum") - F.col("__c"))) / F.col("__c")
+        est = F.when(
+            F.col("__bin") == 0, F.lit(float(lo))  # underflow clamps
+        ).when(
+            F.col("__bin") == F.col("__nb") + 1, F.lit(float(hi))
+        ).otherwise(
+            F.lit(lo) + ((F.col("__bin") - 1) + frac) * width
+        )
+        exprs.append(
+            F.max(F.when(hit, est)).alias(f"q_{str(q).replace('.', '_')}")
+        )
+    return cum.groupBy(*(group_cols or [])).agg(*exprs)

@@ -158,3 +158,111 @@ def test_gc_keeps_bounded_versions(spark, tmp_path):
         table.update(spark, ev.filter(F.col("day") < cut))
     dirs = [d for d in os.listdir(root) if d.startswith("v_")]
     assert len(dirs) <= 2
+
+
+# -- mergeable value histograms -----------------------------------------
+
+
+def test_histogram_counts_exact(spark):
+    """Bin counts are EXACT — cross-checked against a numpy histogram
+    built with width_bucket's formula on the same doubles."""
+    import numpy as np
+
+    from feast_spark.operators.sketches import build_histogram_sketches
+
+    ev = load_table(spark, SF_SMALL, "events")
+    lo, hi, nb = 0.0, 50.0, 16
+    h = {
+        r["event_type"]: r["bin_counts"]
+        for r in build_histogram_sketches(
+            ev, "value", ["event_type"], lo, hi, n_bins=nb
+        ).collect()
+    }
+    pdf = ev.select("event_type", "value").toPandas()
+    for etype, grp in pdf.groupby("event_type"):
+        v = grp["value"].dropna().to_numpy()
+        bucket = np.where(
+            v < lo, 0, np.where(v >= hi, nb + 1,
+                                (np.floor((v - lo) / ((hi - lo) / nb)) + 1))
+        ).astype(int)
+        want = np.bincount(bucket, minlength=nb + 2).tolist()
+        assert h[etype] == want, etype
+        assert sum(h[etype]) == len(v)
+
+
+def test_histogram_merge_equals_rebuild(spark):
+    from feast_spark.operators.sketches import (
+        build_histogram_sketches,
+        merge_histogram_tables,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    early = ev.filter(F.col("day") < "2024-01-15")
+    late = ev.filter(F.col("day") >= "2024-01-15")
+    merged = merge_histogram_tables(
+        build_histogram_sketches(early, "value", ["event_type"], 0.0, 50.0),
+        build_histogram_sketches(late, "value", ["event_type"], 0.0, 50.0),
+        ["event_type"],
+    )
+    rebuilt = build_histogram_sketches(ev, "value", ["event_type"], 0.0, 50.0)
+    m = {r["event_type"]: r["bin_counts"] for r in merged.collect()}
+    r_ = {r["event_type"]: r["bin_counts"] for r in rebuilt.collect()}
+    assert m == r_  # exact, not approximate: longs add losslessly
+
+
+def test_quantile_estimates_within_bin_width(spark):
+    from feast_spark.operators.sketches import (
+        build_histogram_sketches,
+        estimate_quantiles,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    # range must cover the quantiles being asked for — values above hi
+    # land in the overflow bin and clamp to hi (pinned below)
+    lo, hi, nb = 0.0, 400.0, 512
+    h = build_histogram_sketches(ev, "value", ["event_type"], lo, hi, n_bins=nb)
+    est = estimate_quantiles(h, [0.5, 0.9], lo, hi).collect()[0]
+    exact = ev.agg(
+        F.expr("percentile(value, array(0.5, 0.9))").alias("p")
+    ).collect()[0]["p"]
+    width = (hi - lo) / nb
+    assert abs(est["q_0_5"] - exact[0]) <= width
+    assert abs(est["q_0_9"] - exact[1]) <= width
+    # grouped estimates roll daily histograms up per event_type
+    per_type = estimate_quantiles(
+        h, [0.5], lo, hi, group_cols=["event_type"]
+    ).collect()
+    exact_types = {
+        r["event_type"]: r["p"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("p"))
+        .collect()
+    }
+    for r in per_type:
+        assert abs(r["q_0_5"] - exact_types[r["event_type"]]) <= width
+    # a quantile beyond the covered range clamps to hi (overflow bin)
+    h2 = build_histogram_sketches(ev, "value", ["event_type"], 0.0, 50.0)
+    est2 = estimate_quantiles(h2, [0.9], 0.0, 50.0).collect()[0]
+    assert est2["q_0_9"] == 50.0
+
+
+def test_histogram_underflow_overflow_nulls(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.sketches import build_histogram_sketches
+
+    df = spark.createDataFrame(
+        [
+            Row(g="a", v=-5.0),   # underflow
+            Row(g="a", v=0.0),    # first bin
+            Row(g="a", v=9.99),   # last bin
+            Row(g="a", v=10.0),   # overflow (hi is exclusive)
+            Row(g="a", v=None),   # not counted
+        ]
+    )
+    h = build_histogram_sketches(df, "v", ["g"], 0.0, 10.0, n_bins=2)
+    counts = h.collect()[0]["bin_counts"]
+    assert counts == [1, 1, 1, 1]  # under, bin1, bin2, over
+    assert sum(counts) == 4  # the NULL never lands anywhere

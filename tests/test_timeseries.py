@@ -160,3 +160,113 @@ def test_ts_topk_batch_rejects_mislength_pattern(spark):
         ts_topk_similar_batch(
             df, "k", "t", "v", queries, window_len=4, k=3
         ).collect()
+
+
+# -- decayed aggregates -------------------------------------------------
+
+
+def test_decayed_agg_vs_duckdb(spark, duck):
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import decayed_agg
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    at = "2024-01-20 00:00:00"
+    out = {
+        r["user_id"]: r
+        for r in decayed_agg(
+            ev, ["user_id"], "ts", "value",
+            half_life=timedelta(days=7), at_time=at,
+        ).collect()
+    }
+    oracle = duck.execute(
+        f"""
+SELECT user_id,
+       sum(value * power(0.5, (epoch(TIMESTAMP '{at}')
+           - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))) AS s,
+       sum(power(0.5, (epoch(TIMESTAMP '{at}')
+           - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))) AS c
+FROM '{SF_SMALL}/events.parquet'
+WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '{at}'
+GROUP BY user_id
+"""
+    ).fetchall()
+    assert len(oracle) == len(out) > 0
+    for uid, s, c in oracle:
+        assert out[uid]["decayed_sum"] == pytest.approx(s, rel=1e-9)
+        assert out[uid]["decayed_count"] == pytest.approx(c, rel=1e-9)
+
+
+def test_decayed_agg_mergeable_and_rebase(spark):
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import decayed_agg, rebase_decayed
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    hl = timedelta(days=7)
+    t1, t2 = "2024-01-15 00:00:00", "2024-01-20 00:00:00"
+
+    # partial sums from any slicing add up (at_time fixed)
+    full = {
+        r["user_id"]: r["decayed_sum"]
+        for r in decayed_agg(ev, ["user_id"], "ts", "value", hl, t1).collect()
+    }
+    a = decayed_agg(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ["user_id"], "ts", "value", hl, t1,
+    )
+    b = decayed_agg(
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id"], "ts", "value", hl, t1,
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.sum("decayed_sum").alias("s"))
+    )
+    for r in merged.collect():
+        assert r["s"] == pytest.approx(full[r["user_id"]], rel=1e-12)
+
+    # rebasing t1 -> t2 == recomputing at t2 over events up to t1
+    upto_t1 = ev.filter(F.col("ts") <= F.lit(t1).cast("timestamp"))
+    direct_t2 = {
+        r["user_id"]: r["decayed_sum"]
+        for r in decayed_agg(
+            upto_t1, ["user_id"], "ts", "value", hl, t2
+        ).collect()
+    }
+    rebased = rebase_decayed(
+        decayed_agg(upto_t1, ["user_id"], "ts", "value", hl, t1),
+        ["decayed_sum", "decayed_count"], t1, t2, hl,
+    )
+    for r in rebased.collect():
+        assert r["decayed_sum"] == pytest.approx(
+            direct_t2[r["user_id"]], rel=1e-12
+        )
+
+
+def test_decayed_agg_excludes_future(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from feast_spark.operators.timeseries import decayed_agg
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, ts=datetime(2024, 1, 1), v=10.0),
+            Row(k=1, ts=datetime(2024, 1, 8), v=20.0),   # == at_time
+            Row(k=1, ts=datetime(2024, 2, 1), v=999.0),  # future: excluded
+        ]
+    )
+    row = decayed_agg(
+        df, ["k"], "ts", "v",
+        half_life=timedelta(days=7), at_time=datetime(2024, 1, 8),
+    ).collect()[0]
+    # 10 * 0.5^(7d/7d) + 20 * 0.5^0 = 5 + 20
+    assert row["decayed_sum"] == pytest.approx(25.0, rel=1e-12)
+    assert row["decayed_count"] == pytest.approx(1.5, rel=1e-12)
