@@ -1,0 +1,86 @@
+"""Manifest-flip parquet table: the object-store-safe commit protocol
+shared by the online store and every incrementally-maintained rollup
+table (sketches, decayed feature state).
+
+Protocol (no directory renames anywhere, so it holds on S3/GCS/ABFS
+semantics exactly like ``online/store.py``): a writer (1) writes the
+new snapshot into a fresh ``v_<n>`` directory numbered past every
+existing one — committed or orphaned, so a crashed writer's leftovers
+are never overwritten — then (2) atomically replaces
+``_MANIFEST.json`` to point at it.  Readers resolve the manifest
+first; they either see the old complete snapshot or the new complete
+snapshot, never a partial write.  GC keeps the last ``keep_versions``
+snapshots (concurrent readers of the previous version stay valid) and
+is best-effort — a failed delete is retried by the next commit.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feast_spark.io.fs import LocalFS, StoreFS
+
+MANIFEST = "_MANIFEST.json"
+
+
+class ManifestedParquetTable:
+    """A versioned parquet directory with atomic manifest-flip commits."""
+
+    def __init__(
+        self,
+        root: str,
+        fs: StoreFS | None = None,
+        keep_versions: int = 2,
+    ):
+        self.root = root
+        self.fs = fs or LocalFS()
+        self.keep_versions = max(1, keep_versions)
+
+    def _manifest_path(self) -> str:
+        return posixpath.join(self.root, MANIFEST)
+
+    def current_path(self) -> str | None:
+        mp = self._manifest_path()
+        if not self.fs.exists(mp):
+            return None
+        version = json.loads(self.fs.read_bytes(mp))["current"]
+        return posixpath.join(self.root, version)
+
+    def _next_version(self) -> str:
+        versions = [
+            int(d[2:])
+            for d in self.fs.list_subdirs(self.root)
+            if d.startswith("v_") and d[2:].isdigit()
+        ]
+        return f"v_{(max(versions) + 1 if versions else 1):08d}"
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        current = self.current_path()
+        if current is None:
+            return None
+        return spark.read.parquet(current)
+
+    def commit(self, df: DataFrame) -> None:
+        version = self._next_version()
+        df.write.mode("errorifexists").parquet(
+            posixpath.join(self.root, version)
+        )
+        self.fs.write_bytes_atomic(
+            self._manifest_path(),
+            json.dumps({"current": version, "format": "parquet"}).encode(),
+        )
+        versions = sorted(
+            d
+            for d in self.fs.list_subdirs(self.root)
+            if d.startswith("v_") and d[2:].isdigit()
+        )
+        keep = set(versions[-self.keep_versions :]) | {version}
+        for v in versions:
+            if v not in keep:
+                try:
+                    self.fs.delete(posixpath.join(self.root, v))
+                except Exception:
+                    pass  # GC is best-effort; next commit retries

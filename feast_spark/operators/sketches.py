@@ -35,15 +35,12 @@ see a complete table.
 
 from __future__ import annotations
 
-import json
-import posixpath
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.io.fs import StoreFS
+from feast_spark.io.manifest import ManifestedParquetTable
 
-_MANIFEST = "_MANIFEST.json"
 DEFAULT_LGK = 12
 
 
@@ -136,56 +133,13 @@ class SketchTable:
         self.key_col = key_col
         self.grain_cols = list(grain_cols)
         self.lgk = lgk
-        self.fs = fs or LocalFS()
-        self.keep_versions = max(1, keep_versions)
-
-    # -- manifest-flip commit (same protocol as online.store) ------------
-
-    def _manifest_path(self) -> str:
-        return posixpath.join(self.root, _MANIFEST)
-
-    def _current_path(self) -> str | None:
-        mp = self._manifest_path()
-        if not self.fs.exists(mp):
-            return None
-        version = json.loads(self.fs.read_bytes(mp))["current"]
-        return posixpath.join(self.root, version)
-
-    def _next_version(self) -> str:
-        versions = [
-            int(d[2:])
-            for d in self.fs.list_subdirs(self.root)
-            if d.startswith("v_") and d[2:].isdigit()
-        ]
-        return f"v_{(max(versions) + 1 if versions else 1):08d}"
-
-    def _commit(self, df: DataFrame) -> None:
-        version = self._next_version()
-        df.write.mode("errorifexists").parquet(posixpath.join(self.root, version))
-        self.fs.write_bytes_atomic(
-            self._manifest_path(),
-            json.dumps({"current": version, "format": "parquet"}).encode(),
+        # manifest-flip commit, same protocol as online.store
+        self._table = ManifestedParquetTable(
+            root, fs=fs, keep_versions=keep_versions
         )
-        versions = sorted(
-            d
-            for d in self.fs.list_subdirs(self.root)
-            if d.startswith("v_") and d[2:].isdigit()
-        )
-        keep = set(versions[-self.keep_versions :]) | {version}
-        for v in versions:
-            if v not in keep:
-                try:
-                    self.fs.delete(posixpath.join(self.root, v))
-                except Exception:
-                    pass  # GC is best-effort; next commit retries
-
-    # -- read / write ----------------------------------------------------
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        current = self._current_path()
-        if current is None:
-            return None
-        return spark.read.parquet(current)
+        return self._table.read(spark)
 
     def update(self, spark: SparkSession, events: DataFrame) -> None:
         """Sketch the incoming event slice and fold it into the table.
@@ -200,7 +154,7 @@ class SketchTable:
             if existing is None
             else merge_sketch_tables(existing, incoming, self.grain_cols)
         )
-        self._commit(merged)
+        self._table.commit(merged)
 
     def estimate(
         self,

@@ -35,6 +35,7 @@ __all__ = [
     "ts_topk_similar_batch",
     "decayed_agg",
     "rebase_decayed",
+    "DecayedFeatureTable",
 ]
 
 
@@ -297,3 +298,130 @@ def rebase_decayed(
     for c in cols:
         out = out.withColumn(c, F.col(c) * factor)
     return out
+
+
+class DecayedFeatureTable:
+    """Incrementally-maintained decayed feature state — the
+    materialized / streaming form of :func:`decayed_agg`.
+
+    State is one row per key: ``(keys..., decayed_sum, decayed_count,
+    as_of)``, committed under the manifest-flip protocol
+    (``io.manifest``).  Each ``update`` folds an event slice in:
+    existing state is rebased forward to the new evaluation point
+    (:func:`rebase_decayed` — exact, O(keys)), the slice is aggregated
+    at the same point (one map-side-combined groupBy), and the two add
+    per key.  Because every step is exact, ANY batching of the same
+    events — one backfill, daily increments, micro-batches via
+    :meth:`foreach_batch_writer`, late slices in any order — yields the
+    same state up to float association (tested).  The 100 TB posture:
+    each event is scanned once, ever; refreshing the feature to a new
+    evaluation time is O(keys) with no history rescan.
+
+    ``features(spark, at_time)`` serves the state rebased to a later
+    evaluation point; asking for a time before ``as_of`` raises (the
+    state has already absorbed events up to ``as_of``, so rewinding
+    would need the raw history — use a fresh table over the prefix)."""
+
+    def __init__(
+        self,
+        root: str,
+        keys: list[str],
+        ts_col: str,
+        val_col: str,
+        half_life,
+        fs=None,
+        keep_versions: int = 2,
+    ):
+        from feast_spark.io.manifest import ManifestedParquetTable
+
+        self.keys = list(keys)
+        self.ts_col = ts_col
+        self.val_col = val_col
+        self.half_life = half_life
+        self.root = root
+        self._table = ManifestedParquetTable(
+            root, fs=fs, keep_versions=keep_versions
+        )
+
+    def read(self, spark) -> DataFrame | None:
+        return self._table.read(spark)
+
+    def _state_as_of(self, state):
+        return state.agg(F.max("as_of")).collect()[0][0]
+
+    def update(self, spark, events: DataFrame, at_time=None) -> None:
+        """Fold an event slice into the state.  ``at_time`` defaults to
+        the slice's max timestamp; the new evaluation point is
+        ``max(state.as_of, at_time)`` so out-of-order / late slices
+        never move the clock backwards."""
+        if at_time is None:
+            at_time = events.agg(F.max(self.ts_col)).collect()[0][0]
+            if at_time is None:
+                return  # empty slice: nothing to fold
+        state = self.read(spark)
+        if state is not None:
+            state_at = self._state_as_of(state)
+            new_at = max(state_at, at_time)
+            state = rebase_decayed(
+                state.select(*self.keys, "decayed_sum", "decayed_count"),
+                ["decayed_sum", "decayed_count"],
+                state_at, new_at, self.half_life,
+            )
+        else:
+            new_at = at_time
+        inc = decayed_agg(
+            events, self.keys, self.ts_col, self.val_col,
+            self.half_life, new_at,
+        )
+        merged = (
+            inc
+            if state is None
+            else state.unionByName(inc)
+            .groupBy(*self.keys)
+            .agg(
+                F.sum("decayed_sum").alias("decayed_sum"),
+                F.sum("decayed_count").alias("decayed_count"),
+            )
+        )
+        self._table.commit(
+            merged.withColumn("as_of", F.lit(new_at).cast("timestamp"))
+        )
+
+    def features(self, spark, at_time=None) -> DataFrame:
+        """Per-key decayed features, optionally rebased forward to
+        ``at_time`` (exact, no history rescan)."""
+        state = self.read(spark)
+        if state is None:
+            raise ValueError(f"decayed table at {self.root} has no data yet")
+        if at_time is None:
+            return state
+        state_at = self._state_as_of(state)
+        from datetime import datetime
+
+        at = (
+            datetime.fromisoformat(at_time)
+            if isinstance(at_time, str)
+            else at_time
+        )
+        if at < state_at:
+            raise ValueError(
+                f"at_time {at} precedes state as_of {state_at}: decayed "
+                "state cannot be rewound (it has already absorbed events "
+                "up to as_of)"
+            )
+        return rebase_decayed(
+            state.select(*self.keys, "decayed_sum", "decayed_count"),
+            ["decayed_sum", "decayed_count"],
+            state_at, at, self.half_life,
+        ).withColumn("as_of", F.lit(at).cast("timestamp"))
+
+    def foreach_batch_writer(self, spark):
+        """``writeStream.foreachBatch`` sink: micro-batches fold into
+        the same state a batch backfill of the same rows would build."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.update(spark, batch_df)
+
+        return fn

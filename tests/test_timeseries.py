@@ -270,3 +270,90 @@ def test_decayed_agg_excludes_future(spark):
     # 10 * 0.5^(7d/7d) + 20 * 0.5^0 = 5 + 20
     assert row["decayed_sum"] == pytest.approx(25.0, rel=1e-12)
     assert row["decayed_count"] == pytest.approx(1.5, rel=1e-12)
+
+
+def test_decayed_feature_table_stream_equals_batch(spark, tmp_path):
+    """Any batching of the same events — chronological increments,
+    micro-batches, or a late out-of-order slice — converges to the
+    one-shot decayed_agg state at the same evaluation point."""
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import (
+        DecayedFeatureTable,
+        decayed_agg,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    hl = timedelta(days=7)
+    final_at = ev.agg(F.max("ts")).collect()[0][0]
+    want = {
+        r["user_id"]: r["decayed_sum"]
+        for r in decayed_agg(
+            ev, ["user_id"], "ts", "value", hl, final_at
+        ).collect()
+    }
+
+    # chronological thirds via foreach_batch_writer
+    t1 = DecayedFeatureTable(
+        str(tmp_path / "a"), ["user_id"], "ts", "value", hl
+    )
+    fn = t1.foreach_batch_writer(spark)
+    fn(ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp")), 0)
+    fn(ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))), 1)
+    fn(ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp")), 2)
+    got1 = {r["user_id"]: r["decayed_sum"]
+            for r in t1.features(spark).collect()}
+    assert set(got1) == set(want)
+    for k, v in want.items():
+        assert got1[k] == pytest.approx(v, rel=1e-9)
+
+    # out-of-order: the middle slice arrives LAST (late data)
+    t2 = DecayedFeatureTable(
+        str(tmp_path / "b"), ["user_id"], "ts", "value", hl
+    )
+    t2.update(spark, ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp")))
+    t2.update(spark, ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp")))
+    t2.update(spark, ev.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-20").cast("timestamp"))))
+    got2 = {r["user_id"]: r["decayed_sum"]
+            for r in t2.features(spark).collect()}
+    for k, v in want.items():
+        assert got2[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_decayed_feature_table_serve_forward_only(spark, tmp_path):
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import (
+        DecayedFeatureTable,
+        decayed_agg,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    hl = timedelta(days=7)
+    table = DecayedFeatureTable(
+        str(tmp_path / "sv"), ["user_id"], "ts", "value", hl
+    )
+    with pytest.raises(ValueError):
+        table.features(spark)
+    table.update(spark, ev)
+    as_of = ev.agg(F.max("ts")).collect()[0][0]
+    later = "2024-02-15 00:00:00"
+    served = {r["user_id"]: r["decayed_sum"]
+              for r in table.features(spark, later).collect()}
+    direct = {r["user_id"]: r["decayed_sum"]
+              for r in decayed_agg(
+                  ev, ["user_id"], "ts", "value", hl, later
+              ).collect()}
+    for k, v in direct.items():
+        assert served[k] == pytest.approx(v, rel=1e-9)
+    # rewinding before as_of is refused
+    with pytest.raises(ValueError):
+        table.features(spark, "2024-01-01 00:00:00")
