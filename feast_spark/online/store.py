@@ -37,19 +37,18 @@ reference's sorted length-prefixed binary encoding without wire compat
 
 from __future__ import annotations
 
-import json
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.io.manifest import MANIFEST, ManifestedParquetTable
 from feast_spark.operators.dedup import latest_per_key
 
 _KEY = "__entity_key"
 _EVENT_TS = "__event_ts"
 _CREATED_TS = "__created_ts"
-MANIFEST = "_MANIFEST.json"
 
 
 def encode_entity_key(join_keys: list[str]) -> F.Column:
@@ -94,47 +93,15 @@ class OnlineStore:
     def _table_dir(self, project: str, view_name: str) -> str:
         return posixpath.join(self.root, project, view_name)
 
-    # -- manifest ----------------------------------------------------------
+    # -- manifest (shared protocol: io.manifest) ---------------------------
 
-    def _manifest_path(self, table_dir: str) -> str:
-        return posixpath.join(table_dir, MANIFEST)
-
-    def _current_version(self, table_dir: str) -> str | None:
-        mp = self._manifest_path(table_dir)
-        if not self.fs.exists(mp):
-            return None
-        return json.loads(self.fs.read_bytes(mp))["current"]
+    def _mtable(self, table_dir: str) -> ManifestedParquetTable:
+        return ManifestedParquetTable(
+            table_dir, fs=self.fs, keep_versions=self.keep_versions
+        )
 
     def _current_data_path(self, project: str, view_name: str) -> str | None:
-        table_dir = self._table_dir(project, view_name)
-        version = self._current_version(table_dir)
-        if version is None:
-            return None
-        return posixpath.join(table_dir, version)
-
-    def _next_version(self, table_dir: str) -> str:
-        # number past EVERY existing snapshot dir, committed or orphaned,
-        # so a crashed writer's leftover can never be overwritten
-        versions = [
-            int(d[2:])
-            for d in self.fs.list_subdirs(table_dir)
-            if d.startswith("v_") and d[2:].isdigit()
-        ]
-        return f"v_{(max(versions) + 1 if versions else 1):08d}"
-
-    def _gc(self, table_dir: str, current: str) -> None:
-        versions = sorted(
-            d
-            for d in self.fs.list_subdirs(table_dir)
-            if d.startswith("v_") and d[2:].isdigit()
-        )
-        keep = set(versions[-self.keep_versions :]) | {current}
-        for v in versions:
-            if v not in keep:
-                try:
-                    self.fs.delete(posixpath.join(table_dir, v))
-                except Exception:
-                    pass  # GC is best-effort; next commit retries
+        return self._mtable(self._table_dir(project, view_name)).current_path()
 
     # -- write / read ------------------------------------------------------
 
@@ -166,15 +133,7 @@ class OnlineStore:
         merged = latest_per_key(
             incoming, [_KEY], _EVENT_TS, created_col=_CREATED_TS
         )
-        version = self._next_version(table_dir)
-        merged.write.mode("errorifexists").parquet(
-            posixpath.join(table_dir, version)
-        )
-        manifest = json.dumps({"current": version, "format": "parquet"})
-        self.fs.write_bytes_atomic(
-            self._manifest_path(table_dir), manifest.encode()
-        )
-        self._gc(table_dir, version)
+        self._mtable(table_dir).commit(merged)
 
     def expire(
         self,
@@ -198,16 +157,7 @@ class OnlineStore:
         n_expired = existing.count() - live.count()
         if n_expired == 0:
             return 0
-        table_dir = self._table_dir(project, view_name)
-        version = self._next_version(table_dir)
-        live.write.mode("errorifexists").parquet(
-            posixpath.join(table_dir, version)
-        )
-        manifest = json.dumps({"current": version, "format": "parquet"})
-        self.fs.write_bytes_atomic(
-            self._manifest_path(table_dir), manifest.encode()
-        )
-        self._gc(table_dir, version)
+        self._mtable(self._table_dir(project, view_name)).commit(live)
         return n_expired
 
     def staleness(
