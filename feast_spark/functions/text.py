@@ -508,11 +508,16 @@ def chunk_documents(
     overlap: int = 20,
     keep_cols: list[str] | None = None,
 ):
-    """Split documents into fixed-size overlapping character windows —
-    the retrieval/embedding chunking pass of a RAG or long-context
-    training pipeline.  One row per chunk with its 0-based ``chunk_id``,
-    1-based ``chunk_start`` offset, the ``chunk`` text, and
-    ``n_chunk_chars`` (the tail chunk may be shorter).
+    """Split documents into fixed-size overlapping CHARACTER windows —
+    the retrieval chunking pass that must preserve exact source text
+    and offsets (cite-back spans, highlight ranges, substring
+    provenance).  One row per chunk with its 0-based ``chunk_id``,
+    1-based ``chunk_start`` offset, the ``chunk`` text (verbatim
+    substring — whitespace untouched), and ``n_chunk_chars`` (the tail
+    chunk may be shorter).  Sibling: ``operators.packing.
+    chunk_documents`` chunks by token windows (tokens re-joined with
+    single spaces) for embedding-budget-shaped chunks; use this one
+    whenever byte-exact text or offsets matter.
 
     Start offsets are ``1, 1+step, 1+2*step, ...`` with
     ``step = size - overlap``, up to ``greatest(1, length - overlap)``

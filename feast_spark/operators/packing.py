@@ -159,8 +159,12 @@ def chunk_documents(
     chunk_col: str = "chunk_id",
     out_col: str = "chunk_text",
 ) -> DataFrame:
-    """Split documents into fixed-token-window chunks with optional
-    overlap — the standard pre-embedding / context-window chunker.
+    """Split documents into fixed-TOKEN-window chunks with optional
+    overlap — the pre-embedding / context-window chunker when the
+    budget is token-shaped.  Sibling: ``functions.text.chunk_documents``
+    chunks by character offsets and preserves the verbatim substring
+    (use it when cite-back spans / exact text identity matter — e.g.
+    the corpus pipeline's chunk-dedup stage).
 
     Chunk ``i`` of a document covers whitespace tokens
     ``[i * stride, i * stride + chunk_tokens)`` where ``stride =
