@@ -383,3 +383,26 @@ def test_scrub_pii_masks_all_kinds(spark):
         "host <IP> ssn <SSN> card <CARD> "
         "call <PHONE> plain words stay"
     )
+
+
+def test_chunk_documents_unicode_codepoints(spark):
+    """Chunk offsets count codepoints (Spark length/substr semantics),
+    so multibyte text reassembles exactly like ASCII."""
+    from feast_spark.functions.text import chunk_documents
+
+    text = "héllo wörld 中文测试 🎉🚀 " * 10
+    df = spark.createDataFrame([Row(id=1, text=text)])
+    out = chunk_documents(df, "id", "text", size=16, overlap=4).collect()
+    parts = {r["chunk_id"]: r["chunk"] for r in out}
+    rebuilt = parts[0] + "".join(parts[i][4:] for i in sorted(parts) if i > 0)
+    assert rebuilt == text
+
+
+def test_scrub_pii_kinds_restriction(spark):
+    from feast_spark.functions.text import scrub_pii
+
+    raw = "mail a@b.co see https://x.io ssn 123-45-6789"
+    only_email = _one(spark, raw, scrub_pii(F.col("text"), kinds=["email"]))
+    assert only_email == "mail <EMAIL> see https://x.io ssn 123-45-6789"
+    only_ssn = _one(spark, raw, scrub_pii(F.col("text"), kinds=["ssn"]))
+    assert only_ssn == "mail a@b.co see https://x.io ssn <SSN>"
