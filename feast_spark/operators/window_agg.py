@@ -110,3 +110,42 @@ def rolling_window_agg(
             )
         out = out.withColumn(out_name, _AGG_FNS[fn](col).over(w))
     return out
+
+
+def with_lag_features(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    lags: list[int] = (1,),
+    deltas: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key lag/delta features: for each value column ``v`` and lag
+    ``k``, add ``v_lag{k}`` (the value k events earlier in time order)
+    and — with ``deltas`` — ``v_delta{k}`` (current minus lagged;
+    NULL while fewer than k prior events exist, matching SQL LAG).
+    The bread-and-butter temporal features (previous transaction
+    amount, change since last login) the rollup family doesn't cover.
+
+    One shuffle + one sort (a single window partition over the keys,
+    shared by every lag/col — Catalyst collapses the LAG expressions
+    into one Window node), bounded O(max_lag) state per key during the
+    sort.  Determinism under ts ties needs ``tiebreak_col`` (same
+    stance as ``timeseries.sliding_windows``)."""
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    out = df
+    for v in value_cols:
+        for k in lags:
+            if k <= 0:
+                raise ValueError(f"lags must be positive, got {k}")
+            lagged = F.lag(F.col(v), k).over(w)
+            out = out.withColumn(f"{v}_lag{k}", lagged)
+            if deltas:
+                out = out.withColumn(
+                    f"{v}_delta{k}", F.col(v) - F.col(f"{v}_lag{k}")
+                )
+    return out

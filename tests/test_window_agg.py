@@ -2,6 +2,7 @@
 
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import types as T
 
@@ -68,3 +69,60 @@ def test_rolling_trailing_inclusive_bounds_and_ties(spark):
     # both boundary row t0 (inclusive) and the tied row are in the frame
     assert by_val[2.0] == 7.0
     assert by_val[4.0] == 7.0
+
+
+def test_with_lag_features_vs_duckdb(spark, duck):
+    from feast_spark.operators.window_agg import with_lag_features
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = with_lag_features(
+        ev, ["user_id"], "ts", ["value"], lags=[1, 3],
+        tiebreak_col="event_id",
+    ).select("event_id", "value_lag1", "value_delta1", "value_lag3")
+    got = {r["event_id"]: r for r in out.collect()}
+    oracle = duck.execute(
+        f"""
+SELECT event_id,
+       LAG(value, 1) OVER w AS l1,
+       value - LAG(value, 1) OVER w AS d1,
+       LAG(value, 3) OVER w AS l3
+FROM '{SF_SMALL}/events.parquet'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+    ).fetchall()
+    assert len(oracle) == len(got) > 0
+    for eid, l1, d1, l3 in oracle:
+        r = got[eid]
+        for a, b in ((r["value_lag1"], l1), (r["value_delta1"], d1),
+                     (r["value_lag3"], l3)):
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_with_lag_features_single_window_node(spark):
+    """All lags/cols share ONE Window sort — no per-lag re-shuffle."""
+    from feast_spark.operators.window_agg import with_lag_features
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    plan = (
+        with_lag_features(ev, ["user_id"], "ts", ["value"], lags=[1, 2, 5])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") <= 2  # one Window op (+heading line slack)
+
+
+def test_with_lag_features_validates(spark):
+    from pyspark.sql import Row
+
+    from feast_spark.operators.window_agg import with_lag_features
+
+    df = spark.createDataFrame([Row(k=1, ts=1, v=1.0)])
+    with pytest.raises(ValueError):
+        with_lag_features(df, ["k"], "ts", ["v"], lags=[0])
