@@ -1,0 +1,96 @@
+"""BM25 lexical retrieval over a document corpus — the keyword side of
+hybrid (lexical + vector) search; companion to ``operators.similarity``
+(cosine/IVF/PQ ANN over the embedding column).
+
+Okapi BM25 with the Lucene idf variant (public formula):
+
+    idf(t)      = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )
+    score(d, q) = sum_t idf(t) * tf_td * (k1 + 1)
+                  / (tf_td + k1 * (1 - b + b * len_d / avg_len))
+
+Scale shape: the query's terms are filtered INSIDE the token explode
+before any shuffle, so the (doc, term) aggregation moves only the
+postings of the query terms — O(docs containing a query term), not
+O(corpus tokens).  Corpus stats (N, avg_len) ride in as a broadcast
+one-row aggregate; doc-frequencies are a second tiny aggregate over
+the same filtered postings.  The final top-k is orderBy+limit =
+per-partition heaps + a k-row merge (TakeOrderedAndProject), never a
+global sort.  Everything is built-in column expressions — no Python
+on executors — and the whole formula is mirrored in the DuckDB
+differential test term-for-term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from feast_spark.functions.text import normalize_text, tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for a keyword query by BM25 score (ties broken
+    by ascending id for cross-engine determinism).  Query terms are
+    normalized the same way the corpus is (lowercase); duplicate query
+    terms count once — the standard bag-of-words-query simplification."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("query must contain at least one non-empty term")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    # doc lengths BEFORE the query filter (BM25 normalizes by full doc
+    # length); one narrow agg per doc — map-side combined
+    lens = df.select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len_d").alias("avg_len"),
+    )
+
+    posting = toks.filter(F.col("term").isin(terms))  # narrow, pre-shuffle
+    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,90 @@
+"""BM25 retrieval: DuckDB differential on the real documents table,
+ranking sanity, and the TakeOrderedAndProject plan pin."""
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark.operators.bm25 import bm25_topk
+from feast_spark.sources.testdata import load_table
+from tests.conftest import SF_MED
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def test_bm25_vs_duckdb(spark, duck):
+    docs = load_table(spark, SF_MED, "documents")
+    query = ["spark", "window", "merge"]
+    out = bm25_topk(docs, "doc_id", "text", query, k=15).collect()
+    oracle = duck.execute(
+        f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM}, '\\s+')) END AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+"""
+    ).fetchall()
+    assert len(out) == len(oracle) == 15
+    for got, (doc_id, score) in zip(out, oracle):
+        assert got["doc_id"] == doc_id
+        assert got["bm25"] == pytest.approx(score, rel=1e-9)
+
+
+def test_bm25_ranking_sanity(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(id=1, text="rare words here rare rare"),
+            Row(id=2, text="rare words"),
+            Row(id=3, text="completely unrelated content " + "filler " * 20),
+            Row(id=4, text="rare " + "pad " * 50),
+        ]
+    )
+    out = bm25_topk(docs, "id", "text", ["rare"], k=4).collect()
+    ids = [r["id"] for r in out]
+    # doc 3 has no query term at all -> not returned
+    assert 3 not in ids
+    # the short doc with repeated 'rare' outranks the long padded one
+    assert ids.index(1) < ids.index(4)
+
+
+def test_bm25_validation(spark):
+    docs = spark.createDataFrame([Row(id=1, text="a b c")])
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "id", "text", [], k=5)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, "id", "text", ["a"], k=0)
+
+
+def test_bm25_topk_plan_is_take_ordered(spark):
+    docs = load_table(spark, SF_MED, "documents")
+    plan = (
+        bm25_topk(docs, "doc_id", "text", ["spark"], k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
