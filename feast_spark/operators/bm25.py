@@ -22,12 +22,12 @@ differential test term-for-term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "hybrid_topk"]
 
 
 def bm25_topk(
@@ -94,3 +94,63 @@ def bm25_topk(
         .agg(F.sum("term_score").alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    fetch_k: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 + vector cosine fused by
+    Reciprocal Rank Fusion (Cormack et al., SIGIR'09 — public method):
+
+        rrf(d) = sum over channels  1 / (rrf_k + rank_channel(d))
+
+    RRF is rank-based, so the two channels' incomparable score scales
+    never need normalizing, and the result is deterministic.  Each
+    channel fetches its own top ``fetch_k`` (cheap: both channels are
+    top-k plans — TakeOrderedAndProject over one narrow pass), the two
+    k-row lists full-outer join on id (driver-trivial row counts), and
+    the fused top-k is re-ranked with ties broken by id.
+
+    ``docs`` and ``embeddings`` are joined by id equality
+    (``id_col`` <-> ``emb_id_col``); a document missing from either
+    channel simply scores on the one it appears in."""
+    from feast_spark.operators.similarity import cosine_topk
+
+    if fetch_k < k:
+        raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    lex = bm25_topk(docs, id_col, text_col, query_terms, k=fetch_k)
+    lex = lex.select(
+        F.col(id_col).alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
+        .alias("lex_rank"),
+    )
+    qdf = embeddings.sparkSession.createDataFrame(
+        [(-1, [float(x) for x in query_vec])], f"{emb_id_col} long, {vec_col} array<float>"
+    )
+    vec = cosine_topk(
+        embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = (
+        lex.join(vec, "id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        )
+        .select("id", "lex_rank", "vec_rank", "rrf")
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)

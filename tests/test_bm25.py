@@ -88,3 +88,61 @@ def test_bm25_topk_plan_is_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan
+
+
+def test_hybrid_rrf_fusion(spark):
+    """RRF fusion: a doc ranked well in BOTH channels beats docs strong
+    in only one; channel-missing docs still score; python-computed RRF
+    over the channel ranks matches exactly."""
+    from feast_spark.operators.bm25 import hybrid_topk
+    from feast_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings").limit(500)
+    # use vec_id as doc_id namespace (both 0..499 at sf0.01's limit)
+    terms = ["spark", "merge"]
+    qvec = [float((i * 7) % 13 - 6) for i in range(64)]
+
+    out = hybrid_topk(
+        docs, emb, terms, qvec, k=10, fetch_k=30
+    ).collect()
+    assert len(out) == 10
+
+    # recompute RRF in python from the two channel rankings
+    from feast_spark.operators.bm25 import bm25_topk
+
+    lex_rank = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            bm25_topk(docs, "doc_id", "text", terms, k=30).collect()
+        )
+    }
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id long, embedding array<float>"
+    )
+    vec_rank = {
+        r["neighbor_id"]: r["rank"]
+        for r in cosine_topk(emb, qdf, k=30).collect()
+    }
+    def rrf(i):
+        s = 0.0
+        if i in lex_rank:
+            s += 1.0 / (60 + lex_rank[i])
+        if i in vec_rank:
+            s += 1.0 / (60 + vec_rank[i])
+        return s
+    want = sorted(
+        set(lex_rank) | set(vec_rank), key=lambda i: (-rrf(i), i)
+    )[:10]
+    assert [r["id"] for r in out] == want
+    for r in out:
+        assert r["rrf"] == pytest.approx(rrf(r["id"]), rel=1e-12)
+
+
+def test_hybrid_validation(spark):
+    from feast_spark.operators.bm25 import hybrid_topk
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a")])
+    emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        hybrid_topk(docs, emb, ["a"], [1.0], k=10, fetch_k=5)
