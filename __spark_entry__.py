@@ -530,6 +530,18 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs, "doc_id", "text")
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators/bm25.py): top-15 docs for a
+    3-term query, Lucene idf variant — query-term filter inside the
+    token explode (shuffle carries only query-term postings), corpus
+    stats broadcast, TakeOrderedAndProject top-k (plan-pinned in
+    test_bm25.py).  The lexical channel of hybrid_topk."""
+    from feast_spark.operators.bm25 import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", ["spark", "window", "merge"], k=15)
+
+
 def q_pit_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with a composite entity key (l_orderkey, l_suppkey) and an
     integer created-tiebreak column (A2 on l_linenumber)."""
@@ -1126,7 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
-        "doc_fingerprint": q_doc_fingerprint,
+        "bm25_topk": q_bm25_topk,
         "pit_join_composite_key": q_pit_join_composite_key,
         "pit_join_key_mapping": q_pit_join_key_mapping,
         "json_props": q_json_props,
@@ -1161,11 +1173,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (anti-join; customers_no_orders remains), local_supplier_volume
     # (multi-join agg; nation_revenue remains), doc_len_percentiles
     # (table_profile remains).  The q_* functions stay in the library.
-    # Round 8 rotated three double-covered slots for the new hygiene
-    # ops: field_mapping (P1 stays gated via pit_join_key_mapping),
-    # part_type_stats (dimension rollup; pricing_summary remains),
-    # token_count (n_tokens is literally a text_quality output column).
-    # All three keep their original oracles in
+    # Round 8 rotated four double-covered slots for the new hygiene/
+    # retrieval ops: field_mapping (P1 stays gated via
+    # pit_join_key_mapping), part_type_stats (dimension rollup;
+    # pricing_summary remains), token_count (n_tokens is literally a
+    # text_quality output column), doc_fingerprint (the identical
+    # normalized-md5 identity IS dedup_exact's oracle mechanism).
+    # All four keep their original oracles in
     # tests/test_rotated_relational.py.
 
 
@@ -1780,8 +1794,38 @@ FROM documents d
 LEFT JOIN uagg u USING (doc_id)
 LEFT JOIN bagg b USING (doc_id)
 """,
-        "doc_fingerprint": f"""
-SELECT doc_id, {_NORM_MD5} AS fp FROM documents
+        "bm25_topk": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
+           AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
 """,
         "pit_join_composite_key": """
 WITH entity AS (

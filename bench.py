@@ -256,6 +256,7 @@ def main() -> None:
                 "semantic_dedup",
                 "doc_chunks",
                 "sketch_rollup",
+                "bm25_topk",
             )
             if n in queries
         ]

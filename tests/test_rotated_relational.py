@@ -71,6 +71,11 @@ SELECT doc_id,
        END AS n_tokens
 FROM documents
 """,
+    "doc_fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+""",
 }
 
 _FUNCS = {
@@ -82,6 +87,7 @@ _FUNCS = {
     "field_mapping": entry_mod.q_field_mapping,
     "part_type_stats": entry_mod.q_part_type_stats,
     "token_count": entry_mod.q_token_count,
+    "doc_fingerprint": entry_mod.q_doc_fingerprint,
 }
 
 
