@@ -55,6 +55,12 @@ class CorpusConfig:
     source_col: str = "source"
     # ingestion: strip HTML to visible text before anything else
     html_input: bool = False
+    # PII scrubbing (text.scrub_pii): mask emails/urls/ips/ssns/cards/
+    # phones with typed placeholders BEFORE featurization so quality
+    # stats and dedup fingerprints see the scrubbed text (placeholders
+    # keep token positions stable).  None = skip; [] is invalid; a
+    # list restricts to those PII_PATTERNS kinds ("all" = every kind).
+    scrub_pii_kinds: tuple[str, ...] | str | None = None
     # cross-document boilerplate: remove lines present in >= this many
     # distinct docs (None = skip the stage)
     boilerplate_min_docs: int | None = None
@@ -78,6 +84,11 @@ class CorpusConfig:
     min_tokens: int = 10
     max_tokens_per_doc: int = 5_000
     langs: tuple[str, ...] | None = None
+    # Gopher-style repetition gates (text.repetition_stats): drop docs
+    # whose most frequent bigram / duplicate bigrams exceed these
+    # fractions.  None = skip the (two-shuffle) repetition pass.
+    max_top_bigram_frac: float | None = None
+    max_dup_bigram_frac: float | None = None
     # dedup
     near_dedup: bool = True
     jaccard_threshold: float = 0.5
@@ -152,6 +163,20 @@ def build_corpus(
         from feast_spark.functions.text import with_extracted_text
 
         docs = with_extracted_text(docs, c.text_col, out_col=c.text_col)
+    if c.scrub_pii_kinds is not None:
+        from feast_spark.functions.text import with_scrubbed_text
+
+        kinds = (
+            None
+            if c.scrub_pii_kinds == "all"
+            else list(c.scrub_pii_kinds)
+        )
+        if kinds == []:
+            raise ValueError(
+                "scrub_pii_kinds must be 'all' or a non-empty list of "
+                "PII_PATTERNS kinds (None skips the stage)"
+            )
+        docs = with_scrubbed_text(docs, c.text_col, kinds=kinds)
     if c.boilerplate_min_docs is not None:
         from feast_spark.operators.docdedup import dedup_lines
 
@@ -191,6 +216,24 @@ def build_corpus(
     if c.langs is not None:
         gate = gate & F.col("lang_pred").isin(list(c.langs))
     filtered = _mark("filtered", scored.filter(gate))
+
+    # 1b. repetition gates — its own gram aggregation, run on the
+    # already-gated survivors so the two shuffles see fewer docs
+    if c.max_top_bigram_frac is not None or c.max_dup_bigram_frac is not None:
+        from feast_spark.functions.text import repetition_stats
+
+        reps = repetition_stats(filtered, c.id_col, c.text_col)
+        keep = F.lit(True)
+        if c.max_top_bigram_frac is not None:
+            keep = keep & (F.col("top_bigram_frac") <= c.max_top_bigram_frac)
+        if c.max_dup_bigram_frac is not None:
+            keep = keep & (F.col("dup_bigram_frac") <= c.max_dup_bigram_frac)
+        filtered = _mark(
+            "repetition_gate",
+            filtered.join(
+                reps.filter(keep).select(c.id_col), c.id_col, "leftsemi"
+            ),
+        )
 
     # 2. exact dedup on the normalized fingerprint (min id survives)
     deduped = _mark(

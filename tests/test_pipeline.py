@@ -318,3 +318,54 @@ def test_chunk_and_pack_mutually_exclusive(spark, docs):
     cfg = CorpusConfig(chunk_size=100, pack_max_tokens=256)
     with pytest.raises(ValueError):
         build_corpus(docs, config=cfg)
+
+
+def test_scrub_pii_stage(spark):
+    from pyspark.sql import Row
+
+    body = " ".join(f"w{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"reach me at alice@example.com {body}"),
+            Row(doc_id=2, text=f"server on 10.1.2.3 {body}"),
+            Row(doc_id=3, text=f"plain document {body}"),
+        ]
+    )
+    cfg = CorpusConfig(
+        scrub_pii_kinds="all", near_dedup=False,
+        min_quality=0.0, min_tokens=1,
+    )
+    out = {r["doc_id"]: r["text"] for r in build_corpus(docs, config=cfg).collect()}
+    assert "<EMAIL>" in out[1] and "alice@example.com" not in out[1]
+    assert "<IP>" in out[2] and "10.1.2.3" not in out[2]
+    assert "plain document" in out[3]
+    # restricted kinds: only email masked
+    cfg2 = CorpusConfig(
+        scrub_pii_kinds=("email",), near_dedup=False,
+        min_quality=0.0, min_tokens=1,
+    )
+    out2 = {r["doc_id"]: r["text"] for r in build_corpus(docs, config=cfg2).collect()}
+    assert "<EMAIL>" in out2[1]
+    assert "10.1.2.3" in out2[2]  # ip left alone
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_corpus(docs, config=CorpusConfig(scrub_pii_kinds=()))
+
+
+def test_repetition_gate_stage(spark):
+    from pyspark.sql import Row
+
+    clean = " ".join(f"tok{j}" for j in range(40))
+    spam = "buy now " * 30  # top bigram dominates
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=clean), Row(doc_id=2, text=spam)]
+    )
+    cfg = CorpusConfig(
+        max_top_bigram_frac=0.2, near_dedup=False,
+        min_quality=0.0, min_tokens=1,
+    )
+    out, stages = build_corpus(docs, config=cfg, report=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1}
+    assert stages["repetition_gate"] == 1 < stages["filtered"]
