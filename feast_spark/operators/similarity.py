@@ -567,3 +567,61 @@ def assign_nearest(
         F.col("__best.cid").alias(centroid_id_col),
         F.col("__best.d").alias(dist_col),
     )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to a persisted IVF index WITHOUT retraining — the
+    FAISS ``add()`` semantics: the coarse quantizer stays frozen, new
+    vectors are assigned to their nearest existing centroid and
+    appended into the matching cell partitions (parquet append writes
+    new files into the cell directories; running queries keep partition
+    pruning and immediately see the new rows on their next scan).
+
+    Cost: one narrow pass over the NEW vectors only (broadcast
+    centroid argmin + partitioned append) — history is never
+    rewritten, which is what makes a 100 TB index maintainable as the
+    corpus grows daily.  The trade-off of a frozen quantizer is
+    distribution drift: vectors from a shifted distribution still land
+    in their nearest old cell, so recall degrades as skew grows.
+    Watch ``ivf_index_stats`` and rebuild (``build_ivf_index``) when
+    the max/mean cell-size ratio drifts past your budget.
+
+    Id uniqueness across appends is the caller's contract (same as
+    FAISS)."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = [list(r.centroid) for r in cent_rows]
+    (
+        new_vectors.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+
+
+def ivf_index_stats(spark, path: str) -> DataFrame:
+    """Per-cell vector counts plus the global skew ratio
+    (max cell / mean cell) — the rebuild-decision signal for
+    ``ivf_index_append``.  One aggregate over partition-pruned
+    metadata-cheap scans."""
+    counts = (
+        spark.read.parquet(f"{path}/vectors")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return counts.crossJoin(
+        F.broadcast(
+            counts.agg(
+                (F.max("n_vectors") / F.avg("n_vectors")).alias("skew_ratio"),
+                F.sum("n_vectors").alias("total_vectors"),
+            )
+        )
+    )

