@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
 
-__all__ = ["bm25_topk", "hybrid_topk"]
+__all__ = ["bm25_topk", "bm25_topk_batch", "hybrid_topk"]
 
 
 def bm25_topk(
@@ -154,3 +154,93 @@ def hybrid_topk(
         .select("id", "lex_rank", "vec_rank", "rrf")
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-query BM25 top-k for a DataFrame of keyword queries — the
+    retrieval-workload shape of :func:`bm25_topk`, mirroring
+    ``similarity.cosine_topk`` / ``timeseries.ts_topk_similar_batch``:
+    the (small) query table is broadcast; the corpus streams once.
+
+    ``queries`` holds (query_id, terms: array<string>); terms are
+    normalized to lowercase and deduplicated inside the plan.  Output:
+    (query_id, doc id, bm25, rank), rank 1..k per query, ties broken
+    by ascending doc id.
+
+    Plan shape: the corpus token explode is filtered by a broadcast
+    semi-join against the UNION of all query terms — so the postings
+    shuffle stays O(docs containing any query's term) no matter how
+    many queries ride in the batch; per-(query, doc) scores then rank
+    under one hash exchange on query_id (the cosine_topk shape)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col(terms_col), lambda t: F.lower(t))
+            )
+        ).alias("term"),
+    )
+    all_terms = qt.select("term").distinct()
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    lens = df.select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len_d").alias("avg_len"),
+    )
+    posting = toks.join(F.broadcast(all_terms), "term", "leftsemi")
+    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "bm25", F.col("__rn").alias("rank"))
+    )

@@ -146,3 +146,32 @@ def test_hybrid_validation(spark):
     emb = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         hybrid_topk(docs, emb, ["a"], [1.0], k=10, fetch_k=5)
+
+
+def test_bm25_batch_matches_single(spark):
+    """Each query's batch result == the single-query bm25_topk run."""
+    from feast_spark.operators.bm25 import bm25_topk_batch
+
+    docs = load_table(spark, SF_MED, "documents")
+    qs = spark.createDataFrame(
+        [
+            (1, ["spark", "window", "merge"]),
+            (2, ["customer", "order"]),
+            (3, ["SPARK"]),  # case-normalized inside the plan
+        ],
+        "query_id long, terms array<string>",
+    )
+    batch = bm25_topk_batch(docs, qs, k=10)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["bm25"])
+        )
+    for qid, terms in ((1, ["spark", "window", "merge"]),
+                       (2, ["customer", "order"]), (3, ["spark"])):
+        single = bm25_topk(docs, "doc_id", "text", terms, k=10).collect()
+        want = [(i + 1, r["doc_id"], r["bm25"]) for i, r in enumerate(single)]
+        rows = sorted(got[qid])
+        assert [(a, b) for a, b, _ in rows] == [(a, b) for a, b, _ in want]
+        for (_, _, s1), (_, _, s2) in zip(rows, want):
+            assert s1 == pytest.approx(s2, rel=1e-12)
