@@ -131,3 +131,56 @@ WHERE levenshtein(a.s, b.s) <= 1
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_randomized_differential_vs_python_dp(spark):
+    """200 random short strings (seeded), all (size, q) in a small
+    grid: operator pairs == python DP levenshtein brute force."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abcdef "
+    base = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))
+            for _ in range(120)]
+    # plant near-duplicates: single-char edits of random strings
+    edited = []
+    for i, s in enumerate(rng.sample(base, 40)):
+        pos = rng.randint(0, max(0, len(s) - 1))
+        op = rng.choice(["del", "sub", "ins"])
+        if op == "del" and s:
+            t = s[:pos] + s[pos + 1:]
+        elif op == "sub" and s:
+            t = s[:pos] + rng.choice(alphabet) + s[pos + 1:]
+        else:
+            t = s[:pos] + rng.choice(alphabet) + s[pos:]
+        edited.append(t)
+    strings = base + edited
+    rows = [(i, s) for i, s in enumerate(strings)]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(rows, "id long, s string")
+    for max_dist, q in [(1, 2), (2, 2), (2, 3)]:
+        got = set(
+            (r["id_a"], r["id_b"])
+            for r in edit_distance_pairs(
+                df, "id", "s", max_dist=max_dist, q=q
+            ).collect()
+        )
+        want = set(
+            (i, j)
+            for (i, a), (j, b) in itertools.combinations(rows, 2)
+            if lev(a, b) <= max_dist
+        )
+        assert got == want, (max_dist, q, len(got ^ want))

@@ -406,3 +406,37 @@ def test_scrub_pii_kinds_restriction(spark):
     assert only_email == "mail <EMAIL> see https://x.io ssn 123-45-6789"
     only_ssn = _one(spark, raw, scrub_pii(F.col("text"), kinds=["ssn"]))
     assert only_ssn == "mail a@b.co see https://x.io ssn <SSN>"
+
+
+def test_chunk_documents_randomized_invariants(spark):
+    """Seeded random corpus x (size, overlap) grid: chunks cover the
+    doc exactly (reassembly), every chunk <= size, offsets align to
+    the stride, and overlap prefixes match suffixes."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = "ab 中🎉xyz\n"
+    docs = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 300))))
+        for i in range(60)
+    ]
+    from feast_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(docs, "id long, text string")
+    for size, overlap in [(10, 0), (16, 4), (50, 20), (300, 299)]:
+        if overlap >= size:
+            continue
+        step = size - overlap
+        out = chunk_documents(df, "id", "text", size=size, overlap=overlap)
+        by_doc = {}
+        for r in out.collect():
+            by_doc.setdefault(r["id"], {})[r["chunk_id"]] = r
+            assert r["n_chunk_chars"] <= size
+            assert (r["chunk_start"] - 1) % step == 0
+        for i, text in docs:
+            parts = by_doc[i]
+            assert sorted(parts) == list(range(len(parts)))
+            rebuilt = parts[0]["chunk"] + "".join(
+                parts[j]["chunk"][overlap:] for j in sorted(parts) if j > 0
+            )
+            assert rebuilt == text, (i, size, overlap)
