@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["leave_one_out_encode", "quantile_bins", "auc_score"]
+__all__ = [
+    "leave_one_out_encode",
+    "quantile_bins",
+    "auc_score",
+    "winsorize",
+]
 
 
 def leave_one_out_encode(
@@ -165,4 +170,36 @@ def auc_score(
         ).alias("auc"),
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    out_col: str | None = None,
+    exact: bool = True,
+    rel_error: float = 0.001,
+) -> DataFrame:
+    """Clamp ``col`` to its [lower, upper] percentile bounds — the
+    standard outlier-tail hygiene before scaling/encoding.  Same
+    boundary machinery as :func:`quantile_bins` (exact percentile or
+    the mergeable GK sketch for the 100 TB path; two driver doubles,
+    then a pure narrow ``least``/``greatest``).  NULLs pass through."""
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
+        )
+    out_col = out_col or f"{col}_wins"
+    fn = "percentile" if exact else "percentile_approx"
+    extra = "" if exact else f", {int(1 / rel_error)}"
+    row = df.agg(
+        F.expr(f"{fn}({col}, array({lower}, {upper}){extra})").alias("__bs")
+    ).collect()[0]["__bs"]
+    if row is None:
+        return df.withColumn(out_col, F.col(col))
+    lo, hi = float(row[0]), float(row[1])
+    return df.withColumn(
+        out_col, F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
     )

@@ -149,3 +149,38 @@ def with_lag_features(
                     f"{v}_delta{k}", F.col(v) - F.col(f"{v}_lag{k}")
                 )
     return out
+
+
+def with_rolling_zscore(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    window: timedelta,
+    out_col: str | None = None,
+    min_periods: int = 2,
+) -> DataFrame:
+    """Per-key rolling z-score: how anomalous is this value against
+    the key's own trailing ``window`` (current row included) —
+    ``(value - rolling_mean) / rolling_std`` with sample std.  Rows
+    with fewer than ``min_periods`` events in the window, or zero
+    variance, get NULL (no anomaly verdict is honest there).  The
+    anomaly-feature staple (fraud spikes, sensor drift) as ONE RANGE
+    frame — same single-shuffle cost argument as
+    ``rolling_window_agg``, state bounded by the window span."""
+    out_col = out_col or f"{value_col}_zscore"
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+        .rangeBetween(-int(window.total_seconds()), 0)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(F.col(value_col)).over(w)
+    n = F.count(value_col).over(w)
+    return df.withColumn(
+        out_col,
+        F.when(
+            (n >= min_periods) & (std > 0),
+            (F.col(value_col) - mean) / std,
+        ),
+    )

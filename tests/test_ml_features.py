@@ -137,3 +137,31 @@ def test_auc_edge_cases(spark):
     # boolean labels accepted
     b = spark.createDataFrame([(True, 0.9), (False, 0.1)], "y boolean, s double")
     assert auc_score(b, "y", "s").collect()[0]["auc"] == pytest.approx(1.0)
+
+
+def test_winsorize_clamps_tails(spark, duck):
+    ev = load_table(spark, SF_SMALL, "events")
+    from feast_spark.operators.ml_features import winsorize
+
+    out = winsorize(ev, "value", 0.05, 0.95)
+    lo, hi = duck.execute(
+        f"""
+SELECT quantile_cont(value, 0.05), quantile_cont(value, 0.95)
+FROM '{SF_SMALL}/events.parquet'
+"""
+    ).fetchall()[0]
+    stats = out.agg(
+        F.min("value_wins"), F.max("value_wins"),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    # clamped range equals the oracle percentiles (same interpolation)
+    assert stats[0] == pytest.approx(lo, rel=1e-9)
+    assert stats[1] == pytest.approx(hi, rel=1e-9)
+    # interior values untouched
+    interior = out.filter(
+        (F.col("value") > lo) & (F.col("value") < hi)
+        & (F.col("value") != F.col("value_wins"))
+    ).count()
+    assert interior == 0
+    with pytest.raises(ValueError):
+        winsorize(ev, "value", 0.9, 0.1)

@@ -126,3 +126,38 @@ def test_with_lag_features_validates(spark):
     df = spark.createDataFrame([Row(k=1, ts=1, v=1.0)])
     with pytest.raises(ValueError):
         with_lag_features(df, ["k"], "ts", ["v"], lags=[0])
+
+
+def test_rolling_zscore_vs_duckdb(spark, duck):
+    from feast_spark.operators.window_agg import with_rolling_zscore
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    out = {
+        r["event_id"]: r["value_zscore"]
+        for r in with_rolling_zscore(
+            ev, ["user_id"], "ts", "value", timedelta(days=3)
+        ).collect()
+    }
+    oracle = duck.execute(
+        f"""
+SELECT event_id,
+       CASE WHEN count(value) OVER w >= 2
+             AND stddev_samp(value) OVER w > 0
+            THEN (value - avg(value) OVER w) / stddev_samp(value) OVER w
+       END AS z
+FROM '{SF_SMALL}/events.parquet'
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY epoch(CAST(ts AS TIMESTAMP))
+  RANGE BETWEEN {3*86400} PRECEDING AND CURRENT ROW
+)
+"""
+    ).fetchall()
+    assert len(oracle) == len(out) > 0
+    for eid, z in oracle:
+        if z is None:
+            assert out[eid] is None
+        else:
+            assert out[eid] == pytest.approx(z, rel=1e-9)
