@@ -63,14 +63,25 @@ class ManifestedParquetTable:
             return None
         return spark.read.parquet(current)
 
-    def commit(self, df: DataFrame) -> None:
+    def current_meta(self) -> dict:
+        """Caller-supplied metadata recorded with the last commit (e.g.
+        the streaming epoch watermark); empty before the first commit."""
+        mp = self._manifest_path()
+        if not self.fs.exists(mp):
+            return {}
+        return json.loads(self.fs.read_bytes(mp)).get("meta", {})
+
+    def commit(self, df: DataFrame, meta: dict | None = None) -> None:
         version = self._next_version()
         df.write.mode("errorifexists").parquet(
             posixpath.join(self.root, version)
         )
+        manifest = {"current": version, "format": "parquet"}
+        if meta:
+            manifest["meta"] = meta
         self.fs.write_bytes_atomic(
             self._manifest_path(),
-            json.dumps({"current": version, "format": "parquet"}).encode(),
+            json.dumps(manifest).encode(),
         )
         versions = sorted(
             d

@@ -8,16 +8,20 @@ Okapi BM25 with the Lucene idf variant (public formula):
     score(d, q) = sum_t idf(t) * tf_td * (k1 + 1)
                   / (tf_td + k1 * (1 - b + b * len_d / avg_len))
 
-Scale shape: the query's terms are filtered INSIDE the token explode
-before any shuffle, so the (doc, term) aggregation moves only the
-postings of the query terms — O(docs containing a query term), not
-O(corpus tokens).  Corpus stats (N, avg_len) ride in as a broadcast
-one-row aggregate; doc-frequencies are a second tiny aggregate over
-the same filtered postings.  The final top-k is orderBy+limit =
-per-partition heaps + a k-row merge (TakeOrderedAndProject), never a
-global sort.  Everything is built-in column expressions — no Python
-on executors — and the whole formula is mirrored in the DuckDB
-differential test term-for-term.
+Scale shape: the query's terms are filtered INSIDE the token array
+before any explode row survives, so the (doc, term) aggregation moves
+only the postings of the query terms — O(docs containing a query
+term), not O(corpus tokens) — and doc length rides through that
+aggregate (no separate lengths join).  The tokenizer runs once per
+consumer — the corpus-stats aggregate and the postings branch; two
+narrow passes total, with nothing corpus-sized shuffled by either.
+Corpus stats (N, avg_len) ride in as a broadcast one-row aggregate;
+doc-frequencies are a second tiny aggregate over the same filtered
+postings.  The final top-k is orderBy+limit = per-partition heaps + a
+k-row merge (TakeOrderedAndProject), never a global sort.  Everything
+is built-in column expressions — no Python on executors — and the
+whole formula is mirrored in the DuckDB differential test
+term-for-term.
 """
 
 from __future__ import annotations
@@ -49,28 +53,36 @@ def bm25_topk(
     if not terms:
         raise ValueError("query must contain at least one non-empty term")
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
-    )
-    # doc lengths BEFORE the query filter (BM25 normalizes by full doc
-    # length); one narrow agg per doc — map-side combined
-    lens = df.select(
+    # tokenize ONCE into (len_d, query-term subset); the two consumers
+    # (corpus stats, postings) each run the tokenizer a single time —
+    # and len_d rides through the posting aggregate, so no separate
+    # lengths join re-tokenizes a third time
+    feat = df.select(
         F.col(id_col),
         F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
+        F.filter(
+            tokens(normalize_text(F.col(text_col))),
+            lambda t: t.isin(terms),
+        ).alias("__qt"),
     )
-    stats = lens.agg(
+    # doc lengths BEFORE the query filter (BM25 normalizes by full doc
+    # length); one narrow agg — map-side combined
+    stats = feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("len_d").alias("avg_len"),
     )
-
-    posting = toks.filter(F.col("term").isin(terms))  # narrow, pre-shuffle
-    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        feat.select(id_col, "len_d", F.explode("__qt").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("len_d").alias("len_d"),
+        )
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(lens, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -108,6 +120,7 @@ def hybrid_topk(
     k: int = 10,
     fetch_k: int = 50,
     rrf_k: int = 60,
+    query_vec_id=-1,
 ) -> DataFrame:
     """Hybrid retrieval: lexical BM25 + vector cosine fused by
     Reciprocal Rank Fusion (Cormack et al., SIGIR'09 — public method):
@@ -123,7 +136,13 @@ def hybrid_topk(
 
     ``docs`` and ``embeddings`` are joined by id equality
     (``id_col`` <-> ``emb_id_col``); a document missing from either
-    channel simply scores on the one it appears in."""
+    channel simply scores on the one it appears in.
+
+    ``query_vec_id`` is the synthetic id given to the query vector —
+    it is typed to match the embeddings id column (string id tables
+    work) and MUST NOT collide with a real corpus id (cosine_topk's
+    self-exclusion would silently drop that document; pass e.g.
+    ``"__query__"`` for string ids, or any id outside your range)."""
     from feast_spark.operators.similarity import cosine_topk
 
     if fetch_k < k:
@@ -135,8 +154,11 @@ def hybrid_topk(
         .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
         .alias("lex_rank"),
     )
+    id_type = embeddings.schema[emb_id_col].dataType.simpleString()
+    vec_type = embeddings.schema[vec_col].dataType.simpleString()
     qdf = embeddings.sparkSession.createDataFrame(
-        [(-1, [float(x) for x in query_vec])], f"{emb_id_col} long, {vec_col} array<float>"
+        [(query_vec_id, [float(x) for x in query_vec])],
+        f"{emb_id_col} {id_type}, {vec_col} {vec_type}",
     )
     vec = cosine_topk(
         embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
@@ -194,26 +216,29 @@ def bm25_topk_batch(
     )
     all_terms = qt.select("term").distinct()
 
-    toks = df.select(
-        F.col(id_col),
-        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
-    )
-    lens = df.select(
+    # tokenize once per consumer (stats, postings); len_d rides through
+    # the posting aggregate so no third tokenizing join is needed
+    feat = df.select(
         F.col(id_col),
         F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
     )
-    stats = lens.agg(
+    stats = feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("len_d").alias("avg_len"),
     )
-    posting = toks.join(F.broadcast(all_terms), "term", "leftsemi")
-    tf = posting.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    posting = feat.select(
+        id_col, "len_d", F.explode("__toks").alias("term")
+    ).join(F.broadcast(all_terms), "term", "leftsemi")
+    tf = posting.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.first("len_d").alias("len_d"),
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     scored = (
         tf.join(F.broadcast(dfreq), "term")
         .join(F.broadcast(qt), "term")
-        .join(lens, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",

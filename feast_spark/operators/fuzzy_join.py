@@ -93,12 +93,10 @@ def edit_distance_join(
 
     # -- gram channel (long strings) ------------------------------------
     pa = a.filter(F.col("len_a") >= short_len).select(
-        "id_a", "len_a", F.size("g_a").alias("na"),
-        F.explode("g_a").alias("gram"),
+        "id_a", "len_a", F.explode("g_a").alias("gram")
     )
     pb = b.filter(F.col("len_b") >= short_len).select(
-        "id_b", "len_b", F.size("g_b").alias("nb"),
-        F.explode("g_b").alias("gram"),
+        "id_b", "len_b", F.explode("g_b").alias("gram")
     )
     if max_gram_freq is not None:
         hot = (
@@ -110,6 +108,14 @@ def edit_distance_join(
         )
         pa = pa.join(F.broadcast(hot), "gram", "left_anti")
         pb = pb.join(F.broadcast(hot), "gram", "left_anti")
+    # gram counts computed AFTER the (optional) hot-gram drop: the
+    # bound stays sound on the reduced sets (|Ga' ∩ Gb'| >=
+    # |Ga ∩ Gb| - |Ga ∩ H| >= na' - k*q, same argument both sides) and
+    # stays TIGHT — counting dropped grams in na/nb would demand more
+    # common grams than can exist and lose pairs beyond the documented
+    # only-shared-grams-are-hot class
+    na_tbl = pa.groupBy("id_a").agg(F.count(F.lit(1)).alias("na"))
+    nb_tbl = pb.groupBy("id_b").agg(F.count(F.lit(1)).alias("nb"))
     cand_long = (
         pa.join(pb, "gram")
         .filter(
@@ -117,11 +123,9 @@ def edit_distance_join(
             & (F.col("len_b") - F.col("len_a") <= max_dist)
         )
         .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("common"),
-            F.first("na").alias("na"),
-            F.first("nb").alias("nb"),
-        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .join(na_tbl, "id_a")
+        .join(nb_tbl, "id_b")
         .filter(
             F.col("common")
             >= F.greatest(F.col("na"), F.col("nb")) - F.lit(max_dist * q)

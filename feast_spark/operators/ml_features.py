@@ -67,12 +67,32 @@ def leave_one_out_encode(
         + F.lit(smoothing) * F.col("__prior")
     )
     loo = F.when(denom > 0, num / denom)
+    # LEFT join: rows with a NULL category must survive (an equi-join
+    # never matches NULL keys) — they get a NULL encoding, same as an
+    # unsmoothed singleton
     return (
-        df.join(stats, cat_col)
+        df.join(stats, cat_col, "left")
         .crossJoin(F.broadcast(prior))
         .withColumn(out_col, loo)
         .drop("__sum", "__cnt", "__prior")
     )
+
+
+def _qcol(name: str):
+    """Column reference that treats the WHOLE name literally — F.col
+    parses dots as struct access, so `my col.v` style names need
+    backtick quoting (with embedded backticks doubled)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _percentiles(col: str, qs: list[float], exact: bool, rel_error: float):
+    """Percentile-boundary aggregate as proper column expressions (so
+    column names needing backticks — spaces, dots — work like in every
+    other operator)."""
+    arr = F.array(*[F.lit(q) for q in qs])
+    if exact:
+        return F.percentile(_qcol(col), arr)
+    return F.percentile_approx(_qcol(col), arr, F.lit(int(1 / rel_error)))
 
 
 def quantile_bins(
@@ -95,12 +115,8 @@ def quantile_bins(
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     out_col = out_col or f"{col}_bin"
     qs = [i / n_bins for i in range(1, n_bins)]
-    fn = "percentile" if exact else "percentile_approx"
-    extra = "" if exact else f", {int(1 / rel_error)}"
     row = df.agg(
-        F.expr(
-            f"{fn}({col}, array({', '.join(str(q) for q in qs)}){extra})"
-        ).alias("__bs")
+        _percentiles(col, qs, exact, rel_error).alias("__bs")
     ).collect()[0]["__bs"]
     if row is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
@@ -108,11 +124,11 @@ def quantile_bins(
     return df.withColumn(
         out_col,
         F.when(
-            F.col(col).isNotNull(),
+            _qcol(col).isNotNull(),
             F.size(
                 F.filter(
                     F.array(*[F.lit(b) for b in bounds]),
-                    lambda b: b < F.col(col),
+                    lambda b: b < _qcol(col),
                 )
             ),
         ),
@@ -192,14 +208,12 @@ def winsorize(
             f"need 0 <= lower < upper <= 1, got ({lower}, {upper})"
         )
     out_col = out_col or f"{col}_wins"
-    fn = "percentile" if exact else "percentile_approx"
-    extra = "" if exact else f", {int(1 / rel_error)}"
     row = df.agg(
-        F.expr(f"{fn}({col}, array({lower}, {upper}){extra})").alias("__bs")
+        _percentiles(col, [lower, upper], exact, rel_error).alias("__bs")
     ).collect()[0]["__bs"]
     if row is None:
-        return df.withColumn(out_col, F.col(col))
+        return df.withColumn(out_col, _qcol(col))
     lo, hi = float(row[0]), float(row[1])
     return df.withColumn(
-        out_col, F.least(F.greatest(F.col(col), F.lit(lo)), F.lit(hi))
+        out_col, F.least(F.greatest(_qcol(col), F.lit(lo)), F.lit(hi))
     )

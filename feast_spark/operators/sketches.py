@@ -141,7 +141,9 @@ class SketchTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self._table.read(spark)
 
-    def update(self, spark: SparkSession, events: DataFrame) -> None:
+    def update(
+        self, spark: SparkSession, events: DataFrame, _epoch_id=None
+    ) -> None:
         """Sketch the incoming event slice and fold it into the table.
         Cost is one scan of the slice (never of history) plus a
         O(groups)-row merge; crash-safe via the manifest flip."""
@@ -154,7 +156,8 @@ class SketchTable:
             if existing is None
             else merge_sketch_tables(existing, incoming, self.grain_cols)
         )
-        self._table.commit(merged)
+        meta = {"epoch": _epoch_id} if _epoch_id is not None else None
+        self._table.commit(merged, meta=meta)
 
     def estimate(
         self,
@@ -176,12 +179,21 @@ class SketchTable:
         """``writeStream.foreachBatch`` sink: each micro-batch's keys
         are sketched and folded in — the streaming twin of ``update``
         with identical results to batch-processing the same rows,
-        because sketch union is order- and batching-insensitive."""
+        because sketch union is order- and batching-insensitive.
+
+        foreachBatch is at-least-once; the HLL union itself is
+        idempotent under replay, but ``n_rows`` is not, so the last
+        applied epoch rides in the commit's manifest metadata and
+        replayed epochs are skipped (exactly-once: the epoch record
+        and the manifest flip are one atomic write)."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.update(spark, batch_df)
+            last = self._table.current_meta().get("epoch")
+            if last is not None and epoch_id <= last:
+                return  # at-least-once replay of an applied epoch
+            self.update(spark, batch_df, _epoch_id=epoch_id)
 
         return fn
 

@@ -349,15 +349,33 @@ class DecayedFeatureTable:
     def _state_as_of(self, state):
         return state.agg(F.max("as_of")).collect()[0][0]
 
-    def update(self, spark, events: DataFrame, at_time=None) -> None:
+    def update(
+        self, spark, events: DataFrame, at_time=None, _epoch_id=None
+    ) -> None:
         """Fold an event slice into the state.  ``at_time`` defaults to
         the slice's max timestamp; the new evaluation point is
         ``max(state.as_of, at_time)`` so out-of-order / late slices
-        never move the clock backwards."""
+        never move the clock backwards.  An explicit ``at_time``
+        EARLIER than some of the slice's events is rejected — those
+        events would be silently excluded by the no-future-leakage
+        filter and never re-presented, breaking the scanned-once
+        contract."""
+        from datetime import datetime
+
+        slice_max = events.agg(F.max(self.ts_col)).collect()[0][0]
+        if slice_max is None:
+            return  # empty slice: nothing to fold
         if at_time is None:
-            at_time = events.agg(F.max(self.ts_col)).collect()[0][0]
-            if at_time is None:
-                return  # empty slice: nothing to fold
+            at_time = slice_max
+        elif isinstance(at_time, str):
+            at_time = datetime.fromisoformat(at_time)
+        if at_time < slice_max:
+            raise ValueError(
+                f"at_time {at_time} precedes the slice's max event "
+                f"timestamp {slice_max}: the newer events would be "
+                "dropped permanently. Pass at_time >= the slice max "
+                "(or None to use it)."
+            )
         state = self.read(spark)
         if state is not None:
             state_at = self._state_as_of(state)
@@ -383,8 +401,10 @@ class DecayedFeatureTable:
                 F.sum("decayed_count").alias("decayed_count"),
             )
         )
+        meta = {"epoch": _epoch_id} if _epoch_id is not None else None
         self._table.commit(
-            merged.withColumn("as_of", F.lit(new_at).cast("timestamp"))
+            merged.withColumn("as_of", F.lit(new_at).cast("timestamp")),
+            meta=meta,
         )
 
     def features(self, spark, at_time=None) -> DataFrame:
@@ -417,11 +437,22 @@ class DecayedFeatureTable:
 
     def foreach_batch_writer(self, spark):
         """``writeStream.foreachBatch`` sink: micro-batches fold into
-        the same state a batch backfill of the same rows would build."""
+        the same state a batch backfill of the same rows would build.
+
+        foreachBatch is at-least-once: after a crash between our
+        commit and the query's checkpoint, the SAME epoch is
+        re-delivered on restart.  Decayed sums are not idempotent
+        under re-folding, so the last applied epoch is recorded in the
+        commit's manifest metadata and replayed epochs are skipped —
+        making the sink effectively exactly-once (the manifest flip
+        and the epoch record are one atomic write)."""
 
         def fn(batch_df: DataFrame, epoch_id: int) -> None:
             if batch_df.isEmpty():
                 return
-            self.update(spark, batch_df)
+            last = self._table.current_meta().get("epoch")
+            if last is not None and epoch_id <= last:
+                return  # at-least-once replay of an applied epoch
+            self.update(spark, batch_df, _epoch_id=epoch_id)
 
         return fn

@@ -164,18 +164,29 @@ def build_corpus(
 
         docs = with_extracted_text(docs, c.text_col, out_col=c.text_col)
     if c.scrub_pii_kinds is not None:
-        from feast_spark.functions.text import with_scrubbed_text
+        from feast_spark.functions.text import PII_PATTERNS, with_scrubbed_text
 
-        kinds = (
-            None
-            if c.scrub_pii_kinds == "all"
-            else list(c.scrub_pii_kinds)
-        )
-        if kinds == []:
-            raise ValueError(
-                "scrub_pii_kinds must be 'all' or a non-empty list of "
-                "PII_PATTERNS kinds (None skips the stage)"
-            )
+        valid = {name for name, _, _ in PII_PATTERNS}
+        if c.scrub_pii_kinds == "all":
+            kinds = None
+        else:
+            # a bare string would iterate per-character ("email" ->
+            # ['e','m',...]) and silently scrub NOTHING; likewise a
+            # typo'd kind name — validate against PII_PATTERNS
+            if isinstance(c.scrub_pii_kinds, str):
+                raise ValueError(
+                    f"scrub_pii_kinds string must be 'all', got "
+                    f"{c.scrub_pii_kinds!r}; pass a tuple of kinds "
+                    f"from {sorted(valid)}"
+                )
+            kinds = list(c.scrub_pii_kinds)
+            unknown = [k for k in kinds if k not in valid]
+            if not kinds or unknown:
+                raise ValueError(
+                    f"scrub_pii_kinds must be 'all' or a non-empty "
+                    f"subset of {sorted(valid)}; got {c.scrub_pii_kinds!r}"
+                    + (f" (unknown: {unknown})" if unknown else "")
+                )
         docs = with_scrubbed_text(docs, c.text_col, kinds=kinds)
     if c.boilerplate_min_docs is not None:
         from feast_spark.operators.docdedup import dedup_lines

@@ -175,3 +175,21 @@ def test_bm25_batch_matches_single(spark):
         assert [(a, b) for a, b, _ in rows] == [(a, b) for a, b, _ in want]
         for (_, _, s1), (_, _, s2) in zip(rows, want):
             assert s1 == pytest.approx(s2, rel=1e-12)
+
+
+def test_hybrid_supports_string_embedding_ids(spark):
+    from feast_spark.operators.bm25 import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="d1", text="spark merge " * 10),
+         Row(doc_id="d2", text="unrelated words " * 10)]
+    )
+    emb = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = hybrid_topk(
+        docs, emb, ["spark"], [1.0, 0.0], k=2, fetch_k=2,
+        query_vec_id="__query__",
+    ).collect()
+    assert [r["id"] for r in out][0] == "d1"  # wins both channels

@@ -165,3 +165,29 @@ FROM '{SF_SMALL}/events.parquet'
     assert interior == 0
     with pytest.raises(ValueError):
         winsorize(ev, "value", 0.9, 0.1)
+
+
+def test_loo_encode_keeps_null_category_rows(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, cat="a", y=1.0),
+            Row(id=2, cat="a", y=0.0),
+            Row(id=3, cat=None, y=5.0),  # must SURVIVE with NULL encoding
+        ]
+    )
+    out = {r["id"]: r for r in leave_one_out_encode(df, "cat", "y").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["cat_loo"] is None
+
+
+def test_percentile_ops_handle_exotic_column_names(spark):
+    from feast_spark.operators.ml_features import winsorize
+
+    df = spark.createDataFrame(
+        [Row(**{"id": i}) for i in range(20)]
+    ).withColumnRenamed("id", "my col.v")
+    df = df.withColumn("my col.v", F.col("`my col.v`").cast("double"))
+    out = quantile_bins(df, "my col.v", 4)
+    assert out.filter(F.col("`my col.v_bin`").isNotNull()).count() == 20
+    w = winsorize(df, "my col.v", 0.1, 0.9)
+    assert w.count() == 20

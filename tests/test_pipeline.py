@@ -369,3 +369,15 @@ def test_repetition_gate_stage(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1}
     assert stages["repetition_gate"] == 1 < stages["filtered"]
+
+
+def test_scrub_pii_kinds_validation(spark):
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="x " * 20)])
+    # a bare non-'all' string would iterate per-character and scrub
+    # nothing; typo'd kinds likewise — both must raise
+    with pytest.raises(ValueError, match="must be 'all'"):
+        build_corpus(docs, config=CorpusConfig(scrub_pii_kinds="email"))
+    with pytest.raises(ValueError, match="unknown"):
+        build_corpus(docs, config=CorpusConfig(scrub_pii_kinds=("emails",)))

@@ -357,3 +357,51 @@ def test_decayed_feature_table_serve_forward_only(spark, tmp_path):
     # rewinding before as_of is refused
     with pytest.raises(ValueError):
         table.features(spark, "2024-01-01 00:00:00")
+
+
+def test_decayed_table_string_at_time_and_future_guard(spark, tmp_path):
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import DecayedFeatureTable
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    table = DecayedFeatureTable(
+        str(tmp_path / "st"), ["user_id"], "ts", "value", timedelta(days=7)
+    )
+    early = ev.filter(F.col("ts") < F.lit("2024-01-10").cast("timestamp"))
+    # ISO-string at_time works on the FIRST and SECOND update (the
+    # second compares against the stored datetime as_of)
+    table.update(spark, early, at_time="2024-01-10 00:00:00")
+    table.update(spark, early, at_time="2024-01-12 00:00:00")
+    assert table.features(spark).count() > 0
+    # an at_time earlier than the slice's max event is rejected, not
+    # silently dropped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precedes the slice"):
+        table.update(spark, ev, at_time="2024-01-05 00:00:00")
+
+
+def test_decayed_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once epoch replay must not double-count."""
+    from datetime import timedelta
+
+    from feast_spark.operators.timeseries import DecayedFeatureTable
+
+    ev_small = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-02 00:00:00", 20.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    table = DecayedFeatureTable(
+        str(tmp_path / "rp"), ["user_id"], "ts", "value", timedelta(days=7)
+    )
+    fn = table.foreach_batch_writer(spark)
+    fn(ev_small, 0)
+    once = table.features(spark).collect()[0]["decayed_sum"]
+    fn(ev_small, 0)  # crash-restart replay of the same epoch
+    again = table.features(spark).collect()[0]["decayed_sum"]
+    assert once == again
+    fn(ev_small, 1)  # a genuinely new epoch DOES fold in
+    assert table.features(spark).collect()[0]["decayed_sum"] > once
