@@ -184,3 +184,22 @@ def test_randomized_differential_vs_python_dp(spark):
             if lev(a, b) <= max_dist
         )
         assert got == want, (max_dist, q, len(got ^ want))
+
+
+def test_hot_gram_cap_keeps_pairs_with_surviving_shared_grams(spark):
+    """Post-drop gram counts keep the count-filter bound tight: a true
+    pair whose shared grams are PARTLY hot still comes back (with
+    pre-drop counts the filter would demand more common grams than
+    survive the drop and lose it)."""
+    # the true pair shares every gram of 'abcdefgh'; grams 'ab','bc'
+    # are made hot by 10 unrelated carrier strings
+    carriers = [(100 + i, f"ab{chr(105 + i)}zbc") for i in range(10)]
+    rows = [(1, "abcdefgh"), (2, "abcdefgi")] + carriers
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = set(
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(
+            df, "id", "s", max_dist=1, q=2, max_gram_freq=5
+        ).collect()
+    )
+    assert (1, 2) in got

@@ -266,3 +266,21 @@ def test_histogram_underflow_overflow_nulls(spark):
     counts = h.collect()[0]["bin_counts"]
     assert counts == [1, 1, 1, 1]  # under, bin1, bin2, over
     assert sum(counts) == 4  # the NULL never lands anywhere
+
+
+def test_sketch_foreach_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once epoch replay must not inflate n_rows (the HLL
+    union itself is idempotent; the row counter is not)."""
+    ev = _events(spark)
+    table = SketchTable(str(tmp_path / "rp"), "user_id", ["day"])
+    fn = table.foreach_batch_writer(spark)
+    fn(ev, 0)
+    once = table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
+    fn(ev, 0)  # crash-restart replay of the same epoch
+    again = table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
+    assert once == again == ev.count()
+    fn(ev.limit(50), 1)  # a genuinely new epoch folds in
+    assert (
+        table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
+        == ev.count() + 50
+    )
