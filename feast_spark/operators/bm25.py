@@ -53,6 +53,12 @@ def bm25_topk(
     if not terms:
         raise ValueError("query must contain at least one non-empty term")
 
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # tokenization is CPU-bound: widen a few-files scan up to the
+    # session parallelism (no-op at scale, where file count >> cores —
+    # same stance as the docdedup operators)
+    df = widen_parallelism(df)
     # tokenize ONCE into (len_d, query-term subset); the two consumers
     # (corpus stats, postings) each run the tokenizer a single time —
     # and len_d rides through the posting aggregate, so no separate
@@ -216,6 +222,9 @@ def bm25_topk_batch(
     )
     all_terms = qt.select("term").distinct()
 
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    df = widen_parallelism(df)  # CPU-bound tokenize; no-op at scale
     # tokenize once per consumer (stats, postings); len_d rides through
     # the posting aggregate so no third tokenizing join is needed
     feat = df.select(

@@ -198,6 +198,7 @@ def _ops():
         "pq_search": q_pq_search,
         "doc_chunks": e.q_doc_chunks,
         "sketch_build": _sketch_build,
+        "bm25_topk": e.q_bm25_topk,
     }
 
 
