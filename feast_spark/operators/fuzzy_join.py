@@ -57,8 +57,12 @@ def _qgrams(col, q: int):
 
 
 def _side(df: DataFrame, id_col: str, str_col: str, q: int, tag: str):
+    from feast_spark.operators.docdedup import widen_parallelism
+
     s = F.col(str_col)
-    return df.select(
+    # gram construction is CPU-bound; widen a few-files scan up to the
+    # session parallelism (no-op at scale — same guard as bm25/docdedup)
+    return widen_parallelism(df).select(
         F.col(id_col).alias(f"id_{tag}"),
         s.alias(f"s_{tag}"),
         F.length(s).alias(f"len_{tag}"),
