@@ -31,7 +31,12 @@ from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
 
-__all__ = ["bm25_topk", "bm25_topk_batch", "hybrid_topk"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_batch",
+    "hybrid_topk",
+    "hybrid_topk_batch",
+]
 
 
 def bm25_topk(
@@ -277,4 +282,71 @@ def bm25_topk_batch(
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", id_col, "bm25", F.col("__rn").alias("rank"))
+    )
+
+
+def hybrid_topk_batch(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    fetch_k: int = 50,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Per-query hybrid retrieval for a DataFrame of (keyword terms,
+    query vector) pairs — RRF fusion of :func:`bm25_topk_batch` and
+    ``similarity.cosine_topk`` channel rankings, one corpus pass per
+    channel regardless of batch size.
+
+    ``queries`` holds (query_id, terms: array<string>, qvec:
+    array<float/double>); query ids must not collide with corpus ids
+    (cosine_topk's self-exclusion).  Output: (query_id, id, lex_rank,
+    vec_rank, rrf, rank) with rank 1..k per query, ties by id."""
+    from feast_spark.operators.similarity import cosine_topk
+
+    if fetch_k < k:
+        raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    lex = bm25_topk_batch(
+        docs, queries, id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, terms_col=terms_col, k=fetch_k,
+    ).select(
+        "query_id", F.col(id_col).alias("id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    vec = cosine_topk(
+        embeddings,
+        queries.select(
+            F.col(query_id_col).alias(emb_id_col),
+            F.col(qvec_col).alias(vec_col),
+        ),
+        id_col=emb_id_col, vec_col=vec_col, k=fetch_k,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = (
+        lex.join(vec, ["query_id", "id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "id", "lex_rank", "vec_rank", "rrf",
+            F.col("__rn").alias("rank"),
+        )
     )

@@ -3,6 +3,7 @@ ranking sanity, and the TakeOrderedAndProject plan pin."""
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from feast_spark.operators.bm25 import bm25_topk
 from feast_spark.sources.testdata import load_table
@@ -193,3 +194,49 @@ def test_hybrid_supports_string_embedding_ids(spark):
         query_vec_id="__query__",
     ).collect()
     assert [r["id"] for r in out][0] == "d1"  # wins both channels
+
+
+def test_hybrid_batch_matches_per_query_fusion(spark):
+    """Each query's batch-hybrid result == the python RRF recomputation
+    from its own two channel rankings."""
+    from feast_spark.operators.bm25 import bm25_topk_batch, hybrid_topk_batch
+    from feast_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings").limit(500)
+    qs = spark.createDataFrame(
+        [
+            (9001, ["spark", "merge"], [float((i * 7) % 13 - 6) for i in range(64)]),
+            (9002, ["customer"], [float((i * 3) % 11 - 5) for i in range(64)]),
+        ],
+        "query_id long, terms array<string>, qvec array<float>",
+    )
+    out = hybrid_topk_batch(docs, emb, qs, k=8, fetch_k=25)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["id"], r["rrf"]))
+
+    lexb = bm25_topk_batch(docs, qs, k=25)
+    lex_ranks = {}
+    for r in lexb.collect():
+        lex_ranks.setdefault(r["query_id"], {})[r["doc_id"]] = r["rank"]
+    vec = cosine_topk(
+        emb,
+        qs.select(F.col("query_id").alias("vec_id"),
+                  F.col("qvec").alias("embedding")),
+        k=25,
+    )
+    vec_ranks = {}
+    for r in vec.collect():
+        vec_ranks.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["rank"]
+
+    for qid in (9001, 9002):
+        lr, vr = lex_ranks.get(qid, {}), vec_ranks.get(qid, {})
+        def rrf(i):
+            return (1.0 / (60 + lr[i]) if i in lr else 0.0) + (
+                1.0 / (60 + vr[i]) if i in vr else 0.0)
+        want = sorted(set(lr) | set(vr), key=lambda i: (-rrf(i), i))[:8]
+        rows = sorted(got[qid])
+        assert [i for _, i, _ in rows] == want, qid
+        for _, i, s in rows:
+            assert s == pytest.approx(rrf(i), rel=1e-12)
