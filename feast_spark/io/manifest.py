@@ -72,13 +72,25 @@ class ManifestedParquetTable:
         return json.loads(self.fs.read_bytes(mp)).get("meta", {})
 
     def commit(self, df: DataFrame, meta: dict | None = None) -> None:
+        """Write a new snapshot and flip the manifest to it.
+
+        ``meta`` MERGES over the previous commit's meta (it does not
+        replace it): a manual ``update()`` between streaming
+        micro-batches — backfill, a late slice — must not wipe the
+        streaming epoch watermark, or an at-least-once replay of an
+        already-applied epoch after a restart would be re-folded
+        (double-counting).  Pass an explicit ``{"key": None}`` to
+        delete a meta key."""
         version = self._next_version()
         df.write.mode("errorifexists").parquet(
             posixpath.join(self.root, version)
         )
         manifest = {"current": version, "format": "parquet"}
-        if meta:
-            manifest["meta"] = meta
+        merged = dict(self.current_meta())
+        merged.update(meta or {})
+        merged = {k: v for k, v in merged.items() if v is not None}
+        if merged:
+            manifest["meta"] = merged
         self.fs.write_bytes_atomic(
             self._manifest_path(),
             json.dumps(manifest).encode(),

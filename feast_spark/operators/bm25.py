@@ -165,11 +165,21 @@ def hybrid_topk(
         .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
         .alias("lex_rank"),
     )
-    id_type = embeddings.schema[emb_id_col].dataType.simpleString()
-    vec_type = embeddings.schema[vec_col].dataType.simpleString()
+    # build the one-row query schema structurally (StructType, not an
+    # f-string DDL) so id/vec column names containing spaces, dots, or
+    # commas can't break schema parsing
+    from pyspark.sql.types import StructField, StructType
+
     qdf = embeddings.sparkSession.createDataFrame(
         [(query_vec_id, [float(x) for x in query_vec])],
-        f"{emb_id_col} {id_type}, {vec_col} {vec_type}",
+        StructType(
+            [
+                StructField(
+                    emb_id_col, embeddings.schema[emb_id_col].dataType
+                ),
+                StructField(vec_col, embeddings.schema[vec_col].dataType),
+            ]
+        ),
     )
     vec = cosine_topk(
         embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k

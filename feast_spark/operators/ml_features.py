@@ -66,7 +66,17 @@ def leave_one_out_encode(
         - F.col(target_col)
         + F.lit(smoothing) * F.col("__prior")
     )
-    loo = F.when(denom > 0, num / denom)
+    # NULL-target (inference/unlabeled) rows have no own label to leave
+    # out: they get the plain smoothed category mean over the LABELED
+    # rows — not NULL — so scoring rows keep their encoding.  A
+    # category with zero labeled rows still yields NULL (sum() over
+    # nothing is NULL: there is no signal to encode with).
+    denom_all = F.col("__cnt") + F.lit(smoothing)
+    num_all = F.col("__sum") + F.lit(smoothing) * F.col("__prior")
+    loo = F.when(
+        F.col(target_col).isNull(),
+        F.when(denom_all > 0, num_all / denom_all),
+    ).otherwise(F.when(denom > 0, num / denom))
     # LEFT join: rows with a NULL category must survive (an equi-join
     # never matches NULL keys) — they get a NULL encoding, same as an
     # unsmoothed singleton

@@ -52,11 +52,17 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cos) with deterministic ranking
     (cos desc — rounded if round_digits — then neighbor_id asc), self
     excluded.  ``queries`` must be small (it is broadcast)."""
+
+    # backtick-quote so id/vec names with dots or spaces resolve as
+    # whole names (F.col parses dots as struct access)
+    def _qcol(name: str) -> Column:
+        return F.col("`" + name.replace("`", "``") + "`")
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        _qcol(id_col).alias("query_id"), _qcol(vec_col).alias("__qvec")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        _qcol(id_col).alias("neighbor_id"), _qcol(vec_col).alias("__cvec")
     )
     cos = cosine(F.col("__qvec"), F.col("__cvec"))
     if round_digits is not None:
@@ -593,7 +599,20 @@ def ivf_index_append(
     the max/mean cell-size ratio drifts past your budget.
 
     Id uniqueness across appends is the caller's contract (same as
-    FAISS)."""
+    FAISS).
+
+    Durability contract — WEAKER than the manifest-flip tables
+    (``io/manifest.py``): this is a plain parquet ``mode('append')``,
+    so (a) a crashed append can leave partial cell files that readers
+    immediately see (object stores have no directory atomicity), and
+    (b) concurrent appends have no commit coordination — SINGLE
+    WRITER required.  This is deliberate: a manifest-flip would have
+    to rewrite (or re-link) every cell snapshot per append, defeating
+    the O(new vectors) append cost.  If you need atomic visibility,
+    run appends through an orchestrator that retries a crashed append
+    from a cleaned directory, or use the minhash signature index
+    (``docdedup.build_minhash_index``) pattern where snapshots are
+    small enough to manifest-flip."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [list(r.centroid) for r in cent_rows]
     (

@@ -169,9 +169,12 @@ def with_rolling_zscore(
     frame — same single-shuffle cost argument as
     ``rolling_window_agg``, state bounded by the window span."""
     out_col = out_col or f"{value_col}_zscore"
+    # cast to DOUBLE (fractional seconds), matching rolling_window_agg:
+    # a long cast truncates to whole seconds, letting events up to ~1s
+    # outside [ts - window, ts] into the frame
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).cast("timestamp").cast("long"))
+        .orderBy(F.col(ts_col).cast("timestamp").cast("double"))
         .rangeBetween(-int(window.total_seconds()), 0)
     )
     mean = F.avg(value_col).over(w)

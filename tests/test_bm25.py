@@ -240,3 +240,25 @@ def test_hybrid_batch_matches_per_query_fusion(spark):
         assert [i for _, i, _ in rows] == want, qid
         for _, i, s in rows:
             assert s == pytest.approx(rrf(i), rel=1e-12)
+
+
+def test_hybrid_handles_weird_column_names(spark):
+    """emb id / vec column names with spaces and dots must not break
+    the one-row query-vector DataFrame construction (structural schema,
+    not a parsed DDL string)."""
+    from feast_spark.operators.bm25 import hybrid_topk
+
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle join"), (2, "parquet scan pruning")],
+        "doc_id INT, text STRING",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "`vec id.x` INT, `my, vec` ARRAY<DOUBLE>",
+    )
+    out = hybrid_topk(
+        docs, emb, ["shuffle"], [1.0, 0.0],
+        emb_id_col="vec id.x", vec_col="my, vec", k=2,
+    ).collect()
+    assert len(out) == 2
+    assert out[0]["id"] == 1

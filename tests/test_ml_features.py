@@ -191,3 +191,28 @@ def test_percentile_ops_handle_exotic_column_names(spark):
     assert out.filter(F.col("`my col.v_bin`").isNotNull()).count() == 20
     w = winsorize(df, "my col.v", 0.1, 0.9)
     assert w.count() == 20
+
+
+def test_loo_encode_null_target_gets_category_mean(spark):
+    """Unlabeled (NULL-target) rows have no own label to leave out:
+    they receive the plain (smoothed) category mean over the labeled
+    rows, not NULL — the inference-row path."""
+    df = spark.createDataFrame(
+        [
+            Row(id=1, cat="a", y=1.0),
+            Row(id=2, cat="a", y=0.0),
+            Row(id=3, cat="a", y=None),  # inference row
+            Row(id=4, cat="b", y=None),  # category with zero labels
+        ]
+    )
+    out = {r["id"]: r["cat_loo"] for r in leave_one_out_encode(df, "cat", "y").collect()}
+    assert out[3] == pytest.approx(0.5)  # mean of labeled a-rows
+    assert out[4] is None  # nothing to encode with
+    # smoothed: (sum + s*prior) / (cnt + s); prior = 0.5 over labeled rows
+    sm = {
+        r["id"]: r["cat_loo"]
+        for r in leave_one_out_encode(df, "cat", "y", smoothing=2.0).collect()
+    }
+    assert sm[3] == pytest.approx((1.0 + 2.0 * 0.5) / (2 + 2.0))
+    # labeled rows keep the leave-one-out form
+    assert sm[1] == pytest.approx((0.0 + 2.0 * 0.5) / (1 + 2.0))

@@ -284,3 +284,36 @@ def test_sketch_foreach_batch_replay_is_idempotent(spark, tmp_path):
         table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
         == ev.count() + 50
     )
+
+
+def test_manual_update_preserves_epoch_watermark(spark, tmp_path):
+    """A manual update() (meta=None commit) between micro-batches must
+    NOT wipe the epoch watermark — otherwise an at-least-once replay
+    of an already-applied epoch is re-folded and n_rows double-counts."""
+    ev = _events(spark)
+    table = SketchTable(str(tmp_path / "wm"), "user_id", ["day"])
+    writer = table.foreach_batch_writer(spark)
+    writer(ev.filter(F.col("day") < "2024-01-10"), 0)
+    assert table._table.current_meta().get("epoch") == 0
+    # manual backfill commit with no meta — watermark must survive
+    table.update(spark, ev.filter(F.col("day") >= "2024-01-10"))
+    assert table._table.current_meta().get("epoch") == 0
+    n_before = table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
+    # crash/restart replay of epoch 0 (at-least-once) — must be skipped
+    writer(ev.filter(F.col("day") < "2024-01-10"), 0)
+    n_after = table.read(spark).agg(F.sum("n_rows")).collect()[0][0]
+    assert n_after == n_before
+
+
+def test_manifest_meta_merges_and_deletes(spark, tmp_path):
+    from feast_spark.io.manifest import ManifestedParquetTable
+
+    t = ManifestedParquetTable(str(tmp_path / "m"))
+    df = spark.range(3)
+    t.commit(df, meta={"epoch": 7, "note": "a"})
+    t.commit(df)  # meta=None: carries prior meta forward
+    assert t.current_meta() == {"epoch": 7, "note": "a"}
+    t.commit(df, meta={"epoch": 9})  # merge over old
+    assert t.current_meta() == {"epoch": 9, "note": "a"}
+    t.commit(df, meta={"note": None})  # explicit None deletes the key
+    assert t.current_meta() == {"epoch": 9}

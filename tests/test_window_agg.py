@@ -161,3 +161,32 @@ WINDOW w AS (
             assert out[eid] is None
         else:
             assert out[eid] == pytest.approx(z, rel=1e-9)
+
+
+def test_rolling_zscore_subsecond_bounds(spark):
+    """The zscore RANGE frame orders by ts cast to DOUBLE (fractional
+    seconds) — a long cast truncates, letting events up to ~1s outside
+    [ts - window, ts] into the frame."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.window_agg import with_rolling_zscore
+
+    # window = 10s; row at t=12.6 must EXCLUDE the row at t=2.1
+    # (age 10.5s > 10), which a whole-second truncation (12 - 2 = 10)
+    # would include.
+    rows = [
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 2, 100000), v=100.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 5, 0), v=1.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 6, 0), v=3.0),
+        Row(k="a", ts=datetime(2024, 1, 1, 0, 0, 12, 600000), v=2.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["ts"]: r["v_zscore"]
+        for r in with_rolling_zscore(
+            df, ["k"], "ts", "v", timedelta(seconds=10)
+        ).collect()
+    }
+    # frame for the last row = {1.0, 3.0, 2.0}: mean 2, std 1 -> z = 0
+    assert out[datetime(2024, 1, 1, 0, 0, 12, 600000)] == pytest.approx(0.0)
