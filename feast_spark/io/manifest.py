@@ -71,6 +71,35 @@ class ManifestedParquetTable:
             return {}
         return json.loads(self.fs.read_bytes(mp)).get("meta", {})
 
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Read one named sub-table of a :meth:`commit_tables` snapshot."""
+        current = self.current_path()
+        if current is None:
+            return None
+        return spark.read.parquet(posixpath.join(current, name))
+
+    def commit_tables(
+        self,
+        tables: dict[str, DataFrame],
+        partition_by: dict[str, list[str]] | None = None,
+        meta: dict | None = None,
+    ) -> None:
+        """Atomically commit SEVERAL named tables as ONE snapshot (one
+        manifest flip): each DataFrame lands under
+        ``{root}/v_<n>/<name>``, optionally ``partitionBy`` its listed
+        columns, and readers resolving the manifest always see a
+        CONSISTENT set (e.g. a postings table and the corpus stats it
+        was computed with — two separate manifests could flip between a
+        reader's two resolves).  Meta merges like :meth:`commit`."""
+        version = self._next_version()
+        for name, tdf in tables.items():
+            w = tdf.write.mode("errorifexists")
+            cols = (partition_by or {}).get(name)
+            if cols:
+                w = w.partitionBy(*cols)
+            w.parquet(posixpath.join(self.root, version, name))
+        self._flip(version, meta, tables=sorted(tables))
+
     def commit(self, df: DataFrame, meta: dict | None = None) -> None:
         """Write a new snapshot and flip the manifest to it.
 
@@ -85,7 +114,17 @@ class ManifestedParquetTable:
         df.write.mode("errorifexists").parquet(
             posixpath.join(self.root, version)
         )
+        self._flip(version, meta)
+
+    def _flip(
+        self,
+        version: str,
+        meta: dict | None,
+        tables: list[str] | None = None,
+    ) -> None:
         manifest = {"current": version, "format": "parquet"}
+        if tables:
+            manifest["tables"] = tables
         merged = dict(self.current_meta())
         merged.update(meta or {})
         merged = {k: v for k, v in merged.items() if v is not None}

@@ -26,7 +26,9 @@ term-for-term.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
@@ -36,7 +38,46 @@ __all__ = [
     "bm25_topk_batch",
     "hybrid_topk",
     "hybrid_topk_batch",
+    "build_bm25_index",
+    "bm25_index_topk",
+    "bm25_index_topk_batch",
+    "hybrid_index_topk",
 ]
+
+
+def _score_postings(
+    tf: DataFrame, stats: DataFrame, id_col: str, k1: float, b: float
+) -> DataFrame:
+    """Shared scoring tail: (id, term, tf, len_d) postings + one-row
+    (n_docs, avg_len) stats -> per-doc summed BM25.  df_t is computed
+    from the postings themselves (count of docs per term), so the
+    inline and persisted-index paths score identically by
+    construction."""
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
 
 
 def bm25_topk(
@@ -90,32 +131,7 @@ def bm25_topk(
             F.first("len_d").alias("len_d"),
         )
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5)
-                + 1.0
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * F.col("tf")
-            * (k1 + 1)
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("term_score").alias("bm25"))
-    )
+    scored = _score_postings(tf, stats, id_col, k1, b)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -187,6 +203,14 @@ def hybrid_topk(
         F.col("neighbor_id").alias("id"),
         F.col("rank").alias("vec_rank"),
     )
+    return _rrf_fuse(lex, vec, rrf_k, k)
+
+
+def _rrf_fuse(
+    lex: DataFrame, vec: DataFrame, rrf_k: int, k: int
+) -> DataFrame:
+    """Fuse two (id, *_rank) channel rankings by RRF; shared by the
+    inline and persisted-index hybrid paths."""
     fused = (
         lex.join(vec, "id", "full_outer")
         .withColumn(
@@ -360,3 +384,256 @@ def hybrid_topk_batch(
             F.col("__rn").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical index — build once, query many times
+# ---------------------------------------------------------------------------
+#
+# The retrieval-SERVICE shape of bm25_topk: bm25_topk re-tokenizes and
+# re-scans the whole corpus on every call (correct for one-off batch
+# scoring), which at 100 TB makes every query a full-corpus job.  The
+# index pays that tokenize/aggregate cost ONCE and persists
+#
+#   {root}/v_n/postings : (term, doc id, tf, len_d), partitionBy(bucket)
+#   {root}/v_n/stats    : one row (n_docs, avg_len)
+#
+# under a SINGLE manifest flip (io/manifest.py commit_tables — postings
+# and the stats they were computed with are always consistent).  A
+# query computes its terms' buckets DRIVER-SIDE (md5-prefix bucketing,
+# reproducible in any engine) and reads only those bucket directories:
+# partition pruning makes the scan O(query-term postings), independent
+# of corpus size — the build_ivf_index pattern applied to the lexical
+# channel.  Reference parity: Feast has no retrieval ops at all
+# (training-pipeline extension, SURVEY §2.6).
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Bucket id of a (lowercased) term — md5-prefix mod n_buckets,
+    identical to the plan-side expression (md5 is bit-stable across
+    Spark / DuckDB / Python, so drivers and oracles can reproduce the
+    pruning set)."""
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_expr(term, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def build_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+    fs=None,
+    keep_versions: int = 2,
+) -> None:
+    """Tokenize the corpus ONCE and commit the postings + stats tables
+    (one atomic manifest flip; see module comment).  Build cost: one
+    corpus scan + one (doc, term) aggregate — the same work a single
+    bm25_topk call does, amortized over every future query.
+
+    ``n_term_buckets`` bounds how much a query over t terms must list:
+    t bucket directories.  Size it so a bucket's postings fit a scan
+    task comfortably (buckets are md5-uniform over terms; heavy terms
+    skew bucket BYTES, which parquet splitting re-balances)."""
+    from feast_spark.io.manifest import ManifestedParquetTable
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    feat = widen_parallelism(df).select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
+        tokens(normalize_text(F.col(text_col))).alias("__toks"),
+    )
+    posting = (
+        feat.select(id_col, "len_d", F.explode("__toks").alias("term"))
+        .groupBy("term", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("len_d").alias("len_d"),
+        )
+        .withColumn("bucket", _term_bucket_expr(F.col("term"), n_term_buckets))
+    )
+    stats = feat.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len_d").alias("avg_len"),
+    )
+    ManifestedParquetTable(path, fs=fs, keep_versions=keep_versions).commit_tables(
+        {"postings": posting, "stats": stats},
+        partition_by={"postings": ["bucket"]},
+        meta={"n_term_buckets": n_term_buckets, "id_col": id_col},
+    )
+
+
+def _index_postings(
+    spark: SparkSession, path: str, terms: list[str], fs=None
+):
+    """(postings-for-terms, stats, id_col) from a persisted index; the
+    bucket IN-list is computed driver-side so the parquet scan lists
+    only the query terms' bucket directories (partition pruning)."""
+    from feast_spark.io.manifest import ManifestedParquetTable
+
+    table = ManifestedParquetTable(path, fs=fs)
+    meta = table.current_meta()
+    if "n_term_buckets" not in meta:
+        raise ValueError(f"no BM25 index committed at {path}")
+    n_buckets = meta["n_term_buckets"]
+    id_col = meta["id_col"]
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    postings = (
+        table.read_table(spark, "postings")
+        .filter(F.col("bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+        .drop("bucket")
+    )
+    return postings, table.read_table(spark, "stats"), id_col
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    fs=None,
+) -> DataFrame:
+    """Top-k BM25 against a persisted index — identical scores and
+    ranking to ``bm25_topk`` on the indexed corpus (pinned by tests),
+    but the per-query cost is O(query-term postings) instead of a
+    corpus scan.  df_t comes from the loaded postings themselves, so
+    no separate doc-frequency table can drift out of sync."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("query must contain at least one non-empty term")
+    tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+    scored = _score_postings(tf, stats, id_col, k1, b)
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_index_topk_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    fs=None,
+) -> DataFrame:
+    """Per-query BM25 top-k against a persisted index — the
+    ``bm25_topk_batch`` output contract ((query_id, id, bm25, rank)),
+    reading only the batch's term buckets.
+
+    The batch's distinct term set is collected to the driver to build
+    the pruning IN-list — bounded by the query batch's vocabulary
+    (queries are human-sized; a million-term batch should go through
+    ``bm25_topk_batch``'s corpus-scan path instead)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(F.col(terms_col), lambda t: F.lower(t))
+            )
+        ).alias("term"),
+    )
+    terms = sorted(r["term"] for r in qt.select("term").distinct().collect())
+    if not terms:
+        raise ValueError("queries must contain at least one non-empty term")
+    tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("term_score").alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "bm25", F.col("__rn").alias("rank"))
+    )
+
+
+def hybrid_index_topk(
+    spark: SparkSession,
+    index_path: str,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    fetch_k: int = 50,
+    rrf_k: int = 60,
+    query_vec_id=-1,
+    fs=None,
+) -> DataFrame:
+    """:func:`hybrid_topk` with the lexical channel served from a
+    persisted BM25 index — same output contract and fusion (shared
+    ``_rrf_fuse``), but the per-query lexical cost is the pruned
+    postings read, not a corpus scan.  Pair with ``ivf_index_topk``
+    for an all-index serving stack."""
+    from pyspark.sql.types import StructField, StructType
+
+    from feast_spark.operators.similarity import cosine_topk
+
+    if fetch_k < k:
+        raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
+    id_col = lex.columns[0]
+    lex = lex.select(
+        F.col(id_col).alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
+        .alias("lex_rank"),
+    )
+    qdf = spark.createDataFrame(
+        [(query_vec_id, [float(x) for x in query_vec])],
+        StructType(
+            [
+                StructField(
+                    emb_id_col, embeddings.schema[emb_id_col].dataType
+                ),
+                StructField(vec_col, embeddings.schema[vec_col].dataType),
+            ]
+        ),
+    )
+    vec = cosine_topk(
+        embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
+    ).select(
+        F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return _rrf_fuse(lex, vec, rrf_k, k)

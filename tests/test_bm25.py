@@ -262,3 +262,110 @@ def test_hybrid_handles_weird_column_names(spark):
     ).collect()
     assert len(out) == 2
     assert out[0]["id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_index_matches_inline(spark, tmp_path):
+    """Index path == inline path, score for score — the identity that
+    makes the index a pure caching layer."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_topk,
+        bm25_topk,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    for query in (["spark", "window", "merge"], ["parquet"], ["zzz_absent", "spark"]):
+        inline = bm25_topk(docs, "doc_id", "text", query, k=12).collect()
+        indexed = bm25_index_topk(spark, path, query, k=12).collect()
+        assert [r["doc_id"] for r in indexed] == [r["doc_id"] for r in inline]
+        assert [r["bm25"] for r in indexed] == pytest.approx(
+            [r["bm25"] for r in inline], rel=1e-12
+        )
+
+
+def test_bm25_index_batch_matches_inline_batch(spark, tmp_path):
+    from feast_spark.operators.bm25 import (
+        bm25_index_topk_batch,
+        bm25_topk_batch,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25b")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "merge"]), (2, ["parquet", "scan"]), (3, ["window"])],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    inline = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["bm25"])
+        for r in bm25_topk_batch(docs, qs, k=7).collect()
+    )
+    indexed = sorted(
+        (r["query_id"], r["doc_id"], r["rank"], r["bm25"])
+        for r in bm25_index_topk_batch(spark, path, qs, k=7).collect()
+    )
+    assert [t[:3] for t in indexed] == [t[:3] for t in inline]
+    assert [t[3] for t in indexed] == pytest.approx([t[3] for t in inline])
+
+
+def test_hybrid_index_matches_inline_hybrid(spark, tmp_path):
+    from feast_spark.operators.bm25 import (
+        build_bm25_index,
+        hybrid_index_topk,
+        hybrid_topk,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings")
+    path = str(tmp_path / "bm25h")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    qvec = [float((i * 37) % 19) / 19.0 for i in range(
+        len(emb.select("embedding").first()[0])
+    )]
+    inline = hybrid_topk(docs, emb, ["spark", "merge"], qvec, k=10).collect()
+    indexed = hybrid_index_topk(
+        spark, path, emb, ["spark", "merge"], qvec, k=10
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in inline]
+
+
+def test_bm25_index_scan_is_partition_pruned(spark, tmp_path):
+    """The postings scan must prune to the query terms' bucket
+    directories: PartitionFilters on bucket, no full-index read."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_topk,
+        build_bm25_index,
+        term_bucket,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25p")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    plan = bm25_index_topk(
+        spark, path, ["spark", "merge"], k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    b1, b2 = term_bucket("spark", 16), term_bucket("merge", 16)
+    assert "bucket IN" in plan or f"bucket" in plan
+    # the pruned scan mentions only the query buckets
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan[:2000]}"
+    assert m.group(1).strip(), "PartitionFilters empty — full index scan"
+    for b in {b1, b2}:
+        assert str(b) in m.group(1)
+
+
+def test_bm25_index_empty_and_unbuilt(spark, tmp_path):
+    from feast_spark.operators.bm25 import bm25_index_topk
+
+    with pytest.raises(ValueError, match="no BM25 index"):
+        bm25_index_topk(spark, str(tmp_path / "missing"), ["x"]).collect()
