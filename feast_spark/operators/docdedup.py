@@ -459,6 +459,46 @@ def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     return grouped.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b")
 
 
+def band_bucket_array(bands: int, rows_per_band: int, portable: bool):
+    """Array of per-band bucket keys over the ``minhash`` column —
+    shared by :func:`lsh_candidate_pairs` and the persisted index
+    (``operators/minhash_index.py``) so their bucket identities match
+    exactly.
+
+    ONE transform over a band index sequence, so the (expensive)
+    signature expression is referenced exactly once and
+    CollapseProject can never inline it into per-band copies — the r4
+    formulation (an array of 8 structs each referencing `minhash`)
+    re-evaluated the signature once per band, which made the densified
+    OPH signature a net loss (measured sf0.1: 1.63s vs 0.99s for the
+    same pipeline).
+
+    ``portable``: raw comma-joined band strings, reproducible in
+    oracle SQL.  Fast path hashes the signature slice directly
+    (HashExpression recurses into arrays) — no per-row long->string
+    casts or concat buffers; bucket identity is unchanged up to 2^-64
+    hash collisions."""
+    if portable:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.concat_ws(
+                ",",
+                *[
+                    F.element_at(
+                        F.col("minhash"), b * rows_per_band + F.lit(r + 1)
+                    ).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ),
+        )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -520,37 +560,7 @@ def lsh_candidate_pairs(
         mh = with_minhash_oph(sh, num_hashes=num_hashes, prehashed=prehashed)
     mh = mh.select(F.col(id_col).alias("doc"), "minhash")
 
-    # The per-band bucket keys are built by ONE transform over a band
-    # index sequence, so the (expensive) signature expression is
-    # referenced exactly once and CollapseProject can never inline it
-    # into per-band copies — the r4 formulation (an array of 8 structs
-    # each referencing `minhash`) re-evaluated the signature once per
-    # band, which made the densified OPH signature a net loss
-    # (measured sf0.1: 1.63s vs 0.99s for the same pipeline).
-    if portable:  # raw band string: reproducible in oracle SQL
-        bands_arr = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.concat_ws(
-                ",",
-                *[
-                    F.element_at(
-                        F.col("minhash"), b * rows_per_band + F.lit(r + 1)
-                    ).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ),
-        )
-    else:
-        # fast path: hash the signature slice directly (HashExpression
-        # recurses into arrays) — no per-row long->string casts or
-        # concat buffers; bucket identity is unchanged up to 2^-64
-        # hash collisions
-        bands_arr = F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(
-                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-            ),
-        )
+    bands_arr = band_bucket_array(bands, rows_per_band, portable)
     banded = mh.select("doc", F.posexplode(bands_arr).alias("band", "bucket"))
     if max_bucket_size is not None:
         bw = Window.partitionBy("band", "bucket")

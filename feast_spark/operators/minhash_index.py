@@ -1,0 +1,314 @@
+"""Incremental corpus near-dup index: persist MinHash band buckets and
+hashed shingles once, then dedup each new crawl slice against the
+corpus WITHOUT re-minhashing it.
+
+The real 100 TB dedup workload is not "dedup this corpus once" — it is
+"dedup this week's crawl against everything already kept".
+``minhash_dedup_pairs`` (operators/docdedup.py) re-shingles and
+re-signs the whole corpus per run; this module pays that cost once per
+document, ever:
+
+* ``{root}/bands/epoch=N/``    — (doc, band, bucket) LSH band buckets
+* ``{root}/shingles/epoch=N/`` — (doc, shingles: array<long>) for the
+  exact-Jaccard verify of candidate pairs
+* ``{root}/_MANIFEST.json``    — committed epoch list + the signature
+  parameters (n, num_hashes, bands, method), so appends and queries
+  can never mix incompatible signatures
+
+Commit protocol (epoch-append variant of ``io/manifest.py``): a writer
+stages the new epoch's directories first, then atomically rewrites the
+manifest to include the epoch.  Readers resolve the manifest and read
+ONLY the committed epoch directories — a crashed append's partial
+files are invisible (their epoch is never listed), which upgrades on
+the plain ``ivf_index_append`` append (documented non-atomic) while
+keeping the O(new docs) append cost: history is never rewritten.
+Epoch numbering makes appends single-writer, like every append index.
+
+Scale shape of ``dedup_against_index``: the index's band table is
+semi-joined down to the buckets the new batch touches (shuffle
+equi-join on (band, bucket) — nothing is broadcast, unlike the
+streaming marker's documented ~1e8-doc broadcast bound), pairs expand
+inside capped buckets, and only candidate docs' shingles are read for
+the verify.  Per-slice cost is O(new docs + touched-bucket postings),
+independent of corpus size.
+
+Reference parity: Feast has no dedup operators; this is part of the
+training-data-pipeline extension (SURVEY §2.6), the lexical analog of
+``similarity.ivf_index_append`` for the dedup family.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.operators.docdedup import (
+    _bucket_pairs,
+    _persist,
+    band_bucket_array,
+    widen_parallelism,
+    with_hashed_shingles,
+    with_minhash,
+    with_minhash_oph,
+)
+
+__all__ = [
+    "build_minhash_index",
+    "minhash_index_append",
+    "dedup_against_index",
+    "minhash_index_stats",
+]
+
+MANIFEST = "_MANIFEST.json"
+
+
+def _manifest(root: str, fs: StoreFS) -> dict:
+    mp = posixpath.join(root, MANIFEST)
+    if not fs.exists(mp):
+        raise ValueError(f"no minhash index committed at {root}")
+    return json.loads(fs.read_bytes(mp))
+
+
+def _doc_tables(
+    df: DataFrame, id_col: str, text_col: str, params: dict
+) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) for a batch of documents under the index's
+    signature parameters — the one pass per document the index ever
+    pays.  Shingle hashing and band bucketing share the expressions
+    of the inline pipeline (``band_bucket_array``), so index pairs
+    equal ``lsh_candidate_pairs`` pairs exactly."""
+    n = params["n"]
+    num_hashes = params["num_hashes"]
+    bands = params["bands"]
+    rows_per_band = num_hashes // bands
+    sh = with_hashed_shingles(
+        widen_parallelism(df.select(id_col, text_col)), text_col, n
+    )
+    if params["method"] == "oph":
+        mh = with_minhash_oph(sh, num_hashes=num_hashes, prehashed=True)
+    else:
+        mh = with_minhash(sh, num_hashes=num_hashes, prehashed=True)
+    banded = mh.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(
+            band_bucket_array(bands, rows_per_band, portable=False)
+        ).alias("band", "bucket"),
+    )
+    shingles = sh.select(F.col(id_col).alias("doc"), "shingles")
+    return banded, shingles
+
+
+def _next_epoch(root: str, fs: StoreFS, committed: list[int]) -> int:
+    """Number past every committed epoch AND every orphaned directory
+    a crashed append may have left, so stages never collide."""
+    seen = set(committed)
+    for sub in ("bands", "shingles"):
+        base = posixpath.join(root, sub)
+        for d in fs.list_subdirs(base) if fs.exists(base) else []:
+            if d.startswith("epoch=") and d[6:].isdigit():
+                seen.add(int(d[6:]))
+    return (max(seen) + 1) if seen else 0
+
+
+def _write_epoch(
+    root: str,
+    epoch: int,
+    banded: DataFrame,
+    shingles: DataFrame,
+) -> None:
+    banded.write.mode("errorifexists").parquet(
+        posixpath.join(root, "bands", f"epoch={epoch}")
+    )
+    shingles.write.mode("errorifexists").parquet(
+        posixpath.join(root, "shingles", f"epoch={epoch}")
+    )
+
+
+def _commit(root: str, fs: StoreFS, manifest: dict) -> None:
+    fs.write_bytes_atomic(
+        posixpath.join(root, MANIFEST), json.dumps(manifest).encode()
+    )
+
+
+def _read_epochs(
+    spark: SparkSession, root: str, sub: str, epochs: list[int]
+) -> DataFrame:
+    paths = [
+        posixpath.join(root, sub, f"epoch={e}") for e in epochs
+    ]
+    return spark.read.parquet(*paths)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    method: str = "kseed",
+    fs: StoreFS | None = None,
+) -> None:
+    """Sign the corpus once and commit epoch 0.  Signature parameters
+    are frozen into the manifest; appends reuse them (mixing signature
+    schemes would silently produce disjoint buckets)."""
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    if method not in ("kseed", "oph"):
+        raise ValueError(f"method must be 'kseed' or 'oph', got {method!r}")
+    fs = fs or LocalFS()
+    params = {
+        "n": n,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "method": method,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    banded, shingles = _doc_tables(df, id_col, text_col, params)
+    epoch = _next_epoch(path, fs, [])
+    _write_epoch(path, epoch, banded, shingles)
+    _commit(path, fs, {"epochs": [epoch], "params": params})
+
+
+def minhash_index_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    fs: StoreFS | None = None,
+) -> None:
+    """Fold a new document slice into the index as a new epoch: one
+    narrow pass over the NEW docs only (stage dirs, then the atomic
+    manifest flip publishes them) — history is never rewritten.
+
+    Doc-id uniqueness across epochs is the caller's contract (same as
+    ``ivf_index_append``); the normal flow is dedup_against_index ->
+    drop the near-dups -> append the survivors."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    params = manifest["params"]
+    banded, shingles = _doc_tables(
+        new_df, params["id_col"], params["text_col"], params
+    )
+    epoch = _next_epoch(path, fs, manifest["epochs"])
+    _write_epoch(path, epoch, banded, shingles)
+    manifest["epochs"] = sorted(manifest["epochs"] + [epoch])
+    _commit(path, fs, manifest)
+
+
+def dedup_against_index(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
+    fs: StoreFS | None = None,
+) -> DataFrame:
+    """Near-dup pairs (id_a, id_b, jaccard) touching at least one NEW
+    document: new-vs-corpus AND new-vs-new (a fresh slice usually
+    carries its own internal dups), never corpus-vs-corpus (those were
+    resolved when their epochs were appended).  Matches
+    ``minhash_dedup_pairs`` over (corpus ∪ new) restricted to pairs
+    with a new side — identity pinned by tests.
+
+    Plan: the index band table is first semi-joined down to the
+    (band, bucket) keys the new batch occupies — a shuffle equi-join
+    whose moved bytes are the touched buckets' postings, NOT the
+    index (and not a broadcast of it) — then pairs expand inside
+    buckets capped at ``max_bucket_size`` over the COMBINED
+    (corpus + new) bucket population, the same population the full
+    recompute would cap on.  Only candidate docs' shingles are read
+    back for the exact-Jaccard verify.
+
+    New doc ids must be disjoint from the index's (append contract)."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    params = manifest["params"]
+    epochs = manifest["epochs"]
+    id_col = params["id_col"]
+    new_banded, new_sh = _doc_tables(
+        new_df, id_col, params["text_col"], params
+    )
+    idx_banded = _read_epochs(spark, path, "bands", epochs)
+    touched = new_banded.select("band", "bucket").distinct()
+    idx_hit = idx_banded.join(touched, ["band", "bucket"], "leftsemi")
+    allb = idx_hit.unionByName(new_banded)
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band", "bucket")
+        allb = (
+            allb.withColumn("__bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    grouped = allb.groupBy("band", "bucket").agg(
+        F.collect_list("doc").alias("docs")
+    )
+    pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    # keep pairs with >= 1 new side (corpus-vs-corpus pairs were
+    # resolved at their own append time); two semi-joins over the
+    # (tiny) candidate frame
+    cands = _persist(
+        pairs.join(
+            new_ids, pairs["id_a"] == new_ids["__nid"], "leftsemi"
+        ).unionByName(
+            pairs.join(
+                new_ids, pairs["id_b"] == new_ids["__nid"], "leftsemi"
+            )
+        ).distinct()
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("doc"))
+        .union(cands.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sh = (
+        _read_epochs(spark, path, "shingles", epochs)
+        .unionByName(new_sh)
+        .join(cand_ids, "doc", "semi")
+    )
+    return (
+        cands.join(
+            sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a"
+        )
+        .join(
+            sh.withColumnsRenamed({"doc": "id_b", "shingles": "sh_b"}), "id_b"
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_index_stats(
+    spark: SparkSession, path: str, fs: StoreFS | None = None
+) -> DataFrame:
+    """Per-epoch doc counts plus the global hottest-bucket size — the
+    monitoring signal for bucket-cap tuning (a growing hot bucket is
+    boilerplate accumulating).  One aggregate over the band table."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    bands_df = spark.read.option("basePath", posixpath.join(path, "bands")).parquet(
+        *[
+            posixpath.join(path, "bands", f"epoch={e}")
+            for e in manifest["epochs"]
+        ]
+    )
+    per_epoch = bands_df.groupBy("epoch").agg(
+        F.countDistinct("doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_band_rows"),
+    )
+    hottest = bands_df.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    ).agg(F.max("sz").alias("max_bucket_size"))
+    return per_epoch.crossJoin(F.broadcast(hottest))

@@ -611,8 +611,8 @@ def ivf_index_append(
     the O(new vectors) append cost.  If you need atomic visibility,
     run appends through an orchestrator that retries a crashed append
     from a cleaned directory, or use the minhash signature index
-    (``docdedup.build_minhash_index``) pattern where snapshots are
-    small enough to manifest-flip."""
+    (``operators/minhash_index.py``), whose epoch-append commit gets
+    atomic visibility without rewriting history."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [list(r.centroid) for r in cent_rows]
     (
