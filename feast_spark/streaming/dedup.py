@@ -54,6 +54,25 @@ def streaming_exact_dedup(
     )
 
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(conf_value: str) -> int:
+    """Spark size-conf string ('10485760b', '10MB', '-1') -> bytes."""
+    import re
+
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", str(conf_value).strip().lower())
+    if not m or m.group(2) not in _BYTE_SUFFIX:
+        raise ValueError(f"unparseable size conf {conf_value!r}")
+    return int(m.group(1)) * _BYTE_SUFFIX[m.group(2)]
+
+
 def _band_structs(num_hashes: int, bands: int) -> F.Column:
     """(band, bucket) structs from a ``minhash`` column — the same
     xxhash64-over-signature-slice keys as the batch
@@ -81,30 +100,55 @@ def mark_near_dup_candidates(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    broadcast_index: bool | str = "auto",
 ) -> DataFrame:
     """Mark documents that LSH-collide with a reference corpus.
 
     ``reference_buckets`` is the batch-side product
     ``lsh_band_buckets(corpus)`` — ``(band, bucket)`` distinct rows —
-    small enough to broadcast (banded buckets, not documents).  The
-    incoming docs' band keys come from the SAME signature pipeline;
-    a hit on any band sets ``near_dup_candidate`` (exact verification,
-    if needed, happens downstream against the batch store — candidates
-    are rare by construction).
+    or a bucketed-table read of it (:func:`publish_band_index` /
+    :func:`read_band_index`).  The incoming docs' band keys come from
+    the SAME signature pipeline; a hit on any band sets
+    ``near_dup_candidate`` (exact verification, if needed, happens
+    downstream against the batch store — candidates are rare by
+    construction).
+
+    ``broadcast_index``: ``True`` forces a broadcast join (right for
+    indexes into the hundreds of millions of docs — O(docs x bands)
+    longs); ``False`` forces a shuffle join, which is the 100-TB-corpus
+    path: with the index published bucketed on (band, bucket), its
+    Exchange is dropped at read time (plan-pinned), so per micro-batch
+    only the SMALL incoming side shuffles.  ``"auto"`` (default)
+    dispatches on the index's optimizer size estimate vs
+    ``spark.sql.autoBroadcastJoinThreshold`` — parquet/bucketed-table
+    reads carry real sizes; in-memory frames report unknown (huge) and
+    so take the shuffle path.
 
     This is a BATCH function on purpose: in a stream, apply it per
     micro-batch from ``foreachBatch`` (the test shows the wiring).  An
     in-plan streaming groupBy would keep one state row per doc id
     forever — unbounded state; per-micro-batch application is
-    stateless, so the only long-lived state is the broadcast index,
+    stateless, so the only long-lived state is the published index,
     refreshed whenever the batch pipeline republishes it.
     """
+    if broadcast_index == "auto":
+        threshold = _parse_bytes(
+            batch_df.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10485760"
+            )
+        )
+        stats_size = (
+            reference_buckets._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+        )
+        broadcast_index = threshold > 0 and 0 <= stats_size <= threshold
     mh = _banded_docs(batch_df, id_col, text_col, n, num_hashes, bands)
-    marked = mh.join(
-        F.broadcast(reference_buckets.withColumn("__hit", F.lit(True))),
-        ["band", "bucket"],
-        "left",
-    )
+    ref = reference_buckets.withColumn("__hit", F.lit(True))
+    if broadcast_index:
+        ref = F.broadcast(ref)
+    marked = mh.join(ref, ["band", "bucket"], "left")
     return marked.groupBy(id_col, text_col).agg(
         F.max(F.coalesce(F.col("__hit"), F.lit(False))).alias(
             "near_dup_candidate"
@@ -147,9 +191,51 @@ def lsh_band_buckets(
     shingle/signature/banding parameters.  Size is O(docs x bands)
     distinct longs — pairs of longs, not text — compact enough to
     broadcast for corpora into the hundreds of millions of docs; past
-    that, publish it bucketed-by-key and use a shuffle join instead."""
+    that, :func:`publish_band_index` persists it bucketed-by-key so
+    the per-micro-batch join needs no broadcast AND no index-side
+    shuffle."""
     return (
         _banded_docs(df, id_col, text_col, n, num_hashes, bands)
         .select("band", "bucket")
         .distinct()
     )
+
+
+def publish_band_index(
+    df: DataFrame,
+    table: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n_buckets: int = 64,
+) -> None:
+    """Publish the reference band index as a table BUCKETED on
+    (band, bucket) — the 100-TB-corpus path for
+    :func:`mark_near_dup_candidates`: the per-micro-batch left join
+    then reads the index co-located (its Exchange is dropped,
+    plan-pinned in tests), so each micro-batch shuffles only the
+    incoming docs' band rows, and nothing is ever broadcast.  This
+    retires the ~1e8-doc broadcast bound the pure-broadcast path
+    carries.
+
+    Republish (overwrite) whenever the batch dedup pipeline refreshes
+    the corpus — the same refresh cadence as the broadcast variant.
+    ``n_buckets`` sizes write-task memory exactly like
+    ``skew.write_bucketed`` (one file per bucket)."""
+    from feast_spark.operators.skew import write_bucketed
+
+    write_bucketed(
+        lsh_band_buckets(df, id_col, text_col, n, num_hashes, bands),
+        table,
+        bucket_cols=["band", "bucket"],
+        n_buckets=n_buckets,
+    )
+
+
+def read_band_index(spark, table: str) -> DataFrame:
+    """Read a :func:`publish_band_index` table for
+    :func:`mark_near_dup_candidates` (auto mode sees its real size
+    stats; the bucketed scan joins without an index-side Exchange)."""
+    return spark.table(table)

@@ -4,6 +4,7 @@ exact_dedup, and LSH near-dup marking against a broadcast batch index."""
 from datetime import datetime, timedelta
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SCHEMA = T.StructType(
@@ -131,3 +132,86 @@ def test_lsh_band_buckets_match_batch_banding(spark):
     a = {(r["band"], r["bucket"]) for r in lsh_band_buckets(df, "doc_id", "text").collect()}
     b = {(r["band"], r["bucket"]) for r in lsh_band_buckets(df, "doc_id", "text").collect()}
     assert a == b and len(a) == 8  # deterministic, one bucket per band
+
+
+def test_bucketed_index_marks_identically_no_broadcast(spark, tmp_path):
+    """The bucketed-table (shuffle-join) index path marks exactly like
+    the broadcast path, and the index side of the join plan carries no
+    Exchange (co-located bucketed scan) and no broadcast."""
+    from feast_spark.sources.testdata import load_table
+    from feast_spark.streaming.dedup import (
+        lsh_band_buckets,
+        mark_near_dup_candidates,
+        publish_band_index,
+        read_band_index,
+    )
+    from tests.conftest import SF_MED
+
+    docs = load_table(spark, SF_MED, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).limit(60)
+
+    spark.sql("DROP TABLE IF EXISTS band_idx_test")
+    publish_band_index(corpus, "band_idx_test", "doc_id", "text")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # force the shuffle-join path (at test scale AQE would broadcast
+    # the tiny index; at corpus scale it cannot — this pins THAT plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        idx = read_band_index(spark, "band_idx_test")
+        via_table = mark_near_dup_candidates(
+            incoming, idx, "doc_id", "text", broadcast_index=False
+        )
+        plan = via_table._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
+        # the bucketed index scan joins WITHOUT its own Exchange: the
+        # same join against a plain parquet copy of the index needs one
+        # more hash-partitioning Exchange
+        plain = idx.sparkSession.createDataFrame(
+            idx.collect(), idx.schema
+        )
+        plan_plain = mark_near_dup_candidates(
+            incoming, plain, "doc_id", "text", broadcast_index=False
+        )._jdf.queryExecution().executedPlan().toString()
+        n_bucketed = plan.count("Exchange hashpartitioning")
+        n_plain = plan_plain.count("Exchange hashpartitioning")
+        assert n_bucketed == n_plain - 1, (n_bucketed, n_plain)
+        got_table = {
+            (r["doc_id"], r["near_dup_candidate"]) for r in via_table.collect()
+        }
+        broadcast_ref = lsh_band_buckets(corpus, "doc_id", "text")
+        got_bcast = {
+            (r["doc_id"], r["near_dup_candidate"])
+            for r in mark_near_dup_candidates(
+                incoming, broadcast_ref, "doc_id", "text", broadcast_index=True
+            ).collect()
+        }
+        assert got_table == got_bcast
+        assert any(hit for _, hit in got_table)  # non-vacuous
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS band_idx_test")
+
+
+def test_mark_auto_dispatch(spark, tmp_path):
+    """auto: tiny parquet-backed index -> broadcast; unknown-size
+    in-memory frame -> shuffle path."""
+    from feast_spark.streaming.dedup import mark_near_dup_candidates
+
+    incoming = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], "doc_id INT, text STRING"
+    )
+    tiny = spark.createDataFrame(
+        [(0, 1)], "band INT, bucket LONG"
+    )
+    p = str(tmp_path / "tiny_idx")
+    tiny.write.parquet(p)
+    tiny_parquet = spark.read.parquet(p)
+    plan_small = mark_near_dup_candidates(
+        incoming, tiny_parquet, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+    plan_mem = mark_near_dup_candidates(
+        incoming, tiny, "doc_id", "text"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan_mem
