@@ -1104,6 +1104,213 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (operators/cdc.py apply_changelog —
+    MERGE INTO semantics as ONE hash aggregate, shuffle O(distinct
+    keys)): the events stream as a changelog where 'error' rows are
+    deletes, newest change per user wins, deleted users vanish.
+    event_id is the created/tie-break column (unique, so the result is
+    deterministic under any ts ties)."""
+    from feast_spark.operators.cdc import apply_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return apply_changelog(
+        None, changes, ["user_id"], "ts", op_col="op", created_col="event_id"
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag/delta features (operators/window_agg.py
+    with_lag_features): previous and second-previous value per user in
+    time order plus deltas — one window shuffle shared by all four
+    output columns, deterministic via the event_id tiebreak."""
+    from feast_spark.operators.window_agg import with_lag_features
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return with_lag_features(
+        ev, ["user_id"], "ts", ["value"], lags=[1, 2], tiebreak_col="event_id"
+    )
+
+
+def q_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/fuzzy_join.py edit_distance_join):
+    all cross-range customer-name pairs within Levenshtein distance 1,
+    via q-gram blocking + count filter + length-band short channel —
+    exact, no cross join (the oracle IS the cross join)."""
+    from feast_spark.operators.fuzzy_join import edit_distance_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    left = cust.filter(F.col("c_custkey") < 300).select("c_custkey", "c_name")
+    right = cust.filter(
+        (F.col("c_custkey") >= 300) & (F.col("c_custkey") < 600)
+    ).select("c_custkey", "c_name")
+    return edit_distance_join(
+        left, right, "c_custkey", "c_name", "c_custkey", "c_name", max_dist=1
+    )
+
+
+def q_decayed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user aggregates
+    (operators/timeseries.py decayed_agg): half-life-weighted sum and
+    count at a fixed evaluation time — ONE map-side-combined groupBy,
+    shuffle O(keys); values rounded to 6 decimals on both engines (the
+    weights go through pow(), where libm implementations may differ in
+    the last ulp)."""
+    from feast_spark.operators.timeseries import decayed_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = decayed_agg(
+        ev,
+        ["user_id"],
+        "ts",
+        "value",
+        half_life=timedelta(days=7),
+        at_time="2024-01-25 00:00:00",
+    )
+    return out.select(
+        "user_id",
+        F.round("decayed_sum", 6).alias("decayed_sum"),
+        F.round("decayed_count", 6).alias("decayed_count"),
+    )
+
+
+def q_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch rollup (operators/sketches.py): build per-(type, day)
+    sketches, then answer the per-type distinct-user question by
+    UNIONING the day sketches — the materialize-once-answer-forever
+    read path that touches O(groups) sketch rows, never the events.
+    At gate cardinalities (~150 users) the DataSketches HLL is in its
+    exact (coupon) regime, so the estimate equals COUNT(DISTINCT)
+    exactly and the hash gate applies; the error-bound regime at real
+    cardinalities is pinned by tests/test_sketches.py."""
+    from feast_spark.operators.sketches import (
+        build_distinct_sketches,
+        estimate_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    sk = build_distinct_sketches(ev, "user_id", ["event_type", "day"])
+    return estimate_distinct(sk, ["event_type"])
+
+
+_HYBRID_QVEC = [((i * 37) % 19) / 19.0 for i in range(64)]
+# DuckDB literal twin of the hybrid query vector (repr round-trips the
+# exact doubles, so both engines score the identical vector)
+_QVEC_SQL = "[" + ", ".join(repr(x) for x in _HYBRID_QVEC) + "]"
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval (operators/bm25.py hybrid_topk):
+    BM25 top-50 and cosine top-50 channels fused by reciprocal rank
+    (RRF, rank-based so the score scales never need normalizing); both
+    channels are TakeOrderedAndProject top-k plans over one narrow
+    pass each, the fusion is a full-outer join of two 50-row lists."""
+    from feast_spark.operators.bm25 import hybrid_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hybrid_topk(
+        docs, emb, ["spark", "merge"], _HYBRID_QVEC, k=10, fetch_k=50
+    )
+
+
+def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index BM25 (operators/bm25.py build_bm25_index /
+    bm25_index_topk): tokenize the corpus ONCE into a term-bucketed
+    postings table + stats (one atomic manifest flip), then serve the
+    query by reading ONLY its terms' bucket directories — partition
+    pruning makes per-query cost O(query-term postings), with scores
+    identical to the inline bm25_topk by shared construction."""
+    import tempfile
+
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="fs_gate_bm25_") + "/idx"
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    return bm25_index_topk(spark, path, ["hash", "scan", "filter"], k=15)
+
+
+def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end online serving under the hash gate
+    (feature_store.py materialize -> online snapshot ->
+    get_online_features with full field statuses): latest value per
+    user materialized to 2024-01-25, served at 2024-01-26 with a 36h
+    ttl, so users idle since 01-24 12:00 report OUTSIDE_MAX_AGE with
+    the stale value withheld, unknown users report NOT_FOUND, and the
+    rest serve PRESENT — the reference's FieldStatus contract
+    (ServingService.proto:96-115) replayed against a DuckDB
+    latest-per-key + ttl-cutoff oracle.  The request batch (152 rows)
+    is driver-side by design — serving requests are request-sized."""
+    import tempfile
+    from datetime import datetime
+
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="fs_gate_online_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", "event_type"
+    )
+    src = f"{tmp}/events_src.parquet"
+    ev.write.parquet(src)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="gate",
+            registry_path=f"{tmp}/registry.json",
+            online_store_path=f"{tmp}/online",
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="user", join_key="user_id", value_type=ValueType.INT64),
+            FeatureView(
+                name="user_latest",
+                entities=["user"],
+                ttl=timedelta(hours=36),
+                batch_source=FileSource(
+                    path=src, event_timestamp_column="ts"
+                ),
+            ),
+        ]
+    )
+    st.materialize(datetime(2024, 1, 1), datetime(2024, 1, 25, 0, 0, 0, 500000))
+    entity_rows = [{"user_id": i} for i in range(152)]
+    resp = st.get_online_features(
+        ["user_latest:value"],
+        entity_rows,
+        full_field_statuses=True,
+        now=datetime(2024, 1, 26),
+    )
+    rows = [
+        (i, resp["value"][i], resp["__statuses"]["value"][i])
+        for i in range(152)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id BIGINT, value DOUBLE, status STRING"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -1112,14 +1319,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_join": q_pit_join,
-        "pit_join_no_ttl": q_pit_join_no_ttl,
         "pit_join_multiview": q_pit_join_multiview,
         "latest_per_key": q_latest_per_key,
         "latest_per_key_created": q_latest_per_key_created,
         "time_range_filter": q_time_range_filter,
         "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
-        "dedup_groups": q_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "simhash_pairs": q_simhash_pairs,
@@ -1129,8 +1334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
-        "order_enrich": q_order_enrich_broadcast,
-        "nation_revenue": q_nation_revenue,
         "doc_chunks": q_doc_chunks,
         "window_agg_hourly": q_window_agg_hourly,
         "rolling_7d": q_rolling_7d,
@@ -1140,20 +1343,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "bm25_topk": q_bm25_topk,
         "pit_join_composite_key": q_pit_join_composite_key,
-        "pit_join_key_mapping": q_pit_join_key_mapping,
         "json_props": q_json_props,
         "corpus_pipeline": q_corpus_pipeline,
-        "topk_revenue": q_topk_revenue,
         "shipping_priority": q_shipping_priority,
         "rollup_revenue": q_rollup_revenue,
         "dup_groups_resolved": q_dup_groups_resolved,
-        "distinct_daily_users": q_distinct_daily_users,
         "pack_sequences": q_pack_sequences,
         "customers_no_orders": q_customers_no_orders,
         "weighted_sample": q_weighted_sample,
         "corpus_clean": q_corpus_clean,
         "table_profile": q_table_profile,
-        "hash_split": q_hash_split,
         "attribution_join": q_attribution_join,
         "pit_join_list_feature": q_pit_join_list_feature,
         "stratified_sample": q_stratified_sample,
@@ -1161,6 +1360,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "funnel": q_funnel,
         "top_ngrams": q_top_ngrams,
+        "cdc_merge": q_cdc_merge,
+        "lag_features": q_lag_features,
+        "edit_distance_join": q_edit_distance_join,
+        "decayed_agg": q_decayed_agg,
+        "sketch_distinct": q_sketch_distinct,
+        "hybrid_rrf": q_hybrid_rrf,
+        "bm25_index_topk": q_bm25_index_topk,
+        "online_serving": q_online_serving,
     }
     # NB: exactly 50 entries — the driver records at most 50 queries
     # (r02 registered 52, recorded 50).  The former simhash_portable /
@@ -1181,6 +1388,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # normalized-md5 identity IS dedup_exact's oracle mechanism).
     # All four keep their original oracles in
     # tests/test_rotated_relational.py.
+    # Round 9 rotated eight double-covered slots so the rounds-7/8
+    # pytest-only operators get hard gates: pit_join_no_ttl +
+    # pit_join_key_mapping (J1/P1 stay gated via pit_join,
+    # pit_join_composite_key, pit_join_multiview, rollup_pit_join,
+    # pit_join_list_feature), nation_revenue + order_enrich +
+    # topk_revenue (join/agg/top-k shapes stay gated via
+    # shipping_priority, rollup_revenue, funnel, attribution_join),
+    # dedup_groups (0-row twin; dup_groups_resolved gates the whole
+    # minhash->CC->resolve chain), hash_split (same md5-prefix idiom
+    # as stratified_sample/weighted_sample), distinct_daily_users
+    # (sketch_distinct now gates distinct counting via the HLL
+    # rollup).  In their place: cdc_merge, lag_features,
+    # edit_distance_join, decayed_agg, sketch_distinct, hybrid_rrf,
+    # bm25_index_topk, online_serving.  All eight rotated queries keep
+    # their original oracles in tests/test_rotated_relational.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1200,6 +1422,46 @@ _TOK_CNT = (
 )
 _MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
 _H32_ID = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+def _bm25_oracle(terms: list[str], k: int) -> str:
+    """DuckDB twin of bm25_topk / bm25_index_topk (identical scoring by
+    construction — operators/bm25.py _score_postings): Lucene-idf BM25
+    term-for-term."""
+    tl = ", ".join(f"'{t}'" for t in sorted(terms))
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
+           AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ({tl}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+"""
+
 
 # All oracle timestamps are CAST to µs-precision TIMESTAMP up front so the
 # comparison domain matches Spark's (which truncates the parquet ns column).
@@ -1447,7 +1709,6 @@ def oracle_sql() -> dict[str, str]:
         "pit_join": _PIT_ORACLE.format(
             ttl_pred="AND f.ts >= e.ts - INTERVAL 2 DAY"
         ),
-        "pit_join_no_ttl": _PIT_ORACLE.format(ttl_pred=""),
         "pit_join_multiview": """
 WITH entity AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
@@ -1515,10 +1776,6 @@ SELECT doc_id, lang, n_chars FROM (
   FROM fp
 ) WHERE rn = 1
 """,
-        "dedup_groups": f"""
-SELECT {_NORM_MD5} AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING COUNT(*) > 1
-""",
         "ngram_jaccard_pairs": f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
@@ -1584,22 +1841,6 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
-""",
-        "order_enrich": """
-SELECT o_orderkey, o_totalprice, c_name, n_name AS nation_name
-FROM orders
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-""",
-        "nation_revenue": """
-SELECT r_name, n_name,
-       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY r_name, n_name
 """,
         "doc_chunks": """
 WITH s AS (
@@ -1848,24 +2089,6 @@ SELECT l_orderkey, l_suppkey, query_ts,
        CASE WHEN fts IS NULL THEN NULL ELSE l_extendedprice END AS l_extendedprice
 FROM ranked WHERE rn = 1
 """,
-        "pit_join_key_mapping": """
-WITH entity AS (
-  SELECT event_id, user_id AS uid, CAST(ts AS TIMESTAMP) AS ts
-  FROM events WHERE event_type = 'purchase'
-), feat AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
-  FROM events WHERE event_type = 'view'
-), ranked AS (
-  SELECT e.event_id, e.uid, e.ts, f.value, f.ts AS fts,
-         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
-  FROM entity e
-  LEFT JOIN feat f
-    ON e.uid = f.user_id AND f.ts <= e.ts AND f.ts >= e.ts - INTERVAL 2 DAY
-)
-SELECT event_id, uid, ts,
-       CASE WHEN fts IS NULL THEN NULL ELSE value END AS view_value
-FROM ranked WHERE rn = 1
-""",
         "json_props": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
@@ -2042,15 +2265,6 @@ tr8 AS (
 SELECT doc_id, source, lang_pred, n_tokens, quality_score, split
 FROM mixc WHERE cum <= budget
 """,
-        "topk_revenue": """
-SELECT l_orderkey,
-       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-GROUP BY l_orderkey
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-""",
         "shipping_priority": """
 SELECT l_orderkey,
        SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
@@ -2076,14 +2290,6 @@ JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
         "dup_groups_resolved": _dup_groups_oracle(),
-        "distinct_daily_users": """
-SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-       COUNT(DISTINCT user_id) AS n_users,
-       COUNT(*) AS n_events,
-       SUM(value) AS sum_value
-FROM events
-GROUP BY 1
-""",
         "pack_sequences": f"""
 WITH d AS (
   SELECT doc_id, {_TOK_CNT} AS n_tokens,
@@ -2190,18 +2396,6 @@ SELECT 'value', COUNT(*),
        CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE),
        CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM events
-""",
-        "hash_split": """
-SELECT doc_id,
-       CASE WHEN b < 80 THEN 'train'
-            WHEN b < 90 THEN 'val'
-            ELSE 'test' END AS split
-FROM (
-  SELECT doc_id,
-         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-              AS BIGINT) % 100 AS b
-  FROM documents
-)
 """,
         "attribution_join": """
 WITH p AS (
@@ -2358,5 +2552,131 @@ SELECT bigram, COUNT(*) AS n
 FROM bg GROUP BY bigram
 ORDER BY n DESC, bigram ASC
 LIMIT 50
+""",
+        "cdc_merge": """
+WITH ch AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+  FROM events
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+)
+SELECT user_id, ts, event_id, value FROM r WHERE rn = 1 AND op = 'upsert'
+""",
+        "lag_features": """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       LAG(value, 1) OVER w AS value_lag1,
+       value - LAG(value, 1) OVER w AS value_delta1,
+       LAG(value, 2) OVER w AS value_lag2,
+       value - LAG(value, 2) OVER w AS value_delta2
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+""",
+        "edit_distance_join": """
+SELECT a.c_custkey AS c_custkey_l, b.c_custkey AS c_custkey_r,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a, customer b
+WHERE a.c_custkey < 300 AND b.c_custkey >= 300 AND b.c_custkey < 600
+  AND levenshtein(a.c_name, b.c_name) <= 1
+""",
+        "decayed_agg": """
+SELECT user_id,
+       ROUND(SUM(value * POWER(0.5, (epoch(TIMESTAMP '2024-01-25 00:00:00')
+           - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))), 6) AS decayed_sum,
+       ROUND(SUM(POWER(0.5, (epoch(TIMESTAMP '2024-01-25 00:00:00')
+           - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))), 6) AS decayed_count
+FROM events
+WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-25 00:00:00'
+GROUP BY user_id
+""",
+        "sketch_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+        "hybrid_rrf": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
+           AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ('merge', 'spark') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+),
+lexk AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+           AS lex_rank
+  FROM (SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 50) t
+),
+ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+qv AS (SELECT {_QVEC_SQL} AS e),
+pairs AS (
+  SELECT c.vec_id AS id,
+         ROUND(list_sum(list_transform(list_zip(qv.e, c.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qv.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS cos
+  FROM ac c, qv WHERE c.vec_id <> -1
+),
+veck AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS INTEGER)
+           AS vec_rank
+  FROM (SELECT id, cos FROM pairs ORDER BY cos DESC, id ASC LIMIT 50) t
+),
+fused AS (
+  SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+         COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+         + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
+  FROM lexk l FULL JOIN veck v ON l.id = v.id
+)
+SELECT id, lex_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
+""",
+        "bm25_index_topk": _bm25_oracle(["hash", "scan", "filter"], 15),
+        "online_serving": """
+WITH u AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 152)),
+l AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00.5'
+),
+last AS (SELECT user_id, ts, value FROM l WHERE rn = 1)
+SELECT u.user_id,
+       CASE WHEN last.user_id IS NOT NULL
+                 AND last.ts >= TIMESTAMP '2024-01-24 12:00:00'
+            THEN last.value END AS value,
+       CASE WHEN last.user_id IS NULL THEN 'NOT_FOUND'
+            WHEN last.ts < TIMESTAMP '2024-01-24 12:00:00'
+              THEN 'OUTSIDE_MAX_AGE'
+            ELSE 'PRESENT' END AS status
+FROM u LEFT JOIN last ON u.user_id = last.user_id
 """,
     }

@@ -76,6 +76,77 @@ SELECT doc_id,
        md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
 FROM documents
 """,
+    # -- rotated out in round 9 (gate slots went to cdc_merge,
+    # lag_features, edit_distance_join, decayed_agg, sketch_distinct,
+    # hybrid_rrf, bm25_index_topk, online_serving) --
+    "pit_join_no_ttl": entry_mod._PIT_ORACLE.format(ttl_pred=""),
+    "pit_join_key_mapping": """
+WITH entity AS (
+  SELECT event_id, user_id AS uid, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), feat AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT e.event_id, e.uid, e.ts, f.value, f.ts AS fts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
+  FROM entity e
+  LEFT JOIN feat f
+    ON e.uid = f.user_id AND f.ts <= e.ts AND f.ts >= e.ts - INTERVAL 2 DAY
+)
+SELECT event_id, uid, ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE value END AS view_value
+FROM ranked WHERE rn = 1
+""",
+    "nation_revenue": """
+SELECT r_name, n_name,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "order_enrich": """
+SELECT o_orderkey, o_totalprice, c_name, n_name AS nation_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+""",
+    "topk_revenue": """
+SELECT l_orderkey,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    "dedup_groups": f"""
+SELECT {entry_mod._NORM_MD5} AS fp, COUNT(*) AS n_dups, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+""",
+    "hash_split": """
+SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train'
+            WHEN b < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS b
+  FROM documents
+)
+""",
+    "distinct_daily_users": """
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       SUM(value) AS sum_value
+FROM events
+GROUP BY 1
+""",
 }
 
 _FUNCS = {
@@ -88,6 +159,14 @@ _FUNCS = {
     "part_type_stats": entry_mod.q_part_type_stats,
     "token_count": entry_mod.q_token_count,
     "doc_fingerprint": entry_mod.q_doc_fingerprint,
+    "pit_join_no_ttl": entry_mod.q_pit_join_no_ttl,
+    "pit_join_key_mapping": entry_mod.q_pit_join_key_mapping,
+    "nation_revenue": entry_mod.q_nation_revenue,
+    "order_enrich": entry_mod.q_order_enrich_broadcast,
+    "topk_revenue": entry_mod.q_topk_revenue,
+    "dedup_groups": entry_mod.q_dedup_groups,
+    "hash_split": entry_mod.q_hash_split,
+    "distinct_daily_users": entry_mod.q_distinct_daily_users,
 }
 
 
