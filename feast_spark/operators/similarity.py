@@ -16,8 +16,13 @@ pairs.
 
 from __future__ import annotations
 
+import json
+import posixpath
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from feast_spark.io.fs import LocalFS, StoreFS
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -419,6 +424,50 @@ def ivf_ann_topk(
 # Persisted IVF index — build once, query many times
 # ---------------------------------------------------------------------------
 
+_IVF_MANIFEST = "_MANIFEST.json"
+
+
+def _ivf_manifest(path: str, fs: StoreFS) -> dict:
+    mp = posixpath.join(path, _IVF_MANIFEST)
+    if not fs.exists(mp):
+        raise ValueError(f"no IVF index committed at {path}")
+    return json.loads(fs.read_bytes(mp))
+
+
+def _ivf_commit(path: str, fs: StoreFS, manifest: dict) -> None:
+    fs.write_bytes_atomic(
+        posixpath.join(path, _IVF_MANIFEST), json.dumps(manifest).encode()
+    )
+
+
+def _ivf_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
+    """Number past every committed epoch AND every orphaned directory a
+    crashed append may have left, so stages never collide (the
+    minhash_index._next_epoch discipline)."""
+    seen = set(committed)
+    base = posixpath.join(path, "vectors")
+    for d in fs.list_subdirs(base) if fs.exists(base) else []:
+        if d.startswith("epoch=") and d[6:].isdigit():
+            seen.add(int(d[6:]))
+    return (max(seen) + 1) if seen else 0
+
+
+def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
+    """The committed (id, vec, cell) corpus: only manifest-listed epoch
+    directories are read, so a crashed append is invisible.  ``cell``
+    stays a discovered partition column under every epoch dir — cell
+    equality/IN filters still prune directories."""
+    fs = fs or LocalFS()
+    epochs = _ivf_manifest(path, fs)["epochs"]
+    return (
+        spark.read.option("basePath", posixpath.join(path, "vectors"))
+        .parquet(
+            *[posixpath.join(path, "vectors", f"epoch={e}") for e in epochs]
+        )
+        .drop("epoch")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -426,11 +475,15 @@ def build_ivf_index(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     iters: int = 2,
+    fs: StoreFS | None = None,
 ) -> None:
     """Train the coarse quantizer once and persist the index:
 
     - ``{path}/centroids``: tiny parquet (cell, centroid) table
-    - ``{path}/vectors``: the cell-tagged corpus, ``partitionBy(cell)``
+    - ``{path}/vectors/epoch=0``: the cell-tagged corpus,
+      ``partitionBy(cell)`` within the epoch directory
+    - ``{path}/_MANIFEST.json``: the committed epoch list (the
+      epoch-append protocol of ``operators/minhash_index.py``)
 
     Querying then reads ONLY the probed cells' directories (partition
     pruning / dynamic partition pruning on the broadcast cell join) —
@@ -438,19 +491,22 @@ def build_ivf_index(
     ~1.5% of the corpus bytes, and nothing is retrained per query
     (``ivf_ann_topk`` retrains every call; this is its repeated-workload
     counterpart)."""
+    fs = fs or LocalFS()
     spark = corpus.sparkSession
     cents = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cell INT, centroid ARRAY<DOUBLE>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    epoch = _ivf_next_epoch(path, fs, [])
     (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
-        .write.mode("overwrite")
+        .write.mode("errorifexists")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
+    _ivf_commit(path, fs, {"epochs": [epoch]})
 
 
 def ivf_index_topk(
@@ -467,7 +523,7 @@ def ivf_index_topk(
     ``ivf_ann_topk`` with identical params — pinned by tests."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [list(r.centroid) for r in cent_rows]
-    vectors = spark.read.parquet(f"{path}/vectors").select(
+    vectors = _ivf_vectors(spark, path).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
     q = (
@@ -581,49 +637,48 @@ def ivf_index_append(
     new_vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fs: StoreFS | None = None,
 ) -> None:
     """Add vectors to a persisted IVF index WITHOUT retraining — the
     FAISS ``add()`` semantics: the coarse quantizer stays frozen, new
-    vectors are assigned to their nearest existing centroid and
-    appended into the matching cell partitions (parquet append writes
-    new files into the cell directories; running queries keep partition
-    pruning and immediately see the new rows on their next scan).
+    vectors are assigned to their nearest existing centroid and staged
+    as a new epoch directory (``vectors/epoch=N``, partitioned by cell
+    within it), then the manifest is atomically rewritten to include
+    the epoch.  Readers resolve the manifest, so a crashed append's
+    partial files are INVISIBLE (its epoch is never listed) and a
+    completed append becomes visible to the next query atomically —
+    no reader coordination, object-store safe.  Appends are
+    single-writer (epoch numbering), like every append index.
 
     Cost: one narrow pass over the NEW vectors only (broadcast
-    centroid argmin + partitioned append) — history is never
-    rewritten, which is what makes a 100 TB index maintainable as the
-    corpus grows daily.  The trade-off of a frozen quantizer is
-    distribution drift: vectors from a shifted distribution still land
-    in their nearest old cell, so recall degrades as skew grows.
-    Watch ``ivf_index_stats`` and rebuild (``build_ivf_index``) when
-    the max/mean cell-size ratio drifts past your budget.
+    centroid argmin + one epoch write + an O(1) manifest flip) —
+    history is never rewritten, which is what makes a 100 TB index
+    maintainable as the corpus grows daily.  The trade-off of a frozen
+    quantizer is distribution drift: vectors from a shifted
+    distribution still land in their nearest old cell, so recall
+    degrades as skew grows.  Watch ``ivf_index_stats`` and rebuild
+    (``build_ivf_index``) when the max/mean cell-size ratio drifts
+    past your budget.  Epoch count grows per append; queries list
+    O(epochs x probed cells) directories, so compact (rebuild) if
+    appends are very frequent.
 
     Id uniqueness across appends is the caller's contract (same as
-    FAISS).
-
-    Durability contract — WEAKER than the manifest-flip tables
-    (``io/manifest.py``): this is a plain parquet ``mode('append')``,
-    so (a) a crashed append can leave partial cell files that readers
-    immediately see (object stores have no directory atomicity), and
-    (b) concurrent appends have no commit coordination — SINGLE
-    WRITER required.  This is deliberate: a manifest-flip would have
-    to rewrite (or re-link) every cell snapshot per append, defeating
-    the O(new vectors) append cost.  If you need atomic visibility,
-    run appends through an orchestrator that retries a crashed append
-    from a cleaned directory, or use the minhash signature index
-    (``operators/minhash_index.py``), whose epoch-append commit gets
-    atomic visibility without rewriting history."""
+    FAISS)."""
+    fs = fs or LocalFS()
+    manifest = _ivf_manifest(path, fs)
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
     cents = [list(r.centroid) for r in cent_rows]
+    epoch = _ivf_next_epoch(path, fs, manifest["epochs"])
     (
         new_vectors.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
         )
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
-        .write.mode("append")
+        .write.mode("errorifexists")
         .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+        .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
+    _ivf_commit(path, fs, {**manifest, "epochs": manifest["epochs"] + [epoch]})
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:
@@ -632,7 +687,7 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     ``ivf_index_append``.  One aggregate over partition-pruned
     metadata-cheap scans."""
     counts = (
-        spark.read.parquet(f"{path}/vectors")
+        _ivf_vectors(spark, path)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )

@@ -149,19 +149,23 @@ def test_ivf_persisted_index_matches_inline(spark, tmp_path):
     want = ivf_ann_topk(emb, queries, n_centroids=8, n_probe=3, k=5, iters=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
-    cells = [d for d in os.listdir(f"{path}/vectors") if d.startswith("cell=")]
+    cells = [
+        d
+        for d in os.listdir(f"{path}/vectors/epoch=0")
+        if d.startswith("cell=")
+    ]
     assert len(cells) > 1, "corpus must be laid out one directory per cell"
 
 
 def test_ivf_index_query_prunes_partitions(spark, tmp_path):
     """With literal probe cells, the vectors scan must read only the
     probed cells (partition filters in the scan, not a full read)."""
-    from feast_spark.operators.similarity import build_ivf_index
+    from feast_spark.operators.similarity import _ivf_vectors, build_ivf_index
 
     emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
     path = str(tmp_path / "ivf")
     build_ivf_index(emb, path, n_centroids=8, iters=2)
-    vectors = spark.read.parquet(f"{path}/vectors")
+    vectors = _ivf_vectors(spark, path)
     pruned = vectors.filter(F.col("cell").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
@@ -236,8 +240,12 @@ def test_ivf_index_append_equals_rebuild_with_frozen_quantizer(spark, tmp_path):
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
         .write.partitionBy("cell")
-        .parquet(f"{full_path}/vectors")
+        .parquet(f"{full_path}/vectors/epoch=0")
     )
+    import json as _json
+
+    with open(f"{full_path}/_MANIFEST.json", "w") as f:
+        _json.dump({"epochs": [0]}, f)
 
     queries = emb.filter(F.col("vec_id") < 5)
     got = ivf_index_topk(spark, inc_path, queries, n_probe=3, k=5).collect()
@@ -250,3 +258,52 @@ def test_ivf_index_append_equals_rebuild_with_frozen_quantizer(spark, tmp_path):
     stats = ivf_index_stats(spark, inc_path).collect()
     assert sum(r["n_vectors"] for r in stats) == emb.count()
     assert all(r["skew_ratio"] >= 1.0 for r in stats)
+
+
+def test_ivf_crashed_append_is_invisible(spark, tmp_path):
+    """A staged-but-uncommitted epoch (crash between stage and manifest
+    flip) is never read by queries or stats, and the next append
+    numbers past the orphan — the minhash_index commit protocol applied
+    to the ANN index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.similarity import (
+        _ivf_vectors,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_stats,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path, n_centroids=4)
+    n0 = _ivf_vectors(spark, path).count()
+    # simulate a crashed append: epoch dir staged, manifest not flipped
+    orphan = os.path.join(path, "vectors", "epoch=1")
+    (
+        emb.filter(F.col("vec_id") % 3 == 1)
+        .select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+        .withColumn("cell", F.lit(0))
+        .write.partitionBy("cell")
+        .parquet(orphan)
+    )
+    assert _ivf_vectors(spark, path).count() == n0  # orphan invisible
+    assert (
+        sum(r["n_vectors"] for r in ivf_index_stats(spark, path).collect())
+        == n0
+    )
+    # next append numbers PAST the orphan and commits atomically
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == 2))
+    assert os.path.isdir(os.path.join(path, "vectors", "epoch=2"))
+    import json as _json
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        assert _json.load(f)["epochs"] == [0, 2]
+    assert (
+        _ivf_vectors(spark, path).count()
+        == n0 + emb.filter(F.col("vec_id") % 3 == 2).count()
+    )
