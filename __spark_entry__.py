@@ -1253,16 +1253,22 @@ def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stale value withheld, unknown users report NOT_FOUND, and the
     rest serve PRESENT — the reference's FieldStatus contract
     (ServingService.proto:96-115) replayed against a DuckDB
-    latest-per-key + ttl-cutoff oracle.  The request batch (152 rows)
-    is driver-side by design — serving requests are request-sized."""
+    latest-per-key + ttl-cutoff oracle.  An on-demand feature view
+    (value_scaled = value*10+1, spark-mode transform) is served in the
+    same request, putting the ODFV serving half under the hash gate
+    too: its input is the post-status value, so withheld/absent values
+    yield NULL.  The request batch (152 rows) is driver-side by
+    design — serving requests are request-sized."""
     import tempfile
     from datetime import datetime
 
     from feast_spark import (
         Entity,
+        Feature,
         FeatureStore,
         FeatureView,
         FileSource,
+        OnDemandFeatureView,
         RepoConfig,
         ValueType,
     )
@@ -1292,22 +1298,37 @@ def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
                     path=src, event_timestamp_column="ts"
                 ),
             ),
+            OnDemandFeatureView(
+                name="value_scaled_view",
+                sources=["user_latest:value"],
+                features=[Feature(name="value_scaled", dtype=ValueType.DOUBLE)],
+                transform=lambda df: df.withColumn(
+                    "value_scaled", F.col("value") * 10.0 + 1.0
+                ),
+                mode="spark",
+            ),
         ]
     )
     st.materialize(datetime(2024, 1, 1), datetime(2024, 1, 25, 0, 0, 0, 500000))
     entity_rows = [{"user_id": i} for i in range(152)]
     resp = st.get_online_features(
-        ["user_latest:value"],
+        ["user_latest:value", "value_scaled_view:value_scaled"],
         entity_rows,
         full_field_statuses=True,
         now=datetime(2024, 1, 26),
     )
     rows = [
-        (i, resp["value"][i], resp["__statuses"]["value"][i])
+        (
+            i,
+            resp["value"][i],
+            resp["__statuses"]["value"][i],
+            resp["value_scaled"][i],
+        )
         for i in range(152)
     ]
     return spark.createDataFrame(
-        rows, "user_id BIGINT, value DOUBLE, status STRING"
+        rows,
+        "user_id BIGINT, value DOUBLE, status STRING, value_scaled DOUBLE",
     )
 
 
@@ -2676,7 +2697,10 @@ SELECT u.user_id,
        CASE WHEN last.user_id IS NULL THEN 'NOT_FOUND'
             WHEN last.ts < TIMESTAMP '2024-01-24 12:00:00'
               THEN 'OUTSIDE_MAX_AGE'
-            ELSE 'PRESENT' END AS status
+            ELSE 'PRESENT' END AS status,
+       CASE WHEN last.user_id IS NOT NULL
+                 AND last.ts >= TIMESTAMP '2024-01-24 12:00:00'
+            THEN last.value * 10.0 + 1.0 END AS value_scaled
 FROM u LEFT JOIN last ON u.user_id = last.user_id
 """,
     }
