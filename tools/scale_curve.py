@@ -185,6 +185,51 @@ def _sketch_build(spark, sf_dir):
     return build_distinct_sketches(ev, "user_id", ["day"])
 
 
+def _names(spark, sf_dir):
+    """Record-linkage name table derived from documents: a Zipf-hot
+    leading word (the hot-gram hazard real name corpora have — 'inc',
+    'ltd') plus a unique md5 tail.  True dist<=1 matches are rare, the
+    realistic shape."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.split(F.col("text"), " ").getItem(0),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+        ).alias("name"),
+    )
+
+
+def _edit_join(max_gram_freq):
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from feast_spark.operators.fuzzy_join import edit_distance_join
+
+        names = _names(spark, sf_dir)
+        left = names.filter(F.col("doc_id") % 2 == 0)
+        right = names.filter(F.col("doc_id") % 2 == 1)
+        return edit_distance_join(
+            left, right, "doc_id", "name", "doc_id", "name",
+            max_dist=1, max_gram_freq=max_gram_freq,
+        )
+
+    return fn
+
+
+def _semantic_dedup_auto(spark, sf_dir):
+    from feast_spark.operators.semdedup import semantic_dedup_pairs
+    from feast_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, "vec_id", "embedding", threshold=0.97)
+
+
 def _ops():
     import __spark_entry__ as e
     from bench import q_pq_search
@@ -199,6 +244,9 @@ def _ops():
         "doc_chunks": e.q_doc_chunks,
         "sketch_build": _sketch_build,
         "bm25_topk": e.q_bm25_topk,
+        "edit_join": _edit_join(None),
+        "edit_join_capped": _edit_join(2000),
+        "semantic_dedup_auto": _semantic_dedup_auto,
     }
 
 
@@ -272,7 +320,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    results = run_curve(spark, root, scales, runs)
+    only = os.environ.get("SPARK_GRAFT_SCALE_OPS")
+    results = run_curve(
+        spark, root, scales, runs, op_names=only.split(",") if only else None
+    )
     print(
         json.dumps(
             {
