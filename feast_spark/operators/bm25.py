@@ -42,6 +42,8 @@ __all__ = [
     "bm25_index_topk",
     "bm25_index_topk_batch",
     "hybrid_index_topk",
+    "hybrid_index_topk_batch",
+    "bm25_index_stats",
 ]
 
 
@@ -223,6 +225,29 @@ def _rrf_fuse(
     return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
 
 
+def _rrf_fuse_batch(
+    lex: DataFrame, vec: DataFrame, rrf_k: int, k: int
+) -> DataFrame:
+    """Per-query RRF fusion of two (query_id, id, *_rank) channel
+    rankings; shared by the inline and persisted-index batch hybrids."""
+    fused = lex.join(vec, ["query_id", "id"], "full_outer").withColumn(
+        "rrf",
+        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("id").asc()
+    )
+    return (
+        fused.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id", "id", "lex_rank", "vec_rank", "rrf",
+            F.col("__rn").alias("rank"),
+        )
+    )
+
+
 def bm25_topk_batch(
     df: DataFrame,
     queries: DataFrame,
@@ -365,25 +390,7 @@ def hybrid_topk_batch(
         "query_id", F.col("neighbor_id").alias("id"),
         F.col("rank").alias("vec_rank"),
     )
-    fused = (
-        lex.join(vec, ["query_id", "id"], "full_outer")
-        .withColumn(
-            "rrf",
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col("id").asc()
-    )
-    return (
-        fused.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(
-            "query_id", "id", "lex_rank", "vec_rank", "rrf",
-            F.col("__rn").alias("rank"),
-        )
-    )
+    return _rrf_fuse_batch(lex, vec, rrf_k, k)
 
 
 # ---------------------------------------------------------------------------
@@ -637,3 +644,88 @@ def hybrid_index_topk(
         F.col("rank").alias("vec_rank"),
     )
     return _rrf_fuse(lex, vec, rrf_k, k)
+
+
+def hybrid_index_topk_batch(
+    spark: SparkSession,
+    index_path: str,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    fetch_k: int = 50,
+    rrf_k: int = 60,
+    fs=None,
+) -> DataFrame:
+    """:func:`hybrid_topk_batch` with the lexical channel served from
+    a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
+    rrf, rank) contract and fusion (shared ``_rrf_fuse_batch``), but
+    the lexical cost is one partition-pruned postings read for the
+    whole batch's term set instead of a corpus tokenize.  The
+    retrieval-service shape for many concurrent hybrid queries; pair
+    the vector channel with ``ivf_index_topk`` over a persisted ANN
+    index when the embedding corpus is itself too large to scan."""
+    from feast_spark.operators.similarity import cosine_topk
+
+    if fetch_k < k:
+        raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    lex = bm25_index_topk_batch(
+        spark, index_path, queries, query_id_col=query_id_col,
+        terms_col=terms_col, k=fetch_k, fs=fs,
+    )
+    id_col = lex.columns[1]
+    lex = lex.select(
+        "query_id", F.col(id_col).alias("id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    vec = cosine_topk(
+        embeddings,
+        queries.select(
+            F.col(query_id_col).alias(emb_id_col),
+            F.col(qvec_col).alias(vec_col),
+        ),
+        id_col=emb_id_col, vec_col=vec_col, k=fetch_k,
+    ).select(
+        "query_id", F.col("neighbor_id").alias("id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return _rrf_fuse_batch(lex, vec, rrf_k, k)
+
+
+def bm25_index_stats(spark: SparkSession, path: str, fs=None) -> DataFrame:
+    """Per-bucket posting counts plus the global skew ratio (max
+    bucket / mean bucket) and corpus stats — the health/rebuild signal
+    for a persisted BM25 index, mirroring ``similarity.ivf_index_stats``
+    and ``minhash_index.minhash_index_stats``.  A skewed bucket means
+    one bucket's postings dominate reads for queries hashing into it;
+    rebuild with more ``n_term_buckets`` when the ratio drifts past
+    your budget.  One aggregate over the postings table."""
+    from feast_spark.io.manifest import ManifestedParquetTable
+
+    table = ManifestedParquetTable(path, fs=fs)
+    meta = table.current_meta()
+    if "n_term_buckets" not in meta:
+        raise ValueError(f"no BM25 index committed at {path}")
+    counts = (
+        table.read_table(spark, "postings")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.approx_count_distinct("term").alias("n_terms_approx"),
+        )
+    )
+    stats = table.read_table(spark, "stats").select("n_docs", "avg_len")
+    return counts.crossJoin(
+        F.broadcast(
+            counts.agg(
+                (F.max("n_postings") / F.avg("n_postings")).alias(
+                    "skew_ratio"
+                ),
+                F.sum("n_postings").alias("total_postings"),
+            )
+        )
+    ).crossJoin(F.broadcast(stats))

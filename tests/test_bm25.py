@@ -369,3 +369,55 @@ def test_bm25_index_empty_and_unbuilt(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no BM25 index"):
         bm25_index_topk(spark, str(tmp_path / "missing"), ["x"]).collect()
+
+
+def test_hybrid_index_batch_matches_inline_batch(spark, tmp_path):
+    """hybrid_index_topk_batch == hybrid_topk_batch on the same corpus
+    and query batch: the lexical channel swap (persisted index vs
+    corpus scan) must not change a single fused row."""
+    from feast_spark.operators.bm25 import (
+        build_bm25_index,
+        hybrid_index_topk_batch,
+        hybrid_topk_batch,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings")
+    path = str(tmp_path / "bm25hb")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    dim = len(emb.select("embedding").first()[0])
+    qs = spark.createDataFrame(
+        [
+            (
+                -1 - i,
+                ["spark", "merge", "scan"][i : i + 2],
+                [float((j * 37 + i * 11) % 19) / 19.0 for j in range(dim)],
+            )
+            for i in range(2)
+        ],
+        "query_id BIGINT, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+    )
+    inline = hybrid_topk_batch(docs, emb, qs, k=8).collect()
+    indexed = hybrid_index_topk_batch(spark, path, emb, qs, k=8).collect()
+    assert sorted(map(tuple, indexed), key=lambda t: (t[0], t[5])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[5])
+    )
+    assert len(indexed) == 16  # k rows per query
+
+
+def test_bm25_index_stats(spark, tmp_path):
+    from feast_spark.operators.bm25 import bm25_index_stats, build_bm25_index
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25s")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=8)
+    rows = bm25_index_stats(spark, path).collect()
+    assert 1 <= len(rows) <= 8
+    total = rows[0]["total_postings"]
+    assert total == sum(r["n_postings"] for r in rows)
+    assert all(r["skew_ratio"] >= 1.0 for r in rows)
+    assert rows[0]["n_docs"] == docs.count()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no BM25 index"):
+        bm25_index_stats(spark, str(tmp_path / "nope")).collect()
