@@ -345,3 +345,145 @@ def estimate_quantiles(
             F.max(F.when(hit, est)).alias(f"q_{str(q).replace('.', '_')}")
         )
     return cum.groupBy(*(group_cols or [])).agg(*exprs)
+
+
+class HistogramTable:
+    """A materialized, incrementally-maintained histogram table over
+    one value column at a fixed grain — the distribution twin of
+    :class:`SketchTable`, and the persistence layer drift monitoring
+    rides on (``operators/drift.py``).
+
+    The binning (val_col, lo, hi, n_bins) is FROZEN into the manifest
+    meta on first commit and validated on every later update — merging
+    histograms with different binnings would silently corrupt counts
+    (the frozen-params contract of ``operators/minhash_index.py``).
+
+    ``update(spark, events)`` histograms the incoming slice (one scan,
+    map-side reduced to O(groups x bins) longs) and element-adds it
+    into the stored table under a manifest-flip commit; late data,
+    backfill, and the :meth:`foreach_batch_writer` streaming sink are
+    all the same exact merge.  ``quantiles`` answers from the stored
+    rows; ``drift_against`` compares a snapshot (raw frame, same
+    binning applied) against the stored REFERENCE distribution — the
+    daily drift check therefore reads KBs, never events history."""
+
+    def __init__(
+        self,
+        root: str,
+        val_col: str,
+        grain_cols: list[str],
+        lo: float,
+        hi: float,
+        n_bins: int = 64,
+        fs: StoreFS | None = None,
+        keep_versions: int = 2,
+    ):
+        self.root = root
+        self.val_col = val_col
+        self.grain_cols = list(grain_cols)
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.n_bins = int(n_bins)
+        self._table = ManifestedParquetTable(
+            root, fs=fs, keep_versions=keep_versions
+        )
+
+    def _binning(self) -> dict:
+        return {
+            "val_col": self.val_col,
+            "grain_cols": self.grain_cols,
+            "lo": self.lo,
+            "hi": self.hi,
+            "n_bins": self.n_bins,
+        }
+
+    def _check_binning(self) -> None:
+        stored = self._table.current_meta().get("binning")
+        if stored is not None and stored != self._binning():
+            raise ValueError(
+                f"histogram table at {self.root} was built with binning "
+                f"{stored}, got {self._binning()} — rebinning requires a "
+                "rebuild, not an update"
+            )
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self._table.read(spark)
+
+    def update(
+        self, spark: SparkSession, events: DataFrame, _epoch_id=None
+    ) -> None:
+        """Histogram the incoming slice and element-add it into the
+        table.  Cost: one scan of the slice (never of history) plus an
+        O(groups x bins) merge; crash-safe via the manifest flip."""
+        self._check_binning()
+        incoming = build_histogram_sketches(
+            events, self.val_col, self.grain_cols, self.lo, self.hi,
+            self.n_bins,
+        )
+        existing = self.read(spark)
+        merged = (
+            incoming
+            if existing is None
+            else merge_histogram_tables(existing, incoming, self.grain_cols)
+        )
+        meta: dict = {"binning": self._binning()}
+        if _epoch_id is not None:
+            meta["epoch"] = _epoch_id
+        self._table.commit(merged, meta=meta)
+
+    def quantiles(
+        self,
+        spark: SparkSession,
+        qs: list[float],
+        group_cols: list[str] | None = None,
+        where=None,
+    ) -> DataFrame:
+        df = self.read(spark)
+        if df is None:
+            raise ValueError(f"histogram table at {self.root} has no data yet")
+        if where is not None:
+            df = df.filter(where)
+        return estimate_quantiles(
+            df, qs, self.lo, self.hi, group_cols=group_cols
+        )
+
+    def drift_against(
+        self,
+        spark: SparkSession,
+        current: DataFrame,
+        eps: float = 1e-6,
+        round_digits: int | None = 6,
+    ) -> DataFrame:
+        """PSI/JS/TVD/KS of ``current`` (a raw frame, histogrammed here
+        under the table's frozen binning) against the STORED reference
+        distribution, per grain.  The stored side is read as sketch
+        rows; only the current slice is scanned."""
+        from feast_spark.operators.drift import histogram_drift
+
+        ref = self.read(spark)
+        if ref is None:
+            raise ValueError(f"histogram table at {self.root} has no data yet")
+        cur = build_histogram_sketches(
+            current, self.val_col, self.grain_cols, self.lo, self.hi,
+            self.n_bins,
+        )
+        return histogram_drift(
+            ref, cur, self.grain_cols, eps=eps, round_digits=round_digits
+        )
+
+    def foreach_batch_writer(self, spark: SparkSession):
+        """``writeStream.foreachBatch`` sink — the streaming twin of
+        ``update`` with batch-identical results (histogram merge is
+        order- and batching-insensitive).  Replayed epochs are skipped
+        via the manifest epoch watermark, exactly as
+        :meth:`SketchTable.foreach_batch_writer`."""
+
+        def fn(batch_df: DataFrame, epoch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            last = self._table.current_meta().get("epoch")
+            if last is not None and epoch_id <= last:
+                return  # at-least-once replay of an applied epoch
+            self.update(spark, batch_df, _epoch_id=epoch_id)
+
+        return fn

@@ -335,3 +335,77 @@ def test_manifest_commit_tables_consistent_snapshot(spark, tmp_path):
     assert t.read_table(spark, "data").count() == 2
     assert t.read_table(spark, "stats").collect()[0]["n"] == 2
     assert t.current_meta()["gen"] == 2
+
+
+def test_histogram_table_incremental_update_equals_rebuild(spark, tmp_path):
+    """Two slice updates == one build over the union (histogram merge
+    is exact), and quantiles answer from the stored rows."""
+    from feast_spark.operators.sketches import (
+        HistogramTable,
+        build_histogram_sketches,
+    )
+
+    ev = load_table(spark, SF_SMALL, "events")
+    a = ev.filter(F.col("ts") < "2024-01-15")
+    b = ev.filter(F.col("ts") >= "2024-01-15")
+    ht = HistogramTable(
+        str(tmp_path / "ht"), "value", ["event_type"], 0.0, 100.0, 16
+    )
+    ht.update(spark, a)
+    ht.update(spark, b)
+    got = {
+        r["event_type"]: r["bin_counts"]
+        for r in ht.read(spark).collect()
+    }
+    want = {
+        r["event_type"]: r["bin_counts"]
+        for r in build_histogram_sketches(
+            ev, "value", ["event_type"], 0.0, 100.0, 16
+        ).collect()
+    }
+    assert got == want
+    q = ht.quantiles(spark, [0.5], group_cols=["event_type"]).collect()
+    assert all(0.0 <= r["q_0_5"] <= 100.0 for r in q)
+
+
+def test_histogram_table_frozen_binning(spark, tmp_path):
+    from feast_spark.operators.sketches import HistogramTable
+
+    ev = load_table(spark, SF_SMALL, "events")
+    root = str(tmp_path / "ht")
+    HistogramTable(root, "value", [], 0.0, 100.0, 16).update(spark, ev)
+    with pytest.raises(ValueError, match="binning"):
+        HistogramTable(root, "value", [], 0.0, 50.0, 16).update(spark, ev)
+
+
+def test_histogram_table_drift_against_matches_feature_drift(spark, tmp_path):
+    from feast_spark.operators.drift import feature_drift
+    from feast_spark.operators.sketches import HistogramTable
+
+    ev = load_table(spark, SF_SMALL, "events")
+    ref = ev.filter(F.col("ts") < "2024-01-15")
+    cur = ev.filter(F.col("ts") >= "2024-01-15")
+    ht = HistogramTable(str(tmp_path / "ht"), "value", [], 0.0, 100.0, 16)
+    ht.update(spark, ref)
+    a = ht.drift_against(spark, cur).first()
+    b = feature_drift(ref, cur, "value", lo=0.0, hi=100.0, n_bins=16).first()
+    assert a == b
+
+
+def test_histogram_table_replay_is_idempotent(spark, tmp_path):
+    """An at-least-once replay of an applied epoch is skipped via the
+    manifest epoch watermark — counts are not double-added — while a
+    manual (no-epoch) update between epochs keeps the watermark."""
+    from feast_spark.operators.sketches import HistogramTable
+
+    ev = load_table(spark, SF_SMALL, "events").limit(200)
+    ht = HistogramTable(str(tmp_path / "ht"), "value", [], 0.0, 100.0, 8)
+    fn = ht.foreach_batch_writer(spark)
+    fn(ev, 0)
+    once = [r["bin_counts"] for r in ht.read(spark).collect()]
+    fn(ev, 0)  # replay: skipped
+    assert [r["bin_counts"] for r in ht.read(spark).collect()] == once
+    ht.update(spark, ev)  # manual backfill keeps the epoch watermark
+    fn(ev, 0)  # still skipped after the manual commit
+    doubled = [r["bin_counts"] for r in ht.read(spark).collect()]
+    assert doubled == [[2 * c for c in row] for row in once]
