@@ -242,6 +242,43 @@ def main() -> None:
 
     queries["sketch_rollup"] = q_sketch_rollup
 
+    # Round-9 extras: persisted-index BM25 (index built ONCE, untimed —
+    # the operator's whole point is paying the corpus tokenize once)
+    # and the online multiget read path (10k-key request against the
+    # materialized parquet snapshot; store built once, untimed).
+    import tempfile
+
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+
+    _bm25_idx = tempfile.mkdtemp(prefix="bench_bm25_") + "/idx"
+    build_bm25_index(
+        load_table(spark, sf_dir, "documents"), _bm25_idx,
+        "doc_id", "text", n_term_buckets=64,
+    )
+
+    def q_bm25_index_topk(spark, sf_dir):
+        return bm25_index_topk(
+            spark, _bm25_idx, ["hash", "scan", "filter"], k=15
+        )
+
+    queries["bm25_index_topk"] = q_bm25_index_topk
+
+    from tools.online_bench import _build_store
+
+    _online_tmp = tempfile.mkdtemp(prefix="bench_online_")
+    _online_store = _build_store(spark, sf_dir, _online_tmp, "parquet")
+    _online_req = spark.createDataFrame(
+        [{"user_id": i} for i in range(10_000)]
+    ).withColumn("__req_id", F.monotonically_increasing_id())
+
+    def q_online_multiget(spark, sf_dir):
+        return _online_store.online_store.online_read(
+            spark, _online_store.config.project, "user_latest",
+            _online_req, ["user_id"], ["value"],
+        )
+
+    queries["online_multiget"] = q_online_multiget
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -262,6 +299,8 @@ def main() -> None:
                 "doc_chunks",
                 "sketch_rollup",
                 "bm25_topk",
+                "bm25_index_topk",
+                "online_multiget",
             )
             if n in queries
         ]

@@ -77,8 +77,13 @@ def _snapshot_rows(
     schema_json = merged.schema.json()
     rows = merged.select(
         F.col(_KEY).alias("entity_key"),
-        F.unix_micros(F.col(_EVENT_TS)).alias("event_us"),
-        F.unix_micros(F.col(_CREATED_TS)).alias("created_us"),
+        # cast: unix_micros requires TIMESTAMP; NTZ sources (naive-UTC
+        # by repo convention, e.g. parquet TIMESTAMP_NTZ feature
+        # tables) are reinterpreted under the UTC session timezone
+        F.unix_micros(F.col(_EVENT_TS).cast("timestamp")).alias("event_us"),
+        F.unix_micros(F.col(_CREATED_TS).cast("timestamp")).alias(
+            "created_us"
+        ),
         F.to_json(F.struct(*merged.columns), _JSON_OPTS).alias("payload"),
     )
     return rows, schema_json

@@ -348,3 +348,28 @@ def test_ttl_expiry_sweep_parquet_and_sqlite(spark, tmp_path):
         assert by_id[1]["__found"] is False
         # idempotent: second sweep finds nothing
         assert st.expire_online_features(now=now) == {"fv": 0}
+
+
+def test_sqlite_accepts_timestamp_ntz_source(spark, tmp_path):
+    """Parquet feature tables read back as TIMESTAMP_NTZ (the repo's
+    naive-UTC convention, e.g. sources.testdata.load_table) must write
+    through the KV snapshot path — unix_micros rejects NTZ without the
+    cast (regression: r9 online_bench failure)."""
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .select("user_id", "ts", "value")
+        .limit(50)
+    )
+    assert "timestamp_ntz" in dict(ev.dtypes)["ts"]
+    store = SqliteOnlineStore(str(tmp_path / "ntz.db"))
+    store.online_write_batch(
+        spark, "p", "v", ev, ["user_id"], "ts", None, ["value"]
+    )
+    req = spark.createDataFrame(
+        [Row(user_id=r["user_id"]) for r in ev.limit(3).collect()]
+    )
+    out = store.online_read(spark, "p", "v", req, ["user_id"], ["value"]).collect()
+    assert len(out) == 3 and all(r["__found"] for r in out)

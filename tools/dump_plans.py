@@ -46,6 +46,15 @@ HEADLINE = [
     "sketch_rollup",
     "decayed_agg",
     "bm25_topk",
+    # round-9 gated additions (bm25_index_topk's plan is the partition-
+    # pruning evidence: PartitionFilters on the term bucket)
+    "cdc_merge",
+    "lag_features",
+    "edit_distance_join",
+    "sketch_distinct",
+    "hybrid_rrf",
+    "bm25_index_topk",
+    "dedup_against_index",
 ]
 
 
@@ -127,6 +136,29 @@ def main() -> None:
         )
 
     queries["decayed_agg"] = _decayed
+    # rotated out of the gate in r9 but kept in PLANS for continuity
+    queries["topk_revenue"] = entry_mod.q_topk_revenue
+
+    def _dedup_against_index(spark, sf):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from feast_spark.operators.minhash_index import (
+            build_minhash_index, dedup_against_index,
+        )
+        from feast_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        path = tempfile.mkdtemp(prefix="plans_mhidx_") + "/idx"
+        build_minhash_index(
+            docs.filter(F.col("doc_id") % 3 != 0), path, "doc_id", "text"
+        )
+        return dedup_against_index(
+            spark, path, docs.filter(F.col("doc_id") % 3 == 0), threshold=0.5
+        )
+
+    queries["dedup_against_index"] = _dedup_against_index
     out = [
         "# PLANS — formatted physical plans for the headline queries",
         "",
