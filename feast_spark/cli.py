@@ -66,6 +66,86 @@ def _store(args):
     )
 
 
+_EXAMPLE_REPO = '''\
+"""Example feature repository — apply with
+
+    python -m feast_spark apply example_repo.py
+"""
+
+from datetime import timedelta
+
+from feast_spark import Entity, FeatureView, FileSource, ValueType
+
+driver = Entity(name="driver", join_key="driver_id",
+                value_type=ValueType.INT64)
+
+driver_stats = FeatureView(
+    name="driver_hourly_stats",
+    entities=["driver"],
+    ttl=timedelta(days=1),
+    batch_source=FileSource(
+        path="data/driver_stats.parquet",
+        event_timestamp_column="event_timestamp",
+        created_timestamp_column="created",
+    ),
+)
+'''
+
+
+def _init_repo(project_directory: str, minimal: bool) -> int:
+    """Scaffold a repository: an example repo file plus (unless
+    --minimal) a small deterministic driver-stats parquet, mirroring
+    the reference's `feast init` local template
+    (repo_operations.py init_repo + driver_test_data) without needing
+    a SparkSession — the data is written with pyarrow."""
+    import os
+
+    os.makedirs(project_directory, exist_ok=True)
+    repo_path = os.path.join(project_directory, "example_repo.py")
+    if os.path.exists(repo_path):
+        print(f"refusing to overwrite {repo_path}", file=sys.stderr)
+        return 1
+    with open(repo_path, "w") as f:
+        f.write(_EXAMPLE_REPO if not minimal else '"""Empty feast_spark repo."""\n')
+    if not minimal:
+        from datetime import datetime, timedelta
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(os.path.join(project_directory, "data"), exist_ok=True)
+        base = datetime(2024, 1, 1)
+        n = 24 * 14
+        rows = {
+            "driver_id": pa.array(
+                [1000 + (i % 5) for i in range(n)], pa.int64()
+            ),
+            "event_timestamp": pa.array(
+                [base + timedelta(hours=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "created": pa.array(
+                [base + timedelta(hours=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "conv_rate": pa.array(
+                [((i * 37) % 100) / 100.0 for i in range(n)], pa.float64()
+            ),
+            "acc_rate": pa.array(
+                [((i * 53) % 100) / 100.0 for i in range(n)], pa.float64()
+            ),
+            "avg_daily_trips": pa.array(
+                [(i * 7) % 40 for i in range(n)], pa.int64()
+            ),
+        }
+        pq.write_table(
+            pa.table(rows),
+            os.path.join(project_directory, "data", "driver_stats.parquet"),
+        )
+    print(f"initialized repository at {project_directory}/")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="feast_spark")
     p.add_argument("--registry", default="registry.json")
@@ -105,8 +185,27 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser(
         "teardown", help="delete the online store and registry (cli.py teardown)"
     )
+    sub.add_parser("version", help="print the SDK version (cli.py version)")
+    sp = sub.add_parser(
+        "init",
+        help="scaffold a new repository with example data + definitions "
+        "(cli.py init / repo_operations.init_repo)",
+    )
+    sp.add_argument("project_directory", nargs="?", default="feature_repo")
+    sp.add_argument(
+        "--minimal", action="store_true",
+        help="write only an empty repo file, no example data",
+    )
 
     args = p.parse_args(argv)
+
+    if args.cmd == "version":
+        import feast_spark
+
+        print(f"feast_spark SDK version: {feast_spark.__version__}")
+        return 0
+    if args.cmd == "init":
+        return _init_repo(args.project_directory, args.minimal)
 
     if args.cmd == "apply":
         store = _store(args)

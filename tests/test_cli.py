@@ -123,3 +123,44 @@ def test_cli_expire_online(spark, tmp_path, monkeypatch):
     by_id = {r["driver_id"]: r for r in got}
     assert by_id[1]["__found"] is False
     assert by_id[2]["value"] == 2.0
+
+
+def test_cli_version_and_init_scaffold(tmp_path, capsys, monkeypatch):
+    """`init` scaffolds a working repo (reference cli.py init): the
+    example file parses, applies, and materializes against the
+    generated parquet; `version` prints the SDK version; re-init
+    refuses to overwrite."""
+    import feast_spark
+
+    assert main(["version"]) == 0
+    assert feast_spark.__version__ in capsys.readouterr().out
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["init", "proj"]) == 0
+    assert (tmp_path / "proj" / "example_repo.py").exists()
+    assert (tmp_path / "proj" / "data" / "driver_stats.parquet").exists()
+
+    # the scaffold uses a cwd-relative data path (the reference's
+    # template shape); Spark resolves relative paths against the JVM's
+    # launch cwd, not pytest's chdir — absolutize for the apply step
+    repo_file = tmp_path / "proj" / "example_repo.py"
+    repo_file.write_text(
+        repo_file.read_text().replace(
+            "data/driver_stats.parquet",
+            str(tmp_path / "proj" / "data" / "driver_stats.parquet"),
+        )
+    )
+    monkeypatch.chdir(tmp_path / "proj")
+    common = [
+        "--registry", str(tmp_path / "reg.json"),
+        "--online-path", str(tmp_path / "online"),
+        "--master", "local[2]",
+    ]
+    assert main(common + ["apply", "example_repo.py"]) == 0
+    assert "applied FeatureView driver_hourly_stats" in capsys.readouterr().out
+    assert main(common + ["materialize", "2024-01-01", "2024-02-01"]) == 0
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["init", "proj"]) == 1  # refuses to overwrite
+    assert main(["init", "proj2", "--minimal"]) == 0
+    assert not (tmp_path / "proj2" / "data").exists()
