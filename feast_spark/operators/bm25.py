@@ -552,7 +552,7 @@ def bm25_index_topk_batch(
                 F.transform(F.col(terms_col), lambda t: F.lower(t))
             )
         ).alias("term"),
-    )
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     terms = sorted(r["term"] for r in qt.select("term").distinct().collect())
     if not terms:
         raise ValueError("queries must contain at least one non-empty term")

@@ -133,7 +133,10 @@ def histogram_drift(
     q = _props(F.col("__cc"), _tot(F.col("__cc")), eps)
     joined = joined.withColumn("__p", p).withColumn("__q", q)
     psi, js, tvd, ks = _stats(F.col("__p"), F.col("__q"), eps)
-    rnd = (lambda x: F.round(x, round_digits)) if round_digits else (lambda x: x)
+    if round_digits is not None:
+        rnd = lambda x: F.round(x, round_digits)  # noqa: E731
+    else:
+        rnd = lambda x: x  # noqa: E731
     return joined.select(
         *grain_cols,
         _tot(F.col("__rc")).cast("long").alias("ref_n"),
@@ -225,7 +228,10 @@ def categorical_drift(
     )
     tot = tot.withColumn("__p", p).withColumn("__q", q)
     psi, js, tvd, _ = _stats(F.col("__p"), F.col("__q"), eps)
-    rnd = (lambda x: F.round(x, round_digits)) if round_digits else (lambda x: x)
+    if round_digits is not None:
+        rnd = lambda x: F.round(x, round_digits)  # noqa: E731
+    else:
+        rnd = lambda x: x  # noqa: E731
     return tot.select(
         *grain_cols,
         F.col("__rn").alias("ref_n"),

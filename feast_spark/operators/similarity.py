@@ -452,6 +452,40 @@ def _ivf_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
     return (max(seen) + 1) if seen else 0
 
 
+def _ivf_next_centroid_gen(path: str, fs: StoreFS) -> int:
+    """Number past every centroid generation directory, committed or
+    orphaned (same discipline as ``_ivf_next_epoch``): a crashed rebuild
+    leaves its ``gen=N`` dir behind, and the next rebuild must not
+    collide with it."""
+    seen = set()
+    base = posixpath.join(path, "centroids")
+    for d in fs.list_subdirs(base) if fs.exists(base) else []:
+        if d.startswith("gen=") and d[4:].isdigit():
+            seen.add(int(d[4:]))
+    return (max(seen) + 1) if seen else 0
+
+
+def _ivf_centroids_dir(path: str, manifest: dict) -> str:
+    """The centroid directory the committed manifest pairs with its
+    epochs.  Older indexes (and hand-built fixtures) carry no
+    ``centroids`` pointer and use the flat ``{path}/centroids`` dir."""
+    return posixpath.join(path, manifest.get("centroids", "centroids"))
+
+
+def _ivf_load_centroids(
+    spark, path: str, fs: StoreFS | None = None
+) -> list[list[float]]:
+    """Centroids resolved THROUGH the manifest, so a query never pairs
+    one generation's quantizer with another generation's cell-tagged
+    vectors (rebuild commits both pointers in one atomic flip)."""
+    fs = fs or LocalFS()
+    cdir = _ivf_centroids_dir(path, _ivf_manifest(path, fs))
+    return [
+        list(r.centroid)
+        for r in spark.read.parquet(cdir).orderBy("cell").collect()
+    ]
+
+
 def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
     """The committed (id, vec, cell) corpus: only manifest-listed epoch
     directories are read, so a crashed append is invisible.  ``cell``
@@ -479,11 +513,21 @@ def build_ivf_index(
 ) -> None:
     """Train the coarse quantizer once and persist the index:
 
-    - ``{path}/centroids``: tiny parquet (cell, centroid) table
-    - ``{path}/vectors/epoch=0``: the cell-tagged corpus,
+    - ``{path}/centroids/gen=G``: tiny parquet (cell, centroid) table,
+      one generation directory per (re)build
+    - ``{path}/vectors/epoch=N``: the cell-tagged corpus,
       ``partitionBy(cell)`` within the epoch directory
-    - ``{path}/_MANIFEST.json``: the committed epoch list (the
-      epoch-append protocol of ``operators/minhash_index.py``)
+    - ``{path}/_MANIFEST.json``: the committed epoch list AND the
+      centroid-generation pointer (the epoch-append protocol of
+      ``operators/minhash_index.py``)
+
+    A REBUILD over an existing index stages a NEW centroid generation
+    and a NEW epoch, then flips the manifest once — epochs and the
+    quantizer that assigned their cells change together atomically, so
+    a crash mid-rebuild (or a reader racing it) still sees the old,
+    internally consistent pairing.  Superseded generations/epochs stay
+    on disk until ``ivf_index_vacuum``; single-writer, like every
+    persisted index here.
 
     Querying then reads ONLY the probed cells' directories (partition
     pruning / dynamic partition pruning on the broadcast cell join) —
@@ -494,10 +538,14 @@ def build_ivf_index(
     fs = fs or LocalFS()
     spark = corpus.sparkSession
     cents = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
+    gen = _ivf_next_centroid_gen(path, fs)
+    cent_rel = posixpath.join("centroids", f"gen={gen}")
     spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
         "cell INT, centroid ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    ).coalesce(1).write.mode("errorifexists").parquet(
+        posixpath.join(path, cent_rel)
+    )
     epoch = _ivf_next_epoch(path, fs, [])
     (
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -506,7 +554,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
-    _ivf_commit(path, fs, {"epochs": [epoch]})
+    _ivf_commit(path, fs, {"epochs": [epoch], "centroids": cent_rel})
 
 
 def ivf_index_topk(
@@ -521,8 +569,7 @@ def ivf_index_topk(
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as
     ``ivf_ann_topk`` with identical params — pinned by tests."""
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    cents = [list(r.centroid) for r in cent_rows]
+    cents = _ivf_load_centroids(spark, path)
     vectors = _ivf_vectors(spark, path).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
@@ -666,8 +713,12 @@ def ivf_index_append(
     FAISS)."""
     fs = fs or LocalFS()
     manifest = _ivf_manifest(path, fs)
-    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
-    cents = [list(r.centroid) for r in cent_rows]
+    cents = [
+        list(r.centroid)
+        for r in spark.read.parquet(_ivf_centroids_dir(path, manifest))
+        .orderBy("cell")
+        .collect()
+    ]
     epoch = _ivf_next_epoch(path, fs, manifest["epochs"])
     (
         new_vectors.select(
@@ -699,3 +750,36 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
             )
         )
     )
+
+
+def ivf_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+    """Delete epoch and centroid-generation directories the committed
+    manifest no longer references (rebuild leftovers, crashed-append
+    orphans).  Returns ``{"epochs_removed": [...],
+    "centroid_gens_removed": [...]}``.
+
+    Run it from the single writer, and only once no reader launched
+    against the PREVIOUS manifest is still scanning (readers resolve
+    directories at plan time; the usual object-store grace window — the
+    same contract as Delta/Iceberg VACUUM).  Never removes anything the
+    current manifest lists, so it is always safe with respect to NEW
+    readers."""
+    fs = fs or LocalFS()
+    manifest = _ivf_manifest(path, fs)
+    live_epochs = {f"epoch={e}" for e in manifest["epochs"]}
+    live_gen = posixpath.basename(manifest.get("centroids", "centroids"))
+    removed_e, removed_g = [], []
+    vbase = posixpath.join(path, "vectors")
+    for d in fs.list_subdirs(vbase) if fs.exists(vbase) else []:
+        if d.startswith("epoch=") and d not in live_epochs:
+            fs.delete(posixpath.join(vbase, d))
+            removed_e.append(d)
+    cbase = posixpath.join(path, "centroids")
+    for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
+        if d.startswith("gen=") and d != live_gen:
+            fs.delete(posixpath.join(cbase, d))
+            removed_g.append(d)
+    return {
+        "epochs_removed": sorted(removed_e),
+        "centroid_gens_removed": sorted(removed_g),
+    }

@@ -421,3 +421,38 @@ def test_bm25_index_stats(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no BM25 index"):
         bm25_index_stats(spark, str(tmp_path / "nope")).collect()
+
+
+def test_bm25_index_batch_null_terms(spark, tmp_path):
+    """NULL / empty elements inside a terms array are dropped — the
+    same treatment the inline batch path gives them (null never
+    equi-joins a posting) — instead of crashing the driver-side term
+    collection; an all-null batch raises the documented ValueError."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_topk_batch,
+        bm25_topk_batch,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25n")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    qs = spark.createDataFrame(
+        [(1, ["spark", None, ""]), (2, ["merge"])],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    inline = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in bm25_topk_batch(docs, qs, k=5).collect()
+    )
+    indexed = sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in bm25_index_topk_batch(spark, path, qs, k=5).collect()
+    )
+    assert indexed == inline
+
+    all_null = spark.createDataFrame(
+        [(1, [None])], "query_id INT, terms ARRAY<STRING>"
+    )
+    with pytest.raises(ValueError, match="non-empty term"):
+        bm25_index_topk_batch(spark, path, all_null, k=5)

@@ -184,3 +184,24 @@ def test_categorical_drift_counts_null_as_category(spark):
     # null rate moved 0.5 -> 0.25: tvd = 0.25
     assert g["n_categories"] == 2
     assert g["tvd"] == pytest.approx(0.25, abs=1e-9)
+
+
+def test_drift_round_digits_zero_rounds(spark):
+    """round_digits=0 means 'round to whole numbers', not 'no
+    rounding' (regression: falsy-zero check)."""
+    from feast_spark.operators.drift import categorical_drift, feature_drift
+
+    ref = spark.range(0, 1000).selectExpr("CAST(id % 7 AS DOUBLE) AS v")
+    cur = spark.range(0, 1000).selectExpr("CAST((id * 3) % 11 AS DOUBLE) AS v")
+    row = feature_drift(ref, cur, "v", lo=0.0, hi=11.0, round_digits=0).collect()[0]
+    for m in ("psi", "js_div", "tvd", "ks"):
+        assert row[m] == float(int(row[m])), m
+
+    crow = categorical_drift(
+        ref.selectExpr("CAST(v AS STRING) AS v"),
+        cur.selectExpr("CAST(v AS STRING) AS v"),
+        "v",
+        round_digits=0,
+    ).collect()[0]
+    for m in ("psi", "js_div", "tvd"):
+        assert crow[m] == float(int(crow[m])), m

@@ -307,3 +307,55 @@ def test_ivf_crashed_append_is_invisible(spark, tmp_path):
         _ivf_vectors(spark, path).count()
         == n0 + emb.filter(F.col("vec_id") % 3 == 2).count()
     )
+
+
+def test_ivf_rebuild_is_atomic_and_vacuum(spark, tmp_path):
+    """Rebuilding over an existing index must never let readers pair
+    new centroids with old-epoch cell assignments: the quantizer
+    generation and the epoch list flip together in the manifest.
+    A crash after the centroid write but before the commit (simulated
+    by writing an orphan gen dir) leaves queries on the old pairing;
+    vacuum removes exactly the unreferenced dirs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.similarity import (
+        _ivf_manifest,
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_index_vacuum,
+    )
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
+    m0 = _ivf_manifest(path, LocalFS())
+    assert m0["centroids"] == "centroids/gen=0"
+
+    # crashed rebuild: a newer gen dir exists but was never committed
+    os.makedirs(f"{path}/centroids/gen=1")
+    mid = ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
+    assert mid == before  # readers still on the committed pairing
+
+    # completed rebuild with a different quantizer: one atomic flip
+    build_ivf_index(emb, path, n_centroids=4, iters=2)
+    m1 = _ivf_manifest(path, LocalFS())
+    assert m1["centroids"] == "centroids/gen=2"  # past the orphan
+    assert m1["epochs"] != m0["epochs"]
+    after = ivf_index_topk(spark, path, queries, n_probe=3, k=5)
+    assert after.count() > 0
+
+    removed = ivf_index_vacuum(path)
+    assert removed["centroid_gens_removed"] == ["gen=0", "gen=1"]
+    assert removed["epochs_removed"] == [f"epoch={e}" for e in m0["epochs"]]
+    # the live pairing is untouched
+    assert (
+        ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
+        == after.collect()
+    )
