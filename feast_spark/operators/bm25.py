@@ -27,11 +27,14 @@ term-for-term.
 from __future__ import annotations
 
 import hashlib
+import json
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
+from feast_spark.io.fs import LocalFS, StoreFS
 
 __all__ = [
     "bm25_topk",
@@ -44,6 +47,9 @@ __all__ = [
     "hybrid_index_topk",
     "hybrid_index_topk_batch",
     "bm25_index_stats",
+    "bm25_index_append",
+    "bm25_index_compact",
+    "bm25_index_vacuum",
 ]
 
 
@@ -400,18 +406,27 @@ def hybrid_topk_batch(
 # The retrieval-SERVICE shape of bm25_topk: bm25_topk re-tokenizes and
 # re-scans the whole corpus on every call (correct for one-off batch
 # scoring), which at 100 TB makes every query a full-corpus job.  The
-# index pays that tokenize/aggregate cost ONCE and persists
+# index pays that tokenize/aggregate cost ONCE per document and
+# persists, under the epoch-append protocol of
+# operators/minhash_index.py:
 #
-#   {root}/v_n/postings : (term, doc id, tf, len_d), partitionBy(bucket)
-#   {root}/v_n/stats    : one row (n_docs, avg_len)
+#   {root}/postings/epoch=N : (term, doc id, tf, len_d),
+#                             partitionBy(bucket) within the epoch
+#   {root}/stats/epoch=N    : one row (n_docs, total_len) for the slice
+#   {root}/_MANIFEST.json   : committed epoch list + bucketing params
 #
-# under a SINGLE manifest flip (io/manifest.py commit_tables — postings
-# and the stats they were computed with are always consistent).  A
-# query computes its terms' buckets DRIVER-SIDE (md5-prefix bucketing,
-# reproducible in any engine) and reads only those bucket directories:
-# partition pruning makes the scan O(query-term postings), independent
-# of corpus size — the build_ivf_index pattern applied to the lexical
-# channel.  Reference parity: Feast has no retrieval ops at all
+# A writer stages its epoch directories first, then one atomic
+# manifest flip publishes them; readers resolve the manifest, so a
+# crashed build/append/compact is invisible and postings are always
+# consistent with the stats they were computed with.  Appends cost
+# O(new docs) — history is never rewritten; per-epoch stats SUM to the
+# corpus stats exactly (longs), so avg_len after an append equals a
+# full rebuild's.  A query computes its terms' buckets DRIVER-SIDE
+# (md5-prefix bucketing, reproducible in any engine) and reads only
+# those bucket directories under the committed epochs: partition
+# pruning makes the scan O(query-term postings), independent of corpus
+# size — the build_ivf_index pattern applied to the lexical channel.
+# Reference parity: Feast has no retrieval ops at all
 # (training-pipeline extension, SURVEY §2.6).
 
 
@@ -430,25 +445,41 @@ def _term_bucket_expr(term, n_buckets: int):
     ).cast("int")
 
 
-def build_bm25_index(
-    df: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_term_buckets: int = 64,
-    fs=None,
-    keep_versions: int = 2,
-) -> None:
-    """Tokenize the corpus ONCE and commit the postings + stats tables
-    (one atomic manifest flip; see module comment).  Build cost: one
-    corpus scan + one (doc, term) aggregate — the same work a single
-    bm25_topk call does, amortized over every future query.
+_BM25_MANIFEST = "_MANIFEST.json"
 
-    ``n_term_buckets`` bounds how much a query over t terms must list:
-    t bucket directories.  Size it so a bucket's postings fit a scan
-    task comfortably (buckets are md5-uniform over terms; heavy terms
-    skew bucket BYTES, which parquet splitting re-balances)."""
-    from feast_spark.io.manifest import ManifestedParquetTable
+
+def _bm25_manifest(path: str, fs: StoreFS) -> dict:
+    mp = posixpath.join(path, _BM25_MANIFEST)
+    if not fs.exists(mp):
+        raise ValueError(f"no BM25 index committed at {path}")
+    return json.loads(fs.read_bytes(mp))
+
+
+def _bm25_commit(path: str, fs: StoreFS, manifest: dict) -> None:
+    fs.write_bytes_atomic(
+        posixpath.join(path, _BM25_MANIFEST), json.dumps(manifest).encode()
+    )
+
+
+def _bm25_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
+    """Number past every committed epoch AND every orphaned directory a
+    crashed writer may have left, so stages never collide."""
+    seen = set(committed)
+    for sub in ("postings", "stats"):
+        base = posixpath.join(path, sub)
+        for d in fs.list_subdirs(base) if fs.exists(base) else []:
+            if d.startswith("epoch=") and d[6:].isdigit():
+                seen.add(int(d[6:]))
+    return (max(seen) + 1) if seen else 0
+
+
+def _bm25_doc_tables(
+    df: DataFrame, id_col: str, text_col: str, n_term_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, slice-stats) for a batch of documents — the one
+    tokenize/aggregate pass per document the index ever pays.  Stats
+    are kept as EXACT longs (n_docs, total_len) so per-epoch rows sum
+    to the corpus totals and avg_len never drifts across appends."""
     from feast_spark.operators.docdedup import widen_parallelism
 
     feat = widen_parallelism(df).select(
@@ -467,37 +498,178 @@ def build_bm25_index(
     )
     stats = feat.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.avg("len_d").alias("avg_len"),
+        F.sum("len_d").cast("long").alias("total_len"),
     )
-    ManifestedParquetTable(path, fs=fs, keep_versions=keep_versions).commit_tables(
-        {"postings": posting, "stats": stats},
-        partition_by={"postings": ["bucket"]},
-        meta={"n_term_buckets": n_term_buckets, "id_col": id_col},
+    return posting, stats
+
+
+def _bm25_write_epoch(
+    path: str, epoch: int, posting: DataFrame, stats: DataFrame
+) -> None:
+    posting.write.mode("errorifexists").partitionBy("bucket").parquet(
+        posixpath.join(path, "postings", f"epoch={epoch}")
     )
+    stats.coalesce(1).write.mode("errorifexists").parquet(
+        posixpath.join(path, "stats", f"epoch={epoch}")
+    )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_term_buckets: int = 64,
+    fs: StoreFS | None = None,
+) -> None:
+    """Tokenize the corpus ONCE and commit epoch 0 of the postings +
+    stats tables (stage dirs, then one atomic manifest flip; see module
+    comment).  Build cost: one corpus scan + one (doc, term) aggregate
+    — the same work a single bm25_topk call does, amortized over every
+    future query.  Grow it with ``bm25_index_append`` (O(new docs)),
+    reset the epoch count with ``bm25_index_compact``.
+
+    ``n_term_buckets`` bounds how much a query over t terms must list:
+    t bucket directories per epoch.  Size it so a bucket's postings fit
+    a scan task comfortably (buckets are md5-uniform over terms; heavy
+    terms skew bucket BYTES, which parquet splitting re-balances)."""
+    fs = fs or LocalFS()
+    posting, stats = _bm25_doc_tables(df, id_col, text_col, n_term_buckets)
+    epoch = _bm25_next_epoch(path, fs, [])
+    _bm25_write_epoch(path, epoch, posting, stats)
+    _bm25_commit(
+        path,
+        fs,
+        {
+            "epochs": [epoch],
+            "n_term_buckets": n_term_buckets,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+    )
+
+
+def bm25_index_append(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    fs: StoreFS | None = None,
+) -> None:
+    """Fold a new document slice into the index as a new epoch: one
+    tokenize/aggregate pass over the NEW docs only, then the atomic
+    manifest flip publishes postings and stats together — history is
+    never rewritten.  Scores after an append equal a full rebuild on
+    the union (exact-long stats summation; identity pinned by tests):
+    note that idf and length normalization shift for EXISTING docs too,
+    because n_docs/avg_len are corpus-wide — that is correct BM25, not
+    drift.  Doc-id uniqueness across epochs is the caller's contract
+    (same as every append index here)."""
+    fs = fs or LocalFS()
+    manifest = _bm25_manifest(path, fs)
+    posting, stats = _bm25_doc_tables(
+        new_df,
+        manifest["id_col"],
+        manifest["text_col"],
+        manifest["n_term_buckets"],
+    )
+    epoch = _bm25_next_epoch(path, fs, manifest["epochs"])
+    _bm25_write_epoch(path, epoch, posting, stats)
+    _bm25_commit(
+        path, fs, {**manifest, "epochs": sorted(manifest["epochs"] + [epoch])}
+    )
+
+
+def bm25_index_compact(
+    spark: SparkSession, path: str, fs: StoreFS | None = None
+) -> None:
+    """Rewrite every committed epoch into ONE new epoch — no
+    re-tokenizing, scores identical (pinned by tests).  Daily appends
+    accumulate epoch directories and every query lists
+    O(epochs x query-term buckets) paths; compaction resets that to one
+    per bucket.  Stage-then-flip like append; superseded epochs stay on
+    disk until ``bm25_index_vacuum`` (OPTIMIZE-then-VACUUM split), so
+    in-flight readers of the old manifest keep working."""
+    fs = fs or LocalFS()
+    manifest = _bm25_manifest(path, fs)
+    epochs = manifest["epochs"]
+    if len(epochs) <= 1:
+        return
+    merged = _bm25_next_epoch(path, fs, epochs)
+    posting = spark.read.option(
+        "basePath", posixpath.join(path, "postings")
+    ).parquet(
+        *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
+    ).drop("epoch")
+    stats = (
+        spark.read.parquet(
+            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+    )
+    _bm25_write_epoch(path, merged, posting, stats)
+    _bm25_commit(path, fs, {**manifest, "epochs": [merged]})
+
+
+def bm25_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+    """Delete epoch directories the committed manifest no longer lists
+    (compaction leftovers, crashed-writer orphans).  Returns
+    ``{"postings": [...], "stats": [...]}`` of removed dirs.  Run from
+    the single writer once readers of the previous manifest have
+    drained (the Delta/Iceberg VACUUM contract); never touches a dir
+    the current manifest references."""
+    fs = fs or LocalFS()
+    live = {f"epoch={e}" for e in _bm25_manifest(path, fs)["epochs"]}
+    removed: dict[str, list[str]] = {"postings": [], "stats": []}
+    for sub in ("postings", "stats"):
+        base = posixpath.join(path, sub)
+        for d in fs.list_subdirs(base) if fs.exists(base) else []:
+            if d.startswith("epoch=") and d not in live:
+                fs.delete(posixpath.join(base, d))
+                removed[sub].append(d)
+    return {k: sorted(v) for k, v in removed.items()}
 
 
 def _index_postings(
     spark: SparkSession, path: str, terms: list[str], fs=None
 ):
-    """(postings-for-terms, stats, id_col) from a persisted index; the
-    bucket IN-list is computed driver-side so the parquet scan lists
-    only the query terms' bucket directories (partition pruning)."""
-    from feast_spark.io.manifest import ManifestedParquetTable
-
-    table = ManifestedParquetTable(path, fs=fs)
-    meta = table.current_meta()
-    if "n_term_buckets" not in meta:
-        raise ValueError(f"no BM25 index committed at {path}")
-    n_buckets = meta["n_term_buckets"]
-    id_col = meta["id_col"]
+    """(postings-for-terms, one-row stats, id_col) from a persisted
+    index; the bucket IN-list is computed driver-side so the parquet
+    scan lists only the query terms' bucket directories under the
+    committed epochs (partition pruning).  Stats sum the per-epoch
+    exact longs — identical to what one aggregate over the whole
+    corpus would produce."""
+    fs = fs or LocalFS()
+    manifest = _bm25_manifest(path, fs)
+    n_buckets = manifest["n_term_buckets"]
+    id_col = manifest["id_col"]
+    epochs = manifest["epochs"]
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     postings = (
-        table.read_table(spark, "postings")
+        spark.read.option("basePath", posixpath.join(path, "postings"))
+        .parquet(
+            *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
+        )
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
-        .drop("bucket")
+        .drop("bucket", "epoch")
     )
-    return postings, table.read_table(spark, "stats"), id_col
+    stats = (
+        spark.read.parquet(
+            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        .select(
+            "n_docs",
+            (F.col("total_len") / F.col("n_docs")).alias("avg_len"),
+        )
+    )
+    return postings, stats, id_col
 
 
 def bm25_index_topk(
@@ -698,27 +870,42 @@ def hybrid_index_topk_batch(
 
 def bm25_index_stats(spark: SparkSession, path: str, fs=None) -> DataFrame:
     """Per-bucket posting counts plus the global skew ratio (max
-    bucket / mean bucket) and corpus stats — the health/rebuild signal
-    for a persisted BM25 index, mirroring ``similarity.ivf_index_stats``
-    and ``minhash_index.minhash_index_stats``.  A skewed bucket means
-    one bucket's postings dominate reads for queries hashing into it;
+    bucket / mean bucket), epoch count and corpus stats — the
+    health/compact/rebuild signal for a persisted BM25 index, mirroring
+    ``similarity.ivf_index_stats`` and
+    ``minhash_index.minhash_index_stats``.  A skewed bucket means one
+    bucket's postings dominate reads for queries hashing into it;
     rebuild with more ``n_term_buckets`` when the ratio drifts past
-    your budget.  One aggregate over the postings table."""
-    from feast_spark.io.manifest import ManifestedParquetTable
-
-    table = ManifestedParquetTable(path, fs=fs)
-    meta = table.current_meta()
-    if "n_term_buckets" not in meta:
-        raise ValueError(f"no BM25 index committed at {path}")
+    your budget; ``bm25_index_compact`` when n_epochs grows.  One
+    aggregate over the postings table."""
+    fs = fs or LocalFS()
+    manifest = _bm25_manifest(path, fs)
+    epochs = manifest["epochs"]
     counts = (
-        table.read_table(spark, "postings")
+        spark.read.option("basePath", posixpath.join(path, "postings"))
+        .parquet(
+            *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
             F.approx_count_distinct("term").alias("n_terms_approx"),
         )
     )
-    stats = table.read_table(spark, "stats").select("n_docs", "avg_len")
+    stats = (
+        spark.read.parquet(
+            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("total_len").cast("long").alias("total_len"),
+        )
+        .select(
+            "n_docs",
+            (F.col("total_len") / F.col("n_docs")).alias("avg_len"),
+            F.lit(len(epochs)).alias("n_epochs"),
+        )
+    )
     return counts.crossJoin(
         F.broadcast(
             counts.agg(

@@ -61,6 +61,8 @@ __all__ = [
     "minhash_index_append",
     "dedup_against_index",
     "minhash_index_stats",
+    "minhash_index_compact",
+    "minhash_index_vacuum",
 ]
 
 MANIFEST = "_MANIFEST.json"
@@ -312,3 +314,56 @@ def minhash_index_stats(
         F.count(F.lit(1)).alias("sz")
     ).agg(F.max("sz").alias("max_bucket_size"))
     return per_epoch.crossJoin(F.broadcast(hottest))
+
+
+def minhash_index_compact(
+    spark: SparkSession,
+    path: str,
+    fs: StoreFS | None = None,
+) -> None:
+    """Rewrite every committed epoch into ONE new epoch — no
+    re-shingling, no re-signing, query results are byte-identical
+    (pinned by tests).  Daily appends accumulate epoch directories and
+    every query lists O(epochs) paths per table; compaction resets
+    that to 1 while the signature parameters (and therefore every band
+    bucket) stay frozen.
+
+    Same commit protocol as append: stage the merged epoch dirs, then
+    one atomic manifest flip from the old epoch list to ``[merged]``.
+    A crash mid-compact leaves an orphan the next writer numbers past
+    and ``minhash_index_vacuum`` deletes; readers never see a partial
+    state.  Superseded epoch dirs stay on disk until vacuum (the
+    Delta/Iceberg OPTIMIZE-then-VACUUM split), so readers already
+    scanning the old manifest keep working."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    epochs = manifest["epochs"]
+    if len(epochs) <= 1:
+        return
+    merged = _next_epoch(path, fs, epochs)
+    _write_epoch(
+        path,
+        merged,
+        _read_epochs(spark, path, "bands", epochs),
+        _read_epochs(spark, path, "shingles", epochs),
+    )
+    _commit(path, fs, {**manifest, "epochs": [merged]})
+
+
+def minhash_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+    """Delete epoch directories the committed manifest no longer lists
+    (compaction leftovers, crashed-append orphans).  Returns
+    ``{"bands": [...], "shingles": [...]}`` of removed dirs.  Run from
+    the single writer once readers of the previous manifest have
+    drained (the Delta/Iceberg VACUUM contract); never touches a dir
+    the current manifest references."""
+    fs = fs or LocalFS()
+    live = {f"epoch={e}" for e in _manifest(path, fs)["epochs"]}
+    removed: dict[str, list[str]] = {"bands": [], "shingles": []}
+    for sub in ("bands", "shingles"):
+        base = posixpath.join(path, sub)
+        for d in fs.list_subdirs(base) if fs.exists(base) else []:
+            if d.startswith("epoch=") and d not in live:
+                fs.delete(posixpath.join(base, d))
+                removed[sub].append(d)
+    return {k: sorted(v) for k, v in removed.items()}

@@ -752,6 +752,33 @@ def ivf_index_stats(spark, path: str) -> DataFrame:
     )
 
 
+def ivf_index_compact(spark, path: str, fs: StoreFS | None = None) -> None:
+    """Rewrite every committed vector epoch into ONE new epoch —
+    centroids untouched, cell assignments untouched, query results
+    identical (pinned by tests).  Frequent appends make every query
+    list O(epochs x probed cells) directories; compaction resets that
+    to one directory per probed cell without the retrain a
+    ``build_ivf_index`` rebuild implies.
+
+    Stage-then-flip like append: a crash leaves an orphan epoch the
+    next writer numbers past and ``ivf_index_vacuum`` deletes.
+    Superseded epochs stay until vacuum, so in-flight readers of the
+    old manifest keep working (OPTIMIZE-then-VACUUM split)."""
+    fs = fs or LocalFS()
+    manifest = _ivf_manifest(path, fs)
+    epochs = manifest["epochs"]
+    if len(epochs) <= 1:
+        return
+    merged = _ivf_next_epoch(path, fs, epochs)
+    (
+        _ivf_vectors(spark, path, fs)
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(posixpath.join(path, "vectors", f"epoch={merged}"))
+    )
+    _ivf_commit(path, fs, {**manifest, "epochs": [merged]})
+
+
 def ivf_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
     """Delete epoch and centroid-generation directories the committed
     manifest no longer references (rebuild leftovers, crashed-append

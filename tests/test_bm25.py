@@ -456,3 +456,80 @@ def test_bm25_index_batch_null_terms(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-empty term"):
         bm25_index_topk_batch(spark, path, all_null, k=5)
+
+
+def test_bm25_index_append_equals_rebuild(spark, tmp_path):
+    """append(B) onto index(A) scores identically to a rebuild over
+    A∪B — exact-long per-epoch stats sum to the corpus stats, and df_t
+    comes from the combined postings, so nothing drifts."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_stats,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    a = docs.filter(F.col("doc_id") % 3 != 0)
+    b = docs.filter(F.col("doc_id") % 3 == 0)
+    inc, reb = str(tmp_path / "inc"), str(tmp_path / "reb")
+    build_bm25_index(a, inc, "doc_id", "text", n_term_buckets=16)
+    bm25_index_append(spark, inc, b)
+    build_bm25_index(docs, reb, "doc_id", "text", n_term_buckets=16)
+    for query in (["spark", "merge"], ["parquet", "scan", "window"]):
+        got = bm25_index_topk(spark, inc, query, k=12).collect()
+        want = bm25_index_topk(spark, reb, query, k=12).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+        assert [r["bm25"] for r in got] == pytest.approx(
+            [r["bm25"] for r in want], rel=1e-12
+        )
+    srow = bm25_index_stats(spark, inc).collect()[0]
+    assert srow["n_docs"] == docs.count()
+    assert srow["n_epochs"] == 2
+
+
+def test_bm25_index_compact_and_vacuum(spark, tmp_path):
+    """Compaction merges epochs with identical scores; vacuum removes
+    exactly the superseded + orphaned dirs and the live epoch keeps
+    serving."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_topk,
+        bm25_index_vacuum,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "cmp")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 2 == 0), path, "doc_id", "text",
+        n_term_buckets=16,
+    )
+    bm25_index_append(spark, path, docs.filter(F.col("doc_id") % 2 == 1))
+    before = bm25_index_topk(spark, path, ["spark", "merge"], k=10).collect()
+
+    os.makedirs(f"{path}/postings/epoch=7")  # crashed-writer orphan
+
+    bm25_index_compact(spark, path)
+    with open(f"{path}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["epochs"] == [8]  # one epoch, numbered past the orphan
+    after = bm25_index_topk(spark, path, ["spark", "merge"], k=10).collect()
+    assert [r["doc_id"] for r in after] == [r["doc_id"] for r in before]
+    assert [r["bm25"] for r in after] == pytest.approx(
+        [r["bm25"] for r in before], rel=1e-12
+    )
+
+    removed = bm25_index_vacuum(path)
+    assert removed["postings"] == ["epoch=0", "epoch=1", "epoch=7"]
+    assert removed["stats"] == ["epoch=0", "epoch=1"]
+    still = bm25_index_topk(spark, path, ["spark", "merge"], k=10).collect()
+    assert [r["doc_id"] for r in still] == [r["doc_id"] for r in before]

@@ -140,3 +140,51 @@ def test_bucket_cap_uses_combined_population(spark, tmp_path):
         spark, path, fresh, threshold=0.5, max_bucket_size=None
     ).collect()
     assert _pairs_set(uncapped)  # pairs reappear without the cap
+
+
+def test_compact_preserves_results_and_vacuum(spark, tmp_path):
+    """Compaction merges all committed epochs into one with identical
+    query results (no re-signing), and vacuum removes exactly the
+    superseded + orphaned directories."""
+    import json
+    import os
+
+    from feast_spark.operators.minhash_index import (
+        minhash_index_compact,
+        minhash_index_vacuum,
+    )
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 3 == 1)
+    b = docs.filter(F.col("doc_id") % 3 == 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 0)
+    path = str(tmp_path / "cmp")
+    build_minhash_index(a, path, "doc_id", "text")
+    minhash_index_append(spark, path, b)
+    before = _pairs_set(
+        dedup_against_index(spark, path, probe, threshold=0.5).collect()
+    )
+
+    # orphan from a "crashed" compact attempt must not break numbering
+    os.makedirs(f"{path}/bands/epoch=9")
+
+    minhash_index_compact(spark, path)
+    with open(f"{path}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["epochs"] == [10]  # one epoch, numbered past the orphan
+    after = _pairs_set(
+        dedup_against_index(spark, path, probe, threshold=0.5).collect()
+    )
+    assert after == before
+
+    removed = minhash_index_vacuum(path)
+    assert removed["bands"] == ["epoch=0", "epoch=1", "epoch=9"]
+    assert removed["shingles"] == ["epoch=0", "epoch=1"]
+    assert _pairs_set(
+        dedup_against_index(spark, path, probe, threshold=0.5).collect()
+    ) == before
+
+    # idempotent no-op on a single-epoch index
+    minhash_index_compact(spark, path)
+    with open(f"{path}/_MANIFEST.json") as f:
+        assert json.load(f)["epochs"] == [10]

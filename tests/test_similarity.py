@@ -359,3 +359,41 @@ def test_ivf_rebuild_is_atomic_and_vacuum(spark, tmp_path):
         ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
         == after.collect()
     )
+
+
+def test_ivf_compact_preserves_results(spark, tmp_path):
+    """Compacting appended epochs into one changes nothing a query can
+    observe: centroids frozen, cells frozen, top-k identical."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.similarity import (
+        _ivf_manifest,
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_compact,
+        ivf_index_topk,
+        ivf_index_vacuum,
+    )
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ivfc")
+    build_ivf_index(emb.filter(F.col("vec_id") % 3 == 0), path, n_centroids=8)
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == 1))
+    ivf_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == 2))
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
+    assert len(_ivf_manifest(path, LocalFS())["epochs"]) == 3
+
+    ivf_index_compact(spark, path)
+    m = _ivf_manifest(path, LocalFS())
+    assert len(m["epochs"]) == 1
+    assert m["centroids"] == "centroids/gen=0"  # quantizer untouched
+    assert ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect() == before
+
+    removed = ivf_index_vacuum(path)
+    assert removed["epochs_removed"] == ["epoch=0", "epoch=1", "epoch=2"]
+    assert removed["centroid_gens_removed"] == []
+    assert ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect() == before
