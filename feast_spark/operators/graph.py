@@ -1,0 +1,127 @@
+"""Link-graph scoring: PageRank over an edge table — the web-crawl
+quality-propagation pass of a training-data pipeline (crawl curation
+weights documents by the link graph; Common Crawl publishes exactly
+such per-host rank tables).
+
+Spark-first shape (the published MapReduce/Pregel formulation, e.g.
+Page et al. 1999 and the GraphX reference implementation — re-expressed
+as DataFrame joins, no RDDs, no Python on executors):
+
+* ranks and out-degrees are O(nodes) frames keyed by node id;
+* one iteration = one equi-join of edges against ranks on src
+  (shuffle O(edges), the dominant cost), one sum aggregate on dst
+  (map-side combined), and one tiny aggregate for the dangling mass —
+  the damping update is a projection;
+* every iteration ends in ``localCheckpoint`` to truncate lineage
+  (components.py discipline — an iterative DataFrame loop otherwise
+  compounds the plan and recompiles its whole history each round);
+* convergence is checked on the L1 delta, one extra aggregate over the
+  O(nodes) rank frame per iteration — nothing edge-sized is collected.
+
+Dangling nodes (no out-links) donate their rank mass uniformly, the
+standard stochastic-matrix fix, so ranks always sum to 1 (pinned by
+tests; the numpy power-iteration differential matches iteration for
+iteration).
+
+At 100 TB the edge table dominates: pre-partition it by ``src`` once
+(``repartition(src)`` or a bucketed write) and every iteration's join
+reuses that partitioning on one side; the rank frame is O(nodes) and
+shuffles cheaply.  Skewed in-degree (everyone links to the hub) is
+absorbed by the map-side combine on dst — the hot key receives
+per-partition partial sums, not raw contributions.
+
+Reference has no counterpart (Feast has no graph ops); training-data
+pipeline extension (SURVEY §2.6), sibling of
+``components.connected_components``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float | None = 1e-6,
+) -> DataFrame:
+    """PageRank over a directed edge list -> (node, rank), ranks
+    summing to 1.  Parallel edges count once; self-loops count as
+    ordinary edges (a node may link itself).  Stops after ``max_iter``
+    iterations or when the L1 rank change drops below ``tol``
+    (pass ``tol=None`` to always run exactly ``max_iter`` — the mode
+    the fixed-iteration numpy differential pins)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        # per-node outgoing mass; nodes without out-links are dangling
+        out = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
+            "node",
+            "rank",
+            (F.col("rank") / F.col("__deg")).alias("__share"),
+        )
+        dangling = (
+            out.filter(F.col("__share").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0))
+            )
+        ).collect()[0][0]
+        contribs = (
+            e.join(
+                out.select(F.col("node").alias("src"), "__share"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.withColumnRenamed("rank", "__old"), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks

@@ -1,0 +1,103 @@
+"""PageRank: numpy power-iteration differential (same formula, same
+init, same iteration count), invariants, and edge cases."""
+
+import numpy as np
+import pytest
+
+from feast_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(n, edge_list, damping, iters):
+    """Dense reference: uniform init, dangling mass redistributed
+    uniformly — the exact update pagerank() implements."""
+    deg = np.zeros(n)
+    for s, _ in edge_list:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in edge_list:
+            contrib[d] += r[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return r
+
+
+EDGES = [
+    (0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 2), (4, 0),
+    # 5 is dangling (in-links only); 6 -> 5 chain
+    (6, 5), (0, 5),
+]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    n = 7
+    edges = spark.createDataFrame(EDGES, "src INT, dst INT")
+    for damping, iters in ((0.85, 10), (0.5, 5)):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                edges, damping=damping, max_iter=iters, tol=None
+            ).collect()
+        }
+        want = _numpy_pagerank(n, EDGES, damping, iters)
+        assert set(got) == set(range(n))
+        for i in range(n):
+            assert got[i] == pytest.approx(want[i], rel=1e-9), i
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_converges_and_duplicate_edges_count_once(spark):
+    edges = spark.createDataFrame(
+        EDGES + EDGES[:3], "src INT, dst INT"  # duplicates
+    )
+    conv = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=100, tol=1e-10).collect()
+    }
+    # duplicates must not change the result vs the distinct edge set
+    distinct = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(EDGES, "src INT, dst INT"),
+            max_iter=100,
+            tol=1e-10,
+        ).collect()
+    }
+    assert conv == pytest.approx(distinct)
+    # converged ranking: the 0<->2 cycle holds the most mass
+    ranked = sorted(conv, key=conv.get, reverse=True)
+    assert set(ranked[:2]) == {0, 2}
+    assert sum(conv.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_pagerank_star_graph_orders_hub_first(spark):
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src INT, dst INT"
+    )
+    got = {
+        r["node"]: r["rank"] for r in pagerank(star, max_iter=30).collect()
+    }
+    assert got[0] == max(got.values())
+    leaves = [got[i] for i in range(1, 6)]
+    assert all(v == pytest.approx(leaves[0]) for v in leaves)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_pagerank_validation_and_empty(spark):
+    edges = spark.createDataFrame([(0, 1)], "src INT, dst INT")
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, damping=1.0)
+    with pytest.raises(ValueError, match="max_iter"):
+        pagerank(edges, max_iter=0)
+    empty = spark.createDataFrame([], "src INT, dst INT")
+    assert pagerank(empty).count() == 0
+
+
+def test_pagerank_null_endpoints_dropped(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (None, 0), (1, None)], "src INT, dst INT"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, max_iter=20).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] == pytest.approx(got[1])
