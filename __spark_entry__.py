@@ -1228,20 +1228,74 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted-index BM25 (operators/bm25.py build_bm25_index /
-    bm25_index_topk): tokenize the corpus ONCE into a term-bucketed
-    postings table + stats (one atomic manifest flip), then serve the
-    query by reading ONLY its terms' bucket directories — partition
-    pruning makes per-query cost O(query-term postings), with scores
-    identical to the inline bm25_topk by shared construction."""
+    """Persisted-index BM25 full lifecycle (operators/bm25.py
+    build_bm25_index / bm25_index_append / bm25_index_compact /
+    bm25_index_topk): build the term-bucketed postings index on two
+    thirds of the corpus, epoch-append the rest (O(new docs); exact
+    per-epoch long stats sum to the corpus totals), compact the epochs
+    into one, then serve the query reading ONLY its terms' bucket
+    directories — partition pruning makes per-query cost O(query-term
+    postings).  The oracle is the FULL-corpus BM25 SQL, so the gate
+    proves append+compact land exactly where a single build would."""
     import tempfile
 
-    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_topk,
+        build_bm25_index,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     path = tempfile.mkdtemp(prefix="fs_gate_bm25_") + "/idx"
-    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 3 != 0), path, "doc_id", "text",
+        n_term_buckets=16,
+    )
+    bm25_index_append(spark, path, docs.filter(F.col("doc_id") % 3 == 0))
+    bm25_index_compact(spark, path)
     return bm25_index_topk(spark, path, ["hash", "scan", "filter"], k=15)
+
+
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality metrics (operators/retrieval_eval.py
+    ndcg_at_k): graded nDCG@10 of a deterministic ranked table —
+    per-nation suppliers ranked by account balance — against graded
+    qrels (balance > 5000 relevant, > 8000 gain 2).  The metric
+    reduces (query, doc) pairs immediately: two equi-joins + one
+    aggregate per query, evaluation cost independent of corpus size."""
+    from pyspark.sql import Window
+
+    from feast_spark.operators.retrieval_eval import ndcg_at_k
+
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    j = sup.join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+    results = j.select(
+        F.col("n_nationkey").alias("query_id"),
+        F.col("s_suppkey").alias("doc_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("n_nationkey").orderBy(
+                F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+            )
+        )
+        .alias("rank"),
+    )
+    qrels = j.filter(F.col("s_acctbal") > 5000).select(
+        F.col("n_nationkey").alias("query_id"),
+        F.col("s_suppkey").alias("doc_id"),
+        F.when(F.col("s_acctbal") > 8000, 2.0).otherwise(1.0).alias(
+            "relevance"
+        ),
+    )
+    out = ndcg_at_k(results, qrels, k=10, rel_col="relevance")
+    return out.select(
+        "query_id",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+    )
 
 
 def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,7 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pit_join_multiview": q_pit_join_multiview,
         "latest_per_key": q_latest_per_key,
         "latest_per_key_created": q_latest_per_key_created,
-        "time_range_filter": q_time_range_filter,
+        "retrieval_ndcg": q_retrieval_ndcg,
         "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1424,6 +1478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # edit_distance_join, decayed_agg, sketch_distinct, hybrid_rrf,
     # bm25_index_topk, online_serving.  All eight rotated queries keep
     # their original oracles in tests/test_rotated_relational.py.
+    # Round 9 rotated time_range_filter out (P3 half-open range
+    # semantics stay gated through every ttl'd PIT query and the
+    # window aggregates) for retrieval_ndcg; bm25_index_topk now also
+    # exercises bm25_index_append + bm25_index_compact under the same
+    # full-corpus oracle.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1781,10 +1840,44 @@ FROM (
   FROM both_v
 ) WHERE rn = 1
 """,
-        "time_range_filter": """
-SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
-FROM events
-WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+        "retrieval_ndcg": """
+WITH j AS (
+  SELECT n_nationkey, s_suppkey, s_acctbal
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+),
+results AS (
+  SELECT n_nationkey AS query_id, s_suppkey AS doc_id,
+         ROW_NUMBER() OVER (PARTITION BY n_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank
+  FROM j
+),
+qrels AS (
+  SELECT n_nationkey AS query_id, s_suppkey AS doc_id,
+         CASE WHEN s_acctbal > 8000 THEN 2.0 ELSE 1.0 END AS g
+  FROM j WHERE s_acctbal > 5000
+),
+dcg AS (
+  SELECT r.query_id, SUM(q.g / LOG2(r.rank + 1)) AS v
+  FROM results r JOIN qrels q USING (query_id, doc_id)
+  WHERE r.rank <= 10 GROUP BY r.query_id
+),
+ideal AS (
+  SELECT query_id, g,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY g DESC, doc_id ASC) AS ir
+  FROM qrels
+),
+idcg AS (
+  SELECT query_id, SUM(g / LOG2(ir + 1)) AS v
+  FROM ideal WHERE ir <= 10 GROUP BY query_id
+)
+SELECT a.query_id,
+       ROUND(COALESCE(dcg.v, 0), 6) AS dcg,
+       ROUND(COALESCE(idcg.v, 0), 6) AS idcg,
+       ROUND(CASE WHEN COALESCE(idcg.v, 0) > 0
+                  THEN COALESCE(dcg.v, 0) / idcg.v ELSE 0 END, 6) AS ndcg
+FROM (SELECT DISTINCT query_id FROM qrels) a
+LEFT JOIN dcg USING (query_id) LEFT JOIN idcg USING (query_id)
 """,
         "pii_scrub": _pii_scrub_oracle(),
         "dedup_exact": f"""

@@ -38,6 +38,13 @@ SELECT event_id,
          AS row_key
 FROM events
 """,
+    # -- rotated out in round 9 (P3 range semantics stay gated via the
+    # ttl'd PIT queries and window aggregates) --
+    "time_range_filter": """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+""",
     "local_supplier_volume": """
 SELECT n_name,
        SUM(l_extendedprice * (1.0 - l_discount)) AS revenue
@@ -167,6 +174,7 @@ _FUNCS = {
     "dedup_groups": entry_mod.q_dedup_groups,
     "hash_split": entry_mod.q_hash_split,
     "distinct_daily_users": entry_mod.q_distinct_daily_users,
+    "time_range_filter": entry_mod.q_time_range_filter,
 }
 
 

@@ -55,6 +55,7 @@ HEADLINE = [
     "hybrid_rrf",
     "bm25_index_topk",
     "dedup_against_index",
+    "retrieval_ndcg",
 ]
 
 
