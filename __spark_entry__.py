@@ -225,6 +225,38 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("hamming", F.col("hamming").cast("long"))
 
 
+def q_resample_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resampling + gap fill (operators/resample.py): hourly
+    per-user buckets over the events table — sum/count aggregates plus
+    a forward-filled latest value on a DENSE per-key grid (gap buckets
+    materialize and carry state), the regularization step upstream of
+    lag/rolling features.  Events are aggregated in ONE shuffle at the
+    output grain; the grid explode and ffill window run on output-
+    sized data only."""
+    from feast_spark.operators.resample import resample
+
+    events = load_table(spark, sf_dir, "events")
+    out = resample(
+        events,
+        ["user_id"],
+        "ts",
+        3600,
+        {
+            "total": ("value", "sum"),
+            "n": ("value", "count"),
+            "last_v": ("value", "last"),
+        },
+        fill="ffill",
+    )
+    return out.select(
+        "user_id",
+        "bucket_ts",
+        F.round("total", 6).alias("total"),
+        "n",
+        F.round("last_v", 6).alias("last_v"),
+    )
+
+
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors vec_id<5."""
     from feast_spark.operators.similarity import cosine_topk
@@ -1402,7 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
-        "simhash_pairs": q_simhash_pairs,
+        "resample_grid": q_resample_grid,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh": q_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
@@ -1482,7 +1514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # semantics stay gated through every ttl'd PIT query and the
     # window aggregates) for retrieval_ndcg; bm25_index_topk now also
     # exercises bm25_index_append + bm25_index_compact under the same
-    # full-corpus oracle.
+    # full-corpus oracle.  simhash_pairs rotated out for resample_grid
+    # (the near-dup pair family stays gated via minhash_lsh_dedup,
+    # ngram_jaccard_pairs and dup_groups_resolved).
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1839,6 +1873,39 @@ FROM (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, created DESC) rn
   FROM both_v
 ) WHERE rn = 1
+""",
+        "resample_grid": """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 3600)::BIGINT * 3600 AS b
+  FROM events WHERE ts IS NOT NULL
+),
+per_bucket AS (
+  SELECT user_id, b,
+         SUM(value) AS total,
+         COUNT(value) AS n,
+         LAST(value ORDER BY ts, value) AS last_v
+  FROM ev GROUP BY user_id, b
+),
+bounds AS (
+  SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM per_bucket
+  GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(lo, hi, 3600)) AS b FROM bounds
+),
+joined AS (
+  SELECT g.user_id, g.b, p.total, p.n, p.last_v
+  FROM grid g LEFT JOIN per_bucket p USING (user_id, b)
+)
+SELECT user_id,
+       to_timestamp(b) AS bucket_ts,
+       ROUND(LAST_VALUE(total IGNORE NULLS) OVER w, 6) AS total,
+       LAST_VALUE(n IGNORE NULLS) OVER w AS n,
+       ROUND(LAST_VALUE(last_v IGNORE NULLS) OVER w, 6) AS last_v
+FROM joined
+WINDOW w AS (PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """,
         "retrieval_ndcg": """
 WITH j AS (
@@ -2608,45 +2675,6 @@ WITH e AS (
 )
 SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
 FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
-""",
-        "simhash_pairs": f"""
-WITH tk AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    list_distinct(
-      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      ELSE list_transform(range(1, len(toks) - 1),
-                          i -> array_to_string(toks[i:i+2], ' '))
-      END) AS shingles
-  FROM tk
-), post AS (
-  SELECT doc_id AS doc, unnest(shingles) AS s FROM sh
-), h AS (
-  SELECT doc, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
-  FROM post
-), bits AS (
-  SELECT doc, b AS bit,
-         SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS score
-  FROM h, (SELECT unnest(range(60)) AS b)
-  GROUP BY doc, b
-), fp AS (
-  SELECT doc,
-         CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << bit) ELSE 0 END)
-              AS BIGINT) AS simhash
-  FROM bits GROUP BY doc
-), qd0 AS (
-  SELECT doc, simhash, q, (simhash >> (16 * q)) & 65535 AS qval
-  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS q) qs
-), qd AS (
-  SELECT * FROM qd0
-  QUALIFY COUNT(*) OVER (PARTITION BY q, qval) <= 1000
-)
-SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM qd a JOIN qd b ON a.q = b.q AND a.qval = b.qval AND a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
         "minhash_lsh_dedup": _minhash_portable_oracle(),
         "ann_lsh": _ann_lsh_oracle(),

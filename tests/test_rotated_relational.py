@@ -6,6 +6,7 @@ stay value-checked here with their original DuckDB oracles.
 """
 
 import __spark_entry__ as entry_mod
+from __spark_entry__ import _NORM_TEXT  # noqa: F401 (used in f-string oracles)
 
 from tests.conftest import SF_MED
 
@@ -37,6 +38,45 @@ SELECT event_id,
        md5(concat_ws('|', CAST(user_id AS VARCHAR), CAST(event_id AS VARCHAR)))
          AS row_key
 FROM events
+""",
+    "simhash_pairs": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS s FROM sh
+), h AS (
+  SELECT doc, CAST(CONCAT('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+  FROM post
+), bits AS (
+  SELECT doc, b AS bit,
+         SUM(CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END) AS score
+  FROM h, (SELECT unnest(range(60)) AS b)
+  GROUP BY doc, b
+), fp AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN score > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc
+), qd0 AS (
+  SELECT doc, simhash, q, (simhash >> (16 * q)) & 65535 AS qval
+  FROM fp CROSS JOIN (SELECT unnest(range(4)) AS q) qs
+), qd AS (
+  SELECT * FROM qd0
+  QUALIFY COUNT(*) OVER (PARTITION BY q, qval) <= 1000
+)
+SELECT DISTINCT a.doc AS id_a, b.doc AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM qd a JOIN qd b ON a.q = b.q AND a.qval = b.qval AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     # -- rotated out in round 9 (P3 range semantics stay gated via the
     # ttl'd PIT queries and window aggregates) --
@@ -175,6 +215,7 @@ _FUNCS = {
     "hash_split": entry_mod.q_hash_split,
     "distinct_daily_users": entry_mod.q_distinct_daily_users,
     "time_range_filter": entry_mod.q_time_range_filter,
+    "simhash_pairs": entry_mod.q_simhash_pairs,
 }
 
 

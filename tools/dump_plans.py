@@ -56,6 +56,7 @@ HEADLINE = [
     "bm25_index_topk",
     "dedup_against_index",
     "retrieval_ndcg",
+    "resample_grid",
 ]
 
 
