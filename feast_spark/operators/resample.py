@@ -75,14 +75,23 @@ def resample(
 
     ``fill``: None -> gaps stay NULL; ``"zero"`` -> 0 (count/sum
     semantics); ``"ffill"`` -> carry the key's last observed value
-    forward (leading gaps stay NULL).  Null input timestamps are
-    dropped (no bucket to land in)."""
+    forward (leading gaps stay NULL); ``"interp"`` -> linear
+    interpolation between the surrounding observed buckets (output
+    cast to double; leading gaps stay NULL, trailing gaps carry the
+    last value — pandas ``interpolate(limit_direction='forward')``
+    semantics).  POINT-IN-TIME CAVEAT: ``interp`` reads the NEXT
+    observation, i.e. the future — fine for offline curves and
+    backtests' ground truth, but training features joined as-of must
+    use ``ffill`` (or None) to stay leakage-free.  Null input
+    timestamps are dropped (no bucket to land in)."""
     if interval_seconds <= 0:
         raise ValueError(
             f"interval_seconds must be positive, got {interval_seconds}"
         )
-    if fill not in (None, "zero", "ffill"):
-        raise ValueError(f"fill must be None, 'zero' or 'ffill', got {fill!r}")
+    if fill not in (None, "zero", "ffill", "interp"):
+        raise ValueError(
+            f"fill must be None, 'zero', 'ffill' or 'interp', got {fill!r}"
+        )
     if not aggs:
         raise ValueError("aggs must name at least one output column")
     reserved = {"bucket_ts", "__b"}
@@ -159,6 +168,38 @@ def resample(
             "__b",
             *[F.last(o, ignorenulls=True).over(w).alias(o) for o in aggs],
         )
+    elif fill == "interp":
+        # one Exchange+Sort; the backward frame reuses the sorted rows
+        wp = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*key_cols)
+            .orderBy("__b")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+
+        def _interp(o: str):
+            v = F.col(o).cast("double")
+            b = F.col("__b").cast("double")
+            ob = F.when(F.col(o).isNotNull(), F.col("__b")).cast("double")
+            pv = F.last(v, ignorenulls=True).over(wp)
+            pb = F.last(ob, ignorenulls=True).over(wp)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            nb = F.first(ob, ignorenulls=True).over(wf)
+            return (
+                F.when(v.isNotNull(), v)
+                .when(
+                    pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * (b - pb) / (nb - pb),
+                )
+                .when(pv.isNotNull(), pv)  # trailing gap: carry last
+                .alias(o)  # leading gap stays NULL
+            )
+
+        out_df = out_df.select(*key_cols, "__b", *[_interp(o) for o in aggs])
     return out_df.select(
         *key_cols,
         F.timestamp_seconds(F.col("__b")).alias("bucket_ts"),

@@ -195,3 +195,86 @@ def test_resample_validation(spark):
             df, ["k"], "ts", 60, {"n": ("v", "count")},
             start=datetime(2024, 1, 1),
         )
+
+
+def test_resample_interp(spark):
+    rows = [
+        (1, "2024-01-01 00:00:30", 10.0),
+        (1, "2024-01-01 00:03:30", 40.0),  # buckets 1,2 are gaps
+        (1, "2024-01-01 00:04:30", None),  # null value: bucket exists, no obs
+    ]
+    df = spark.createDataFrame(
+        rows, "k INT, ts STRING, v DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["bucket_ts"].minute: r["lv"]
+        for r in resample(
+            df, ["k"], "ts", 60, {"lv": ("v", "last")}, fill="interp"
+        ).collect()
+    }
+    assert got[0] == 10.0
+    assert got[1] == pytest.approx(20.0)  # linear between 10@b0 and 40@b3
+    assert got[2] == pytest.approx(30.0)
+    assert got[3] == 40.0
+    assert got[4] == 40.0  # trailing gap carries last value
+
+    # leading gap stays NULL under explicit bounds
+    from datetime import datetime
+
+    got2 = {
+        r["bucket_ts"].minute: r["lv"]
+        for r in resample(
+            df, ["k"], "ts", 60, {"lv": ("v", "last")},
+            start=datetime(2024, 1, 1, 0, 0) - __import__("datetime").timedelta(minutes=2),
+            end=datetime(2024, 1, 1, 0, 5),
+            fill="interp",
+        ).collect()
+    }
+    assert got2[58] is None and got2[59] is None  # leading
+    assert got2[1] == pytest.approx(20.0)
+
+
+def test_resample_properties(spark):
+    """Property sweep over random event sets: the grid is dense and
+    contiguous per key, un-filled sums are preserved, and ffill never
+    changes observed buckets."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randrange(5),
+            f"2024-01-0{rng.randrange(1, 5)} "
+            f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:00",
+            round(rng.uniform(-100, 100), 3),
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, "k INT, ts STRING, v DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(
+        df, ["k"], "ts", 3600, {"s": ("v", "sum"), "n": ("v", "count")}
+    )
+    rows_out = out.collect()
+    # sum preserved
+    total = sum(r["s"] for r in rows_out if r["s"] is not None)
+    assert total == pytest.approx(sum(v for _, _, v in rows), abs=1e-6)
+    assert sum(r["n"] or 0 for r in rows_out) == len(rows)
+    # dense + contiguous per key
+    per_key = {}
+    for r in rows_out:
+        per_key.setdefault(r["k"], []).append(int(r["bucket_ts"].timestamp()))
+    for k, bs in per_key.items():
+        bs = sorted(bs)
+        assert bs == list(range(bs[0], bs[-1] + 3600, 3600)), k
+    # ffill preserves observed buckets
+    ff = {
+        (r["k"], r["bucket_ts"]): r["s"]
+        for r in resample(
+            df, ["k"], "ts", 3600, {"s": ("v", "sum")}, fill="ffill"
+        ).collect()
+    }
+    for r in rows_out:
+        if r["s"] is not None:
+            assert ff[(r["k"], r["bucket_ts"])] == pytest.approx(r["s"])
