@@ -46,6 +46,12 @@ __all__ = [
     "matches_regex",
     "freshness",
     "validate",
+    "row_not_null",
+    "row_between",
+    "row_in_set",
+    "row_matches",
+    "with_violations",
+    "quarantine",
 ]
 
 
@@ -240,3 +246,74 @@ def validate(
         ok, detail = e.verdict(observed)
         results.append((e.name, ok, detail))
     return ValidationReport(results)
+
+
+# ---------------------------------------------------------------------------
+# Row-level rules and quarantine
+# ---------------------------------------------------------------------------
+#
+# validate() answers "is this TABLE acceptable"; a pipeline also needs
+# "which ROWS are acceptable" — ship the good rows, quarantine the bad
+# ones with a reason, never fail the whole batch on a few poison rows
+# (the public dead-letter pattern).  A rule is a boolean Column; a row
+# PASSES a rule only when it evaluates TRUE — NULL counts as a
+# violation (a range check over a NULL value is not satisfied).  The
+# violation tagging is ONE projection (when-chain into array_compact),
+# codegen, zero shuffle.
+
+
+def row_not_null(col: str) -> Column:
+    return F.col(col).isNotNull()
+
+
+def row_between(col: str, lo, hi) -> Column:
+    """lo <= col <= hi; either bound may be None for half-open."""
+    c = F.lit(True)
+    if lo is not None:
+        c = c & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        c = c & (F.col(col) <= F.lit(hi))
+    return c
+
+
+def row_in_set(col: str, allowed: list) -> Column:
+    return F.col(col).isin(allowed)
+
+
+def row_matches(col: str, pattern: str) -> Column:
+    return F.col(col).rlike(pattern)
+
+
+def with_violations(
+    df: DataFrame,
+    rules: dict[str, Column],
+    out_col: str = "violations",
+) -> DataFrame:
+    """Annotate every row with ``array<string>`` of failed rule names
+    (empty array = clean row).  One narrow projection — at 100 TB this
+    rides the ingest scan for free; write the annotated table once and
+    split downstream rather than re-scanning per verdict."""
+    if not rules:
+        raise ValueError("rules must name at least one check")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
+    tags = [
+        F.when(~F.coalesce(rule, F.lit(False)), F.lit(name))
+        for name, rule in rules.items()
+    ]
+    return df.withColumn(out_col, F.array_compact(F.array(*tags)))
+
+
+def quarantine(
+    df: DataFrame,
+    rules: dict[str, Column],
+) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): rows passing EVERY rule, and rows failing any —
+    the bad side annotated with its ``violations`` array.  Both sides
+    derive from one :func:`with_violations` plan; persist or write the
+    annotated frame first if you will materialize both (two actions on
+    the lazy plan would otherwise scan the source twice)."""
+    tagged = with_violations(df, rules)
+    good = tagged.filter(F.size("violations") == 0).drop("violations")
+    bad = tagged.filter(F.size("violations") > 0)
+    return good, bad

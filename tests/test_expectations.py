@@ -159,3 +159,70 @@ def test_feature_store_validate_source(spark, tmp_path):
     assert ok.passed
     bad = st.validate_source("drv", [row_count_between(100, None)])
     assert not bad.passed and bad.failures[0][0] == "row_count_between(100, None)"
+
+
+def test_quarantine_splits_rows_with_reasons(spark, duck):
+    """Row-level quarantine: violation arrays match a DuckDB CASE
+    twin over the events table; good+bad partitions the input; NULL
+    rule results count as violations."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.expectations import (
+        quarantine,
+        row_between,
+        row_in_set,
+        row_not_null,
+        with_violations,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_MED
+
+    events = load_table(spark, SF_MED, "events")
+    rules = {
+        "value_range": row_between("value", 0.0, 50.0),
+        "user_present": row_not_null("user_id"),
+        "known_type": row_in_set(
+            "event_type", ["view", "click", "purchase"]
+        ),
+    }
+    good, bad = quarantine(events, rules)
+    n_good, n_bad, n_all = good.count(), bad.count(), events.count()
+    assert n_good + n_bad == n_all
+    assert n_good > 0 and n_bad > 0  # both sides non-vacuous on testdata
+
+    got = sorted(
+        (r["event_id"], tuple(r["violations"]))
+        for r in with_violations(events, rules).collect()
+    )
+    want = sorted(
+        (eid, tuple(v))
+        for eid, v in duck.execute("""
+        SELECT event_id,
+               list_filter([
+                 CASE WHEN NOT COALESCE(value >= 0.0 AND value <= 50.0, FALSE)
+                      THEN 'value_range' END,
+                 CASE WHEN user_id IS NULL THEN 'user_present' END,
+                 CASE WHEN NOT COALESCE(event_type IN ('view','click','purchase'), FALSE)
+                      THEN 'known_type' END
+               ], x -> x IS NOT NULL) AS violations
+        FROM events
+        """).fetchall()
+    )
+    assert got == want
+
+    # null value -> range violation (NULL is not TRUE)
+    one = spark.createDataFrame(
+        [(1, None)], "id INT, value DOUBLE"
+    )
+    g, b = quarantine(one, {"rng": row_between("value", 0, 1)})
+    assert g.count() == 0 and b.count() == 1
+    assert b.collect()[0]["violations"] == ["rng"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one"):
+        with_violations(events, {})
+    with _pytest.raises(ValueError, match="already exists"):
+        with_violations(
+            with_violations(events, rules), rules
+        )
