@@ -66,7 +66,7 @@ from feast_spark.operators.similarity import (
     nearest_centroid,
 )
 
-__all__ = ["semantic_dedup_pairs", "semantic_dedup"]
+__all__ = ["semantic_dedup_pairs", "semantic_dedup", "semdedup_against_index"]
 
 
 def with_cluster_id(
@@ -190,3 +190,96 @@ def semantic_dedup(
         centroids=centroids, target_cluster_size=target_cluster_size,
     )
     return resolve_dup_groups(df, pairs, id_col, keep_by=keep_by)
+
+
+def semdedup_against_index(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster_size: int | None = 10_000,
+) -> DataFrame:
+    """Incremental semantic dedup: (id_a, id_b, cos) pairs with
+    cosine >= threshold touching at least one NEW vector, searched
+    within the cells of a PERSISTED IVF index (``build_ivf_index``) —
+    new-vs-corpus and new-vs-new, never corpus-vs-corpus (those were
+    resolved when their epochs landed).  The semantic sibling of
+    ``minhash_index.dedup_against_index``: the corpus is never
+    re-embedded or re-clustered; the index quantizer is frozen, so
+    incremental decisions equal ``semantic_dedup_pairs`` over
+    (corpus ∪ new) with the same centroids restricted to new-side
+    pairs (identity pinned by tests).
+
+    Plan: assign the new batch to cells (narrow, broadcast centroids),
+    collect its distinct cell ids driver-side (bounded by the
+    quantizer size — tiny), and read ONLY those cells' directories
+    from the committed epochs (static partition pruning).  Pair
+    expansion happens inside the capped combined-population cells (the
+    cap sees corpus + new together, the same population a full
+    recompute would cap on); the exact-cosine verify touches candidate
+    ids only.  Per-slice cost is O(new vectors + touched-cell
+    corpus vectors), independent of corpus size.
+
+    New ids must be disjoint from the index's (append contract);
+    the normal flow is dedup -> drop -> ``ivf_index_append`` the
+    survivors."""
+    from feast_spark.operators.docdedup import _bucket_pairs, _persist
+    from feast_spark.operators.similarity import (
+        _ivf_load_centroids,
+        _ivf_vectors,
+    )
+
+    cents = _ivf_load_centroids(spark, path)
+    new_assigned = new_df.select(
+        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
+    ).withColumn("__cell", nearest_centroid(F.col("__v"), cents))
+    touched = sorted(
+        r["__cell"]
+        for r in new_assigned.select("__cell").distinct().collect()
+    )
+    idx = (
+        _ivf_vectors(spark, path)
+        .filter(F.col("cell").isin(touched))
+        .select(
+            F.col("id").alias("__sid"),
+            F.col("vec").alias("__v"),
+            F.col("cell").alias("__cell"),
+        )
+    )
+    combined = idx.unionByName(new_assigned)
+    if max_cluster_size is not None:
+        w = Window.partitionBy("__cell")
+        combined = (
+            combined.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__csz") <= max_cluster_size)
+            .drop("__csz")
+        )
+    vecs = _persist(combined)
+    grouped = vecs.groupBy("__cell").agg(
+        F.collect_list("__sid").alias("docs")
+    )
+    pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    cands = _persist(
+        pairs.join(new_ids, pairs["id_a"] == new_ids["__nid"], "leftsemi")
+        .unionByName(
+            pairs.join(
+                new_ids, pairs["id_b"] == new_ids["__nid"], "leftsemi"
+            )
+        )
+        .distinct()
+    )
+    va = vecs.select(F.col("__sid").alias("id_a"), F.col("__v").alias("__va"))
+    vb = vecs.select(F.col("__sid").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

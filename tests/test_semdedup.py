@@ -127,3 +127,58 @@ def test_plan_is_equi_join_no_python(spark, corpus):
     assert "BroadcastNestedLoopJoin" not in plan
     for marker in ("BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_semdedup_against_index_matches_full_recompute(spark, tmp_path):
+    """index(A) + semdedup_against_index(B) == semantic_dedup_pairs
+    over A∪B with the SAME frozen centroids, restricted to pairs
+    touching B — incremental semantic decisions never diverge from the
+    full recompute, without re-embedding or re-clustering A."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.semdedup import (
+        semantic_dedup_pairs,
+        semdedup_against_index,
+    )
+    from feast_spark.operators.similarity import (
+        _ivf_load_centroids,
+        build_ivf_index,
+    )
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_MED
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    a = emb.filter(F.col("vec_id") % 3 != 0)
+    b = emb.filter(F.col("vec_id") % 3 == 0)
+    path = str(tmp_path / "semidx")
+    build_ivf_index(a, path, n_centroids=8, iters=2)
+    got = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in semdedup_against_index(
+            spark, path, b, threshold=0.3, max_cluster_size=None
+        ).collect()
+    }
+    cents = _ivf_load_centroids(spark, path)
+    full = semantic_dedup_pairs(
+        emb, threshold=0.3, centroids=cents, max_cluster_size=None
+    ).collect()
+    b_ids = {r["vec_id"] for r in b.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["cos"])
+        for r in full
+        if r["id_a"] in b_ids or r["id_b"] in b_ids
+    }
+    assert got == want
+    assert got  # non-vacuous at threshold 0.3 on the sf0.01 embeddings
+
+    # the corpus read is partition-pruned to the touched cells
+    plan = (
+        semdedup_against_index(spark, path, b, threshold=0.3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), "corpus scan not pruned by cell"
