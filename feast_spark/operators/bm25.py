@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
+from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
 __all__ = [
@@ -445,32 +446,24 @@ def _term_bucket_expr(term, n_buckets: int):
     ).cast("int")
 
 
-_BM25_MANIFEST = "_MANIFEST.json"
+_BM25_SUBDIRS = ("postings", "stats")
 
 
 def _bm25_manifest(path: str, fs: StoreFS) -> dict:
-    mp = posixpath.join(path, _BM25_MANIFEST)
-    if not fs.exists(mp):
-        raise ValueError(f"no BM25 index committed at {path}")
-    return json.loads(fs.read_bytes(mp))
-
-
-def _bm25_commit(path: str, fs: StoreFS, manifest: dict) -> None:
-    fs.write_bytes_atomic(
-        posixpath.join(path, _BM25_MANIFEST), json.dumps(manifest).encode()
+    return epochs_io.read_manifest(
+        path,
+        fs,
+        required_keys=("epochs", "n_term_buckets", "id_col"),
+        kind="BM25 index",
     )
 
 
+def _bm25_commit(path: str, fs: StoreFS, manifest: dict) -> None:
+    epochs_io.commit_manifest(path, fs, manifest)
+
+
 def _bm25_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
-    """Number past every committed epoch AND every orphaned directory a
-    crashed writer may have left, so stages never collide."""
-    seen = set(committed)
-    for sub in ("postings", "stats"):
-        base = posixpath.join(path, sub)
-        for d in fs.list_subdirs(base) if fs.exists(base) else []:
-            if d.startswith("epoch=") and d[6:].isdigit():
-                seen.add(int(d[6:]))
-    return (max(seen) + 1) if seen else 0
+    return epochs_io.next_epoch(path, fs, committed, _BM25_SUBDIRS)
 
 
 def _bm25_doc_tables(
@@ -534,6 +527,11 @@ def build_bm25_index(
     a scan task comfortably (buckets are md5-uniform over terms; heavy
     terms skew bucket BYTES, which parquet splitting re-balances)."""
     fs = fs or LocalFS()
+    if df.limit(1).count() == 0:
+        # a zero-row partitioned write emits no parquet part files, so
+        # every later read of the epoch would fail schema inference —
+        # refuse up front instead of committing an unreadable index
+        raise ValueError("cannot build a BM25 index from an empty corpus")
     posting, stats = _bm25_doc_tables(df, id_col, text_col, n_term_buckets)
     epoch = _bm25_next_epoch(path, fs, [])
     _bm25_write_epoch(path, epoch, posting, stats)
@@ -566,6 +564,8 @@ def bm25_index_append(
     (same as every append index here)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
+    if new_df.limit(1).count() == 0:
+        return  # empty slice: nothing to fold in (a daily no-data run)
     posting, stats = _bm25_doc_tables(
         new_df,
         manifest["id_col"],
@@ -621,15 +621,9 @@ def bm25_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
     drained (the Delta/Iceberg VACUUM contract); never touches a dir
     the current manifest references."""
     fs = fs or LocalFS()
-    live = {f"epoch={e}" for e in _bm25_manifest(path, fs)["epochs"]}
-    removed: dict[str, list[str]] = {"postings": [], "stats": []}
-    for sub in ("postings", "stats"):
-        base = posixpath.join(path, sub)
-        for d in fs.list_subdirs(base) if fs.exists(base) else []:
-            if d.startswith("epoch=") and d not in live:
-                fs.delete(posixpath.join(base, d))
-                removed[sub].append(d)
-    return {k: sorted(v) for k, v in removed.items()}
+    return epochs_io.vacuum_epochs(
+        path, fs, _bm25_manifest(path, fs)["epochs"], _BM25_SUBDIRS
+    )
 
 
 def _index_postings(

@@ -76,16 +76,27 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
     )
     for _ in range(max_iter):
         # per-node outgoing mass; nodes without out-links are dangling
-        out = ranks.join(deg, ranks["node"] == deg["src"], "left").select(
-            "node",
-            "rank",
-            (F.col("rank") / F.col("__deg")).alias("__share"),
+        # checkpointed: the dangling aggregate and the contribs join
+        # both consume it, so the ranks-vs-deg join runs once per
+        # iteration, not twice
+        out = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left")
+            .select(
+                "node",
+                "rank",
+                (F.col("rank") / F.col("__deg")).alias("__share"),
+            )
+            .localCheckpoint(eager=True)
         )
         dangling = (
             out.filter(F.col("__share").isNull()).agg(

@@ -45,6 +45,7 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 from feast_spark.operators.docdedup import (
     _bucket_pairs,
@@ -66,13 +67,16 @@ __all__ = [
 ]
 
 MANIFEST = "_MANIFEST.json"
+_SUBDIRS = ("bands", "shingles")
 
 
 def _manifest(root: str, fs: StoreFS) -> dict:
-    mp = posixpath.join(root, MANIFEST)
-    if not fs.exists(mp):
-        raise ValueError(f"no minhash index committed at {root}")
-    return json.loads(fs.read_bytes(mp))
+    return epochs_io.read_manifest(
+        root,
+        fs,
+        required_keys=("epochs", "params"),
+        kind="minhash index",
+    )
 
 
 def _doc_tables(
@@ -105,15 +109,7 @@ def _doc_tables(
 
 
 def _next_epoch(root: str, fs: StoreFS, committed: list[int]) -> int:
-    """Number past every committed epoch AND every orphaned directory
-    a crashed append may have left, so stages never collide."""
-    seen = set(committed)
-    for sub in ("bands", "shingles"):
-        base = posixpath.join(root, sub)
-        for d in fs.list_subdirs(base) if fs.exists(base) else []:
-            if d.startswith("epoch=") and d[6:].isdigit():
-                seen.add(int(d[6:]))
-    return (max(seen) + 1) if seen else 0
+    return epochs_io.next_epoch(root, fs, committed, _SUBDIRS)
 
 
 def _write_epoch(
@@ -131,9 +127,7 @@ def _write_epoch(
 
 
 def _commit(root: str, fs: StoreFS, manifest: dict) -> None:
-    fs.write_bytes_atomic(
-        posixpath.join(root, MANIFEST), json.dumps(manifest).encode()
-    )
+    epochs_io.commit_manifest(root, fs, manifest)
 
 
 def _read_epochs(
@@ -358,12 +352,6 @@ def minhash_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
     drained (the Delta/Iceberg VACUUM contract); never touches a dir
     the current manifest references."""
     fs = fs or LocalFS()
-    live = {f"epoch={e}" for e in _manifest(path, fs)["epochs"]}
-    removed: dict[str, list[str]] = {"bands": [], "shingles": []}
-    for sub in ("bands", "shingles"):
-        base = posixpath.join(path, sub)
-        for d in fs.list_subdirs(base) if fs.exists(base) else []:
-            if d.startswith("epoch=") and d not in live:
-                fs.delete(posixpath.join(base, d))
-                removed[sub].append(d)
-    return {k: sorted(v) for k, v in removed.items()}
+    return epochs_io.vacuum_epochs(
+        path, fs, _manifest(path, fs)["epochs"], _SUBDIRS
+    )

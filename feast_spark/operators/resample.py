@@ -128,6 +128,13 @@ def resample(
     per_bucket = ev.groupBy(*key_cols, "__b").agg(*agg_exprs)
 
     if start is not None and end is not None:
+        try:
+            if start >= end:
+                raise ValueError(
+                    f"end ({end!r}) must be after start ({start!r})"
+                )
+        except TypeError:  # mixed str/datetime bounds: let Spark cast
+            pass
         lo = F.unix_timestamp(F.lit(start).cast("timestamp"))
         hi = F.unix_timestamp(F.lit(end).cast("timestamp"))
         lo = F.floor(lo / step).cast("long") * step

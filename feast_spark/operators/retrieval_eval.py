@@ -49,11 +49,15 @@ __all__ = [
 
 
 def _ranked(results: DataFrame, query_col: str, id_col: str, rank_col: str, k: int):
-    return results.select(
+    """Top-k slice with one row per (query, doc): a doc listed at two
+    ranks <= k (malformed or merged result lists) keeps its BEST rank,
+    so set-intersection metrics can never exceed 1."""
+    r = results.select(
         F.col(query_col).alias("query_id"),
         F.col(id_col).alias("doc_id"),
         F.col(rank_col).alias("rank"),
     ).filter(F.col("rank") <= k)
+    return r.groupBy("query_id", "doc_id").agg(F.min("rank").alias("rank"))
 
 
 def recall_at_k(
@@ -153,10 +157,17 @@ def ndcg_at_k(
     gain = (
         F.col(rel_col).cast("double") if rel_col is not None else F.lit(1.0)
     )
-    q = qrels.select(
-        F.col(query_col).alias("query_id"),
-        F.col(id_col).alias("doc_id"),
-        gain.alias("gain"),
+    # one gain per (query, doc): duplicate qrel rows (unioned qrel
+    # sources) would otherwise double-count in DCG while spreading
+    # across two ideal ranks — the max gain wins, matching trec_eval
+    q = (
+        qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            gain.alias("gain"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("gain").alias("gain"))
     )
     r = _ranked(results, query_col, id_col, rank_col, k)
     dcg = (

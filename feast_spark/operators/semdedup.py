@@ -260,7 +260,9 @@ def semdedup_against_index(
     grouped = vecs.groupBy("__cell").agg(
         F.collect_list("__sid").alias("docs")
     )
-    pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
+    # no .distinct(): each vector lives in exactly one cell, so
+    # _bucket_pairs emits every pair once (unlike multi-band minhash)
+    pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1))
     new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
     cands = _persist(
         pairs.join(new_ids, pairs["id_a"] == new_ids["__nid"], "leftsemi")

@@ -22,6 +22,7 @@ import posixpath
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
 
@@ -425,31 +426,21 @@ def ivf_ann_topk(
 # ---------------------------------------------------------------------------
 
 _IVF_MANIFEST = "_MANIFEST.json"
+_IVF_SUBDIRS = ("vectors",)
 
 
 def _ivf_manifest(path: str, fs: StoreFS) -> dict:
-    mp = posixpath.join(path, _IVF_MANIFEST)
-    if not fs.exists(mp):
-        raise ValueError(f"no IVF index committed at {path}")
-    return json.loads(fs.read_bytes(mp))
-
-
-def _ivf_commit(path: str, fs: StoreFS, manifest: dict) -> None:
-    fs.write_bytes_atomic(
-        posixpath.join(path, _IVF_MANIFEST), json.dumps(manifest).encode()
+    return epochs_io.read_manifest(
+        path, fs, required_keys=("epochs",), kind="IVF index"
     )
 
 
+def _ivf_commit(path: str, fs: StoreFS, manifest: dict) -> None:
+    epochs_io.commit_manifest(path, fs, manifest)
+
+
 def _ivf_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
-    """Number past every committed epoch AND every orphaned directory a
-    crashed append may have left, so stages never collide (the
-    minhash_index._next_epoch discipline)."""
-    seen = set(committed)
-    base = posixpath.join(path, "vectors")
-    for d in fs.list_subdirs(base) if fs.exists(base) else []:
-        if d.startswith("epoch=") and d[6:].isdigit():
-            seen.add(int(d[6:]))
-    return (max(seen) + 1) if seen else 0
+    return epochs_io.next_epoch(path, fs, committed, _IVF_SUBDIRS)
 
 
 def _ivf_next_centroid_gen(path: str, fs: StoreFS) -> int:
@@ -793,20 +784,17 @@ def ivf_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
     readers."""
     fs = fs or LocalFS()
     manifest = _ivf_manifest(path, fs)
-    live_epochs = {f"epoch={e}" for e in manifest["epochs"]}
+    removed_e = epochs_io.vacuum_epochs(
+        path, fs, manifest["epochs"], _IVF_SUBDIRS
+    )["vectors"]
     live_gen = posixpath.basename(manifest.get("centroids", "centroids"))
-    removed_e, removed_g = [], []
-    vbase = posixpath.join(path, "vectors")
-    for d in fs.list_subdirs(vbase) if fs.exists(vbase) else []:
-        if d.startswith("epoch=") and d not in live_epochs:
-            fs.delete(posixpath.join(vbase, d))
-            removed_e.append(d)
+    removed_g = []
     cbase = posixpath.join(path, "centroids")
     for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
         if d.startswith("gen=") and d != live_gen:
             fs.delete(posixpath.join(cbase, d))
             removed_g.append(d)
     return {
-        "epochs_removed": sorted(removed_e),
+        "epochs_removed": removed_e,
         "centroid_gens_removed": sorted(removed_g),
     }

@@ -533,3 +533,40 @@ def test_bm25_index_compact_and_vacuum(spark, tmp_path):
     assert removed["stats"] == ["epoch=0", "epoch=1"]
     still = bm25_index_topk(spark, path, ["spark", "merge"], k=10).collect()
     assert [r["doc_id"] for r in still] == [r["doc_id"] for r in before]
+
+
+def test_bm25_index_empty_and_legacy_guards(spark, tmp_path):
+    """Empty builds are refused (a zero-row partitioned write would
+    commit an unreadable epoch), empty appends are a no-op, and a
+    foreign/legacy manifest raises the friendly ValueError instead of
+    a KeyError."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    empty = docs.filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_bm25_index(empty, str(tmp_path / "e"), "doc_id", "text")
+
+    path = str(tmp_path / "idx")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=8)
+    before = bm25_index_topk(spark, path, ["spark"], k=5).collect()
+    bm25_index_append(spark, path, empty)  # no-op, not an error
+    with open(f"{path}/_MANIFEST.json") as f:
+        assert len(json.load(f)["epochs"]) == 1  # no epoch added
+    assert bm25_index_topk(spark, path, ["spark"], k=5).collect() == before
+
+    legacy = tmp_path / "legacy"
+    legacy.mkdir()
+    (legacy / "_MANIFEST.json").write_text(
+        json.dumps({"current": "v_00000001", "meta": {}})
+    )
+    with pytest.raises(ValueError, match="no BM25 index"):
+        bm25_index_topk(spark, str(legacy), ["spark"], k=5)

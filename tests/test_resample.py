@@ -278,3 +278,21 @@ def test_resample_properties(spark):
     for r in rows_out:
         if r["s"] is not None:
             assert ff[(r["k"], r["bucket_ts"])] == pytest.approx(r["s"])
+
+
+def test_resample_rejects_inverted_bounds(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "k INT, ts STRING, v DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="must be after"):
+        resample(
+            df, ["k"], "ts", 60, {"n": ("v", "count")},
+            start=datetime(2024, 1, 2), end=datetime(2024, 1, 1),
+        )
+    with pytest.raises(ValueError, match="must be after"):
+        resample(
+            df, ["k"], "ts", 60, {"n": ("v", "count")},
+            start=datetime(2024, 1, 1), end=datetime(2024, 1, 1),
+        )

@@ -225,3 +225,28 @@ def test_ann_recall_harness(spark):
     r_hi = avg(ann_recall_vs_exact(hi, exact, k=10).collect())
     assert 0.0 < r_lo <= 1.0
     assert r_hi >= r_lo  # more probes never lose recall on avg
+
+
+def test_duplicate_rows_cannot_exceed_one(spark):
+    """Duplicate qrel rows and duplicate result ranks must not push any
+    metric past 1.0 (regression: dedup on both sides)."""
+    res = spark.createDataFrame(
+        [(1, "a", 1), (1, "a", 3), (1, "b", 2)],
+        "query_id INT, doc_id STRING, rank INT",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a", 2), (1, "a", 2), (1, "b", 1)],
+        "query_id INT, doc_id STRING, relevance INT",
+    )
+    rec = recall_at_k(res, qrels, k=5).collect()[0]
+    assert rec["n_relevant"] == 2 and rec["n_hit"] == 2
+    assert rec["recall"] == 1.0
+    nd = ndcg_at_k(res, qrels, k=5, rel_col="relevance").collect()[0]
+    assert 0.0 < nd["ndcg"] <= 1.0
+    import math
+
+    # a@r1 (gain 2, best rank wins), b@r2 (gain 1); ideal 2,1 -> perfect
+    want = (2 / math.log2(2) + 1 / math.log2(3)) / (
+        2 / math.log2(2) + 1 / math.log2(3)
+    )
+    assert nd["ndcg"] == pytest.approx(want)

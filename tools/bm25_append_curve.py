@@ -71,19 +71,25 @@ def main() -> None:
         new = docs.filter(F.col("doc_id") < NEW_DOCS)
         corpus = docs.filter(F.col("doc_id") >= NEW_DOCS)
         base = tempfile.mkdtemp(prefix=f"bm25app_x{s:g}_")
-        idx = f"{base}/idx"
-        build_bm25_index(corpus, idx, "doc_id", "text")  # untimed
-        bm25_index_append(spark, idx, new.limit(1))  # untimed warmup
+        # warm the append path on a DISJOINT throwaway index so no
+        # measured index ever violates the doc-id uniqueness contract
+        warm = f"{base}/warm"
+        build_bm25_index(corpus.limit(200), warm, "doc_id", "text")
+        bm25_index_append(spark, warm, new.limit(50))
         samples: dict[str, list[float]] = {k: [] for k in results}
         for r in range(runs):
+            # fresh base index per run: each timed append folds the
+            # slice into a contract-clean corpus-only index
+            run_idx = f"{base}/idx{r}"
+            build_bm25_index(corpus, run_idx, "doc_id", "text")
             t0 = time.monotonic()
-            bm25_index_append(spark, idx, new)
+            bm25_index_append(spark, run_idx, new)
             samples["append"].append(time.monotonic() - t0)
 
             t0 = time.monotonic()
-            bm25_index_compact(spark, idx)
+            bm25_index_compact(spark, run_idx)
             samples["compact"].append(time.monotonic() - t0)
-            bm25_index_vacuum(idx)
+            bm25_index_vacuum(run_idx)
 
             reb = f"{base}/reb{r}"
             t0 = time.monotonic()
