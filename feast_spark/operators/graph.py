@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank"]  # personalization/weights via parameters
 
 
 def pagerank(
@@ -50,21 +50,48 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float | None = 1e-6,
+    weight: str | None = None,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank), ranks
-    summing to 1.  Parallel edges count once; self-loops count as
-    ordinary edges (a node may link itself).  Stops after ``max_iter``
-    iterations or when the L1 rank change drops below ``tol``
-    (pass ``tol=None`` to always run exactly ``max_iter`` — the mode
-    the fixed-iteration numpy differential pins)."""
+    summing to 1.  Parallel edges count once (with ``weight``, their
+    weights are summed); self-loops count as ordinary edges (a node
+    may link itself).  Stops after ``max_iter`` iterations or when the
+    L1 rank change drops below ``tol`` (pass ``tol=None`` to always
+    run exactly ``max_iter`` — the mode the fixed-iteration numpy
+    differential pins).
+
+    ``weight`` names a non-negative edge-weight column: each node
+    splits its outgoing mass proportionally to weight instead of
+    uniformly (click-count-weighted link graphs); zero-total-weight
+    nodes are dangling.  ``personalize`` is a one-column node frame —
+    the teleport set: restart mass lands uniformly on those seeds
+    instead of all nodes (personalized PageRank, the related-content /
+    topic-sensitive variant; seeds are broadcast-sized).  Dangling
+    mass follows the same teleport distribution, so ranks still sum
+    to 1."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    w = (
+        F.col(weight).cast("double")
+        if weight is not None
+        else F.lit(1.0)
+    )
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("__w")
+        )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
+        .filter(F.col("__w") > 0)
+        .groupBy("src", "dst")
+        # weighted: parallel edges sum; unweighted: duplicates count once
+        .agg(
+            (F.sum("__w") if weight is not None else F.lit(1.0)).alias(
+                "__w"
+            )
+        )
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -78,12 +105,31 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     deg = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("__deg"))
+        .agg(F.sum("__w").alias("__deg"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
-    )
+    if personalize is not None:
+        seed_col = personalize.columns[0]
+        seeds = (
+            personalize.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .join(nodes, "node", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("personalize contains no graph nodes")
+        # teleport vector: 1/|seeds| on seeds, 0 elsewhere
+        teleport = nodes.join(
+            seeds.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
+        ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
+    else:
+        teleport = nodes.withColumn("__t", F.lit(1.0 / n))
+    teleport = teleport.localCheckpoint(eager=True)
+    # init = teleport vector (uniform 1/n when not personalized)
+    ranks = teleport.select(
+        "node", F.col("__t").alias("rank")
+    ).localCheckpoint(eager=True)
     for _ in range(max_iter):
         # per-node outgoing mass; nodes without out-links are dangling
         # checkpointed: the dangling aggregate and the contribs join
@@ -108,15 +154,17 @@ def pagerank(
                 out.select(F.col("node").alias("src"), "__share"), "src"
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("__share").alias("__in"))
+            .agg(F.sum(F.col("__share") * F.col("__w")).alias("__in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # restart + dangling mass follow the teleport distribution
+        # (uniform unless personalized)
+        base_scale = (1.0 - damping) + damping * dangling
         new_ranks = (
-            nodes.join(contribs, "node", "left")
+            teleport.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(base_scale) * F.col("__t")
                     + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
                 ).alias("rank"),
             )

@@ -101,3 +101,89 @@ def test_pagerank_null_endpoints_dropped(spark):
     got = {r["node"]: r["rank"] for r in pagerank(edges, max_iter=20).collect()}
     assert set(got) == {0, 1}
     assert got[0] == pytest.approx(got[1])
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    """Edge weights split outgoing mass proportionally; the numpy
+    differential uses the same weighted update."""
+    wedges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0)]
+    edges = spark.createDataFrame(wedges, "src INT, dst INT, w DOUBLE")
+    damping, iters, n = 0.85, 8, 4
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, damping=damping, max_iter=iters, tol=None, weight="w"
+        ).collect()
+    }
+    wsum = {}
+    for s, _, w in wedges:
+        wsum[s] = wsum.get(s, 0.0) + w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d, w in wedges:
+            contrib[d] += r[s] * w / wsum[s]
+        dangling = sum(r[i] for i in range(n) if i not in wsum)
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-9), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # weight=None on the same (distinct-edge) graph differs: 0's mass
+    # splits 50/50 instead of 75/25
+    unw = {
+        r_["node"]: r_["rank"]
+        for r_ in pagerank(edges, max_iter=iters, tol=None).collect()
+    }
+    assert unw[1] != pytest.approx(got[1])
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Teleport restricted to a seed set: restart + dangling mass land
+    on seeds, ranks still sum to 1, and seed-side nodes outrank the
+    global variant's."""
+    edges = spark.createDataFrame(EDGES, "src INT, dst INT")
+    seeds = spark.createDataFrame([(4,)], "node INT")
+    ppr = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, max_iter=60, tol=1e-12, personalize=seeds
+        ).collect()
+    }
+    glob = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=60, tol=1e-12).collect()
+    }
+    assert sum(ppr.values()) == pytest.approx(1.0, abs=1e-8)
+    assert ppr[4] > glob[4]  # the seed holds restart mass
+    # a node unreachable from the seed keeps only flow-through mass
+    assert ppr[6] < glob[6]
+    # numpy differential with the personalized teleport vector
+    n, damping, iters = 7, 0.85, 12
+    t = np.zeros(n)
+    t[4] = 1.0
+    deg = np.zeros(n)
+    for s, _ in EDGES:
+        deg[s] += 1
+    r = t.copy()
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, d in EDGES:
+            contrib[d] += r[s] / deg[s]
+        dangling = r[deg == 0].sum()
+        r = ((1 - damping) + damping * dangling) * t + damping * contrib
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(
+            edges, max_iter=iters, tol=None, personalize=seeds
+        ).collect()
+    }
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], rel=1e-9), i
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no graph nodes"):
+        pagerank(
+            edges,
+            personalize=spark.createDataFrame([(99,)], "node INT"),
+        )
