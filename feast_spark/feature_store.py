@@ -560,6 +560,21 @@ class FeatureStore:
             raise ValueError(f"view {view_name!r} has no batch source")
         return validate(src.load(self.spark), expectations)
 
+    def quarantine_source(self, view_name: str, rules):
+        """Row-level twin of :meth:`validate_source`: split a view's
+        batch source into (good, bad) by the row rules
+        (operators/expectations.quarantine) — the dead-letter pattern;
+        the bad side carries a per-row ``violations`` array.  Both
+        frames derive from one tagging plan; persist or write the
+        annotated frame first if materializing both sides."""
+        from feast_spark.operators.expectations import quarantine
+
+        view = self.registry.get_feature_view(view_name)
+        src = view.batch_source
+        if src is None:
+            raise ValueError(f"view {view_name!r} has no batch source")
+        return quarantine(src.load(self.spark), rules)
+
     # -- materialization (§2.2) ----------------------------------------
     def _pull_latest(
         self, view: FeatureView, start: datetime, end: datetime

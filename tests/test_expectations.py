@@ -226,3 +226,48 @@ def test_quarantine_splits_rows_with_reasons(spark, duck):
         with_violations(
             with_violations(events, rules), rules
         )
+
+
+def test_feature_store_quarantine_source(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from feast_spark import (
+        Entity, FeatureStore, FeatureView, FileSource, RepoConfig, ValueType,
+    )
+    from feast_spark.operators.expectations import row_between, row_not_null
+
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [
+            Row(driver_id=1, v=0.5, ts=datetime(2024, 1, 1)),
+            Row(driver_id=2, v=9.0, ts=datetime(2024, 1, 1)),
+            Row(driver_id=None, v=0.1, ts=datetime(2024, 1, 1)),
+        ]
+    ).write.parquet(src_path)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="qrp",
+            registry_path=str(tmp_path / "reg.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="drv", entities=["driver"],
+                batch_source=FileSource(
+                    path=src_path, event_timestamp_column="ts"
+                ),
+            ),
+        ]
+    )
+    good, bad = st.quarantine_source(
+        "drv",
+        {"id": row_not_null("driver_id"), "v01": row_between("v", 0.0, 1.0)},
+    )
+    assert [r["driver_id"] for r in good.collect()] == [1]
+    got = {tuple(r["violations"]) for r in bad.collect()}
+    assert got == {("v01",), ("id",)}
