@@ -552,6 +552,7 @@ def bm25_index_append(
     path: str,
     new_df: DataFrame,
     fs: StoreFS | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Fold a new document slice into the index as a new epoch: one
     tokenize/aggregate pass over the NEW docs only, then the atomic
@@ -561,7 +562,11 @@ def bm25_index_append(
     note that idf and length normalization shift for EXISTING docs too,
     because n_docs/avg_len are corpus-wide — that is correct BM25, not
     drift.  Doc-id uniqueness across epochs is the caller's contract
-    (same as every append index here)."""
+    (same as every append index here).
+
+    ``meta`` keys merge into the manifest in the SAME atomic flip that
+    publishes the epoch — how the streaming sink records its
+    exactly-once epoch watermark (streaming/index_sink.py)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
     if new_df.limit(1).count() == 0:
@@ -575,7 +580,13 @@ def bm25_index_append(
     epoch = _bm25_next_epoch(path, fs, manifest["epochs"])
     _bm25_write_epoch(path, epoch, posting, stats)
     _bm25_commit(
-        path, fs, {**manifest, "epochs": sorted(manifest["epochs"] + [epoch])}
+        path,
+        fs,
+        {
+            **manifest,
+            **(meta or {}),
+            "epochs": sorted(manifest["epochs"] + [epoch]),
+        },
     )
 
 

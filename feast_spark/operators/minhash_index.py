@@ -177,6 +177,7 @@ def minhash_index_append(
     path: str,
     new_df: DataFrame,
     fs: StoreFS | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Fold a new document slice into the index as a new epoch: one
     narrow pass over the NEW docs only (stage dirs, then the atomic
@@ -184,15 +185,20 @@ def minhash_index_append(
 
     Doc-id uniqueness across epochs is the caller's contract (same as
     ``ivf_index_append``); the normal flow is dedup_against_index ->
-    drop the near-dups -> append the survivors."""
+    drop the near-dups -> append the survivors.  ``meta`` keys merge
+    into the manifest in the same atomic flip (the streaming sink's
+    epoch watermark; empty slices are a no-op)."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
+    if new_df.limit(1).count() == 0:
+        return  # empty slice: nothing to fold in
     params = manifest["params"]
     banded, shingles = _doc_tables(
         new_df, params["id_col"], params["text_col"], params
     )
     epoch = _next_epoch(path, fs, manifest["epochs"])
     _write_epoch(path, epoch, banded, shingles)
+    manifest = {**manifest, **(meta or {})}
     manifest["epochs"] = sorted(manifest["epochs"] + [epoch])
     _commit(path, fs, manifest)
 

@@ -1,0 +1,86 @@
+"""Streaming ingestion into the persisted retrieval/dedup indexes —
+``writeStream.foreachBatch`` sinks that fold each micro-batch into the
+BM25 lexical index or the minhash near-dup index as one epoch append.
+
+The crawl pipeline shape this serves: documents arrive continuously;
+the lexical index and the dedup index must track the corpus without
+ever re-tokenizing or re-signing it.  Each micro-batch is exactly the
+"new slice" the epoch-append protocol was built for — one pass over
+the batch, one atomic manifest flip.
+
+Exactly-once: foreachBatch is at-least-once (a crashed trigger is
+re-delivered after restart), and an index append is NOT idempotent
+(replaying a batch would duplicate its postings/bands).  The sink
+therefore records the last applied streaming epoch id in the manifest
+— written in the SAME atomic flip that publishes the epoch directory
+(the ``SketchTable.foreach_batch_writer`` discipline) — and skips any
+epoch id at or below the watermark.  A crash between the epoch-dir
+write and the flip leaves an invisible orphan (numbering skips it,
+``*_index_vacuum`` deletes it) and the replay re-appends cleanly.
+
+Manual appends/compactions may interleave with the stream: they carry
+the existing manifest keys forward (``io/manifest``-style meta merge),
+so the watermark survives non-streaming commits.  Single writer at a
+time, like every epoch index — run ONE stream per index and pause it
+around manual maintenance.
+
+Dedup-then-append composition: to keep only novel documents, call
+``dedup_against_index`` inside your own foreachBatch before the
+append — both steps see the same committed manifest, and the append
+publishes after the dedup read, so a batch never dedups against
+itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["bm25_index_sink", "minhash_index_sink"]
+
+_WATERMARK_KEY = "stream_epoch"
+
+
+def _should_skip(manifest: dict, epoch_id: int) -> bool:
+    last = manifest.get(_WATERMARK_KEY)
+    return last is not None and epoch_id <= last
+
+
+def bm25_index_sink(spark: SparkSession, path: str, fs=None):
+    """foreachBatch sink folding each micro-batch of documents into a
+    persisted BM25 index (``build_bm25_index`` must have committed it;
+    batch columns must include the index's id/text columns)."""
+    from feast_spark.operators.bm25 import _bm25_manifest, bm25_index_append
+    from feast_spark.io.fs import LocalFS
+
+    fs = fs or LocalFS()
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if _should_skip(_bm25_manifest(path, fs), epoch_id):
+            return  # at-least-once replay of an applied epoch
+        bm25_index_append(
+            spark, path, batch_df, fs=fs, meta={_WATERMARK_KEY: epoch_id}
+        )
+
+    return fn
+
+
+def minhash_index_sink(spark: SparkSession, path: str, fs=None):
+    """foreachBatch sink folding each micro-batch of documents into a
+    persisted minhash near-dup index (``build_minhash_index`` must
+    have committed it)."""
+    from feast_spark.operators.minhash_index import (
+        _manifest,
+        minhash_index_append,
+    )
+    from feast_spark.io.fs import LocalFS
+
+    fs = fs or LocalFS()
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if _should_skip(_manifest(path, fs), epoch_id):
+            return
+        minhash_index_append(
+            spark, path, batch_df, fs=fs, meta={_WATERMARK_KEY: epoch_id}
+        )
+
+    return fn

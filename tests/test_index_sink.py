@@ -1,0 +1,127 @@
+"""Streaming index sinks: stream-folded indexes equal a batch build
+over the same documents; replayed epochs are skipped exactly-once;
+the watermark survives manual maintenance."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feast_spark.sources.testdata import load_table
+from tests.conftest import SF_MED
+
+SCHEMA = "doc_id BIGINT, text STRING"
+
+
+def _docs(spark, n=300):
+    return (
+        load_table(spark, SF_MED, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < n)
+    )
+
+
+def test_bm25_stream_fold_equals_batch_build(spark, tmp_path):
+    """Two streamed micro-batches == one batch build over the union,
+    score for score (the epoch-append identity through the sink)."""
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+    from feast_spark.streaming.index_sink import bm25_index_sink
+
+    docs = _docs(spark).collect()
+    first, rest = docs[:150], docs[150:]
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(first, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    idx = str(tmp_path / "stream_idx")
+    # the index must exist before the stream starts: seed with batch 1
+    build_bm25_index(
+        spark.createDataFrame(first, SCHEMA), idx, "doc_id", "text",
+        n_term_buckets=8,
+    )
+
+    # deliver the second slice through a real readStream + foreachBatch
+    spark.createDataFrame(rest, SCHEMA).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src / "b2"))
+    sink = bm25_index_sink(spark, idx)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    ref = str(tmp_path / "batch_idx")
+    build_bm25_index(
+        spark.createDataFrame(docs, SCHEMA), ref, "doc_id", "text",
+        n_term_buckets=8,
+    )
+    got = bm25_index_topk(spark, idx, ["spark", "merge"], k=10).collect()
+    want = bm25_index_topk(spark, ref, ["spark", "merge"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    assert [r["bm25"] for r in got] == pytest.approx(
+        [r["bm25"] for r in want], rel=1e-12
+    )
+    with open(f"{idx}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["stream_epoch"] == 0  # availableNow batch id
+    assert len(m["epochs"]) == 2
+
+
+def test_sink_replay_is_skipped_and_watermark_survives_compact(
+    spark, tmp_path
+):
+    """Calling the sink twice with the same epoch id appends once
+    (exactly-once under at-least-once delivery); a manual compact
+    carries the watermark forward so a later replay is still skipped."""
+    from feast_spark.operators.minhash_index import (
+        build_minhash_index,
+        minhash_index_compact,
+        minhash_index_stats,
+    )
+    from feast_spark.streaming.index_sink import minhash_index_sink
+
+    docs = _docs(spark)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "mh")
+    build_minhash_index(a, path, "doc_id", "text")
+    sink = minhash_index_sink(spark, path)
+
+    sink(b, 7)
+    n_after = sum(
+        r["n_docs"] for r in minhash_index_stats(spark, path).collect()
+    )
+    sink(b, 7)  # replay: must be a no-op
+    assert (
+        sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+        == n_after
+    )
+    sink(b.limit(0), 8)  # empty epoch: no-op, no watermark bump needed
+
+    minhash_index_compact(spark, path)
+    with open(f"{path}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["stream_epoch"] == 7  # survived the manual compact
+    sink(b, 7)  # replay after compact: still skipped
+    assert (
+        sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+        == n_after
+    )
+    # a NEW epoch still lands
+    extra = spark.createDataFrame(
+        [Row(doc_id=10_001, text="entirely new streamed document body")],
+        SCHEMA,
+    )
+    sink(extra, 9)
+    assert (
+        sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+        == n_after + 1
+    )
