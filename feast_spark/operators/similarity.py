@@ -676,6 +676,7 @@ def ivf_index_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     fs: StoreFS | None = None,
+    meta: dict | None = None,
 ) -> None:
     """Add vectors to a persisted IVF index WITHOUT retraining — the
     FAISS ``add()`` semantics: the coarse quantizer stays frozen, new
@@ -701,9 +702,13 @@ def ivf_index_append(
     appends are very frequent.
 
     Id uniqueness across appends is the caller's contract (same as
-    FAISS)."""
+    FAISS).  ``meta`` keys merge into the manifest in the same atomic
+    flip (the streaming sink's epoch watermark); empty slices are a
+    no-op."""
     fs = fs or LocalFS()
     manifest = _ivf_manifest(path, fs)
+    if new_vectors.limit(1).count() == 0:
+        return
     cents = [
         list(r.centroid)
         for r in spark.read.parquet(_ivf_centroids_dir(path, manifest))
@@ -720,7 +725,15 @@ def ivf_index_append(
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
-    _ivf_commit(path, fs, {**manifest, "epochs": manifest["epochs"] + [epoch]})
+    _ivf_commit(
+        path,
+        fs,
+        {
+            **manifest,
+            **(meta or {}),
+            "epochs": manifest["epochs"] + [epoch],
+        },
+    )
 
 
 def ivf_index_stats(spark, path: str) -> DataFrame:

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["bm25_index_sink", "minhash_index_sink"]
+__all__ = ["bm25_index_sink", "minhash_index_sink", "ivf_index_sink"]
 
 _WATERMARK_KEY = "stream_epoch"
 
@@ -81,6 +81,41 @@ def minhash_index_sink(spark: SparkSession, path: str, fs=None):
             return
         minhash_index_append(
             spark, path, batch_df, fs=fs, meta={_WATERMARK_KEY: epoch_id}
+        )
+
+    return fn
+
+
+def ivf_index_sink(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+):
+    """foreachBatch sink folding each micro-batch of embedding vectors
+    into a persisted IVF ANN index (``build_ivf_index`` must have
+    committed it; the frozen quantizer assigns cells — watch
+    ``ivf_index_stats`` for drift and rebuild when cells skew)."""
+    from feast_spark.operators.similarity import (
+        _ivf_manifest,
+        ivf_index_append,
+    )
+    from feast_spark.io.fs import LocalFS
+
+    fs = fs or LocalFS()
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if _should_skip(_ivf_manifest(path, fs), epoch_id):
+            return
+        ivf_index_append(
+            spark,
+            path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            fs=fs,
+            meta={_WATERMARK_KEY: epoch_id},
         )
 
     return fn

@@ -125,3 +125,27 @@ def test_sink_replay_is_skipped_and_watermark_survives_compact(
         sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
         == n_after + 1
     )
+
+
+def test_ivf_sink_replay_skipped(spark, tmp_path):
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_stats,
+    )
+    from feast_spark.streaming.index_sink import ivf_index_sink
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(a, path, n_centroids=8)
+    sink = ivf_index_sink(spark, path)
+    sink(b, 3)
+    total = ivf_index_stats(spark, path).collect()[0]["total_vectors"]
+    assert total == emb.count()
+    sink(b, 3)  # replay
+    assert (
+        ivf_index_stats(spark, path).collect()[0]["total_vectors"] == total
+    )
+    with open(f"{path}/_MANIFEST.json") as f:
+        assert json.load(f)["stream_epoch"] == 3
