@@ -453,7 +453,7 @@ def _bm25_manifest(path: str, fs: StoreFS) -> dict:
     return epochs_io.read_manifest(
         path,
         fs,
-        required_keys=("epochs", "n_term_buckets", "id_col"),
+        required_keys=("epochs", "n_term_buckets", "id_col", "text_col"),
         kind="BM25 index",
     )
 
@@ -527,12 +527,17 @@ def build_bm25_index(
     a scan task comfortably (buckets are md5-uniform over terms; heavy
     terms skew bucket BYTES, which parquet splitting re-balances)."""
     fs = fs or LocalFS()
-    if df.limit(1).count() == 0:
+    posting, stats = _bm25_doc_tables(df, id_col, text_col, n_term_buckets)
+    if posting.limit(1).count() == 0:
         # a zero-row partitioned write emits no parquet part files, so
         # every later read of the epoch would fail schema inference —
-        # refuse up front instead of committing an unreadable index
-        raise ValueError("cannot build a BM25 index from an empty corpus")
-    posting, stats = _bm25_doc_tables(df, id_col, text_col, n_term_buckets)
+        # refuse up front instead of committing an unreadable index.
+        # Checked on POSTINGS, not input rows: a corpus of all-blank/
+        # NULL texts tokenizes to zero postings too.
+        raise ValueError(
+            "cannot build a BM25 index from a corpus with no postings "
+            "(empty, or all texts tokenize to nothing)"
+        )
     epoch = _bm25_next_epoch(path, fs, [])
     _bm25_write_epoch(path, epoch, posting, stats)
     _bm25_commit(
@@ -569,14 +574,14 @@ def bm25_index_append(
     exactly-once epoch watermark (streaming/index_sink.py)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
-    if new_df.limit(1).count() == 0:
-        return  # empty slice: nothing to fold in (a daily no-data run)
     posting, stats = _bm25_doc_tables(
         new_df,
         manifest["id_col"],
         manifest["text_col"],
         manifest["n_term_buckets"],
     )
+    if posting.limit(1).count() == 0:
+        return  # nothing to fold in: empty slice or all-blank texts
     epoch = _bm25_next_epoch(path, fs, manifest["epochs"])
     _bm25_write_epoch(path, epoch, posting, stats)
     _bm25_commit(
@@ -608,13 +613,9 @@ def bm25_index_compact(
     merged = _bm25_next_epoch(path, fs, epochs)
     posting = spark.read.option(
         "basePath", posixpath.join(path, "postings")
-    ).parquet(
-        *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
-    ).drop("epoch")
+    ).parquet(*epochs_io.epoch_paths(path, "postings", epochs)).drop("epoch")
     stats = (
-        spark.read.parquet(
-            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
-        )
+        spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_len").cast("long").alias("total_len"),
@@ -654,17 +655,13 @@ def _index_postings(
     buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     postings = (
         spark.read.option("basePath", posixpath.join(path, "postings"))
-        .parquet(
-            *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
-        )
+        .parquet(*epochs_io.epoch_paths(path, "postings", epochs))
         .filter(F.col("bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
         .drop("bucket", "epoch")
     )
     stats = (
-        spark.read.parquet(
-            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
-        )
+        spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_len").cast("long").alias("total_len"),
@@ -888,9 +885,7 @@ def bm25_index_stats(spark: SparkSession, path: str, fs=None) -> DataFrame:
     epochs = manifest["epochs"]
     counts = (
         spark.read.option("basePath", posixpath.join(path, "postings"))
-        .parquet(
-            *[posixpath.join(path, "postings", f"epoch={e}") for e in epochs]
-        )
+        .parquet(*epochs_io.epoch_paths(path, "postings", epochs))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_postings"),
@@ -898,9 +893,7 @@ def bm25_index_stats(spark: SparkSession, path: str, fs=None) -> DataFrame:
         )
     )
     stats = (
-        spark.read.parquet(
-            *[posixpath.join(path, "stats", f"epoch={e}") for e in epochs]
-        )
+        spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_len").cast("long").alias("total_len"),

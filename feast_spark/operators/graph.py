@@ -79,12 +79,24 @@ def pagerank(
         if weight is not None
         else F.lit(1.0)
     )
-    e = (
+    declared = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("__w")
         )
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .filter(F.col("__w") > 0)
+        .localCheckpoint(eager=True)
+    )
+    # nodes derive from the DECLARED edge list: an endpoint whose only
+    # edges carry zero/NULL weight still exists in the graph — it just
+    # sends no mass (dangling), per the docstring's contract
+    nodes = (
+        declared.select(F.col("src").alias("node"))
+        .unionByName(declared.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        declared.filter(F.col("__w") > 0)
         .groupBy("src", "dst")
         # weighted: parallel edges sum; unweighted: duplicates count once
         .agg(
@@ -92,12 +104,6 @@ def pagerank(
                 "__w"
             )
         )
-        .localCheckpoint(eager=True)
-    )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
         .localCheckpoint(eager=True)
     )
     n = nodes.count()

@@ -133,10 +133,7 @@ def _commit(root: str, fs: StoreFS, manifest: dict) -> None:
 def _read_epochs(
     spark: SparkSession, root: str, sub: str, epochs: list[int]
 ) -> DataFrame:
-    paths = [
-        posixpath.join(root, sub, f"epoch={e}") for e in epochs
-    ]
-    return spark.read.parquet(*paths)
+    return spark.read.parquet(*epochs_io.epoch_paths(root, sub, epochs))
 
 
 def build_minhash_index(
@@ -300,12 +297,9 @@ def minhash_index_stats(
     boilerplate accumulating).  One aggregate over the band table."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
-    bands_df = spark.read.option("basePath", posixpath.join(path, "bands")).parquet(
-        *[
-            posixpath.join(path, "bands", f"epoch={e}")
-            for e in manifest["epochs"]
-        ]
-    )
+    bands_df = spark.read.option(
+        "basePath", posixpath.join(path, "bands")
+    ).parquet(*epochs_io.epoch_paths(path, "bands", manifest["epochs"]))
     per_epoch = bands_df.groupBy("epoch").agg(
         F.countDistinct("doc").alias("n_docs"),
         F.count(F.lit(1)).alias("n_band_rows"),

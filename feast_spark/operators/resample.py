@@ -128,13 +128,21 @@ def resample(
     per_bucket = ev.groupBy(*key_cols, "__b").agg(*agg_exprs)
 
     if start is not None and end is not None:
-        try:
-            if start >= end:
-                raise ValueError(
-                    f"end ({end!r}) must be after start ({start!r})"
-                )
-        except TypeError:  # mixed str/datetime bounds: let Spark cast
-            pass
+        from datetime import date as _date
+        from datetime import datetime as _datetime
+
+        # only datetime-typed bounds compare reliably driver-side;
+        # strings ('2024-9-01') would compare lexicographically and
+        # falsely reject chronologically valid ranges — Spark's cast
+        # is the authority for those
+        if (
+            isinstance(start, (_date, _datetime))
+            and isinstance(end, (_date, _datetime))
+            and start >= end
+        ):
+            raise ValueError(
+                f"end ({end!r}) must be after start ({start!r})"
+            )
         lo = F.unix_timestamp(F.lit(start).cast("timestamp"))
         hi = F.unix_timestamp(F.lit(end).cast("timestamp"))
         lo = F.floor(lo / step).cast("long") * step

@@ -486,9 +486,7 @@ def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
     epochs = _ivf_manifest(path, fs)["epochs"]
     return (
         spark.read.option("basePath", posixpath.join(path, "vectors"))
-        .parquet(
-            *[posixpath.join(path, "vectors", f"epoch={e}") for e in epochs]
-        )
+        .parquet(*epochs_io.epoch_paths(path, "vectors", epochs))
         .drop("epoch")
     )
 

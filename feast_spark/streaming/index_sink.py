@@ -29,13 +29,26 @@ Dedup-then-append composition: to keep only novel documents, call
 append — both steps see the same committed manifest, and the append
 publishes after the dedup read, so a batch never dedups against
 itself.
+
+CHECKPOINT-RESET TRAP: the watermark is keyed on Spark's per-
+checkpoint batch ids.  Deleting or re-pointing ``checkpointLocation``
+restarts ids at 0, and every batch up to the stored watermark would be
+silently skipped as a replay.  One checkpoint per index, for the life
+of the index; if you must re-point a stream, call
+``clear_stream_watermark(path)`` first (single-writer, stream
+stopped).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["bm25_index_sink", "minhash_index_sink", "ivf_index_sink"]
+__all__ = [
+    "bm25_index_sink",
+    "minhash_index_sink",
+    "ivf_index_sink",
+    "clear_stream_watermark",
+]
 
 _WATERMARK_KEY = "stream_epoch"
 
@@ -119,3 +132,21 @@ def ivf_index_sink(
         )
 
     return fn
+
+
+def clear_stream_watermark(path: str, fs=None) -> None:
+    """Remove the streaming epoch watermark from an index manifest —
+    REQUIRED before re-pointing a stream at a fresh checkpoint (batch
+    ids restart at 0 and would otherwise be skipped as replays; see
+    the module docstring).  Run with the stream stopped, from the
+    single writer; the rewrite is one atomic manifest flip."""
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+
+    fs = fs or LocalFS()
+    manifest = epochs_io.read_manifest(path, fs)
+    if _WATERMARK_KEY in manifest:
+        manifest = {
+            k: v for k, v in manifest.items() if k != _WATERMARK_KEY
+        }
+        epochs_io.commit_manifest(path, fs, manifest)

@@ -552,8 +552,12 @@ def test_bm25_index_empty_and_legacy_guards(spark, tmp_path):
 
     docs = load_table(spark, SF_MED, "documents")
     empty = docs.filter(F.lit(False))
-    with pytest.raises(ValueError, match="empty corpus"):
+    with pytest.raises(ValueError, match="no postings"):
         build_bm25_index(empty, str(tmp_path / "e"), "doc_id", "text")
+    # non-empty corpus whose texts all tokenize to nothing: same guard
+    blank = docs.limit(3).withColumn("text", F.lit("   "))
+    with pytest.raises(ValueError, match="no postings"):
+        build_bm25_index(blank, str(tmp_path / "b"), "doc_id", "text")
 
     path = str(tmp_path / "idx")
     build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=8)

@@ -187,3 +187,20 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
             edges,
             personalize=spark.createDataFrame([(99,)], "node INT"),
         )
+
+
+def test_weighted_pagerank_keeps_zero_weight_nodes(spark):
+    """A node connected only by zero/NULL-weight edges stays in the
+    graph as a dangling node (it holds teleport mass) instead of
+    vanishing from the output."""
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 0.0), (2, 3, None)],
+        "src INT, dst INT, w DOUBLE",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, max_iter=10, weight="w").collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[2] > 0 and got[3] > 0
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-8)

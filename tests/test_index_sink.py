@@ -149,3 +149,37 @@ def test_ivf_sink_replay_skipped(spark, tmp_path):
     )
     with open(f"{path}/_MANIFEST.json") as f:
         assert json.load(f)["stream_epoch"] == 3
+
+
+def test_clear_stream_watermark(spark, tmp_path):
+    """After clearing the watermark, a re-pointed stream's restarted
+    epoch ids apply again."""
+    from feast_spark.operators.minhash_index import (
+        build_minhash_index,
+        minhash_index_stats,
+    )
+    from feast_spark.streaming.index_sink import (
+        clear_stream_watermark,
+        minhash_index_sink,
+    )
+
+    docs = _docs(spark, 100)
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs.filter(F.col("doc_id") < 50), path)
+    sink = minhash_index_sink(spark, path)
+    sink(docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75)), 41)
+    n1 = sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+    late = docs.filter(F.col("doc_id") >= 75)
+    sink(late, 0)  # fresh-checkpoint id without clearing: skipped
+    assert (
+        sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+        == n1
+    )
+    clear_stream_watermark(path)
+    sink(late, 0)  # now it lands
+    assert (
+        sum(r["n_docs"] for r in minhash_index_stats(spark, path).collect())
+        == n1 + late.count()
+    )
+    with open(f"{path}/_MANIFEST.json") as f:
+        assert json.load(f)["stream_epoch"] == 0

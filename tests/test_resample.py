@@ -296,3 +296,17 @@ def test_resample_rejects_inverted_bounds(spark):
             df, ["k"], "ts", 60, {"n": ("v", "count")},
             start=datetime(2024, 1, 1), end=datetime(2024, 1, 1),
         )
+
+
+def test_resample_string_bounds_not_lexicographically_rejected(spark):
+    """Non-zero-padded date strings ('2024-9-01' < '2024-10-01'
+    chronologically but not lexicographically) must reach Spark's
+    cast, not the driver-side guard."""
+    df = spark.createDataFrame(
+        [(1, "2024-09-15 00:00:30", 1.0)], "k INT, ts STRING, v DOUBLE"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(
+        df, ["k"], "ts", 86400, {"n": ("v", "count")},
+        start="2024-9-01", end="2024-10-01", fill="zero",
+    )
+    assert out.count() == 30  # September days
