@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "group_split", "sample_per_group"]
+__all__ = [
+    "hash_bucket",
+    "hash_split",
+    "group_split",
+    "sample_per_group",
+    "time_series_splits",
+]
 
 
 def hash_bucket(id_col: Column, n_buckets: int = 100, salt: str = "") -> Column:
@@ -119,3 +125,64 @@ def group_split(
         split  = group_split(docs, "grp", weights)    # clusters intact
     """
     return hash_split(df, group_col, weights, out_col=out_col, salt=salt)
+
+
+def time_series_splits(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int,
+    gap_seconds: int = 0,
+    start=None,
+    end=None,
+) -> list[tuple[DataFrame, DataFrame]]:
+    """Expanding-window time-series cross-validation folds — the
+    leakage-safe CV for temporal data (sklearn ``TimeSeriesSplit``
+    semantics, plus a purge gap; public method — the gap removes
+    rows whose labels/windows could straddle the boundary, the
+    "purging" of de Prado's walk-forward CV).
+
+    The time range [t_min, t_max] (or explicit ``start``/``end``) is
+    cut into ``n_folds + 1`` equal spans.  Fold i (0-based):
+
+        train_i = rows in [start,                    boundary_i)
+        test_i  = rows in [boundary_i + gap_seconds, boundary_{i+1})
+
+    so train always PRECEDES test, later folds train on strictly more
+    history, and no test row is within ``gap_seconds`` of any train
+    row (label-window leakage guard).
+
+    Returns ``n_folds`` lazy (train, test) pairs — plain timestamp
+    filters over ``df``, so each materialization is one pruned scan
+    (min/max stats and time-partitioned layouts skip files outside the
+    fold; nothing is shuffled or copied here).  Bounds come from one
+    tiny min/max aggregate when not given.  Equal TIME spans, not
+    equal row counts — the honest choice for walk-forward evaluation
+    (row-balanced folds would let volume spikes bend the boundaries
+    toward the spike)."""
+    if n_folds < 1:
+        raise ValueError(f"n_folds must be >= 1, got {n_folds}")
+    if gap_seconds < 0:
+        raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
+    if (start is None) != (end is None):
+        raise ValueError("pass both start and end, or neither")
+    if start is None:
+        row = df.agg(
+            F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")
+        ).collect()[0]
+        start, end = row["lo"], row["hi"]
+        if start is None:
+            raise ValueError("cannot split an empty frame without bounds")
+    lo = F.unix_timestamp(F.lit(start).cast("timestamp"))
+    hi = F.unix_timestamp(F.lit(end).cast("timestamp"))
+    ts = F.unix_timestamp(F.col(ts_col))
+    span = (hi - lo) / (n_folds + 1)
+    folds = []
+    for i in range(1, n_folds + 1):
+        b = lo + span * i
+        nxt = lo + span * (i + 1) if i < n_folds else hi + 1
+        train = df.filter(ts.isNotNull() & (ts >= lo) & (ts < b))
+        test = df.filter(
+            ts.isNotNull() & (ts >= b + gap_seconds) & (ts < nxt)
+        )
+        folds.append((train, test))
+    return folds

@@ -101,3 +101,62 @@ def test_group_split_keeps_groups_whole_and_guards_leakage(spark):
     for r in naive.collect():
         naive_per_group.setdefault(r["grp"], set()).add(r["split"])
     assert any(len(s) > 1 for s in naive_per_group.values())
+
+
+def test_time_series_splits_expanding_and_purged(spark):
+    """Folds expand, train strictly precedes test, the purge gap
+    holds, and fold membership matches a python recomputation of the
+    same boundary arithmetic over the real events table."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.functions.split import time_series_splits
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_MED
+
+    events = load_table(spark, SF_MED, "events")
+    folds = time_series_splits(events, "ts", n_folds=3, gap_seconds=3600)
+    assert len(folds) == 3
+    rng = events.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    lo, hi = rng["lo"].timestamp(), rng["hi"].timestamp()
+    span = (hi - lo) / 4
+    prev_train = 0
+    total = events.filter(F.col("ts").isNotNull()).count()
+    rows = [
+        (r["ts"].timestamp(),)
+        for r in events.select("ts").filter(F.col("ts").isNotNull()).collect()
+    ]
+    for i, (train, test) in enumerate(folds, start=1):
+        b = lo + span * i
+        nxt = lo + span * (i + 1) if i < 3 else hi + 1
+        n_train, n_test = train.count(), test.count()
+        # expanding: each fold trains on strictly more rows
+        assert n_train > prev_train
+        prev_train = n_train
+        # python twin of the boundary arithmetic
+        want_train = sum(1 for (t,) in rows if lo <= t < b)
+        want_test = sum(1 for (t,) in rows if b + 3600 <= t < nxt)
+        assert (n_train, n_test) == (want_train, want_test), i
+        assert n_test > 0
+        # leakage guard: max(train ts) + gap <= min(test ts)
+        mt = train.agg(F.max("ts")).collect()[0][0].timestamp()
+        mn = test.agg(F.min("ts")).collect()[0][0].timestamp()
+        assert mt + 3600 <= mn + 1e-6
+    # no gap, all folds: train+test unions cover <= total; final fold
+    # test ends at the max row inclusively
+    ng = time_series_splits(events, "ts", n_folds=2)
+    last_train, last_test = ng[-1]
+    assert last_train.count() + last_test.count() <= total
+    assert (
+        last_test.agg(F.max("ts")).collect()[0][0] == rng["hi"]
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_folds"):
+        time_series_splits(events, "ts", 0)
+    with _pytest.raises(ValueError, match="gap_seconds"):
+        time_series_splits(events, "ts", 2, gap_seconds=-1)
+    with _pytest.raises(ValueError, match="both start and end"):
+        time_series_splits(events, "ts", 2, start=rng["lo"])
