@@ -1899,7 +1899,7 @@ joined AS (
   FROM grid g LEFT JOIN per_bucket p USING (user_id, b)
 )
 SELECT user_id,
-       to_timestamp(b) AS bucket_ts,
+       CAST(to_timestamp(b) AS TIMESTAMP) AS bucket_ts,
        ROUND(LAST_VALUE(total IGNORE NULLS) OVER w, 6) AS total,
        LAST_VALUE(n IGNORE NULLS) OVER w AS n,
        ROUND(LAST_VALUE(last_v IGNORE NULLS) OVER w, 6) AS last_v

@@ -165,6 +165,19 @@ def time_series_splits(
         raise ValueError(f"gap_seconds must be >= 0, got {gap_seconds}")
     if (start is None) != (end is None):
         raise ValueError("pass both start and end, or neither")
+    from datetime import date as _date
+    from datetime import datetime as _datetime
+
+    if (
+        start is not None
+        and isinstance(start, (_date, _datetime))
+        and isinstance(end, (_date, _datetime))
+        and start >= end
+    ):
+        # mirror resample's driver-side guard: reversed explicit bounds
+        # would otherwise silently yield empty/degenerate folds.  String
+        # bounds stay unchecked here (parsed executor-side by the CAST).
+        raise ValueError(f"end ({end!r}) must be after start ({start!r})")
     if start is None:
         row = df.agg(
             F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")

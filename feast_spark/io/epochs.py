@@ -60,6 +60,24 @@ def commit_manifest(path: str, fs: StoreFS, manifest: dict) -> None:
     )
 
 
+def carried_meta(
+    path: str, fs: StoreFS, structural_keys: tuple[str, ...]
+) -> dict:
+    """Non-structural keys of the manifest already committed at
+    ``path``, if any.  Rebuild-over-existing-index carries these
+    forward into the fresh manifest so sidecar state survives —
+    concretely the streaming sink's ``stream_epoch`` watermark: a
+    rebuild that dropped it would let a crash-replay straddling the
+    rebuild re-append a micro-batch whose docs the rebuild corpus
+    already contains (``streaming/index_sink.py`` promises the
+    watermark survives non-streaming commits)."""
+    mp = posixpath.join(path, MANIFEST)
+    if not fs.exists(mp):
+        return {}
+    manifest = json.loads(fs.read_bytes(mp))
+    return {k: v for k, v in manifest.items() if k not in structural_keys}
+
+
 def next_epoch(
     path: str, fs: StoreFS, committed: list[int], subdirs: tuple[str, ...]
 ) -> int:

@@ -540,10 +540,14 @@ def build_bm25_index(
         )
     epoch = _bm25_next_epoch(path, fs, [])
     _bm25_write_epoch(path, epoch, posting, stats)
+    carried = epochs_io.carried_meta(
+        path, fs, ("epochs", "n_term_buckets", "id_col", "text_col")
+    )
     _bm25_commit(
         path,
         fs,
         {
+            **carried,
             "epochs": [epoch],
             "n_term_buckets": n_term_buckets,
             "id_col": id_col,

@@ -166,7 +166,8 @@ def build_minhash_index(
     banded, shingles = _doc_tables(df, id_col, text_col, params)
     epoch = _next_epoch(path, fs, [])
     _write_epoch(path, epoch, banded, shingles)
-    _commit(path, fs, {"epochs": [epoch], "params": params})
+    carried = epochs_io.carried_meta(path, fs, ("epochs", "params"))
+    _commit(path, fs, {**carried, "epochs": [epoch], "params": params})
 
 
 def minhash_index_append(
@@ -187,12 +188,20 @@ def minhash_index_append(
     epoch watermark; empty slices are a no-op)."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
-    if new_df.limit(1).count() == 0:
-        return  # empty slice: nothing to fold in
     params = manifest["params"]
     banded, shingles = _doc_tables(
         new_df, params["id_col"], params["text_col"], params
     )
+    if banded.limit(1).count() == 0:
+        # no-op on DERIVED band rows, not input rows (same discipline as
+        # bm25_index_append's postings guard).  Unlike BM25 postings,
+        # every doc here produces >= 1 band row regardless of text — the
+        # short-doc guard in with_hashed_shingles signs blank/NULL texts
+        # with a single whole-doc shingle (so identical empty docs still
+        # cluster as duplicates, matching the inline pipeline) — so this
+        # only fires for a zero-row slice; kept on the derived frame for
+        # consistency and as a guard against future tokenizer changes.
+        return
     epoch = _next_epoch(path, fs, manifest["epochs"])
     _write_epoch(path, epoch, banded, shingles)
     manifest = {**manifest, **(meta or {})}

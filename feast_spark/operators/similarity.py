@@ -543,7 +543,8 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
-    _ivf_commit(path, fs, {"epochs": [epoch], "centroids": cent_rel})
+    carried = epochs_io.carried_meta(path, fs, ("epochs", "centroids"))
+    _ivf_commit(path, fs, {**carried, "epochs": [epoch], "centroids": cent_rel})
 
 
 def ivf_index_topk(

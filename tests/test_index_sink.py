@@ -183,3 +183,58 @@ def test_clear_stream_watermark(spark, tmp_path):
     )
     with open(f"{path}/_MANIFEST.json") as f:
         assert json.load(f)["stream_epoch"] == 0
+
+
+def test_rebuild_carries_stream_watermark(spark, tmp_path):
+    """Rebuilding any of the three indexes over an existing path keeps
+    the streaming watermark (and any other sidecar meta): a crash-replay
+    straddling the rebuild must NOT re-append a micro-batch whose docs
+    the rebuild corpus already contains."""
+    from feast_spark.operators.bm25 import build_bm25_index
+    from feast_spark.operators.minhash_index import (
+        build_minhash_index,
+        minhash_index_append,
+    )
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    docs = _docs(spark, 100)
+    a = docs.filter(F.col("doc_id") < 50)
+    b = docs.filter(F.col("doc_id") >= 50)
+
+    # minhash: seed -> streamed append stamps the watermark -> rebuild
+    mh = str(tmp_path / "mh")
+    build_minhash_index(a, mh)
+    minhash_index_append(spark, mh, b, meta={"stream_epoch": 7})
+    build_minhash_index(docs, mh)
+    with open(f"{mh}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["stream_epoch"] == 7  # survived the rebuild
+    assert len(m["epochs"]) == 1  # but the epoch list WAS reset
+
+    # bm25
+    bm = str(tmp_path / "bm")
+    build_bm25_index(a, bm, "doc_id", "text", n_term_buckets=8)
+    from feast_spark.operators.bm25 import bm25_index_append
+
+    bm25_index_append(spark, bm, b, meta={"stream_epoch": 3})
+    build_bm25_index(docs, bm, "doc_id", "text", n_term_buckets=8)
+    with open(f"{bm}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["stream_epoch"] == 3
+    assert len(m["epochs"]) == 1
+
+    # ivf
+    emb = load_table(spark, SF_MED, "embeddings")
+    ea = emb.filter(F.col("vec_id") % 2 == 0)
+    eb = emb.filter(F.col("vec_id") % 2 == 1)
+    iv = str(tmp_path / "iv")
+    build_ivf_index(ea, iv, n_centroids=8)
+    ivf_index_append(spark, iv, eb, meta={"stream_epoch": 11})
+    build_ivf_index(emb, iv, n_centroids=8)
+    with open(f"{iv}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert m["stream_epoch"] == 11
+    assert len(m["epochs"]) == 1

@@ -188,3 +188,41 @@ def test_compact_preserves_results_and_vacuum(spark, tmp_path):
     minhash_index_compact(spark, path)
     with open(f"{path}/_MANIFEST.json") as f:
         assert json.load(f)["epochs"] == [10]
+
+
+def test_append_empty_and_blank_slices(spark, tmp_path):
+    """Zero-row slices are a no-op (guarded on DERIVED band rows, same
+    discipline as the BM25 postings guard).  Blank-text docs, by
+    contrast, DO sign — the short-doc shingle guard gives every doc a
+    whole-doc shingle, so identical empty docs cluster as duplicates
+    exactly like the inline pipeline — and the index stays queryable."""
+    import json
+
+    docs = _docs(spark)
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs, path, "doc_id", "text")
+    with open(f"{path}/_MANIFEST.json") as f:
+        before = json.load(f)["epochs"]
+
+    empty = spark.createDataFrame([], "doc_id BIGINT, text STRING")
+    minhash_index_append(spark, path, empty)
+    with open(f"{path}/_MANIFEST.json") as f:
+        assert json.load(f)["epochs"] == before  # no zero-row epoch
+
+    blank = spark.createDataFrame(
+        [(10_001, ""), (10_002, "   ")], "doc_id BIGINT, text STRING"
+    )
+    minhash_index_append(spark, path, blank)
+    with open(f"{path}/_MANIFEST.json") as f:
+        after = json.load(f)["epochs"]
+    assert len(after) == len(before) + 1
+    # the two blank docs sign identically -> found as a dup pair
+    probe = spark.createDataFrame(
+        [(10_003, "")], "doc_id BIGINT, text STRING"
+    )
+    pairs = dedup_against_index(
+        spark, path, probe, threshold=0.9, max_bucket_size=None
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} >= {(10_001, 10_003), (10_002, 10_003)} or {
+        (p["id_b"], p["id_a"]) for p in pairs
+    } >= {(10_001, 10_003), (10_002, 10_003)}

@@ -160,3 +160,25 @@ def test_time_series_splits_expanding_and_purged(spark):
         time_series_splits(events, "ts", 2, gap_seconds=-1)
     with _pytest.raises(ValueError, match="both start and end"):
         time_series_splits(events, "ts", 2, start=rng["lo"])
+
+
+def test_time_series_splits_rejects_reversed_bounds(spark):
+    """Explicit datetime bounds with start >= end raise instead of
+    silently yielding empty/degenerate folds (mirrors resample)."""
+    from datetime import datetime
+
+    import pytest
+
+    from feast_spark.functions.split import time_series_splits
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_MED
+
+    events = load_table(spark, SF_MED, "events")
+    with pytest.raises(ValueError, match="must be after"):
+        time_series_splits(
+            events,
+            "ts",
+            n_folds=2,
+            start=datetime(2024, 1, 2),
+            end=datetime(2024, 1, 1),
+        )

@@ -26,7 +26,11 @@ def _norm(v):
             return "NaN"
         return round(v, 9)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # Preserve tz-awareness: the driver gate hashes tz-aware and naive
+        # timestamps differently (DuckDB to_timestamp() returns TIMESTAMPTZ;
+        # oracles must CAST(... AS TIMESTAMP)).  Stripping tzinfo here made
+        # selfcheck structurally blind to the round-9 resample_grid failure.
+        return v.isoformat()
     if isinstance(v, list):
         return tuple(_norm(x) for x in v)
     return v
