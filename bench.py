@@ -263,6 +263,31 @@ def main() -> None:
 
     queries["bm25_index_topk"] = q_bm25_index_topk
 
+    # Round-10 extra: the all-index hybrid serving shape — BOTH
+    # channels from persisted indexes (BM25 postings bucket-pruned,
+    # IVF vectors cell-pruned via DPP).  Indexes built once, untimed;
+    # each timed run is the per-query serving cost, which is what the
+    # brute hybrid_topk corpus scan is NOT at 100 TB.
+    from feast_spark.operators.similarity import build_ivf_index
+
+    _ivf_idx = tempfile.mkdtemp(prefix="bench_ivf_") + "/idx"
+    _emb = load_table(spark, sf_dir, "embeddings")
+    build_ivf_index(_emb, _ivf_idx, n_centroids=64, iters=2)
+    _hybrid_dim = len(_emb.select("embedding").first()[0])
+    _hybrid_qvec = [
+        float((i * 37) % 19) / 19.0 for i in range(_hybrid_dim)
+    ]
+
+    def q_hybrid_index_topk(spark, sf_dir):
+        from feast_spark.operators.bm25 import hybrid_index_topk
+
+        return hybrid_index_topk(
+            spark, _bm25_idx, None, ["hash", "scan", "filter"],
+            _hybrid_qvec, k=10, vec_index_path=_ivf_idx, n_probe=8,
+        )
+
+    queries["hybrid_index_topk"] = q_hybrid_index_topk
+
     from tools.online_bench import _build_store
 
     _online_tmp = tempfile.mkdtemp(prefix="bench_online_")
@@ -300,6 +325,7 @@ def main() -> None:
                 "sketch_rollup",
                 "bm25_topk",
                 "bm25_index_topk",
+                "hybrid_index_topk",
                 "online_multiget",
             )
             if n in queries

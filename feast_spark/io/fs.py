@@ -42,6 +42,13 @@ class StoreFS:
     def list_subdirs(self, path: str) -> list[str]:
         raise NotImplementedError
 
+    def list_files(self, path: str) -> list[str]:
+        """Names of the plain files directly under ``path`` ([] if the
+        directory does not exist).  Lets driver-side code read a tiny
+        Spark-written parquet dir (e.g. IVF centroids: C rows) without
+        paying a Spark job for it."""
+        raise NotImplementedError
+
     def delete(self, path: str) -> None:
         raise NotImplementedError
 
@@ -73,6 +80,13 @@ class LocalFS(StoreFS):
         if not os.path.isdir(path):
             return []
         return [d for d in os.listdir(path) if os.path.isdir(os.path.join(path, d))]
+
+    def list_files(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return [
+            f for f in os.listdir(path) if os.path.isfile(os.path.join(path, f))
+        ]
 
     def delete(self, path: str) -> None:
         import shutil
@@ -144,6 +158,13 @@ class HadoopFS(StoreFS):
         return [
             s.getPath().getName() for s in fs.listStatus(p) if s.isDirectory()
         ]
+
+    def list_files(self, path: str) -> list[str]:
+        fs = self._jfs(path)
+        p = self._jpath(path)
+        if not fs.exists(p):
+            return []
+        return [s.getPath().getName() for s in fs.listStatus(p) if s.isFile()]
 
     def delete(self, path: str) -> None:
         fs = self._jfs(path)

@@ -32,6 +32,7 @@ import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from feast_spark.functions.text import normalize_text, tokens
 from feast_spark.io import epochs as epochs_io
@@ -774,7 +775,7 @@ def bm25_index_topk_batch(
 def hybrid_index_topk(
     spark: SparkSession,
     index_path: str,
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     query_terms: list[str],
     query_vec: list[float],
     emb_id_col: str = "vec_id",
@@ -784,18 +785,35 @@ def hybrid_index_topk(
     rrf_k: int = 60,
     query_vec_id=-1,
     fs=None,
+    vec_index_path: str | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
     ``_rrf_fuse``), but the per-query lexical cost is the pruned
-    postings read, not a corpus scan.  Pair with ``ivf_index_topk``
-    for an all-index serving stack."""
+    postings read, not a corpus scan.
+
+    The vector channel has two modes:
+
+    - ``vec_index_path`` set: top-k comes from the persisted IVF
+      index (``similarity.ivf_index_topk``) — the vectors scan reads
+      only the ``n_probe`` probed cells (dynamic partition pruning on
+      the broadcast cell join), so BOTH channels are index-pruned and
+      the per-query cost is independent of corpus size.  ``embeddings``
+      may be ``None`` in this mode.  At ``n_probe >=`` the index's
+      centroid count the channel is exactly the brute scan
+      (pytest-pinned identity).
+    - otherwise: brute-force :func:`~feast_spark.operators.similarity.
+      cosine_topk` over ``embeddings`` — correct for one-off batch use
+      or when no ANN index exists, but a full corpus scan per query."""
     from pyspark.sql.types import StructField, StructType
 
-    from feast_spark.operators.similarity import cosine_topk
+    from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
     if fetch_k < k:
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    if vec_index_path is None and embeddings is None:
+        raise ValueError("pass embeddings or vec_index_path")
     lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
     id_col = lex.columns[0]
     lex = lex.select(
@@ -804,20 +822,39 @@ def hybrid_index_topk(
         .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
         .alias("lex_rank"),
     )
+    if vec_index_path is not None:
+        id_type = (
+            embeddings.schema[emb_id_col].dataType
+            if embeddings is not None
+            else LongType()
+        )
+        vec_type = (
+            embeddings.schema[vec_col].dataType
+            if embeddings is not None
+            else ArrayType(DoubleType())
+        )
+    else:
+        id_type = embeddings.schema[emb_id_col].dataType
+        vec_type = embeddings.schema[vec_col].dataType
     qdf = spark.createDataFrame(
         [(query_vec_id, [float(x) for x in query_vec])],
         StructType(
             [
-                StructField(
-                    emb_id_col, embeddings.schema[emb_id_col].dataType
-                ),
-                StructField(vec_col, embeddings.schema[vec_col].dataType),
+                StructField(emb_id_col, id_type),
+                StructField(vec_col, vec_type),
             ]
         ),
     )
-    vec = cosine_topk(
-        embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
-    ).select(
+    if vec_index_path is not None:
+        topk = ivf_index_topk(
+            spark, vec_index_path, qdf,
+            id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
+        )
+    else:
+        topk = cosine_topk(
+            embeddings, qdf, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
+        )
+    vec = topk.select(
         F.col("neighbor_id").alias("id"),
         F.col("rank").alias("vec_rank"),
     )
@@ -827,7 +864,7 @@ def hybrid_index_topk(
 def hybrid_index_topk_batch(
     spark: SparkSession,
     index_path: str,
-    embeddings: DataFrame,
+    embeddings: DataFrame | None,
     queries: DataFrame,
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -838,19 +875,30 @@ def hybrid_index_topk_batch(
     fetch_k: int = 50,
     rrf_k: int = 60,
     fs=None,
+    vec_index_path: str | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
     rrf, rank) contract and fusion (shared ``_rrf_fuse_batch``), but
     the lexical cost is one partition-pruned postings read for the
-    whole batch's term set instead of a corpus tokenize.  The
-    retrieval-service shape for many concurrent hybrid queries; pair
-    the vector channel with ``ivf_index_topk`` over a persisted ANN
-    index when the embedding corpus is itself too large to scan."""
-    from feast_spark.operators.similarity import cosine_topk
+    whole batch's term set instead of a corpus tokenize.
+
+    With ``vec_index_path`` set, the vector channel is served from the
+    persisted IVF index too (``similarity.ivf_index_topk``): the
+    vectors scan reads only the cells the batch's queries probe
+    (dynamic partition pruning on the broadcast cell join), so the
+    all-index serving stack touches ``O(batch x n_probe)`` cells and
+    the term buckets the batch hashes into — never the corpus.
+    ``embeddings`` may be ``None`` in that mode; without
+    ``vec_index_path`` the channel brute-scans ``embeddings``
+    (one-off batch shape)."""
+    from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
     if fetch_k < k:
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
+    if vec_index_path is None and embeddings is None:
+        raise ValueError("pass embeddings or vec_index_path")
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,
         terms_col=terms_col, k=fetch_k, fs=fs,
@@ -860,14 +908,20 @@ def hybrid_index_topk_batch(
         "query_id", F.col(id_col).alias("id"),
         F.col("rank").alias("lex_rank"),
     )
-    vec = cosine_topk(
-        embeddings,
-        queries.select(
-            F.col(query_id_col).alias(emb_id_col),
-            F.col(qvec_col).alias(vec_col),
-        ),
-        id_col=emb_id_col, vec_col=vec_col, k=fetch_k,
-    ).select(
+    qvecs = queries.select(
+        F.col(query_id_col).alias(emb_id_col),
+        F.col(qvec_col).alias(vec_col),
+    )
+    if vec_index_path is not None:
+        topk = ivf_index_topk(
+            spark, vec_index_path, qvecs,
+            id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
+        )
+    else:
+        topk = cosine_topk(
+            embeddings, qvecs, id_col=emb_id_col, vec_col=vec_col, k=fetch_k
+        )
+    vec = topk.select(
         "query_id", F.col("neighbor_id").alias("id"),
         F.col("rank").alias("vec_rank"),
     )

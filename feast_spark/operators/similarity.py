@@ -343,6 +343,66 @@ def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def probe_cells_df(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probe: int,
+    qid_col: str = "query_id",
+    qvec_col: str = "__qvec",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(qid, qvec, cell) rows for the ``n_probe`` nearest cells per
+    query — the data-driven twin of :func:`probe_cells`.
+
+    Instead of an O(C x D) literal expression tree (one aggregate over
+    a D-element literal array PER centroid — at C=64, D=64 that is
+    thousands of AST nodes, and Catalyst re-analyzes + re-codegens it
+    on every query, dominating serving latency), the centroids ride in
+    as ONE array<struct<cell, vec>> column (a 1-row broadcast
+    crossJoin) and the whole probe is a single small fixed expression:
+    transform -> array_sort -> slice -> explode.  No shuffle, no
+    window, analysis cost independent of C.  Same doubles, same
+    sequential summation order, same (distance, cell) ascending
+    tie-break, so cells are identical to the literal path
+    (pytest-pinned)."""
+    spark = queries.sparkSession
+    cents = spark.createDataFrame(
+        [
+            (
+                [
+                    {"cell": i, "vec": [float(x) for x in c]}
+                    for i, c in enumerate(centroids)
+                ],
+            )
+        ],
+        "__cents ARRAY<STRUCT<cell: INT, vec: ARRAY<DOUBLE>>>",
+    )
+    qv = F.col(qvec_col)
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    qv,
+                    c["vec"],
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
+    )
+    probed = F.transform(
+        F.slice(F.array_sort(dists), 1, n_probe), lambda s: s["cell"]
+    )
+    return (
+        queries.select(qid_col, qvec_col)
+        .crossJoin(F.broadcast(cents))
+        .select(qid_col, qvec_col, F.explode(probed).alias(cell_col))
+    )
+
+
 def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
     """The n_probe nearest cell ids for a query vector, as an array."""
     dists = F.array(
@@ -468,13 +528,31 @@ def _ivf_load_centroids(
 ) -> list[list[float]]:
     """Centroids resolved THROUGH the manifest, so a query never pairs
     one generation's quantizer with another generation's cell-tagged
-    vectors (rebuild commits both pointers in one atomic flip)."""
+    vectors (rebuild commits both pointers in one atomic flip).
+
+    Read driver-side with pyarrow through the control-plane FS (C rows,
+    a few KB) — going through ``spark.read.parquet(...).collect()``
+    cost a full Spark job (plan + listing + sort shuffle) PER QUERY,
+    several hundred ms of pure overhead on the serving path."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
     fs = fs or LocalFS()
     cdir = _ivf_centroids_dir(path, _ivf_manifest(path, fs))
-    return [
-        list(r.centroid)
-        for r in spark.read.parquet(cdir).orderBy("cell").collect()
-    ]
+    rows: list[tuple[int, list[float]]] = []
+    for name in fs.list_files(cdir):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq.read_table(
+            _io.BytesIO(fs.read_bytes(posixpath.join(cdir, name))),
+            columns=["cell", "centroid"],
+        )
+        cells = t.column("cell").to_pylist()
+        cents = t.column("centroid").to_pylist()
+        rows.extend(zip(cells, cents))
+    rows.sort(key=lambda r: r[0])
+    return [[float(x) for x in c] for _, c in rows]
 
 
 def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
@@ -558,20 +636,38 @@ def ivf_index_topk(
 ) -> DataFrame:
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as
-    ``ivf_ann_topk`` with identical params — pinned by tests."""
+    ``ivf_ann_topk`` with identical params — pinned by tests.
+
+    The vectors scan is STATICALLY partition-pruned to the union of
+    the batch's probed cells: the probe frame is tiny (|Q| x n_probe
+    rows), so its distinct cells — bounded by the centroid count C,
+    never by |Q| or the corpus — are collected and pushed as a
+    ``cell IN (...)`` literal filter.  A dynamic-partition-pruning
+    subquery would do the same only when Catalyst chooses to insert
+    one (it declines for LocalRelation query frames, the common
+    serving shape) and costs an extra subquery stage when it does;
+    the literal IN prunes in every case (plan-pinned)."""
     cents = _ivf_load_centroids(spark, path)
     vectors = _ivf_vectors(spark, path).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
-    q = (
+    # data-driven probe (probe_cells_df): analysis cost independent of
+    # the centroid count — the literal-expression probe_cells tree made
+    # per-query planning dominate serving latency at C>=32
+    q = probe_cells_df(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        )
-        .withColumn("__cells", probe_cells(F.col("__qvec"), cents, n_probe))
-        .select("query_id", "__qvec", F.explode(F.col("__cells")).alias("cell"))
+        ),
+        cents,
+        n_probe,
     )
-    cand = vectors.join(F.broadcast(q), "cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
+    probed = sorted(
+        r["cell"] for r in q.select("cell").distinct().collect()
+    )  # bounded collect: at most C ints
+    cand = (
+        vectors.filter(F.col("cell").isin(probed))
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
     )
     cos = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4)
     w = Window.partitionBy("query_id").orderBy(
@@ -708,12 +804,7 @@ def ivf_index_append(
     manifest = _ivf_manifest(path, fs)
     if new_vectors.limit(1).count() == 0:
         return
-    cents = [
-        list(r.centroid)
-        for r in spark.read.parquet(_ivf_centroids_dir(path, manifest))
-        .orderBy("cell")
-        .collect()
-    ]
+    cents = _ivf_load_centroids(spark, path, fs)
     epoch = _ivf_next_epoch(path, fs, manifest["epochs"])
     (
         new_vectors.select(

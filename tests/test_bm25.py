@@ -405,6 +405,114 @@ def test_hybrid_index_batch_matches_inline_batch(spark, tmp_path):
     assert len(indexed) == 16  # k rows per query
 
 
+def _build_hybrid_indexes(spark, tmp_path, n_centroids=8):
+    from feast_spark.operators.bm25 import build_bm25_index
+    from feast_spark.operators.similarity import build_ivf_index
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings")
+    lex_path = str(tmp_path / "bm25ai")
+    vec_path = str(tmp_path / "ivfai")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=16)
+    build_ivf_index(emb, vec_path, n_centroids=n_centroids, iters=2)
+    return docs, emb, lex_path, vec_path
+
+
+def test_hybrid_all_index_matches_brute_at_full_probe(spark, tmp_path):
+    """With vec_index_path set and n_probe >= the index's centroid
+    count, the IVF vector channel is exactly the brute cosine scan, so
+    the all-index hybrid must reproduce the brute hybrid row-for-row —
+    and must work with embeddings=None (no corpus frame needed at
+    serving time)."""
+    from feast_spark.operators.bm25 import hybrid_index_topk
+
+    docs, emb, lex_path, vec_path = _build_hybrid_indexes(
+        spark, tmp_path, n_centroids=8
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [float((i * 37) % 19) / 19.0 for i in range(dim)]
+    brute = hybrid_index_topk(
+        spark, lex_path, emb, ["spark", "merge"], qvec, k=10
+    ).collect()
+    indexed = hybrid_index_topk(
+        spark, lex_path, None, ["spark", "merge"], qvec, k=10,
+        vec_index_path=vec_path, n_probe=8,
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in brute]
+
+
+def test_hybrid_all_index_batch_matches_brute_at_full_probe(spark, tmp_path):
+    from feast_spark.operators.bm25 import hybrid_index_topk_batch
+
+    docs, emb, lex_path, vec_path = _build_hybrid_indexes(
+        spark, tmp_path, n_centroids=8
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qs = spark.createDataFrame(
+        [
+            (
+                -1 - i,
+                ["spark", "merge", "scan"][i : i + 2],
+                [float((j * 37 + i * 11) % 19) / 19.0 for j in range(dim)],
+            )
+            for i in range(2)
+        ],
+        "query_id BIGINT, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+    )
+    brute = hybrid_index_topk_batch(spark, lex_path, emb, qs, k=8).collect()
+    indexed = hybrid_index_topk_batch(
+        spark, lex_path, None, qs, k=8, vec_index_path=vec_path, n_probe=8
+    ).collect()
+    key = lambda t: (t[0], t[5])
+    assert sorted(map(tuple, indexed), key=key) == sorted(
+        map(tuple, brute), key=key
+    )
+
+
+def test_hybrid_all_index_both_channels_pruned(spark, tmp_path):
+    """The all-index hybrid plan must prune BOTH persisted scans: the
+    postings read down to the query terms' bucket dirs and the IVF
+    vectors read down to the probed cells (static ``cell IN`` filter —
+    the probed-cell set is collected bounded-by-C, so the pruning
+    never depends on Catalyst choosing to insert a DPP subquery) — no
+    full-corpus scan on either channel."""
+    import re
+
+    from feast_spark.operators.bm25 import hybrid_index_topk
+
+    docs, emb, lex_path, vec_path = _build_hybrid_indexes(
+        spark, tmp_path, n_centroids=8
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [float((i * 37) % 19) / 19.0 for i in range(dim)]
+    df = hybrid_index_topk(
+        spark, lex_path, None, ["spark", "merge"], qvec, k=10,
+        vec_index_path=vec_path, n_probe=3,
+    )
+    df.collect()  # AQE: finalize the executed plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("bucket" in f and f.strip() for f in filters), plan[:2000]
+    cell_filters = [f for f in filters if "cell" in f and f.strip()]
+    assert cell_filters, plan[:2000]
+    # exactly n_probe=3 cells in the IN-list, not all 8
+    m = re.search(r"cell[^ ]* IN \(([^)]*)\)", " ".join(cell_filters))
+    assert m, cell_filters
+    assert len(m.group(1).split(",")) == 3, m.group(1)
+
+
+def test_hybrid_index_requires_some_vector_source(spark, tmp_path):
+    from feast_spark.operators.bm25 import (
+        hybrid_index_topk,
+        hybrid_index_topk_batch,
+    )
+
+    with pytest.raises(ValueError, match="embeddings or vec_index_path"):
+        hybrid_index_topk(spark, str(tmp_path), None, ["x"], [0.0])
+    with pytest.raises(ValueError, match="embeddings or vec_index_path"):
+        hybrid_index_topk_batch(spark, str(tmp_path), None, None)
+
+
 def test_bm25_index_stats(spark, tmp_path):
     from feast_spark.operators.bm25 import bm25_index_stats, build_bm25_index
 
