@@ -1418,6 +1418,87 @@ def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py) over the supplier<->customer
+    trade graph (distinct (l_suppkey, o_custkey) pairs via orders,
+    customers offset by 1e6 into their own id space, both directions
+    as arcs so every node has out-degree), fixed 3 iterations
+    (tol=None — the mode the numpy differential also pins).  The
+    oracle unrolls the same power iteration as chained CTEs with the
+    identical FP op order ((1 - d) + d*dangling, share = rank/deg),
+    so ranks agree to the last ulp before the shared ROUND(.., 6)."""
+    from feast_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    pairs = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("s"),
+            (F.col("o_custkey") + F.lit(1_000_000)).alias("c"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), F.col("c").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+    )
+    out = pagerank(edges, max_iter=3, tol=None)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature drift (operators/drift.py feature_drift) of
+    events.value split at 2024-01-15, per event_type grain: exact
+    8-bin [0, 100) histograms (+ under/overflow) on each side, then
+    PSI / JS divergence / TVD / KS in one pass of JVM array folds.
+    The histograms are exact longs, so every statistic reproduces
+    bit-for-bit in the width_bucket SQL twin before the shared
+    ROUND(.., 6)."""
+    from feast_spark.operators.drift import feature_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    split = "2024-01-15 00:00:00"
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    return feature_drift(
+        ref, cur, "value", lo=0.0, hi=100.0,
+        grain_cols=["event_type"], n_bins=8,
+    )
+
+
+def q_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against the persisted minhash index
+    (operators/minhash_index.py), full lifecycle under one oracle:
+    build the portable-signature index on part of the corpus
+    (doc_id % 10 != 0, % 3 != 1), epoch-append the rest of the corpus,
+    then dedup the held-out slice (doc_id % 10 == 0) against it.  The
+    oracle is the FULL-corpus portable MinHash SQL restricted to pairs
+    with a slice side — so the gate proves (a) append lands exactly
+    where a single build would and (b) index-vs-slice candidate
+    generation + capped buckets + exact-Jaccard verify equal the
+    one-shot corpus pipeline's."""
+    import tempfile
+
+    from feast_spark.operators.minhash_index import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_index_append,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    path = tempfile.mkdtemp(prefix="fs_gate_mhidx_") + "/idx"
+    build_minhash_index(
+        corpus.filter(F.col("doc_id") % 3 != 1), path,
+        "doc_id", "text", portable=True,
+    )
+    minhash_index_append(spark, path, corpus.filter(F.col("doc_id") % 3 == 1))
+    return dedup_against_index(spark, path, new, threshold=0.5)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -1432,11 +1513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": q_retrieval_ndcg,
         "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "resample_grid": q_resample_grid,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_lsh": q_ann_lsh,
         "embed_near_dup": q_embed_near_dup,
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
@@ -1453,7 +1532,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "corpus_pipeline": q_corpus_pipeline,
         "shipping_priority": q_shipping_priority,
-        "rollup_revenue": q_rollup_revenue,
         "dup_groups_resolved": q_dup_groups_resolved,
         "pack_sequences": q_pack_sequences,
         "customers_no_orders": q_customers_no_orders,
@@ -1475,6 +1553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "bm25_index_topk": q_bm25_index_topk,
         "online_serving": q_online_serving,
+        "pagerank": q_pagerank,
+        "drift_psi": q_drift_psi,
+        "dedup_against_index": q_dedup_against_index,
     }
     # NB: exactly 50 entries — the driver records at most 50 queries
     # (r02 registered 52, recorded 50).  The former simhash_portable /
@@ -1517,6 +1598,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # full-corpus oracle.  simhash_pairs rotated out for resample_grid
     # (the near-dup pair family stays gated via minhash_lsh_dedup,
     # ngram_jaccard_pairs and dup_groups_resolved).
+    # Round 10 rotated three double-covered slots so the round-9
+    # pytest-only operators get hard gates: ngram_jaccard_pairs (the
+    # shingle->Jaccard verify mechanism is gated inside
+    # minhash_lsh_dedup and now dedup_against_index), ann_lsh (the ANN
+    # family keeps ann_topk_cosine + ann_ivf + embed_near_dup gated),
+    # rollup_revenue (grouping-sets semantics stay pytest-checked next
+    # to the rotated cube_flags; pricing_summary/shipping_priority/
+    # funnel keep the relational agg shapes gated).  In their place:
+    # pagerank (fixed-iteration power method vs a chained-CTE SQL
+    # twin), drift_psi (PSI/JS/TVD/KS over exact histograms vs a
+    # width_bucket twin), dedup_against_index (portable-signature
+    # index build -> append -> slice dedup vs the full-corpus MinHash
+    # SQL restricted to slice-side pairs).  All three rotated queries
+    # keep their original oracles in tests/test_rotated_relational.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1656,6 +1751,55 @@ WITH tk AS (
 SELECT id_a, id_b, common / (na + nb - common) AS jaccard
 FROM ver WHERE common / (na + nb - common) >= 0.5
 """
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """SQL twin of graph.pagerank(max_iter=iters, tol=None) over the
+    supplier<->customer trade graph: the power iteration unrolled as
+    chained CTEs, with the operator's exact FP op order — deg as a
+    summed double, share = rank/deg, base = ((1 - d) + d*dangling)
+    * teleport, contributions summed per dst — so both engines agree
+    to the last ulp before ROUND(.., 6).  (Dangling mass is
+    structurally 0 here — both arc directions exist — but the term is
+    kept so the oracle mirrors the operator, not the dataset.)"""
+    sql = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_suppkey AS s, o_custkey + 1000000 AS c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT s AS src, c AS dst FROM pairs
+  UNION ALL
+  SELECT c AS src, s AS dst FROM pairs
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+), deg AS (
+  SELECT src, SUM(1.0) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+)"""
+    for k in range(1, iters + 1):
+        sql += f""", d{k} AS (
+  SELECT COALESCE(SUM(rank), 0.0) AS m FROM r{k - 1}
+  WHERE node NOT IN (SELECT src FROM deg)
+), c{k} AS (
+  SELECT e.dst AS node, SUM(r.rank / d.deg) AS inm
+  FROM edges e
+  JOIN r{k - 1} r ON e.src = r.node
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT nd.node,
+         ((1.0 - {damping}) + {damping} * (SELECT m FROM d{k}))
+           * (1.0 / (SELECT n FROM nn))
+         + {damping} * COALESCE(ct.inm, 0.0) AS rank
+  FROM nodes nd LEFT JOIN c{k} ct ON nd.node = ct.node
+)"""
+    sql += f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{iters}
+"""
+    return sql
 
 
 def _dup_groups_oracle() -> str:
@@ -1956,38 +2100,6 @@ SELECT doc_id, lang, n_chars FROM (
          ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) rn
   FROM fp
 ) WHERE rn = 1
-""",
-        "ngram_jaccard_pairs": f"""
-WITH tk AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    list_distinct(
-      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-      ELSE list_transform(range(1, len(toks) - 1),
-                          i -> array_to_string(toks[i:i+2], ' '))
-      END) AS shingles
-  FROM tk
-), sizes AS (
-  SELECT doc_id AS doc, len(shingles) AS n_sh FROM sh
-), post AS (
-  SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh
-), capped AS (
-  SELECT doc, shingle FROM (
-    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS freq FROM post
-  ) WHERE freq <= 1000
-), common AS (
-  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
-  FROM capped a JOIN capped b USING (shingle)
-  WHERE a.doc < b.doc
-  GROUP BY 1, 2
-)
-SELECT id_a, id_b, common / (na.n_sh + nb.n_sh - common) AS jaccard
-FROM common
-JOIN sizes na ON na.doc = id_a
-JOIN sizes nb ON nb.doc = id_b
-WHERE common / (na.n_sh + nb.n_sh - common) >= 0.5
 """,
         "ann_topk_cosine": """
 WITH ac AS (
@@ -2460,16 +2572,6 @@ GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
-        "rollup_revenue": """
-SELECT r_name, n_name,
-       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
-       COUNT(*) AS n_items
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN nation ON s_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
-""",
         "dup_groups_resolved": _dup_groups_oracle(),
         "pack_sequences": f"""
 WITH d AS (
@@ -2677,7 +2779,71 @@ SELECT fv.user_id, fv.first_view, fc.first_click, fp.first_purchase
 FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
 """,
         "minhash_lsh_dedup": _minhash_portable_oracle(),
-        "ann_lsh": _ann_lsh_oracle(),
+        "pagerank": _pagerank_oracle(),
+        "dedup_against_index": f"""
+SELECT id_a, id_b, jaccard FROM ({_minhash_portable_oracle()})
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+""",
+        "drift_psi": """
+WITH r AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 9
+              ELSE CAST(FLOOR((value - 0.0) / ((100.0 - 0.0) / 8)) AS INT) + 1
+         END AS b
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15 00:00:00'
+    AND value IS NOT NULL
+), c AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0 THEN 0 WHEN value >= 100.0 THEN 9
+              ELSE CAST(FLOOR((value - 0.0) / ((100.0 - 0.0) / 8)) AS INT) + 1
+         END AS b
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15 00:00:00'
+    AND value IS NOT NULL
+), grains AS (
+  SELECT DISTINCT event_type FROM r
+  INTERSECT
+  SELECT DISTINCT event_type FROM c
+), bins AS (
+  SELECT CAST(range AS INT) AS b FROM range(0, 10)
+), gb AS (
+  SELECT g.event_type, bins.b FROM grains g CROSS JOIN bins
+), rc AS (
+  SELECT event_type, b, COUNT(*) AS n FROM r GROUP BY 1, 2
+), cc AS (
+  SELECT event_type, b, COUNT(*) AS n FROM c GROUP BY 1, 2
+), j AS (
+  SELECT gb.event_type, gb.b,
+         COALESCE(rc.n, 0) AS rn, COALESCE(cc.n, 0) AS cn
+  FROM gb
+  LEFT JOIN rc ON gb.event_type = rc.event_type AND gb.b = rc.b
+  LEFT JOIN cc ON gb.event_type = cc.event_type AND gb.b = cc.b
+), tots AS (
+  SELECT event_type, SUM(rn) AS rtot, SUM(cn) AS ctot
+  FROM j GROUP BY event_type
+), props AS (
+  SELECT j.event_type, j.b,
+         GREATEST(rn * 1.0 / t.rtot, 1e-06) AS p,
+         GREATEST(cn * 1.0 / t.ctot, 1e-06) AS q,
+         t.rtot, t.ctot
+  FROM j JOIN tots t ON j.event_type = t.event_type
+), cdf AS (
+  SELECT event_type, b, p, q, rtot, ctot,
+         SUM(p - q) OVER (PARTITION BY event_type ORDER BY b) AS d
+  FROM props
+)
+SELECT event_type,
+       CAST(MAX(rtot) AS BIGINT) AS ref_n,
+       CAST(MAX(ctot) AS BIGINT) AS cur_n,
+       ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+       ROUND(SUM(0.5 * p * ln(2 * p / (p + q))
+               + 0.5 * q * ln(2 * q / (p + q))), 6) AS js_div,
+       ROUND(0.5 * SUM(ABS(p - q)), 6) AS tvd,
+       ROUND(MAX(ABS(d)), 6) AS ks
+FROM cdf
+GROUP BY event_type
+""",
         "ann_ivf": _ann_ivf_oracle(),
         "top_ngrams": f"""
 WITH tk AS (

@@ -55,6 +55,7 @@ from feast_spark.operators.docdedup import (
     with_hashed_shingles,
     with_minhash,
     with_minhash_oph,
+    with_shingles,
 )
 
 __all__ = [
@@ -91,20 +92,40 @@ def _doc_tables(
     num_hashes = params["num_hashes"]
     bands = params["bands"]
     rows_per_band = num_hashes // bands
-    sh = with_hashed_shingles(
-        widen_parallelism(df.select(id_col, text_col)), text_col, n
-    )
-    if params["method"] == "oph":
-        mh = with_minhash_oph(sh, num_hashes=num_hashes, prehashed=True)
+    portable = params.get("portable", False)
+    if portable:
+        # engine-portable signatures (md5 base + affine re-hash, raw
+        # band-string buckets), mirroring minhash_dedup_pairs
+        # (portable=True) — the driver oracle reproduces them in SQL.
+        # Stored shingles are still xxhash64 longs (same fixed-width
+        # verify as the inline portable path; Jaccard unchanged up to
+        # ~2^-64 collisions), so the verify join shape is identical in
+        # both modes.  ``method`` is ignored, as in the inline twin.
+        sh = with_shingles(
+            widen_parallelism(df.select(id_col, text_col)), text_col, n
+        )
+        mh = with_minhash(sh, num_hashes=num_hashes, portable=True)
+        shingles = sh.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("shingles"),
+        )
     else:
-        mh = with_minhash(sh, num_hashes=num_hashes, prehashed=True)
+        sh = with_hashed_shingles(
+            widen_parallelism(df.select(id_col, text_col)), text_col, n
+        )
+        if params["method"] == "oph":
+            mh = with_minhash_oph(sh, num_hashes=num_hashes, prehashed=True)
+        else:
+            mh = with_minhash(sh, num_hashes=num_hashes, prehashed=True)
+        shingles = sh.select(F.col(id_col).alias("doc"), "shingles")
     banded = mh.select(
         F.col(id_col).alias("doc"),
         F.posexplode(
-            band_bucket_array(bands, rows_per_band, portable=False)
+            band_bucket_array(bands, rows_per_band, portable=portable)
         ).alias("band", "bucket"),
     )
-    shingles = sh.select(F.col(id_col).alias("doc"), "shingles")
     return banded, shingles
 
 
@@ -145,11 +166,15 @@ def build_minhash_index(
     num_hashes: int = 32,
     bands: int = 8,
     method: str = "kseed",
+    portable: bool = False,
     fs: StoreFS | None = None,
 ) -> None:
     """Sign the corpus once and commit epoch 0.  Signature parameters
     are frozen into the manifest; appends reuse them (mixing signature
-    schemes would silently produce disjoint buckets)."""
+    schemes would silently produce disjoint buckets).  ``portable``
+    freezes the engine-portable md5 signature family instead of
+    xxhash64 (slower; for cross-engine value checks — ``method`` is
+    then ignored, as in ``minhash_dedup_pairs``)."""
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     if method not in ("kseed", "oph"):
@@ -160,6 +185,7 @@ def build_minhash_index(
         "num_hashes": num_hashes,
         "bands": bands,
         "method": method,
+        "portable": portable,
         "id_col": id_col,
         "text_col": text_col,
     }

@@ -194,6 +194,51 @@ SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
 FROM events
 GROUP BY 1
 """,
+    # -- rotated out in round 10 (gate slots went to pagerank,
+    # drift_psi, dedup_against_index) --
+    "ngram_jaccard_pairs": f"""
+WITH tk AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(
+      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      ELSE list_transform(range(1, len(toks) - 1),
+                          i -> array_to_string(toks[i:i+2], ' '))
+      END) AS shingles
+  FROM tk
+), sizes AS (
+  SELECT doc_id AS doc, len(shingles) AS n_sh FROM sh
+), post AS (
+  SELECT doc_id AS doc, unnest(shingles) AS shingle FROM sh
+), capped AS (
+  SELECT doc, shingle FROM (
+    SELECT doc, shingle, COUNT(*) OVER (PARTITION BY shingle) AS freq FROM post
+  ) WHERE freq <= 1000
+), common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, COUNT(*) AS common
+  FROM capped a JOIN capped b USING (shingle)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common / (na.n_sh + nb.n_sh - common) AS jaccard
+FROM common
+JOIN sizes na ON na.doc = id_a
+JOIN sizes nb ON nb.doc = id_b
+WHERE common / (na.n_sh + nb.n_sh - common) >= 0.5
+""",
+    "ann_lsh": entry_mod._ann_lsh_oracle(),
+    "rollup_revenue": """
+SELECT r_name, n_name,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
 }
 
 _FUNCS = {
@@ -216,6 +261,9 @@ _FUNCS = {
     "distinct_daily_users": entry_mod.q_distinct_daily_users,
     "time_range_filter": entry_mod.q_time_range_filter,
     "simhash_pairs": entry_mod.q_simhash_pairs,
+    "ngram_jaccard_pairs": entry_mod.q_ngram_jaccard_pairs,
+    "ann_lsh": entry_mod.q_ann_lsh,
+    "rollup_revenue": entry_mod.q_rollup_revenue,
 }
 
 
@@ -226,7 +274,10 @@ def _norm(v):
     if isinstance(v, float):
         return "NaN" if math.isnan(v) else round(v, 6)
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        # tz-faithful, like tools/selfcheck._norm: the driver gate
+        # hashes tz-aware and naive timestamps differently, so a
+        # rotated oracle must stay gate-clean in case it rotates back
+        return v.isoformat()
     return v
 
 
