@@ -52,6 +52,7 @@ def pagerank(
     tol: float | None = 1e-6,
     weight: str | None = None,
     personalize: DataFrame | None = None,
+    prepartition: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list -> (node, rank), ranks
     summing to 1.  Parallel edges count once (with ``weight``, their
@@ -69,7 +70,19 @@ def pagerank(
     instead of all nodes (personalized PageRank, the related-content /
     topic-sensitive variant; seeds are broadcast-sized).  Dangling
     mass follows the same teleport distribution, so ranks still sum
-    to 1."""
+    to 1.
+
+    ``prepartition=True`` pays ONE extra O(edges) shuffle up front —
+    the deduped edge table is hash-partitioned on ``src`` and cached
+    (``persist`` keeps the partitioning visible to the planner;
+    ``localCheckpoint`` erases it) — and in exchange every iteration's
+    edges-vs-ranks join stops exchanging the edge table: only the
+    O(nodes) rank side moves (plan-pinned in tests).  Net win whenever
+    max_iter > 1; the cache spills to disk under pressure
+    (MEMORY_AND_DISK), so prefer it at scale unless executor storage
+    is the binding constraint.  Results agree to FP summation order
+    (last-ulp; the contribution sums accumulate in a different
+    partition order) — pinned at rel 1e-12."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if max_iter < 1:
@@ -104,8 +117,34 @@ def pagerank(
                 "__w"
             )
         )
-        .localCheckpoint(eager=True)
     )
+    cached_e = None
+    if prepartition:
+        # repartition + persist, NOT localCheckpoint: the checkpoint's
+        # LogicalRDD forgets outputPartitioning, so every iteration's
+        # join would re-exchange O(edges); InMemoryRelation keeps it
+        cached_e = e.repartition(F.col("src")).persist()
+        cached_e.count()  # materialize once, like the eager checkpoint
+        e = cached_e
+    else:
+        e = e.localCheckpoint(eager=True)
+    try:
+        return _pagerank_loop(e, nodes, damping, max_iter, tol, personalize)
+    finally:
+        if cached_e is not None:
+            # the returned ranks frame is checkpointed every iteration,
+            # so it no longer references the cached edge table
+            cached_e.unpersist()
+
+
+def _pagerank_loop(
+    e: DataFrame,
+    nodes: DataFrame,
+    damping: float,
+    max_iter: int,
+    tol: float | None,
+    personalize: DataFrame | None,
+) -> DataFrame:
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))

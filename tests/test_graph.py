@@ -204,3 +204,117 @@ def test_weighted_pagerank_keeps_zero_weight_nodes(spark):
     assert set(got) == {0, 1, 2, 3}
     assert got[2] > 0 and got[3] > 0
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-8)
+
+
+def test_pagerank_prepartitioned_identity(spark):
+    """prepartition=True changes the physical plan only: same update
+    math, so ranks agree to FP summation order (the contribution sums
+    accumulate in a different partition order — last-ulp noise, far
+    below any reporting precision)."""
+
+    def ranks_of(**kw):
+        edges = spark.createDataFrame(EDGES, "src INT, dst INT")
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, max_iter=7, tol=None, **kw).collect()
+        }
+
+    base, pre = ranks_of(), ranks_of(prepartition=True)
+    assert set(base) == set(pre)
+    for node in base:
+        assert pre[node] == pytest.approx(base[node], rel=1e-12), node
+    # weighted + personalized combination too
+    wedges = spark.createDataFrame(
+        [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (3, 0, 5.0)],
+        "src INT, dst INT, w DOUBLE",
+    )
+    seeds = spark.createDataFrame([(0,), (3,)], "node INT")
+
+    def wranks_of(**kw):
+        return {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                wedges, max_iter=5, tol=None, weight="w",
+                personalize=seeds, **kw,
+            ).collect()
+        }
+
+    base, pre = wranks_of(), wranks_of(prepartition=True)
+    assert set(base) == set(pre)
+    for node in base:
+        assert pre[node] == pytest.approx(base[node], rel=1e-12), node
+
+
+def test_prepartitioned_edges_join_reuses_partitioning(spark):
+    """The mechanism prepartition=True relies on, pinned at the plan
+    level: a repartition(src).persist() edge table joined on src does
+    NOT get re-exchanged (only the small rank-side frame does), while
+    localCheckpoint FORGETS the partitioning and re-exchanges O(edges)
+    every iteration.  Broadcast disabled so the join shape is the
+    at-scale shuffle join, not a small-data broadcast."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = (
+            spark.range(10_000)
+            .select(
+                (F.col("id") % 97).alias("src"),
+                (F.col("id") % 101).alias("dst"),
+                F.lit(1.0).alias("__w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("__w").alias("__w"))
+        )
+        out = spark.range(97).select(
+            F.col("id").alias("src"), (F.col("id") * 0.001).alias("__share")
+        )
+
+        def join_exchanges(edge_frame):
+            j = (
+                edge_frame.join(out, "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("__share") * F.col("__w")).alias("__in"))
+            )
+            j.count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # count only the JOIN-LEVEL exchanges: the cached relation
+            # embeds its own (one-time, already-executed) plan as a
+            # DEEPER-INDENTED subtree under the InMemoryRelation line —
+            # drop that subtree, keep the join's other branches
+            lines, keep, skip_deeper_than = plan.splitlines(), [], None
+            for ln in lines:
+                indent = len(ln) - len(ln.lstrip(" :+-"))
+                if skip_deeper_than is not None:
+                    if indent > skip_deeper_than:
+                        continue
+                    skip_deeper_than = None
+                if "InMemoryRelation" in ln:
+                    skip_deeper_than = indent
+                    continue
+                keep.append(ln)
+            return len(
+                re.findall(
+                    r"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS",
+                    "\n".join(keep),
+                )
+            )
+
+        pre = e.repartition(F.col("src")).persist()
+        pre.count()
+        try:
+            n_pre = join_exchanges(pre)
+        finally:
+            pre.unpersist()
+        ckpt = e.localCheckpoint(eager=True)
+        n_ckpt = join_exchanges(ckpt)
+        # checkpoint forgets partitioning, so its plan pays exactly one
+        # more exchange — the O(edges) one the persisted layout avoids
+        # (absolute counts vary with how AQE prints reused stages, the
+        # DELTA is the pinned claim)
+        assert n_ckpt == n_pre + 1, (n_pre, n_ckpt)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

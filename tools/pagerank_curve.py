@@ -93,6 +93,16 @@ def main() -> None:
             pagerank(edges, max_iter=ITERS, tol=None).count()
             samples.append(time.monotonic() - t0)
         results[f"x{s:g}"] = round(statistics.median(samples), 3)
+        # prepartitioned variant: one setup shuffle, then every
+        # iteration's edge join reuses the cached src partitioning
+        samples = []
+        for _ in range(runs):
+            t0 = time.monotonic()
+            pagerank(
+                edges, max_iter=ITERS, tol=None, prepartition=True
+            ).count()
+            samples.append(time.monotonic() - t0)
+        results[f"x{s:g}_pre"] = round(statistics.median(samples), 3)
     print(
         json.dumps(
             {
