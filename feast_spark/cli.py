@@ -146,6 +146,76 @@ def _init_repo(project_directory: str, minimal: bool) -> int:
     return 0
 
 
+_OPTIONAL_CAPABILITIES = [
+    # (capability, python module to probe, what works without it)
+    (
+        "grpc serving transport",
+        "grpc",
+        "HTTP serving twin (feast_spark.serving) speaks the same "
+        "payloads; install 'grpcio' for the reference's RPC surface",
+    ),
+    (
+        "Redis online store",
+        "redis",
+        "parquet-snapshot and SQLite online stores work without it",
+    ),
+    (
+        "DynamoDB online store",
+        "boto3",
+        "cloud-store protocol is tested against a fake; install "
+        "'boto3' to run against AWS",
+    ),
+    (
+        "Datastore online store",
+        "google.cloud.datastore",
+        "cloud-store protocol is tested against a fake; install "
+        "'google-cloud-datastore' to run against GCP",
+    ),
+    (
+        "image decode (multimodal)",
+        "PIL",
+        "binary plumbing, metadata, resize/frame-sample plans still "
+        "run; install 'Pillow' to decode pixels",
+    ),
+    (
+        "audio/video decode (multimodal)",
+        "av",
+        "binary plumbing and schemas still run; install 'av' (PyAV) "
+        "to decode frames/samples",
+    ),
+]
+
+
+def _doctor() -> int:
+    """Report which OPTIONAL capabilities are available in this
+    environment and what to install for the rest — the triage verb for
+    'why does X raise NotImplementedError here?'.  Python-probeable
+    dependencies are import-checked; JVM-side connectors are listed
+    with their runtime requirement (checking them would need a live
+    SparkSession, which doctor deliberately does not start)."""
+    import importlib.util
+
+    rc = 0
+    for name, module, fallback in _OPTIONAL_CAPABILITIES:
+        try:
+            available = importlib.util.find_spec(module) is not None
+        except (ImportError, ModuleNotFoundError):
+            # probing "google.cloud.datastore" raises when the parent
+            # namespace package itself is absent
+            available = False
+        status = "ok" if available else "MISSING"
+        print(f"{status:8s}{name} (python module {module!r})")
+        if not available:
+            print(f"        -> {fallback}")
+            rc = 1
+    print(
+        "runtime Kinesis source: needs the spark-sql-kinesis connector "
+        "jar on the Spark classpath (checked when the stream loads); "
+        "Kafka uses Spark's built-in connector"
+    )
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="feast_spark")
     p.add_argument("--registry", default="registry.json")
@@ -186,6 +256,11 @@ def main(argv: list[str] | None = None) -> int:
         "teardown", help="delete the online store and registry (cli.py teardown)"
     )
     sub.add_parser("version", help="print the SDK version (cli.py version)")
+    sub.add_parser(
+        "doctor",
+        help="report optional capabilities (grpc/redis/cloud stores/"
+        "media decode) available in this environment",
+    )
     sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
@@ -206,6 +281,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
+    if args.cmd == "doctor":
+        return _doctor()
 
     if args.cmd == "apply":
         store = _store(args)

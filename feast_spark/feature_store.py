@@ -575,6 +575,37 @@ class FeatureStore:
             raise ValueError(f"view {view_name!r} has no batch source")
         return quarantine(src.load(self.spark), rules)
 
+    def time_series_splits(
+        self,
+        view_name: str,
+        n_folds: int,
+        gap_seconds: int = 0,
+        start=None,
+        end=None,
+    ):
+        """Expanding-window walk-forward CV folds over a view's batch
+        source (functions/split.time_series_splits), keyed on the
+        view's event-timestamp column — the leakage-safe backtest
+        split for models trained on this view's features: train always
+        precedes test, later folds see strictly more history, and no
+        test row is within ``gap_seconds`` of any train row (purge
+        gap).  Returns ``n_folds`` lazy (train, test) frame pairs;
+        each materialization is one pruned scan of the source."""
+        from feast_spark.functions.split import time_series_splits
+
+        view = self.registry.get_feature_view(view_name)
+        src = view.batch_source
+        if src is None:
+            raise ValueError(f"view {view_name!r} has no batch source")
+        fdf = src.load(self.spark)
+        ts_col = infer_event_timestamp_column(
+            fdf, src.event_timestamp_column
+        )
+        return time_series_splits(
+            fdf, ts_col, n_folds, gap_seconds=gap_seconds,
+            start=start, end=end,
+        )
+
     # -- materialization (§2.2) ----------------------------------------
     def _pull_latest(
         self, view: FeatureView, start: datetime, end: datetime

@@ -137,6 +137,8 @@ def build_corpus(
     config: CorpusConfig = CorpusConfig(),
     report: bool = False,
     embeddings_df: DataFrame | None = None,
+    quarantine_rules: dict | None = None,
+    quarantine_sink=None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Run the full corpus pipeline over ``docs``.
 
@@ -144,6 +146,15 @@ def build_corpus(
     ``lang_pred``, ``split``, and — when packing — ``shard`` /
     ``seq_id`` / ``seq_pos``.  With ``report=True`` returns
     ``(df, {stage: rows_surviving})``.
+
+    ``quarantine_rules`` (name -> boolean Column, see
+    ``operators.expectations.row_not_null`` and friends) splits rows
+    failing any rule out BEFORE every other stage — malformed rows
+    never reach the tokenizer, the dedup signatures, or an exchange.
+    The dead-letter side (annotated with its per-row ``violations``
+    array) goes to ``quarantine_sink`` if given (e.g.
+    ``lambda bad: bad.write.parquet(path)``), else is dropped; either
+    way the kept side rides the same single tagging projection.
     """
     c = config
     stages: dict[str, int] = {}
@@ -154,6 +165,14 @@ def build_corpus(
         return df
 
     _mark("input", docs)
+
+    if quarantine_rules is not None:
+        from feast_spark.operators.expectations import quarantine
+
+        docs, bad = quarantine(docs, quarantine_rules)
+        if quarantine_sink is not None:
+            quarantine_sink(bad)
+        docs = _mark("quarantine", docs)
 
     # 0. ingestion normalization: HTML -> visible text (narrow), then
     # cross-document boilerplate-line removal (its own bounded

@@ -164,3 +164,32 @@ def test_cli_version_and_init_scaffold(tmp_path, capsys, monkeypatch):
     assert main(["init", "proj"]) == 1  # refuses to overwrite
     assert main(["init", "proj2", "--minimal"]) == 0
     assert not (tmp_path / "proj2" / "data").exists()
+
+
+def test_cli_doctor_reports_optional_capabilities(capsys):
+    """`doctor` lists every optional capability with an ok/MISSING
+    verdict and a fallback hint, without starting a SparkSession.
+    Exit code is 0 only when everything optional is present (in this
+    sandbox at least one media/rpc lib is absent -> 1)."""
+    rc = main(["doctor"])
+    out = capsys.readouterr().out
+    for needle in (
+        "grpc serving transport",
+        "Redis online store",
+        "DynamoDB online store",
+        "Datastore online store",
+        "image decode (multimodal)",
+        "audio/video decode (multimodal)",
+        "Kinesis source",
+    ):
+        assert needle in out, needle
+    statuses = [
+        ln.split()[0] for ln in out.splitlines() if "python module" in ln
+    ]
+    assert statuses and set(statuses) <= {"ok", "MISSING"}
+    assert rc == (1 if "MISSING" in statuses else 0)
+    # every MISSING line is followed by an actionable fallback hint
+    lines = out.splitlines()
+    for i, ln in enumerate(lines):
+        if ln.startswith("MISSING"):
+            assert lines[i + 1].lstrip().startswith("->"), ln

@@ -240,3 +240,34 @@ def test_full_field_statuses_outside_max_age(store):
     default = store.get_online_features(["simple_fv:value"], rows)
     assert default["__statuses"]["value"] == ["PRESENT", "NOT_FOUND", "NOT_FOUND"]
     assert default["value"][0] == pytest.approx(0.3)
+
+
+def test_time_series_splits_facade(store):
+    """FeatureStore.time_series_splits cuts the view's batch source on
+    its (field-mapped) event-timestamp column into expanding-window
+    walk-forward folds: train strictly precedes test, later folds see
+    more history, and the purge gap keeps test rows away from the
+    boundary."""
+    from pyspark.sql import functions as F
+
+    folds = store.time_series_splits("simple_fv", n_folds=2)
+    assert len(folds) == 2
+    (tr1, te1), (tr2, te2) = folds
+    t1, s1 = tr1.count(), te1.count()
+    t2, s2 = tr2.count(), te2.count()
+    assert t1 + s1 > 0 and t2 + s2 > 0
+    assert t2 >= t1  # expanding window: fold 2 trains on more history
+    # every train ts < every test ts within a fold
+    for tr, te in folds:
+        tr_max = tr.agg(F.max("ts")).collect()[0][0]
+        te_min = te.agg(F.min("ts")).collect()[0][0]
+        if tr_max is not None and te_min is not None:
+            assert tr_max < te_min
+    # unknown view -> the registry's clear error (parity with
+    # validate_source / quarantine_source)
+    import pytest as _pytest
+
+    from feast_spark.errors import FeatureViewNotFoundError
+
+    with _pytest.raises(FeatureViewNotFoundError):
+        store.time_series_splits("missing_view", n_folds=2)

@@ -381,3 +381,34 @@ def test_scrub_pii_kinds_validation(spark):
         build_corpus(docs, config=CorpusConfig(scrub_pii_kinds="email"))
     with pytest.raises(ValueError, match="unknown"):
         build_corpus(docs, config=CorpusConfig(scrub_pii_kinds=("emails",)))
+
+
+def test_quarantine_stage_reaches_facade(spark):
+    """quarantine_rules splits dead-letter rows out before any other
+    stage: malformed rows never reach featurize/dedup, the sink
+    receives them annotated, and the report counts the stage."""
+    from pyspark.sql import Row
+
+    from feast_spark.operators.expectations import row_not_null
+
+    good_text = " ".join(f"tok{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=good_text),
+            Row(doc_id=2, text=None),
+            Row(doc_id=3, text=good_text + " three"),
+        ]
+    )
+    dead = []
+    out, stages = build_corpus(
+        docs,
+        config=CorpusConfig(near_dedup=False, min_quality=0.0, min_tokens=1),
+        report=True,
+        quarantine_rules={"text_not_null": row_not_null("text")},
+        quarantine_sink=lambda bad: dead.extend(bad.collect()),
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    assert stages["quarantine"] == 2 < stages["input"]
+    assert [(r["doc_id"], list(r["violations"])) for r in dead] == [
+        (2, ["text_not_null"])
+    ]
