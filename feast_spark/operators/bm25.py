@@ -644,27 +644,54 @@ def bm25_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
 
 
 def _index_postings(
-    spark: SparkSession, path: str, terms: list[str], fs=None
+    spark: SparkSession,
+    path: str,
+    terms: list[str] | None = None,
+    fs=None,
+    terms_df: DataFrame | None = None,
 ):
     """(postings-for-terms, one-row stats, id_col) from a persisted
     index; the bucket IN-list is computed driver-side so the parquet
     scan lists only the query terms' bucket directories under the
     committed epochs (partition pruning).  Stats sum the per-epoch
     exact longs — identical to what one aggregate over the whole
-    corpus would produce."""
+    corpus would produce.
+
+    Two term-set shapes: a driver-side ``terms`` list (buckets AND the
+    term filter become pushed-down literals — best row-group skipping;
+    right when the vocabulary is human-sized) or a ``terms_df`` frame
+    of distinct terms (only the distinct BUCKET ids are collected —
+    bounded by ``n_term_buckets``, a structural constant, never by the
+    batch's vocabulary — and the term filter is a broadcast semi-join
+    against the frame; right for huge batches)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
     n_buckets = manifest["n_term_buckets"]
     id_col = manifest["id_col"]
     epochs = manifest["epochs"]
-    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    if (terms is None) == (terms_df is None):
+        raise ValueError("pass exactly one of terms / terms_df")
+    if terms is not None:
+        buckets = sorted({term_bucket(t, n_buckets) for t in terms})
+    else:
+        buckets = sorted(
+            r["b"]
+            for r in terms_df.select(
+                _term_bucket_expr(F.col("term"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )  # bounded collect: at most n_term_buckets ints
     postings = (
         spark.read.option("basePath", posixpath.join(path, "postings"))
         .parquet(*epochs_io.epoch_paths(path, "postings", epochs))
         .filter(F.col("bucket").isin(buckets))
-        .filter(F.col("term").isin(terms))
-        .drop("bucket", "epoch")
     )
+    if terms is not None:
+        postings = postings.filter(F.col("term").isin(terms))
+    else:
+        postings = postings.join(F.broadcast(terms_df), "term", "leftsemi")
+    postings = postings.drop("bucket", "epoch")
     stats = (
         spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
         .agg(
@@ -713,15 +740,21 @@ def bm25_index_topk_batch(
     k1: float = 1.2,
     b: float = 0.75,
     fs=None,
+    max_terms_inlist: int = 4096,
 ) -> DataFrame:
     """Per-query BM25 top-k against a persisted index — the
     ``bm25_topk_batch`` output contract ((query_id, id, bm25, rank)),
     reading only the batch's term buckets.
 
-    The batch's distinct term set is collected to the driver to build
-    the pruning IN-list — bounded by the query batch's vocabulary
-    (queries are human-sized; a million-term batch should go through
-    ``bm25_topk_batch``'s corpus-scan path instead)."""
+    Driver-side collects are BOUNDED either way: up to
+    ``max_terms_inlist`` distinct terms the term set itself comes back
+    and both the bucket list and the term filter are pushed-down
+    literals (best row-group skipping — the human-sized-query case);
+    past the cap only the distinct BUCKET ids are collected (at most
+    ``n_term_buckets``, a structural constant independent of the
+    batch) and the term filter becomes a broadcast semi-join against
+    the distinct-terms frame — so a million-term batch works without
+    an unbounded driver list."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     qt = queries.select(
@@ -732,10 +765,17 @@ def bm25_index_topk_batch(
             )
         ).alias("term"),
     ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
-    terms = sorted(r["term"] for r in qt.select("term").distinct().collect())
-    if not terms:
+    qterms = qt.select("term").distinct()
+    sample = qterms.limit(max_terms_inlist + 1).collect()
+    if not sample:
         raise ValueError("queries must contain at least one non-empty term")
-    tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+    if len(sample) <= max_terms_inlist:
+        terms = sorted(r["term"] for r in sample)
+        tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+    else:
+        tf, stats, id_col = _index_postings(
+            spark, path, fs=fs, terms_df=qterms
+        )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")

@@ -682,3 +682,35 @@ def test_bm25_index_empty_and_legacy_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no BM25 index"):
         bm25_index_topk(spark, str(legacy), ["spark"], k=5)
+
+
+def test_bm25_index_batch_semijoin_path_matches_inlist(spark, tmp_path):
+    """Past max_terms_inlist the batch path stops collecting terms
+    driver-side (only bucket ids, bounded by n_term_buckets) and
+    filters postings with a broadcast semi-join — results must be
+    identical to the IN-list path, and the bucket partition pruning
+    must survive."""
+    import re
+
+    from feast_spark.operators.bm25 import (
+        bm25_index_topk_batch,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "bm25sj")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    qs = spark.createDataFrame(
+        [(1, ["spark", "merge"]), (2, ["parquet", "scan", "window"])],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    inlist = bm25_index_topk_batch(spark, path, qs, k=7).collect()
+    semi_df = bm25_index_topk_batch(spark, path, qs, k=7, max_terms_inlist=1)
+    semi = semi_df.collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, semi), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inlist), key=lambda t: (t[0], t[3])
+    )
+    plan = semi_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and m.group(1).strip(), plan[:1500]
