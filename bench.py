@@ -288,6 +288,25 @@ def main() -> None:
 
     queries["hybrid_index_topk"] = q_hybrid_index_topk
 
+    # Round-10 extra: persisted IVFPQ serving shape — probed-cell CODE
+    # reads + ADC, no float vector ever loaded (index built once,
+    # untimed; compare against pq_search, the inline encode-per-run
+    # twin).
+    from feast_spark.operators.pq_index import (
+        build_ivfpq_index, ivfpq_index_topk,
+    )
+
+    _ivfpq_idx = tempfile.mkdtemp(prefix="bench_ivfpq_") + "/idx"
+    build_ivfpq_index(_emb, _ivfpq_idx, n_centroids=64, iters=2)
+    _ivfpq_queries = _emb.filter("vec_id < 8")
+
+    def q_ivfpq_index_topk(spark, sf_dir):
+        return ivfpq_index_topk(
+            spark, _ivfpq_idx, _ivfpq_queries, k=10, n_probe=8
+        )
+
+    queries["ivfpq_index_topk"] = q_ivfpq_index_topk
+
     from tools.online_bench import _build_store
 
     _online_tmp = tempfile.mkdtemp(prefix="bench_online_")
@@ -326,6 +345,7 @@ def main() -> None:
                 "bm25_topk",
                 "bm25_index_topk",
                 "hybrid_index_topk",
+                "ivfpq_index_topk",
                 "online_multiget",
             )
             if n in queries

@@ -1,0 +1,361 @@
+"""Persisted IVFPQ index — the memory-bound ANN scale path.
+
+``similarity.build_ivf_index`` persists raw float vectors per cell;
+fine when the corpus fits storage comfortably, but at 100 TB of
+embeddings the index ITSELF is the cost.  This index stores PQ codes
+instead (``operators/pq.py``: d*4 bytes -> M bytes per vector, 32x at
+d=64/M=8), so the probed-cell read moves code bytes, not vectors, and
+the ADC kernel never loads a float vector at all — the FAISS-IVFPQ
+shape (Jégou et al. 2011) as a persisted, epoch-appendable table.
+
+Layout (epoch-append protocol of ``io/epochs.py``, shared with the
+BM25/minhash/IVF indexes):
+
+- ``{path}/codes/epoch=N/cell=K/``: (id, codes array<int>), written
+  ``partitionBy(cell)`` — queries read only probed cells' directories
+- ``{path}/centroids/gen=G/``: the coarse quantizer (cell, centroid)
+- ``{path}/codebooks/gen=G.json``: the PQ codebooks (atomic put)
+- ``{path}/_MANIFEST.json``: committed epochs + BOTH model pointers —
+  a rebuild flips epochs, quantizer and codebooks in one commit, so a
+  reader never pairs new codebooks with codes encoded by old ones
+
+Appends reuse the FROZEN quantizer and codebooks (O(new) encode +
+one epoch write; the FAISS add() contract) — distribution drift
+degrades recall, not correctness; watch cell skew via
+:func:`ivfpq_index_stats` and rebuild when it drifts.
+
+Reference parity: Feast has no ANN; training-data-pipeline extension
+(SURVEY §2.6), the compressed sibling of ``similarity.build_ivf_index``.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from feast_spark.io import epochs as epochs_io
+from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.operators.pq import pq_encode, pq_topk, pq_train
+from feast_spark.operators.similarity import (
+    ivf_train_centroids,
+    nearest_centroid,
+    probe_cells_df,
+)
+
+__all__ = [
+    "build_ivfpq_index",
+    "ivfpq_index_topk",
+    "ivfpq_index_append",
+    "ivfpq_index_stats",
+    "ivfpq_index_compact",
+    "ivfpq_index_vacuum",
+]
+
+_SUBDIRS = ("codes",)
+_STRUCTURAL = (
+    "epochs", "centroids", "codebooks", "id_col", "vec_col",
+    "m_subspaces", "k_codes",
+)
+
+
+def _manifest(path: str, fs: StoreFS) -> dict:
+    return epochs_io.read_manifest(
+        path,
+        fs,
+        required_keys=("epochs", "centroids", "codebooks", "id_col", "vec_col"),
+        kind="IVFPQ index",
+    )
+
+
+def _next_gen(path: str, fs: StoreFS) -> int:
+    """Number past every centroid generation AND codebook file,
+    committed or orphaned (a crashed rebuild's leftovers must not
+    collide with the next one)."""
+    seen = set()
+    cbase = posixpath.join(path, "centroids")
+    for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
+        if d.startswith("gen=") and d[4:].isdigit():
+            seen.add(int(d[4:]))
+    bbase = posixpath.join(path, "codebooks")
+    for f in fs.list_files(bbase) if fs.exists(bbase) else []:
+        if f.startswith("gen=") and f.endswith(".json") and f[4:-5].isdigit():
+            seen.add(int(f[4:-5]))
+    return (max(seen) + 1) if seen else 0
+
+
+def _load_centroids(path: str, manifest: dict, fs: StoreFS) -> list[list[float]]:
+    """Driver-side pyarrow read of the committed quantizer generation
+    (C rows, a few KB — the ``similarity._ivf_load_centroids``
+    discipline: no Spark job on the serving path)."""
+    import io as _io
+
+    import pyarrow.parquet as pq_
+
+    cdir = posixpath.join(path, manifest["centroids"])
+    rows: list[tuple[int, list[float]]] = []
+    for name in fs.list_files(cdir):
+        if not name.endswith(".parquet"):
+            continue
+        t = pq_.read_table(
+            _io.BytesIO(fs.read_bytes(posixpath.join(cdir, name))),
+            columns=["cell", "centroid"],
+        )
+        rows.extend(zip(t.column("cell").to_pylist(), t.column("centroid").to_pylist()))
+    rows.sort(key=lambda r: r[0])
+    return [[float(x) for x in c] for _, c in rows]
+
+
+def _load_codebooks(path: str, manifest: dict, fs: StoreFS):
+    raw = fs.read_bytes(posixpath.join(path, manifest["codebooks"]))
+    return [[[float(x) for x in c] for c in book] for book in json.loads(raw)]
+
+
+def _encode_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[list[float]],
+    books,
+) -> DataFrame:
+    return (
+        pq_encode(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            books,
+            vec_col="vec",
+            out_col="codes",
+        )
+        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .select("id", "codes", "cell")
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+    m_subspaces: int = 8,
+    k_codes: int = 256,
+    pq_iters: int = 10,
+    sample_per_code: int = 32,
+    fs: StoreFS | None = None,
+) -> None:
+    """Train quantizer + codebooks once, encode the corpus, commit
+    epoch 0.  A rebuild over an existing index stages a new generation
+    of BOTH models and a new epoch, then flips the manifest once;
+    non-structural meta (the streaming sink's watermark) is carried
+    forward."""
+    fs = fs or LocalFS()
+    spark = corpus.sparkSession
+    cents = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
+    books = pq_train(
+        corpus, vec_col=vec_col, id_col=id_col, m_subspaces=m_subspaces,
+        k_codes=k_codes, iters=pq_iters, sample_per_code=sample_per_code,
+    )
+    gen = _next_gen(path, fs)
+    cent_rel = posixpath.join("centroids", f"gen={gen}")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "cell INT, centroid ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("errorifexists").parquet(
+        posixpath.join(path, cent_rel)
+    )
+    book_rel = posixpath.join("codebooks", f"gen={gen}.json")
+    fs.write_bytes_atomic(
+        posixpath.join(path, book_rel), json.dumps(books).encode()
+    )
+    epoch = epochs_io.next_epoch(path, fs, [], _SUBDIRS)
+    (
+        _encode_cells(corpus, id_col, vec_col, cents, books)
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
+    )
+    carried = epochs_io.carried_meta(path, fs, _STRUCTURAL)
+    epochs_io.commit_manifest(
+        path,
+        fs,
+        {
+            **carried,
+            "epochs": [epoch],
+            "centroids": cent_rel,
+            "codebooks": book_rel,
+            "id_col": id_col,
+            "vec_col": vec_col,
+            "m_subspaces": m_subspaces,
+            "k_codes": k_codes,
+        },
+    )
+
+
+def _codes(spark: SparkSession, path: str, epochs: list[int]) -> DataFrame:
+    return (
+        spark.read.option("basePath", posixpath.join(path, "codes"))
+        .parquet(*epochs_io.epoch_paths(path, "codes", epochs))
+        .drop("epoch")
+    )
+
+
+def ivfpq_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+    fs: StoreFS | None = None,
+) -> DataFrame:
+    """Top-k ADC neighbors against the persisted index: (query_id,
+    neighbor_id, adc_dist).  Identical to the inline ``pq.ivfpq_topk``
+    given the same (frozen) quantizer + codebooks — pinned by tests.
+
+    The codes scan is STATICALLY partition-pruned to the union of the
+    batch's probed cells (same bounded-collect discipline as
+    ``similarity.ivf_index_topk``: at most C cell ids cross the
+    driver), and the ADC kernel masks each query's off-probe rows, so
+    every query's k candidates come exclusively from its own probed
+    cells even under skew.  Per-query bytes moved: probed cells' CODE
+    rows (M bytes/vector), never float vectors."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    cents = _load_centroids(path, manifest, fs)
+    books = _load_codebooks(path, manifest, fs)
+    probed = probe_cells_df(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ),
+        cents,
+        n_probe,
+    )
+    q_probe: dict = {}
+    for r in probed.select("query_id", "cell").collect():
+        q_probe.setdefault(r["query_id"], []).append(r["cell"])
+    all_cells = sorted({c for cells in q_probe.values() for c in cells})
+    codes = _codes(spark, path, manifest["epochs"]).filter(
+        F.col("cell").isin(all_cells)
+    )
+    return pq_topk(
+        codes,
+        queries,
+        books,
+        id_col="id",
+        codes_col="codes",
+        query_id_col=id_col,
+        query_vec_col=vec_col,
+        k=k,
+        probe_sets=q_probe,
+        cell_col="cell",
+    )
+
+
+def ivfpq_index_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs: StoreFS | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Fold new vectors in under the FROZEN quantizer + codebooks: one
+    O(new) encode pass + one epoch write + the atomic manifest flip —
+    history is never rewritten, ids must be unique across appends
+    (FAISS add() contract).  ``meta`` merges in the same flip (the
+    streaming watermark); empty slices are a no-op."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    if new_vectors.limit(1).count() == 0:
+        return
+    cents = _load_centroids(path, manifest, fs)
+    books = _load_codebooks(path, manifest, fs)
+    epoch = epochs_io.next_epoch(path, fs, manifest["epochs"], _SUBDIRS)
+    (
+        _encode_cells(new_vectors, id_col, vec_col, cents, books)
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
+    )
+    manifest = {**manifest, **(meta or {})}
+    manifest["epochs"] = sorted(manifest["epochs"] + [epoch])
+    epochs_io.commit_manifest(path, fs, manifest)
+
+
+def ivfpq_index_stats(
+    spark: SparkSession, path: str, fs: StoreFS | None = None
+) -> DataFrame:
+    """Per-cell code counts + the global skew ratio and epoch count —
+    the rebuild signal (mirrors ``ivf_index_stats``): drifted inserts
+    pile into few cells and recall sags there."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    counts = (
+        _codes(spark, path, manifest["epochs"])
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_codes"))
+    )
+    return counts.crossJoin(
+        F.broadcast(
+            counts.agg(
+                (F.max("n_codes") / F.avg("n_codes")).alias("skew_ratio"),
+                F.sum("n_codes").alias("total_codes"),
+                F.lit(len(manifest["epochs"])).alias("n_epochs"),
+            )
+        )
+    )
+
+
+def ivfpq_index_compact(
+    spark: SparkSession, path: str, fs: StoreFS | None = None
+) -> None:
+    """Rewrite all committed epochs into ONE (no re-train, no
+    re-encode; query results identical — pinned).  Old directories
+    stay until :func:`ivfpq_index_vacuum`."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    if len(manifest["epochs"]) <= 1:
+        return
+    epoch = epochs_io.next_epoch(path, fs, manifest["epochs"], _SUBDIRS)
+    (
+        _codes(spark, path, manifest["epochs"])
+        .write.mode("errorifexists")
+        .partitionBy("cell")
+        .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
+    )
+    epochs_io.commit_manifest(path, fs, {**manifest, "epochs": [epoch]})
+
+
+def ivfpq_index_vacuum(
+    spark: SparkSession, path: str, fs: StoreFS | None = None
+) -> dict:
+    """Delete epoch directories the manifest no longer references AND
+    superseded model generations (centroid dirs / codebook files not
+    pointed to by the committed manifest) — run after readers of the
+    previous manifest have drained."""
+    fs = fs or LocalFS()
+    manifest = _manifest(path, fs)
+    removed = epochs_io.vacuum_epochs(path, fs, manifest["epochs"], _SUBDIRS)
+    live_cent = manifest["centroids"]
+    cbase = posixpath.join(path, "centroids")
+    removed["centroids"] = []
+    for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
+        rel = posixpath.join("centroids", d)
+        if d.startswith("gen=") and rel != live_cent:
+            fs.delete(posixpath.join(cbase, d))
+            removed["centroids"].append(d)
+    live_book = manifest["codebooks"]
+    bbase = posixpath.join(path, "codebooks")
+    removed["codebooks"] = []
+    for f in fs.list_files(bbase) if fs.exists(bbase) else []:
+        rel = posixpath.join("codebooks", f)
+        if f.startswith("gen=") and rel != live_book:
+            fs.delete(posixpath.join(bbase, f))
+            removed["codebooks"].append(f)
+    removed["centroids"].sort()
+    removed["codebooks"].sort()
+    return removed

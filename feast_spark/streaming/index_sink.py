@@ -134,6 +134,39 @@ def ivf_index_sink(
     return fn
 
 
+def ivfpq_index_sink(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+):
+    """foreachBatch sink folding each micro-batch of embedding vectors
+    into a persisted IVFPQ index (``build_ivfpq_index`` must have
+    committed it; the frozen quantizer + codebooks encode new vectors
+    — watch ``ivfpq_index_stats`` for drift and rebuild when cells
+    skew)."""
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.pq_index import _manifest, ivfpq_index_append
+
+    fs = fs or LocalFS()
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        if _should_skip(_manifest(path, fs), epoch_id):
+            return
+        ivfpq_index_append(
+            spark,
+            path,
+            batch_df,
+            id_col=id_col,
+            vec_col=vec_col,
+            fs=fs,
+            meta={_WATERMARK_KEY: epoch_id},
+        )
+
+    return fn
+
+
 def clear_stream_watermark(path: str, fs=None) -> None:
     """Remove the streaming epoch watermark from an index manifest —
     REQUIRED before re-pointing a stream at a fresh checkpoint (batch
