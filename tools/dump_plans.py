@@ -57,6 +57,14 @@ HEADLINE = [
     "dedup_against_index",
     "retrieval_ndcg",
     "resample_grid",
+    # round-10 gated additions + the all-index serving shapes
+    # (hybrid_all_index's plan is the both-channels-pruned evidence:
+    # PartitionFilters on the term bucket AND on the IVF cell;
+    # ivfpq_index_topk's scan reads code bytes from probed cells only)
+    "pagerank",
+    "drift_psi",
+    "hybrid_all_index",
+    "ivfpq_index_topk",
 ]
 
 
@@ -161,6 +169,47 @@ def main() -> None:
         )
 
     queries["dedup_against_index"] = _dedup_against_index
+
+    def _hybrid_all_index(spark, sf):
+        import tempfile
+
+        from feast_spark.operators.bm25 import (
+            build_bm25_index, hybrid_index_topk,
+        )
+        from feast_spark.operators.similarity import build_ivf_index
+        from feast_spark.sources.testdata import load_table
+
+        docs = load_table(spark, sf, "documents")
+        emb = load_table(spark, sf, "embeddings")
+        base = tempfile.mkdtemp(prefix="plans_hybrid_")
+        build_bm25_index(docs, base + "/bm25", "doc_id", "text",
+                         n_term_buckets=16)
+        build_ivf_index(emb, base + "/ivf", n_centroids=8, iters=2)
+        dim = len(emb.select("embedding").first()[0])
+        qvec = [float((i * 37) % 19) / 19.0 for i in range(dim)]
+        return hybrid_index_topk(
+            spark, base + "/bm25", None, ["hash", "scan"], qvec, k=10,
+            vec_index_path=base + "/ivf", n_probe=3,
+        )
+
+    queries["hybrid_all_index"] = _hybrid_all_index
+
+    def _ivfpq_index_topk(spark, sf):
+        import tempfile
+
+        from feast_spark.operators.pq_index import (
+            build_ivfpq_index, ivfpq_index_topk,
+        )
+        from feast_spark.sources.testdata import load_table
+
+        emb = load_table(spark, sf, "embeddings")
+        path = tempfile.mkdtemp(prefix="plans_ivfpq_") + "/idx"
+        build_ivfpq_index(emb, path, n_centroids=8, iters=2)
+        return ivfpq_index_topk(
+            spark, path, emb.filter("vec_id < 3"), k=5, n_probe=3
+        )
+
+    queries["ivfpq_index_topk"] = _ivfpq_index_topk
     out = [
         "# PLANS — formatted physical plans for the headline queries",
         "",
