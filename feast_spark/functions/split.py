@@ -172,12 +172,18 @@ def time_series_splits(
         start is not None
         and isinstance(start, (_date, _datetime))
         and isinstance(end, (_date, _datetime))
-        and start >= end
     ):
         # mirror resample's driver-side guard: reversed explicit bounds
         # would otherwise silently yield empty/degenerate folds.  String
-        # bounds stay unchecked here (parsed executor-side by the CAST).
-        raise ValueError(f"end ({end!r}) must be after start ({start!r})")
+        # bounds stay unchecked here (parsed executor-side by the CAST),
+        # and so do bound pairs Python cannot order (date vs datetime,
+        # naive vs aware) — Spark's timestamp cast handles those.
+        try:
+            reversed_bounds = start >= end
+        except TypeError:
+            reversed_bounds = False
+        if reversed_bounds:
+            raise ValueError(f"end ({end!r}) must be after start ({start!r})")
     if start is None:
         row = df.agg(
             F.min(ts_col).alias("lo"), F.max(ts_col).alias("hi")

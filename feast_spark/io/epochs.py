@@ -60,22 +60,34 @@ def commit_manifest(path: str, fs: StoreFS, manifest: dict) -> None:
     )
 
 
+# the sidecar keys a rebuild preserves from a pre-existing manifest
+CARRY_KEYS = ("stream_epoch",)
+
+
 def carried_meta(
-    path: str, fs: StoreFS, structural_keys: tuple[str, ...]
+    path: str, fs: StoreFS, carry_keys: tuple[str, ...] = CARRY_KEYS
 ) -> dict:
-    """Non-structural keys of the manifest already committed at
-    ``path``, if any.  Rebuild-over-existing-index carries these
+    """The ALLOWLISTED sidecar keys of the manifest already committed
+    at ``path``, if any.  Rebuild-over-existing-index carries these
     forward into the fresh manifest so sidecar state survives —
     concretely the streaming sink's ``stream_epoch`` watermark: a
     rebuild that dropped it would let a crash-replay straddling the
     rebuild re-append a micro-batch whose docs the rebuild corpus
     already contains (``streaming/index_sink.py`` promises the
-    watermark survives non-streaming commits)."""
+    watermark survives non-streaming commits).
+
+    An allowlist, NOT everything-but-my-structural-keys: rebuilding a
+    path as a DIFFERENT index kind must not drag the old kind's
+    structural keys (e.g. minhash ``params``) into the new manifest —
+    that would let the old kind's readers pass ``read_manifest``
+    validation and silently read the STALE pre-rebuild epoch
+    directories, instead of failing loudly with the
+    incompatible-layout error."""
     mp = posixpath.join(path, MANIFEST)
     if not fs.exists(mp):
         return {}
     manifest = json.loads(fs.read_bytes(mp))
-    return {k: v for k, v in manifest.items() if k not in structural_keys}
+    return {k: manifest[k] for k in carry_keys if k in manifest}
 
 
 def next_epoch(

@@ -32,7 +32,6 @@ import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from feast_spark.functions.text import normalize_text, tokens
 from feast_spark.io import epochs as epochs_io
@@ -541,9 +540,7 @@ def build_bm25_index(
         )
     epoch = _bm25_next_epoch(path, fs, [])
     _bm25_write_epoch(path, epoch, posting, stats)
-    carried = epochs_io.carried_meta(
-        path, fs, ("epochs", "n_term_buckets", "id_col", "text_col")
-    )
+    carried = epochs_io.carried_meta(path, fs)
     _bm25_commit(
         path,
         fs,
@@ -690,7 +687,11 @@ def _index_postings(
     if terms is not None:
         postings = postings.filter(F.col("term").isin(terms))
     else:
-        postings = postings.join(F.broadcast(terms_df), "term", "leftsemi")
+        # NO broadcast hint: a forced broadcast would pull the whole
+        # vocabulary back through the driver — the bound this path
+        # exists to avoid.  Catalyst/AQE broadcasts small frames on
+        # its own and falls back to a shuffle join for huge ones.
+        postings = postings.join(terms_df, "term", "leftsemi")
     postings = postings.drop("bucket", "epoch")
     stats = (
         spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
@@ -752,9 +753,12 @@ def bm25_index_topk_batch(
     literals (best row-group skipping — the human-sized-query case);
     past the cap only the distinct BUCKET ids are collected (at most
     ``n_term_buckets``, a structural constant independent of the
-    batch) and the term filter becomes a broadcast semi-join against
-    the distinct-terms frame — so a million-term batch works without
-    an unbounded driver list."""
+    batch), the term filter becomes a semi-join against the
+    distinct-terms frame, and every batch-vocabulary-sized join side
+    (the terms frame, the (query, term) pairs, the per-term doc
+    frequencies) is left UNHINTED so Catalyst/AQE broadcasts it only
+    while it is actually small and shuffle-joins it once it is not —
+    nothing vocabulary-sized is forced through the driver."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     qt = queries.select(
@@ -769,7 +773,8 @@ def bm25_index_topk_batch(
     sample = qterms.limit(max_terms_inlist + 1).collect()
     if not sample:
         raise ValueError("queries must contain at least one non-empty term")
-    if len(sample) <= max_terms_inlist:
+    small_batch = len(sample) <= max_terms_inlist
+    if small_batch:
         terms = sorted(r["term"] for r in sample)
         tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
     else:
@@ -777,9 +782,14 @@ def bm25_index_topk_batch(
             spark, path, fs=fs, terms_df=qterms
         )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    # hint the (query, term) join broadcast only below the cap; a huge
+    # batch's qt must be free to shuffle-join, or the broadcast pulls
+    # the whole vocabulary back through the driver
+    qt_side = F.broadcast(qt) if small_batch else qt
+    dfreq_side = F.broadcast(dfreq) if small_batch else dfreq
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qt), "term")
+        tf.join(dfreq_side, "term")
+        .join(qt_side, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -862,20 +872,20 @@ def hybrid_index_topk(
         .over(Window.orderBy(F.col("bm25").desc(), F.col(id_col).asc()))
         .alias("lex_rank"),
     )
-    if vec_index_path is not None:
-        id_type = (
-            embeddings.schema[emb_id_col].dataType
-            if embeddings is not None
-            else LongType()
-        )
-        vec_type = (
-            embeddings.schema[vec_col].dataType
-            if embeddings is not None
-            else ArrayType(DoubleType())
-        )
-    else:
+    if embeddings is not None:
         id_type = embeddings.schema[emb_id_col].dataType
         vec_type = embeddings.schema[vec_col].dataType
+    else:
+        # take the id/vec types from the INDEX itself (schema-only
+        # read): guessing LongType against a string-id index would
+        # make the self-exclusion filter compare string to bigint —
+        # NULL for every non-numeric id — and silently empty the
+        # vector channel
+        from feast_spark.operators.similarity import _ivf_vectors
+
+        idx_schema = _ivf_vectors(spark, vec_index_path).schema
+        id_type = idx_schema["id"].dataType
+        vec_type = idx_schema["vec"].dataType
     qdf = spark.createDataFrame(
         [(query_vec_id, [float(x) for x in query_vec])],
         StructType(

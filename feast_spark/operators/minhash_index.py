@@ -192,7 +192,7 @@ def build_minhash_index(
     banded, shingles = _doc_tables(df, id_col, text_col, params)
     epoch = _next_epoch(path, fs, [])
     _write_epoch(path, epoch, banded, shingles)
-    carried = epochs_io.carried_meta(path, fs, ("epochs", "params"))
+    carried = epochs_io.carried_meta(path, fs)
     _commit(path, fs, {**carried, "epochs": [epoch], "params": params})
 
 

@@ -55,10 +55,6 @@ __all__ = [
 ]
 
 _SUBDIRS = ("codes",)
-_STRUCTURAL = (
-    "epochs", "centroids", "codebooks", "id_col", "vec_col",
-    "m_subspaces", "k_codes",
-)
 
 
 def _manifest(path: str, fs: StoreFS) -> dict:
@@ -87,25 +83,12 @@ def _next_gen(path: str, fs: StoreFS) -> int:
 
 
 def _load_centroids(path: str, manifest: dict, fs: StoreFS) -> list[list[float]]:
-    """Driver-side pyarrow read of the committed quantizer generation
-    (C rows, a few KB — the ``similarity._ivf_load_centroids``
-    discipline: no Spark job on the serving path)."""
-    import io as _io
+    """The committed quantizer generation, read driver-side (shared
+    ``similarity.read_centroid_dir``: no Spark job on the serving
+    path)."""
+    from feast_spark.operators.similarity import read_centroid_dir
 
-    import pyarrow.parquet as pq_
-
-    cdir = posixpath.join(path, manifest["centroids"])
-    rows: list[tuple[int, list[float]]] = []
-    for name in fs.list_files(cdir):
-        if not name.endswith(".parquet"):
-            continue
-        t = pq_.read_table(
-            _io.BytesIO(fs.read_bytes(posixpath.join(cdir, name))),
-            columns=["cell", "centroid"],
-        )
-        rows.extend(zip(t.column("cell").to_pylist(), t.column("centroid").to_pylist()))
-    rows.sort(key=lambda r: r[0])
-    return [[float(x) for x in c] for _, c in rows]
+    return read_centroid_dir(posixpath.join(path, manifest["centroids"]), fs)
 
 
 def _load_codebooks(path: str, manifest: dict, fs: StoreFS):
@@ -176,7 +159,7 @@ def build_ivfpq_index(
         .partitionBy("cell")
         .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
     )
-    carried = epochs_io.carried_meta(path, fs, _STRUCTURAL)
+    carried = epochs_io.carried_meta(path, fs)
     epochs_io.commit_manifest(
         path,
         fs,
@@ -216,12 +199,17 @@ def ivfpq_index_topk(
     given the same (frozen) quantizer + codebooks — pinned by tests.
 
     The codes scan is STATICALLY partition-pruned to the union of the
-    batch's probed cells (same bounded-collect discipline as
-    ``similarity.ivf_index_topk``: at most C cell ids cross the
-    driver), and the ADC kernel masks each query's off-probe rows, so
-    every query's k candidates come exclusively from its own probed
-    cells even under skew.  Per-query bytes moved: probed cells' CODE
-    rows (M bytes/vector), never float vectors."""
+    batch's probed cells, and the ADC kernel masks each query's
+    off-probe rows, so every query's k candidates come exclusively
+    from its own probed cells even under skew.  Per-query bytes moved:
+    probed cells' CODE rows (M bytes/vector), never float vectors.
+
+    Driver-side cost: the per-query probe sets come back as
+    ``|Q| x n_probe`` (query_id, cell) pairs — inherent to the ADC
+    contract (``pq_topk`` ships every query's probe mask in the task
+    closure) and strictly smaller than the ``|Q|`` full query VECTORS
+    ``pq_topk`` collects regardless; queries are broadcast-few by that
+    same contract."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
     cents = _load_centroids(path, manifest, fs)

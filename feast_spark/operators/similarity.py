@@ -523,23 +523,16 @@ def _ivf_centroids_dir(path: str, manifest: dict) -> str:
     return posixpath.join(path, manifest.get("centroids", "centroids"))
 
 
-def _ivf_load_centroids(
-    spark, path: str, fs: StoreFS | None = None
-) -> list[list[float]]:
-    """Centroids resolved THROUGH the manifest, so a query never pairs
-    one generation's quantizer with another generation's cell-tagged
-    vectors (rebuild commits both pointers in one atomic flip).
-
-    Read driver-side with pyarrow through the control-plane FS (C rows,
-    a few KB) — going through ``spark.read.parquet(...).collect()``
+def read_centroid_dir(cdir: str, fs: StoreFS) -> list[list[float]]:
+    """Driver-side pyarrow read of a (cell, centroid) parquet dir,
+    sorted by cell (C rows, a few KB) — shared by the IVF and IVFPQ
+    serving paths.  Going through ``spark.read.parquet(...).collect()``
     cost a full Spark job (plan + listing + sort shuffle) PER QUERY,
     several hundred ms of pure overhead on the serving path."""
     import io as _io
 
     import pyarrow.parquet as pq
 
-    fs = fs or LocalFS()
-    cdir = _ivf_centroids_dir(path, _ivf_manifest(path, fs))
     rows: list[tuple[int, list[float]]] = []
     for name in fs.list_files(cdir):
         if not name.endswith(".parquet"):
@@ -553,6 +546,18 @@ def _ivf_load_centroids(
         rows.extend(zip(cells, cents))
     rows.sort(key=lambda r: r[0])
     return [[float(x) for x in c] for _, c in rows]
+
+
+def _ivf_load_centroids(
+    spark, path: str, fs: StoreFS | None = None
+) -> list[list[float]]:
+    """Centroids resolved THROUGH the manifest, so a query never pairs
+    one generation's quantizer with another generation's cell-tagged
+    vectors (rebuild commits both pointers in one atomic flip)."""
+    fs = fs or LocalFS()
+    return read_centroid_dir(
+        _ivf_centroids_dir(path, _ivf_manifest(path, fs)), fs
+    )
 
 
 def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
@@ -621,7 +626,7 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
-    carried = epochs_io.carried_meta(path, fs, ("epochs", "centroids"))
+    carried = epochs_io.carried_meta(path, fs)
     _ivf_commit(path, fs, {**carried, "epochs": [epoch], "centroids": cent_rel})
 
 

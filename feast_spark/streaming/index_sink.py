@@ -47,6 +47,7 @@ __all__ = [
     "bm25_index_sink",
     "minhash_index_sink",
     "ivf_index_sink",
+    "ivfpq_index_sink",
     "clear_stream_watermark",
 ]
 

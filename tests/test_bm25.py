@@ -714,3 +714,35 @@ def test_bm25_index_batch_semijoin_path_matches_inlist(spark, tmp_path):
     plan = semi_df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1) and m.group(1).strip(), plan[:1500]
+
+
+def test_hybrid_all_index_string_ids(spark, tmp_path):
+    """With embeddings=None the query frame's id/vec types come from
+    the IVF INDEX schema, not a LongType guess — a string-id index must
+    keep its vector channel alive (a bigint-vs-string self-exclusion
+    filter would NULL out every candidate and silently degrade the
+    hybrid to lexical-only)."""
+    from feast_spark.operators.bm25 import build_bm25_index, hybrid_index_topk
+    from feast_spark.operators.similarity import build_ivf_index
+
+    docs = spark.createDataFrame(
+        [("d1", "spark merge " * 10), ("d2", "unrelated words " * 10)],
+        "doc_id STRING, text STRING",
+    )
+    emb = spark.createDataFrame(
+        [("d1", [1.0, 0.0]), ("d2", [0.0, 1.0]), ("d3", [0.9, 0.1])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    lex_path = str(tmp_path / "lex")
+    vec_path = str(tmp_path / "vec")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=4)
+    build_ivf_index(emb, vec_path, n_centroids=2, iters=2)
+    out = hybrid_index_topk(
+        spark, lex_path, None, ["spark"], [1.0, 0.0], k=3,
+        vec_index_path=vec_path, n_probe=2, query_vec_id="__q__",
+    ).collect()
+    # the vector channel contributed: d3 has no lexical hit at all but
+    # ranks by cosine, so it must appear with a vec_rank
+    by_id = {r["id"]: r for r in out}
+    assert "d3" in by_id and by_id["d3"]["vec_rank"] is not None
+    assert by_id["d1"]["vec_rank"] is not None  # wins both channels

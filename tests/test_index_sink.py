@@ -238,3 +238,33 @@ def test_rebuild_carries_stream_watermark(spark, tmp_path):
         m = json.load(f)
     assert m["stream_epoch"] == 11
     assert len(m["epochs"]) == 1
+
+
+def test_rebuild_as_different_kind_fails_old_readers_loudly(spark, tmp_path):
+    """carried_meta is an ALLOWLIST: rebuilding a path as a different
+    index kind must not drag the old kind's structural keys into the
+    new manifest — otherwise the old kind's readers would pass
+    validation and silently read the stale pre-rebuild epochs."""
+    import pytest
+
+    from feast_spark.operators.bm25 import build_bm25_index
+    from feast_spark.operators.minhash_index import (
+        build_minhash_index,
+        dedup_against_index,
+        minhash_index_append,
+    )
+
+    docs = _docs(spark, 60)
+    shifted = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    ).limit(10)
+    path = str(tmp_path / "idx")
+    build_minhash_index(docs, path)
+    minhash_index_append(spark, path, shifted, meta={"stream_epoch": 5})
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=8)
+    with open(f"{path}/_MANIFEST.json") as f:
+        m = json.load(f)
+    assert "params" not in m  # minhash structural key NOT carried
+    assert m["stream_epoch"] == 5  # the watermark IS carried
+    with pytest.raises(ValueError, match="no minhash index"):
+        dedup_against_index(spark, path, shifted)

@@ -182,3 +182,31 @@ def test_time_series_splits_rejects_reversed_bounds(spark):
             start=datetime(2024, 1, 2),
             end=datetime(2024, 1, 1),
         )
+
+
+def test_time_series_splits_mixed_bound_types_do_not_crash(spark):
+    """date+datetime or naive+aware bound pairs are valid (Spark's
+    timestamp cast orders them); the driver-side reversed-bounds guard
+    must skip pairs Python cannot compare instead of raising
+    TypeError."""
+    from datetime import date, datetime, timezone
+
+    from feast_spark.functions.split import time_series_splits
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_MED
+
+    events = load_table(spark, SF_MED, "events")
+    folds = time_series_splits(
+        events, "ts", n_folds=2,
+        start=date(2024, 1, 1), end=datetime(2024, 1, 20),
+    )
+    assert len(folds) == 2
+    tr, te = folds[0]
+    assert tr.count() > 0
+    # naive + aware: also valid, also uncheckable driver-side
+    folds = time_series_splits(
+        events, "ts", n_folds=2,
+        start=datetime(2024, 1, 1),
+        end=datetime(2024, 1, 20, tzinfo=timezone.utc),
+    )
+    assert len(folds) == 2

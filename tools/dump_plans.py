@@ -146,8 +146,9 @@ def main() -> None:
         )
 
     queries["decayed_agg"] = _decayed
-    # rotated out of the gate in r9 but kept in PLANS for continuity
+    # rotated out of the gate in r9/r10 but kept in PLANS for continuity
     queries["topk_revenue"] = entry_mod.q_topk_revenue
+    queries["rollup_revenue"] = entry_mod.q_rollup_revenue
 
     def _dedup_against_index(spark, sf):
         import tempfile
