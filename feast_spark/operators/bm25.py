@@ -837,26 +837,32 @@ def hybrid_index_topk(
     fs=None,
     vec_index_path: str | None = None,
     n_probe: int = 4,
+    vec_index_kind: str = "ivf",
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
     ``_rrf_fuse``), but the per-query lexical cost is the pruned
     postings read, not a corpus scan.
 
-    The vector channel has two modes:
+    The vector channel has three modes:
 
-    - ``vec_index_path`` set: top-k comes from the persisted IVF
-      index (``similarity.ivf_index_topk``) — the vectors scan reads
-      only the ``n_probe`` probed cells (dynamic partition pruning on
-      the broadcast cell join), so BOTH channels are index-pruned and
-      the per-query cost is independent of corpus size.  ``embeddings``
-      may be ``None`` in this mode.  At ``n_probe >=`` the index's
-      centroid count the channel is exactly the brute scan
-      (pytest-pinned identity).
+    - ``vec_index_path`` + ``vec_index_kind="ivf"``: top-k from the
+      persisted IVF index (``similarity.ivf_index_topk``) — the
+      vectors scan reads only the ``n_probe`` probed cells, so BOTH
+      channels are index-pruned and the per-query cost is independent
+      of corpus size.  ``embeddings`` may be ``None`` in this mode.
+      At ``n_probe >=`` the index's centroid count the channel is
+      exactly the brute scan (pytest-pinned identity).
+    - ``vec_index_kind="ivfpq"``: top-k from the persisted IVFPQ index
+      (``pq_index.ivfpq_index_topk``) — probed cells again, but the
+      read moves PQ CODE bytes and ranks by asymmetric distance; RRF
+      consumes only the rank, so the lossy-but-ordered ADC channel
+      fuses exactly like the exact one.  The memory-bound serving
+      stack for corpora whose float vectors dwarf storage.
     - otherwise: brute-force :func:`~feast_spark.operators.similarity.
       cosine_topk` over ``embeddings`` — correct for one-off batch use
       or when no ANN index exists, but a full corpus scan per query."""
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
@@ -864,6 +870,10 @@ def hybrid_index_topk(
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if vec_index_kind not in ("ivf", "ivfpq"):
+        raise ValueError(
+            f"vec_index_kind must be 'ivf' or 'ivfpq', got {vec_index_kind!r}"
+        )
     lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
     id_col = lex.columns[0]
     lex = lex.select(
@@ -875,7 +885,7 @@ def hybrid_index_topk(
     if embeddings is not None:
         id_type = embeddings.schema[emb_id_col].dataType
         vec_type = embeddings.schema[vec_col].dataType
-    else:
+    elif vec_index_kind == "ivf":
         # take the id/vec types from the INDEX itself (schema-only
         # read): guessing LongType against a string-id index would
         # make the self-exclusion filter compare string to bigint —
@@ -886,6 +896,19 @@ def hybrid_index_topk(
         idx_schema = _ivf_vectors(spark, vec_index_path).schema
         id_type = idx_schema["id"].dataType
         vec_type = idx_schema["vec"].dataType
+    else:
+        # IVFPQ stores codes, not vectors: id type from the codes
+        # schema; the ADC kernel works in float64 whatever the query
+        # array's element type
+        from feast_spark.io.fs import LocalFS as _LocalFS
+        from feast_spark.operators.pq_index import _codes as _pq_codes
+        from feast_spark.operators.pq_index import _manifest as _pq_manifest
+
+        pq_manifest = _pq_manifest(vec_index_path, _LocalFS())
+        id_type = _pq_codes(
+            spark, vec_index_path, pq_manifest["epochs"]
+        ).schema["id"].dataType
+        vec_type = ArrayType(DoubleType())
     qdf = spark.createDataFrame(
         [(query_vec_id, [float(x) for x in query_vec])],
         StructType(
@@ -895,7 +918,11 @@ def hybrid_index_topk(
             ]
         ),
     )
-    if vec_index_path is not None:
+    if vec_index_path is not None and vec_index_kind == "ivfpq":
+        topk = _ivfpq_ranked(
+            spark, vec_index_path, qdf, emb_id_col, vec_col, n_probe, fetch_k
+        )
+    elif vec_index_path is not None:
         topk = ivf_index_topk(
             spark, vec_index_path, qdf,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
@@ -909,6 +936,26 @@ def hybrid_index_topk(
         F.col("rank").alias("vec_rank"),
     )
     return _rrf_fuse(lex, vec, rrf_k, k)
+
+
+def _ivfpq_ranked(
+    spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k
+):
+    """(query_id, neighbor_id, rank) from the persisted IVFPQ index —
+    ranks derived from ascending ADC distance (ties by neighbor id),
+    which is all RRF fusion consumes."""
+    from feast_spark.operators.pq_index import ivfpq_index_topk
+
+    adc = ivfpq_index_topk(
+        spark, path, qdf,
+        id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return adc.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    )
 
 
 def hybrid_index_topk_batch(
@@ -927,6 +974,7 @@ def hybrid_index_topk_batch(
     fs=None,
     vec_index_path: str | None = None,
     n_probe: int = 4,
+    vec_index_kind: str = "ivf",
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
@@ -934,13 +982,15 @@ def hybrid_index_topk_batch(
     the lexical cost is one partition-pruned postings read for the
     whole batch's term set instead of a corpus tokenize.
 
-    With ``vec_index_path`` set, the vector channel is served from the
-    persisted IVF index too (``similarity.ivf_index_topk``): the
-    vectors scan reads only the cells the batch's queries probe
-    (dynamic partition pruning on the broadcast cell join), so the
+    With ``vec_index_path`` set, the vector channel is served from a
+    persisted ANN index too: ``vec_index_kind="ivf"`` reads the probed
+    cells' float vectors (``similarity.ivf_index_topk``);
+    ``"ivfpq"`` reads the probed cells' PQ CODES and ranks by ADC
+    (``pq_index.ivfpq_index_topk``) — RRF consumes only ranks, so the
+    lossy-but-ordered channel fuses identically.  Either way the
     all-index serving stack touches ``O(batch x n_probe)`` cells and
     the term buckets the batch hashes into — never the corpus.
-    ``embeddings`` may be ``None`` in that mode; without
+    ``embeddings`` may be ``None`` in those modes; without
     ``vec_index_path`` the channel brute-scans ``embeddings``
     (one-off batch shape)."""
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
@@ -949,6 +999,10 @@ def hybrid_index_topk_batch(
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if vec_index_kind not in ("ivf", "ivfpq"):
+        raise ValueError(
+            f"vec_index_kind must be 'ivf' or 'ivfpq', got {vec_index_kind!r}"
+        )
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,
         terms_col=terms_col, k=fetch_k, fs=fs,
@@ -962,7 +1016,12 @@ def hybrid_index_topk_batch(
         F.col(query_id_col).alias(emb_id_col),
         F.col(qvec_col).alias(vec_col),
     )
-    if vec_index_path is not None:
+    if vec_index_path is not None and vec_index_kind == "ivfpq":
+        topk = _ivfpq_ranked(
+            spark, vec_index_path, qvecs, emb_id_col, vec_col,
+            n_probe, fetch_k,
+        )
+    elif vec_index_path is not None:
         topk = ivf_index_topk(
             spark, vec_index_path, qvecs,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,

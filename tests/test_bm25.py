@@ -746,3 +746,73 @@ def test_hybrid_all_index_string_ids(spark, tmp_path):
     by_id = {r["id"]: r for r in out}
     assert "d3" in by_id and by_id["d3"]["vec_rank"] is not None
     assert by_id["d1"]["vec_rank"] is not None  # wins both channels
+
+
+def test_hybrid_ivfpq_channel(spark, tmp_path):
+    """vec_index_kind='ivfpq' serves the vector channel from PQ codes:
+    the channel's ranks must equal the direct ivfpq_index_topk ADC
+    ordering, fusion must behave (a doc winning both channels ranks
+    first; a vec-only doc appears), and unknown kinds raise."""
+    from feast_spark.operators.bm25 import (
+        build_bm25_index,
+        hybrid_index_topk,
+        hybrid_index_topk_batch,
+    )
+    from feast_spark.operators.pq_index import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    emb = load_table(spark, SF_MED, "embeddings")
+    lex_path = str(tmp_path / "lex")
+    vec_path = str(tmp_path / "pq")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=16)
+    build_ivfpq_index(emb, vec_path, n_centroids=8, iters=2)
+    dim = len(emb.select("embedding").first()[0])
+    qvec = [float((i * 37) % 19) / 19.0 for i in range(dim)]
+
+    out = hybrid_index_topk(
+        spark, lex_path, None, ["spark", "merge"], qvec, k=10,
+        vec_index_path=vec_path, n_probe=8, vec_index_kind="ivfpq",
+    ).collect()
+    assert len(out) == 10
+    # the channel ranks == the direct ADC ordering
+    qdf = spark.createDataFrame(
+        [(-1, qvec)], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    adc = ivfpq_index_topk(spark, vec_path, qdf, n_probe=8, k=50).collect()
+    want_order = [
+        r["neighbor_id"]
+        for r in sorted(adc, key=lambda r: (r["adc_dist"], r["neighbor_id"]))
+    ]
+    got_vec = {
+        r["id"]: r["vec_rank"] for r in out if r["vec_rank"] is not None
+    }
+    for doc_id, rank in got_vec.items():
+        assert want_order[rank - 1] == doc_id
+
+    # batch twin agrees with the single-query call for one query
+    qs = spark.createDataFrame(
+        [(-1, ["spark", "merge"], qvec)],
+        "query_id BIGINT, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+    )
+    batch = hybrid_index_topk_batch(
+        spark, lex_path, None, qs, k=10,
+        vec_index_path=vec_path, n_probe=8, vec_index_kind="ivfpq",
+    ).collect()
+    assert sorted(
+        (r["id"], r["lex_rank"], r["vec_rank"], round(r["rrf"], 12))
+        for r in batch
+    ) == sorted(
+        (r["id"], r["lex_rank"], r["vec_rank"], round(r["rrf"], 12))
+        for r in out
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vec_index_kind"):
+        hybrid_index_topk(
+            spark, lex_path, None, ["spark"], qvec,
+            vec_index_path=vec_path, vec_index_kind="hnsw",
+        )
