@@ -36,11 +36,20 @@ def read_manifest(
     fs: StoreFS,
     required_keys: tuple[str, ...] = ("epochs",),
     kind: str = "index",
+    kind_id: str | None = None,
 ) -> dict:
     """Load and validate the committed manifest.  A manifest missing
     ``required_keys`` — e.g. one written by an older, incompatible
     layout of the same index — raises the same friendly ValueError as
-    a missing index rather than a downstream KeyError."""
+    a missing index rather than a downstream KeyError.
+
+    ``kind_id`` is the positive cross-kind guard: builders stamp their
+    manifest with ``"kind"`` and readers pass their own id, so a path
+    rebuilt as a DIFFERENT index kind fails loudly even when the
+    required keys happen to overlap (every kind writes ``epochs``, so
+    key checks alone cannot distinguish e.g. a stale IVF reader from a
+    fresh IVFPQ manifest).  Manifests predating the stamp (no ``kind``
+    key) are accepted for backward compatibility."""
     mp = posixpath.join(path, MANIFEST)
     if not fs.exists(mp):
         raise ValueError(f"no {kind} committed at {path}")
@@ -50,6 +59,15 @@ def read_manifest(
         raise ValueError(
             f"no {kind} committed at {path}: manifest lacks "
             f"{missing} (incompatible or foreign layout)"
+        )
+    if (
+        kind_id is not None
+        and "kind" in manifest
+        and manifest["kind"] != kind_id
+    ):
+        raise ValueError(
+            f"no {kind} committed at {path}: the committed manifest is a "
+            f"{manifest['kind']!r} index (rebuilt as a different kind?)"
         )
     return manifest
 
@@ -82,7 +100,13 @@ def carried_meta(
     that would let the old kind's readers pass ``read_manifest``
     validation and silently read the STALE pre-rebuild epoch
     directories, instead of failing loudly with the
-    incompatible-layout error."""
+    incompatible-layout error.  (The ``kind`` stamp guards that too,
+    but only for manifests new enough to carry it.)  The accepted
+    trade-off: user sidecar keys written via ``*_index_append(meta=)``
+    survive appends and compacts ({**manifest, ...}) but NOT a
+    rebuild — a rebuild is a new index over a new corpus, so stale
+    per-corpus annotations are dropped by design; re-attach them via
+    the first append's ``meta`` if they still apply."""
     mp = posixpath.join(path, MANIFEST)
     if not fs.exists(mp):
         return {}

@@ -455,6 +455,7 @@ def _bm25_manifest(path: str, fs: StoreFS) -> dict:
         fs,
         required_keys=("epochs", "n_term_buckets", "id_col", "text_col"),
         kind="BM25 index",
+        kind_id="bm25",
     )
 
 
@@ -546,6 +547,7 @@ def build_bm25_index(
         fs,
         {
             **carried,
+            "kind": "bm25",
             "epochs": [epoch],
             "n_term_buckets": n_term_buckets,
             "id_col": id_col,
@@ -659,8 +661,9 @@ def _index_postings(
     right when the vocabulary is human-sized) or a ``terms_df`` frame
     of distinct terms (only the distinct BUCKET ids are collected —
     bounded by ``n_term_buckets``, a structural constant, never by the
-    batch's vocabulary — and the term filter is a broadcast semi-join
-    against the frame; right for huge batches)."""
+    batch's vocabulary — and the term filter is an UNHINTED semi-join
+    against the frame, broadcast by AQE only while it is genuinely
+    small; right for huge batches)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
     n_buckets = manifest["n_term_buckets"]
@@ -782,14 +785,15 @@ def bm25_index_topk_batch(
             spark, path, fs=fs, terms_df=qterms
         )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    # hint the (query, term) join broadcast only below the cap; a huge
-    # batch's qt must be free to shuffle-join, or the broadcast pulls
-    # the whole vocabulary back through the driver
-    qt_side = F.broadcast(qt) if small_batch else qt
+    # dfreq is vocabulary-bounded: hint it broadcast only below the
+    # term cap.  qt is (query, term)-PAIR sized — it scales with the
+    # BATCH, not the vocabulary, so it is never hinted: AQE broadcasts
+    # it while small and shuffle-joins a huge batch instead of forcing
+    # it through the driver.
     dfreq_side = F.broadcast(dfreq) if small_batch else dfreq
     scored = (
         tf.join(dfreq_side, "term")
-        .join(qt_side, "term")
+        .join(qt, "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
@@ -899,12 +903,13 @@ def hybrid_index_topk(
     else:
         # IVFPQ stores codes, not vectors: id type from the codes
         # schema; the ADC kernel works in float64 whatever the query
-        # array's element type
-        from feast_spark.io.fs import LocalFS as _LocalFS
+        # array's element type.  The caller's fs reads the manifest —
+        # the vector index lives on the same deployment store as the
+        # lexical one.
         from feast_spark.operators.pq_index import _codes as _pq_codes
         from feast_spark.operators.pq_index import _manifest as _pq_manifest
 
-        pq_manifest = _pq_manifest(vec_index_path, _LocalFS())
+        pq_manifest = _pq_manifest(vec_index_path, fs or LocalFS())
         id_type = _pq_codes(
             spark, vec_index_path, pq_manifest["epochs"]
         ).schema["id"].dataType
@@ -920,7 +925,8 @@ def hybrid_index_topk(
     )
     if vec_index_path is not None and vec_index_kind == "ivfpq":
         topk = _ivfpq_ranked(
-            spark, vec_index_path, qdf, emb_id_col, vec_col, n_probe, fetch_k
+            spark, vec_index_path, qdf, emb_id_col, vec_col,
+            n_probe, fetch_k, fs=fs,
         )
     elif vec_index_path is not None:
         topk = ivf_index_topk(
@@ -939,23 +945,27 @@ def hybrid_index_topk(
 
 
 def _ivfpq_ranked(
-    spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k
+    spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k, fs=None
 ):
     """(query_id, neighbor_id, rank) from the persisted IVFPQ index —
     ranks derived from ascending ADC distance (ties by neighbor id),
-    which is all RRF fusion consumes."""
+    which is all RRF fusion consumes.  Self is excluded to match the
+    IVF and brute channels (an over-fetch of one absorbs the dropped
+    row, so a query reusing a corpus id still yields fetch_k
+    candidates)."""
     from feast_spark.operators.pq_index import ivfpq_index_topk
 
     adc = ivfpq_index_topk(
         spark, path, qdf,
-        id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
-    )
+        id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe,
+        k=fetch_k + 1, fs=fs,
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
     return adc.select(
         "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
-    )
+    ).filter(F.col("rank") <= fetch_k)
 
 
 def hybrid_index_topk_batch(
@@ -1019,7 +1029,7 @@ def hybrid_index_topk_batch(
     if vec_index_path is not None and vec_index_kind == "ivfpq":
         topk = _ivfpq_ranked(
             spark, vec_index_path, qvecs, emb_id_col, vec_col,
-            n_probe, fetch_k,
+            n_probe, fetch_k, fs=fs,
         )
     elif vec_index_path is not None:
         topk = ivf_index_topk(

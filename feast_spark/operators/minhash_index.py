@@ -77,6 +77,7 @@ def _manifest(root: str, fs: StoreFS) -> dict:
         fs,
         required_keys=("epochs", "params"),
         kind="minhash index",
+        kind_id="minhash",
     )
 
 
@@ -193,7 +194,10 @@ def build_minhash_index(
     epoch = _next_epoch(path, fs, [])
     _write_epoch(path, epoch, banded, shingles)
     carried = epochs_io.carried_meta(path, fs)
-    _commit(path, fs, {**carried, "epochs": [epoch], "params": params})
+    _commit(
+        path, fs,
+        {**carried, "kind": "minhash", "epochs": [epoch], "params": params},
+    )
 
 
 def minhash_index_append(

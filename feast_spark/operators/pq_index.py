@@ -63,6 +63,7 @@ def _manifest(path: str, fs: StoreFS) -> dict:
         fs,
         required_keys=("epochs", "centroids", "codebooks", "id_col", "vec_col"),
         kind="IVFPQ index",
+        kind_id="ivfpq",
     )
 
 
@@ -165,6 +166,7 @@ def build_ivfpq_index(
         fs,
         {
             **carried,
+            "kind": "ivfpq",
             "epochs": [epoch],
             "centroids": cent_rel,
             "codebooks": book_rel,

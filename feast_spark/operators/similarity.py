@@ -491,7 +491,7 @@ _IVF_SUBDIRS = ("vectors",)
 
 def _ivf_manifest(path: str, fs: StoreFS) -> dict:
     return epochs_io.read_manifest(
-        path, fs, required_keys=("epochs",), kind="IVF index"
+        path, fs, required_keys=("epochs",), kind="IVF index", kind_id="ivf"
     )
 
 
@@ -627,7 +627,10 @@ def build_ivf_index(
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
     )
     carried = epochs_io.carried_meta(path, fs)
-    _ivf_commit(path, fs, {**carried, "epochs": [epoch], "centroids": cent_rel})
+    _ivf_commit(
+        path, fs,
+        {**carried, "kind": "ivf", "epochs": [epoch], "centroids": cent_rel},
+    )
 
 
 def ivf_index_topk(

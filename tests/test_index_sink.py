@@ -268,3 +268,17 @@ def test_rebuild_as_different_kind_fails_old_readers_loudly(spark, tmp_path):
     assert m["stream_epoch"] == 5  # the watermark IS carried
     with pytest.raises(ValueError, match="no minhash index"):
         dedup_against_index(spark, path, shifted)
+
+    # the kind stamp catches the pairs whose REQUIRED KEYS overlap:
+    # IVF requires only 'epochs', which every kind writes, so without
+    # the stamp an IVF reader would silently read an IVFPQ rebuild's
+    # stale vectors/ epochs
+    from feast_spark.operators.pq_index import build_ivfpq_index
+    from feast_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    vpath = str(tmp_path / "vec")
+    build_ivf_index(emb, vpath, n_centroids=8, iters=2)
+    build_ivfpq_index(emb, vpath, n_centroids=8, iters=2)
+    with pytest.raises(ValueError, match="'ivfpq' index"):
+        ivf_index_topk(spark, vpath, emb.filter("vec_id < 2")).collect()
