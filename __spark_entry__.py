@@ -1499,6 +1499,137 @@ def q_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_index(spark, path, new, threshold=0.5)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pair search (operators/semdedup.py
+    semantic_dedup_pairs) with the engine-portable md5-selected
+    quantizer (similarity.md5_centroids — the ann_ivf pattern), so the
+    whole pipeline is value-checked cross-engine: the oracle re-derives
+    the identical 16 centroids in SQL, assigns every vector (argmin
+    L2, ties -> lowest cell), applies the max_cluster_size cap (40 —
+    chosen to actually TRIGGER at sf0.01, dropping one 41-vector
+    cell, so the cap semantics are under the hash gate too), expands
+    within-cell pairs, and exact-cosine-verifies at cos >= 0.3.
+    k-means training (the quality path) stays pytest-pinned — its
+    centroids depend on float summation order and are not
+    cross-engine stable."""
+    from feast_spark.operators.semdedup import semantic_dedup_pairs
+    from feast_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = md5_centroids(emb, "vec_id", "embedding", n_centroids=16)
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3,
+        centroids=cents, max_cluster_size=40,
+    )
+
+
+def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-index hybrid serving stack under the hash gate
+    (operators/bm25.py hybrid_index_topk): BOTH channels served from
+    persisted indexes built through their append lifecycle — BM25
+    postings built on two thirds of the corpus then epoch-appended
+    (the bm25_index_topk gate pattern), IVF vectors built on two
+    thirds of the embeddings then epoch-appended — and queried at
+    n_probe = n_centroids, where the cell-pruned vector channel is
+    EXACTLY the brute cosine scan (every cell probed; the k-means
+    quantizer's engine-instability is irrelevant because the union of
+    all cells is the corpus).  The oracle is the inline hybrid's
+    full-corpus SQL (BM25 math + exact cosine + RRF arithmetic), so
+    the gate proves index builds + appends + pruned serving land
+    exactly where a corpus-scan hybrid does.  Embeddings are cast to
+    double before the IVF build: hybrid_index_topk adopts the index's
+    stored element type for its query-vector frame, and a float32
+    index would truncate the query vector and perturb round-4 cosines
+    off the oracle's exact-double literal."""
+    import tempfile
+
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        build_bm25_index,
+        hybrid_index_topk,
+    )
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x.cast("double")
+        ).alias("embedding"),
+    )
+    base = tempfile.mkdtemp(prefix="fs_gate_hybrid_")
+    bpath, vpath = base + "/bm25", base + "/ivf"
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 3 != 0), bpath, "doc_id", "text",
+        n_term_buckets=16,
+    )
+    bm25_index_append(spark, bpath, docs.filter(F.col("doc_id") % 3 == 0))
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 != 0), vpath, n_centroids=8, iters=2
+    )
+    ivf_index_append(spark, vpath, emb.filter(F.col("vec_id") % 3 == 0))
+    return hybrid_index_topk(
+        spark, bpath, None, ["spark", "merge"], _HYBRID_QVEC,
+        k=10, fetch_k=50, vec_index_path=vpath, n_probe=8,
+    )
+
+
+def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVFPQ ADC serving under the hash gate
+    (operators/pq_index.py): build the index on two thirds of the
+    embeddings with the engine-portable frozen models (md5_centroids
+    coarse quantizer + pq.md5_codebooks PQ codebooks — no float
+    arithmetic in either selection), epoch-append the rest under the
+    FROZEN models, then serve 5 queries at n_probe=3 reading only
+    probed cells' CODE rows.  The oracle re-derives centroids AND
+    codebooks in SQL, re-encodes the corpus (per-subspace argmin L2,
+    ties -> lowest code — numpy argmin's first-occurrence on the
+    Spark side), probes, and sums the same per-subspace ADC terms.
+    Ranks are computed on UNROUNDED ADC on both sides (rounding
+    pre-rank would collapse distinct cross-engine values into
+    rank-flipping ties); the displayed distance is rounded to 4 for
+    the value hash.  Exact ADC ties (identical code rows) break by
+    neighbor id on both engines."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from feast_spark.operators.pq import md5_codebooks
+    from feast_spark.operators.pq_index import (
+        build_ivfpq_index,
+        ivfpq_index_append,
+        ivfpq_index_topk,
+    )
+    from feast_spark.operators.similarity import md5_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = md5_centroids(emb, "vec_id", "embedding", n_centroids=8)
+    books = md5_codebooks(
+        emb, "vec_id", "embedding", m_subspaces=8, k_codes=16
+    )
+    path = tempfile.mkdtemp(prefix="fs_gate_ivfpq_") + "/idx"
+    build_ivfpq_index(
+        emb.filter(F.col("vec_id") % 3 != 0), path,
+        centroids=cents, codebooks=books,
+    )
+    ivfpq_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == 0))
+    out = ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), n_probe=3, k=10
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("adc_dist", 4).alias("adc_dist"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_pit_join_multiview(spark, SF_SMALL)
@@ -1528,7 +1659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
         "bm25_topk": q_bm25_topk,
-        "pit_join_composite_key": q_pit_join_composite_key,
         "json_props": q_json_props,
         "corpus_pipeline": q_corpus_pipeline,
         "shipping_priority": q_shipping_priority,
@@ -1539,7 +1669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "table_profile": q_table_profile,
         "attribution_join": q_attribution_join,
-        "pit_join_list_feature": q_pit_join_list_feature,
         "stratified_sample": q_stratified_sample,
         "sql_source": q_sql_source,
         "corpus_mix": q_corpus_mix,
@@ -1550,12 +1679,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_join": q_edit_distance_join,
         "decayed_agg": q_decayed_agg,
         "sketch_distinct": q_sketch_distinct,
-        "hybrid_rrf": q_hybrid_rrf,
         "bm25_index_topk": q_bm25_index_topk,
         "online_serving": q_online_serving,
         "pagerank": q_pagerank,
         "drift_psi": q_drift_psi,
         "dedup_against_index": q_dedup_against_index,
+        "semdedup": q_semdedup,
+        "hybrid_index_topk": q_hybrid_index_topk,
+        "ivfpq_index_topk": q_ivfpq_index_topk,
     }
     # NB: exactly 50 entries — the driver records at most 50 queries
     # (r02 registered 52, recorded 50).  The former simhash_portable /
@@ -1612,6 +1743,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # index build -> append -> slice dedup vs the full-corpus MinHash
     # SQL restricted to slice-side pairs).  All three rotated queries
     # keep their original oracles in tests/test_rotated_relational.py.
+    # Round 11 rotated three double-covered slots so the round-10
+    # all-index serving stack and SemDeDup get hard gates:
+    # pit_join_composite_key + pit_join_list_feature (J1 stays gated
+    # via pit_join, pit_join_multiview, rollup_pit_join,
+    # attribution_join — composite-key/list-typed variants keep their
+    # DuckDB oracles in the rotated suite) and hybrid_rrf (the inline
+    # hybrid; its BM25 math, exact-cosine channel and _rrf_fuse fusion
+    # are all gated INSIDE the new hybrid_index_topk, which runs the
+    # same oracle SQL against the persisted-index serving path).  In
+    # their place: semdedup (md5-frozen quantizer ->
+    # assign/cap/pair/verify vs a full SQL twin), hybrid_index_topk
+    # (both-channel index lifecycle at n_probe=all vs the corpus-scan
+    # hybrid SQL), ivfpq_index_topk (md5-frozen quantizer+codebooks ->
+    # build/append/ADC-serve vs a full re-encode SQL twin).  All three
+    # rotated queries keep their original oracles in
+    # tests/test_rotated_relational.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1928,6 +2075,194 @@ WITH ac AS (
 )
 SELECT query_id, neighbor_id, cos, CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+def _semdedup_oracle(
+    n_centroids: int = 16, cap: int = 40, threshold: float = 0.3
+) -> str:
+    """SQL twin of semantic_dedup_pairs with the md5-selected frozen
+    quantizer: centroid set, cell assignment (argmin L2, ties ->
+    lowest cell), the max_cluster_size cap (over-cap cells dropped
+    whole, the QUALIFY mirror of the Spark count-window filter),
+    within-cell (id_a < id_b) pair expansion, and the exact-cosine
+    verify are all re-derived in SQL."""
+    cos = _cos_sql("a.e", "b.e")
+    return f"""
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+         e AS ce
+  FROM ac
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {n_centroids}
+), corp AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT c.vec_id, c.e, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.e', 'ct.ce')}, ct.cell) AS rn
+    FROM ac c CROSS JOIN cent ct
+  ) t WHERE rn = 1
+  QUALIFY COUNT(*) OVER (PARTITION BY cell) <= {cap}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cos
+FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE ROUND({cos}, 6) >= {threshold}
+"""
+
+
+def _ivfpq_oracle(
+    n_centroids: int = 8,
+    m_subspaces: int = 8,
+    sub: int = 8,
+    k_codes: int = 16,
+    n_probe: int = 3,
+    k: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """SQL twin of the persisted IVFPQ index with md5-frozen models:
+    re-derives the coarse quantizer AND the per-subspace codebooks
+    (pq.md5_codebooks: the rank-j md5-selected vector's m-th slice is
+    code j of book m), re-encodes the corpus (per-subspace argmin L2,
+    ties -> lowest code), probes each query's n_probe nearest cells,
+    and sums the per-subspace ADC terms.  Ranks are over UNROUNDED
+    ADC (+ neighbor-id tie-break) exactly as the Spark side ranks —
+    rounding only the displayed distance."""
+    sel_n = max(n_centroids, k_codes)
+
+    def _sl(e: str, mref: str) -> str:
+        return f"list_slice({e}, {mref} * {sub} + 1, ({mref} + 1) * {sub})"
+
+    return f"""
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), sel AS (
+  SELECT e, ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS r
+  FROM ac
+  ORDER BY md5(CAST(vec_id AS VARCHAR))
+  LIMIT {sel_n}
+), cent AS (
+  SELECT CAST(r AS INT) AS cell, e AS ce FROM sel WHERE r < {n_centroids}
+), cb AS (
+  SELECT CAST(ms.m AS INT) AS m, CAST(sel.r AS INT) AS code,
+         list_slice(sel.e, ms.m * {sub} + 1, (ms.m + 1) * {sub}) AS cv
+  FROM sel CROSS JOIN (SELECT unnest(range(0, {m_subspaces})) AS m) ms
+  WHERE sel.r < {k_codes}
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT c.vec_id, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                              ORDER BY {_l2_sql('c.e', 'ct.ce')}, ct.cell) AS rn
+    FROM ac c CROSS JOIN cent ct
+  ) t WHERE rn = 1
+), enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT c.vec_id, cb.m, cb.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.vec_id, cb.m
+             ORDER BY {_l2_sql(_sl('c.e', 'cb.m'), 'cb.cv')}, cb.code) AS rn
+    FROM ac c CROSS JOIN cb
+  ) t WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS qid, e AS qe, cell FROM (
+    SELECT qv.vec_id, qv.e, ct.cell,
+           ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+                              ORDER BY {_l2_sql('qv.e', 'ct.ce')}, ct.cell) AS rn
+    FROM ac qv CROSS JOIN cent ct WHERE qv.vec_id < {n_queries}
+  ) t WHERE rn <= {n_probe}
+), adc AS (
+  SELECT qp.qid, a.vec_id AS nid,
+         SUM({_l2_sql(_sl('qp.qe', 'enc.m'), 'cb.cv')}) AS dist
+  FROM qp
+  JOIN assign a USING (cell)
+  JOIN enc ON enc.vec_id = a.vec_id
+  JOIN cb ON cb.m = enc.m AND cb.code = enc.code
+  GROUP BY qp.qid, a.vec_id
+), ranked AS (
+  SELECT qid, nid, dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, nid) AS rank
+  FROM adc
+)
+SELECT qid AS query_id, nid AS neighbor_id, ROUND(dist, 4) AS adc_dist,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _hybrid_oracle() -> str:
+    """SQL twin of the hybrid lexical+vector retrieval: full-corpus
+    BM25 top-50 (the _bm25_oracle math), exact cosine top-50 against
+    the _QVEC_SQL double literal, RRF fusion at rrf_k=60.  One oracle,
+    two Spark counterparts: the inline hybrid_topk (rotated, pinned in
+    tests/test_rotated_relational.py) and the driver-gated
+    hybrid_index_topk at n_probe=all, whose persisted-index channels
+    must land exactly where this corpus scan does."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
+           AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ('merge', 'spark') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+),
+lexk AS (
+  SELECT doc_id AS id,
+         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+           AS lex_rank
+  FROM (SELECT doc_id, bm25 FROM scored
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 50) t
+),
+ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+qv AS (SELECT {_QVEC_SQL} AS e),
+pairs AS (
+  SELECT c.vec_id AS id,
+         ROUND(list_sum(list_transform(list_zip(qv.e, c.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(qv.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS cos
+  FROM ac c, qv WHERE c.vec_id <> -1
+),
+veck AS (
+  SELECT id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS INTEGER)
+           AS vec_rank
+  FROM (SELECT id, cos FROM pairs ORDER BY cos DESC, id ASC LIMIT 50) t
+),
+fused AS (
+  SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
+         COALESCE(1.0 / (60 + l.lex_rank), 0.0)
+         + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
+  FROM lexk l FULL JOIN veck v ON l.id = v.id
+)
+SELECT id, lex_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
 
 
@@ -2361,27 +2696,6 @@ scored AS (
 )
 SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
 """,
-        "pit_join_composite_key": """
-WITH entity AS (
-  SELECT DISTINCT l_orderkey, l_suppkey, l_shipdate + INTERVAL 5 DAY AS query_ts
-  FROM lineitem WHERE l_linenumber = 1
-), ranked AS (
-  SELECT e.l_orderkey, e.l_suppkey, e.query_ts,
-         f.l_quantity, f.l_extendedprice, f.l_shipdate AS fts,
-         ROW_NUMBER() OVER (
-           PARTITION BY e.l_orderkey, e.l_suppkey, e.query_ts
-           ORDER BY f.l_shipdate DESC, f.l_linenumber DESC) rn
-  FROM entity e
-  LEFT JOIN lineitem f
-    ON f.l_orderkey = e.l_orderkey AND f.l_suppkey = e.l_suppkey
-   AND f.l_shipdate <= e.query_ts
-   AND f.l_shipdate >= e.query_ts - INTERVAL 30 DAY
-)
-SELECT l_orderkey, l_suppkey, query_ts,
-       CASE WHEN fts IS NULL THEN NULL ELSE l_quantity END AS l_quantity,
-       CASE WHEN fts IS NULL THEN NULL ELSE l_extendedprice END AS l_extendedprice
-FROM ranked WHERE rn = 1
-""",
         "json_props": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
@@ -2703,27 +3017,6 @@ SELECT p.purchase_id, p.user_id,
        agg.view_value
 FROM p LEFT JOIN agg ON p.purchase_id = agg.purchase_id
 """,
-        "pit_join_list_feature": """
-WITH entity AS (
-  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-  FROM events WHERE event_type = 'purchase'
-), feat AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, [value, value * 2] AS vals
-  FROM events WHERE event_type = 'view'
-), ranked AS (
-  SELECT e.event_id, e.user_id, e.ts,
-         f.vals, f.ts AS fts,
-         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
-  FROM entity e
-  LEFT JOIN feat f
-    ON e.user_id = f.user_id AND f.ts <= e.ts
-   AND f.ts >= e.ts - INTERVAL 2 DAY
-)
-SELECT event_id, user_id, ts,
-       CASE WHEN fts IS NULL THEN NULL ELSE vals[1] END AS val0,
-       CASE WHEN fts IS NULL THEN NULL ELSE vals[2] END AS val1
-FROM ranked WHERE rn = 1
-""",
         "stratified_sample": """
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,
@@ -2903,70 +3196,9 @@ GROUP BY user_id
 SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type
 """,
-        "hybrid_rrf": f"""
-WITH tk AS (
-  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
-  FROM documents WHERE length(trim(text)) > 0
-),
-lens AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
-           AS len_d
-  FROM documents
-),
-stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM tk
-  WHERE term IN ('merge', 'spark') GROUP BY 1, 2
-),
-dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
-                 / (dfreq.df_t + 0.5) + 1.0)
-              * tf.tf * (1.2 + 1)
-              / (tf.tf + 1.2 * (1 - 0.75
-                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN lens USING (doc_id)
-  CROSS JOIN stats
-  GROUP BY 1
-),
-lexk AS (
-  SELECT doc_id AS id,
-         CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
-           AS lex_rank
-  FROM (SELECT doc_id, bm25 FROM scored
-        ORDER BY bm25 DESC, doc_id ASC LIMIT 50) t
-),
-ac AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-),
-qv AS (SELECT {_QVEC_SQL} AS e),
-pairs AS (
-  SELECT c.vec_id AS id,
-         ROUND(list_sum(list_transform(list_zip(qv.e, c.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(qv.e, x -> x * x)))
-            * sqrt(list_sum(list_transform(c.e, x -> x * x)))), 4) AS cos
-  FROM ac c, qv WHERE c.vec_id <> -1
-),
-veck AS (
-  SELECT id,
-         CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS INTEGER)
-           AS vec_rank
-  FROM (SELECT id, cos FROM pairs ORDER BY cos DESC, id ASC LIMIT 50) t
-),
-fused AS (
-  SELECT COALESCE(l.id, v.id) AS id, l.lex_rank, v.vec_rank,
-         COALESCE(1.0 / (60 + l.lex_rank), 0.0)
-         + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
-  FROM lexk l FULL JOIN veck v ON l.id = v.id
-)
-SELECT id, lex_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
-""",
+        "semdedup": _semdedup_oracle(),
+        "ivfpq_index_topk": _ivfpq_oracle(),
+        "hybrid_index_topk": _hybrid_oracle(),
         "bm25_index_topk": _bm25_oracle(["hash", "scan", "filter"], 15),
         "online_serving": """
 WITH u AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 152)),

@@ -97,6 +97,43 @@ def pq_train(
     return books
 
 
+def md5_codebooks(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+) -> list[list[list[float]]]:
+    """Engine-portable PQ codebooks (the PQ sibling of
+    ``similarity.md5_centroids``): the ``k_codes`` vectors whose
+    md5(CAST(id AS STRING)) sorts first are sliced per subspace, and
+    the rank-j vector's m-th slice becomes code j of codebook m.  No
+    float arithmetic in the selection, so any engine with md5 derives
+    the identical codebooks — the driver oracle re-derives them in SQL
+    and value-checks the full encode/probe/ADC pipeline cross-engine.
+    ``pq_train`` (sampled Lloyd per subspace) remains the quality
+    path; this is the reproducibility path.  Duplicate subvectors are
+    kept (encode's argmin tie-breaks to the LOWEST code index on both
+    engines, so duplicates are inert).  Bounded driver-side collect
+    (k_codes rows)."""
+    rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .where(F.size("__v") > 0)
+        .orderBy(F.md5(F.col("__id").cast("string")))
+        .limit(k_codes)
+        .collect()
+    )
+    X = _as_matrix([r["__v"] for r in rows])
+    d = X.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by m_subspaces {m_subspaces}")
+    sub = d // m_subspaces
+    return [
+        [[float(x) for x in row[m * sub : (m + 1) * sub]] for row in X]
+        for m in range(m_subspaces)
+    ]
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],

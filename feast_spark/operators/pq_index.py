@@ -128,18 +128,36 @@ def build_ivfpq_index(
     pq_iters: int = 10,
     sample_per_code: int = 32,
     fs: StoreFS | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Train quantizer + codebooks once, encode the corpus, commit
     epoch 0.  A rebuild over an existing index stages a new generation
     of BOTH models and a new epoch, then flips the manifest once;
     non-structural meta (the streaming sink's watermark) is carried
-    forward."""
+    forward.
+
+    ``centroids`` / ``codebooks`` skip the respective training and use
+    the given models (e.g. ``similarity.md5_centroids`` +
+    ``pq.md5_codebooks``, the engine-portable pair the driver oracle
+    re-derives in SQL); appends reuse whatever models the build
+    committed, trained or given."""
     fs = fs or LocalFS()
     spark = corpus.sparkSession
-    cents = ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
-    books = pq_train(
-        corpus, vec_col=vec_col, id_col=id_col, m_subspaces=m_subspaces,
-        k_codes=k_codes, iters=pq_iters, sample_per_code=sample_per_code,
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(
+            corpus, id_col, vec_col, n_centroids, iters=iters
+        )
+    )
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_train(
+            corpus, vec_col=vec_col, id_col=id_col, m_subspaces=m_subspaces,
+            k_codes=k_codes, iters=pq_iters, sample_per_code=sample_per_code,
+        )
     )
     gen = _next_gen(path, fs)
     cent_rel = posixpath.join("centroids", f"gen={gen}")
@@ -172,8 +190,10 @@ def build_ivfpq_index(
             "codebooks": book_rel,
             "id_col": id_col,
             "vec_col": vec_col,
-            "m_subspaces": m_subspaces,
-            "k_codes": k_codes,
+            # from the committed books, not the (possibly unused)
+            # training params — given codebooks set their own shape
+            "m_subspaces": len(books),
+            "k_codes": max(len(b) for b in books),
         },
     )
 

@@ -239,6 +239,54 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """,
+    # -- rotated out in round 11 (gate slots went to semdedup,
+    # hybrid_index_topk, ivfpq_index_topk) --
+    "pit_join_composite_key": """
+WITH entity AS (
+  SELECT DISTINCT l_orderkey, l_suppkey, l_shipdate + INTERVAL 5 DAY AS query_ts
+  FROM lineitem WHERE l_linenumber = 1
+), ranked AS (
+  SELECT e.l_orderkey, e.l_suppkey, e.query_ts,
+         f.l_quantity, f.l_extendedprice, f.l_shipdate AS fts,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.l_orderkey, e.l_suppkey, e.query_ts
+           ORDER BY f.l_shipdate DESC, f.l_linenumber DESC) rn
+  FROM entity e
+  LEFT JOIN lineitem f
+    ON f.l_orderkey = e.l_orderkey AND f.l_suppkey = e.l_suppkey
+   AND f.l_shipdate <= e.query_ts
+   AND f.l_shipdate >= e.query_ts - INTERVAL 30 DAY
+)
+SELECT l_orderkey, l_suppkey, query_ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE l_quantity END AS l_quantity,
+       CASE WHEN fts IS NULL THEN NULL ELSE l_extendedprice END AS l_extendedprice
+FROM ranked WHERE rn = 1
+""",
+    "pit_join_list_feature": """
+WITH entity AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), feat AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, [value, value * 2] AS vals
+  FROM events WHERE event_type = 'view'
+), ranked AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         f.vals, f.ts AS fts,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id ORDER BY f.ts DESC) rn
+  FROM entity e
+  LEFT JOIN feat f
+    ON e.user_id = f.user_id AND f.ts <= e.ts
+   AND f.ts >= e.ts - INTERVAL 2 DAY
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN fts IS NULL THEN NULL ELSE vals[1] END AS val0,
+       CASE WHEN fts IS NULL THEN NULL ELSE vals[2] END AS val1
+FROM ranked WHERE rn = 1
+""",
+    # the inline hybrid and the gated hybrid_index_topk share ONE
+    # oracle by design: the persisted-index path at n_probe=all must
+    # land exactly where the corpus scan does
+    "hybrid_rrf": entry_mod._hybrid_oracle(),
 }
 
 _FUNCS = {
@@ -264,6 +312,9 @@ _FUNCS = {
     "ngram_jaccard_pairs": entry_mod.q_ngram_jaccard_pairs,
     "ann_lsh": entry_mod.q_ann_lsh,
     "rollup_revenue": entry_mod.q_rollup_revenue,
+    "pit_join_composite_key": entry_mod.q_pit_join_composite_key,
+    "pit_join_list_feature": entry_mod.q_pit_join_list_feature,
+    "hybrid_rrf": entry_mod.q_hybrid_rrf,
 }
 
 
