@@ -216,6 +216,40 @@ def _doctor() -> int:
     return rc
 
 
+def _doctor_index(args) -> int:
+    """``doctor --index PATH``: health-check a persisted index via
+    operators/index_advisor.index_advise — prints the health numbers
+    and every crossed-bound recommendation; exit code 1 when there is
+    advice to act on (cron-friendly, like plain ``doctor``)."""
+    from pyspark.sql import SparkSession
+
+    from feast_spark.operators.index_advisor import index_advise
+
+    spark = (
+        SparkSession.builder.master(args.master)
+        .appName("feast_spark-cli")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    report = index_advise(spark, args.index)
+    print(f"kind     {report['kind']} ({report['n_epochs']} epochs)")
+    for key, val in sorted(report["health"].items()):
+        print(f"         {key} = {val}")
+    if not report["advice"]:
+        print("ok       inside every documented bound")
+        return 0
+    for item in report["advice"]:
+        rec = (
+            f" -> {item['param']}={item['recommended']}"
+            if "param" in item
+            else ""
+        )
+        print(f"ADVICE   {item['action']}{rec}: {item['reason']}")
+    return 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="feast_spark")
     p.add_argument("--registry", default="registry.json")
@@ -256,10 +290,16 @@ def main(argv: list[str] | None = None) -> int:
         "teardown", help="delete the online store and registry (cli.py teardown)"
     )
     sub.add_parser("version", help="print the SDK version (cli.py version)")
-    sub.add_parser(
+    sp = sub.add_parser(
         "doctor",
         help="report optional capabilities (grpc/redis/cloud stores/"
-        "media decode) available in this environment",
+        "media decode) available in this environment; with --index, "
+        "health-check a persisted index instead "
+        "(operators/index_advisor.py)",
+    )
+    sp.add_argument(
+        "--index", default=None, metavar="PATH",
+        help="path of a persisted bm25/minhash/ivf/ivfpq index to advise on",
     )
     sp = sub.add_parser(
         "init",
@@ -282,6 +322,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
     if args.cmd == "doctor":
+        if args.index is not None:
+            return _doctor_index(args)
         return _doctor()
 
     if args.cmd == "apply":

@@ -696,18 +696,49 @@ def _index_postings(
         # its own and falls back to a shuffle join for huge ones.
         postings = postings.join(terms_df, "term", "leftsemi")
     postings = postings.drop("bucket", "epoch")
-    stats = (
-        spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            F.sum("total_len").cast("long").alias("total_len"),
-        )
-        .select(
-            "n_docs",
-            (F.col("total_len") / F.col("n_docs")).alias("avg_len"),
-        )
+    n_docs, total_len = _corpus_stats(path, epochs, fs)
+    # literal one-row frame instead of a per-query stats scan+agg:
+    # float(total)/float(n) is the identical IEEE sequence Spark's
+    # long-division performed (cast both to double, then divide), so
+    # scores are bit-identical even past 2^53 total tokens
+    stats = spark.createDataFrame(
+        [(n_docs, (float(total_len) / float(n_docs)) if n_docs else None)],
+        "n_docs LONG, avg_len DOUBLE",
     )
     return postings, stats, id_col
+
+
+def _corpus_stats(path: str, epochs: list[int], fs) -> tuple[int, int]:
+    """(n_docs, total_len) summed over the committed epochs' exact
+    per-epoch longs, read driver-side via pyarrow (a few tiny files —
+    the Spark scan+agg it replaces cost a job per query).  Cached
+    across queries (``io/model_cache.py``): epoch dirs are write-once
+    and the key carries the committed epoch list, so an append or
+    compact flips the key and misses onto fresh totals."""
+    from feast_spark.io import model_cache
+
+    def _load() -> tuple[int, int]:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        n_docs = 0
+        total_len = 0
+        for d in epochs_io.epoch_paths(path, "stats", epochs):
+            for name in sorted(fs.list_files(d)):
+                if not name.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    _io.BytesIO(fs.read_bytes(posixpath.join(d, name))),
+                    columns=["n_docs", "total_len"],
+                )
+                n_docs += sum(t.column("n_docs").to_pylist())
+                total_len += sum(t.column("total_len").to_pylist())
+        return n_docs, total_len
+
+    return model_cache.get_or_load(
+        ("bm25_stats", path, tuple(epochs)), _load
+    )
 
 
 def bm25_index_topk(
@@ -841,7 +872,7 @@ def hybrid_index_topk(
     fs=None,
     vec_index_path: str | None = None,
     n_probe: int = 4,
-    vec_index_kind: str = "ivf",
+    vec_index_kind: str = "auto",
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
@@ -850,14 +881,14 @@ def hybrid_index_topk(
 
     The vector channel has three modes:
 
-    - ``vec_index_path`` + ``vec_index_kind="ivf"``: top-k from the
-      persisted IVF index (``similarity.ivf_index_topk``) — the
-      vectors scan reads only the ``n_probe`` probed cells, so BOTH
-      channels are index-pruned and the per-query cost is independent
-      of corpus size.  ``embeddings`` may be ``None`` in this mode.
-      At ``n_probe >=`` the index's centroid count the channel is
-      exactly the brute scan (pytest-pinned identity).
-    - ``vec_index_kind="ivfpq"``: top-k from the persisted IVFPQ index
+    - ``vec_index_path`` + kind ``ivf``: top-k from the persisted IVF
+      index (``similarity.ivf_index_topk``) — the vectors scan reads
+      only the ``n_probe`` probed cells, so BOTH channels are
+      index-pruned and the per-query cost is independent of corpus
+      size.  ``embeddings`` may be ``None`` in this mode.  At
+      ``n_probe >=`` the index's centroid count the channel is exactly
+      the brute scan (pytest-pinned identity).
+    - kind ``ivfpq``: top-k from the persisted IVFPQ index
       (``pq_index.ivfpq_index_topk``) — probed cells again, but the
       read moves PQ CODE bytes and ranks by asymmetric distance; RRF
       consumes only the rank, so the lossy-but-ordered ADC channel
@@ -865,7 +896,13 @@ def hybrid_index_topk(
       stack for corpora whose float vectors dwarf storage.
     - otherwise: brute-force :func:`~feast_spark.operators.similarity.
       cosine_topk` over ``embeddings`` — correct for one-off batch use
-      or when no ANN index exists, but a full corpus scan per query."""
+      or when no ANN index exists, but a full corpus scan per query.
+
+    ``vec_index_kind="auto"`` (default) reads the kind from the
+    index's committed manifest stamp
+    (``vector_index.vector_index_kind``) — callers need not carry
+    knowledge the store already has; pass an explicit kind only to
+    FAIL FAST when the path must be of that kind."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
@@ -874,10 +911,7 @@ def hybrid_index_topk(
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
-    if vec_index_kind not in ("ivf", "ivfpq"):
-        raise ValueError(
-            f"vec_index_kind must be 'ivf' or 'ivfpq', got {vec_index_kind!r}"
-        )
+    vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
     lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
     id_col = lex.columns[0]
     lex = lex.select(
@@ -944,6 +978,25 @@ def hybrid_index_topk(
     return _rrf_fuse(lex, vec, rrf_k, k)
 
 
+def _resolve_vec_kind(
+    vec_index_kind: str, vec_index_path: str | None, fs
+) -> str:
+    """``auto`` -> the committed manifest's kind stamp (a no-op without
+    an index path: the brute channel has no kind); explicit kinds pass
+    through validated, so a caller pinning ``ivf`` against an ``ivfpq``
+    path still fails loudly downstream on the kind-checked manifest."""
+    if vec_index_kind not in ("auto", "ivf", "ivfpq"):
+        raise ValueError(
+            "vec_index_kind must be 'auto', 'ivf' or 'ivfpq', "
+            f"got {vec_index_kind!r}"
+        )
+    if vec_index_kind == "auto" and vec_index_path is not None:
+        from feast_spark.operators.vector_index import vector_index_kind
+
+        return vector_index_kind(vec_index_path, fs)
+    return vec_index_kind
+
+
 def _ivfpq_ranked(
     spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k, fs=None
 ):
@@ -984,7 +1037,7 @@ def hybrid_index_topk_batch(
     fs=None,
     vec_index_path: str | None = None,
     n_probe: int = 4,
-    vec_index_kind: str = "ivf",
+    vec_index_kind: str = "auto",
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
@@ -993,26 +1046,24 @@ def hybrid_index_topk_batch(
     whole batch's term set instead of a corpus tokenize.
 
     With ``vec_index_path`` set, the vector channel is served from a
-    persisted ANN index too: ``vec_index_kind="ivf"`` reads the probed
-    cells' float vectors (``similarity.ivf_index_topk``);
-    ``"ivfpq"`` reads the probed cells' PQ CODES and ranks by ADC
+    persisted ANN index too: kind ``ivf`` reads the probed cells'
+    float vectors (``similarity.ivf_index_topk``); ``ivfpq`` reads the
+    probed cells' PQ CODES and ranks by ADC
     (``pq_index.ivfpq_index_topk``) — RRF consumes only ranks, so the
-    lossy-but-ordered channel fuses identically.  Either way the
-    all-index serving stack touches ``O(batch x n_probe)`` cells and
-    the term buckets the batch hashes into — never the corpus.
-    ``embeddings`` may be ``None`` in those modes; without
-    ``vec_index_path`` the channel brute-scans ``embeddings``
-    (one-off batch shape)."""
+    lossy-but-ordered channel fuses identically.  The default
+    ``vec_index_kind="auto"`` dispatches on the index manifest's kind
+    stamp.  Either way the all-index serving stack touches
+    ``O(batch x n_probe)`` cells and the term buckets the batch hashes
+    into — never the corpus.  ``embeddings`` may be ``None`` in those
+    modes; without ``vec_index_path`` the channel brute-scans
+    ``embeddings`` (one-off batch shape)."""
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
     if fetch_k < k:
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
-    if vec_index_kind not in ("ivf", "ivfpq"):
-        raise ValueError(
-            f"vec_index_kind must be 'ivf' or 'ivfpq', got {vec_index_kind!r}"
-        )
+    vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,
         terms_col=terms_col, k=fetch_k, fs=fs,

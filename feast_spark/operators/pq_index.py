@@ -93,8 +93,21 @@ def _load_centroids(path: str, manifest: dict, fs: StoreFS) -> list[list[float]]
 
 
 def _load_codebooks(path: str, manifest: dict, fs: StoreFS):
-    raw = fs.read_bytes(posixpath.join(path, manifest["codebooks"]))
-    return [[[float(x) for x in c] for c in book] for book in json.loads(raw)]
+    """Cached across queries (``io/model_cache.py``): codebook files
+    are write-once under a generation name that ``_next_gen`` never
+    reuses (it counts orphans too), so the committed pointer is a
+    sound immutable key; a rebuild flips the pointer and misses."""
+    from feast_spark.io import model_cache
+
+    full = posixpath.join(path, manifest["codebooks"])
+
+    def _load():
+        raw = fs.read_bytes(full)
+        return [
+            [[float(x) for x in c] for c in book] for book in json.loads(raw)
+        ]
+
+    return model_cache.get_or_load(("codebooks", full), _load)
 
 
 def _encode_cells(

@@ -528,24 +528,38 @@ def read_centroid_dir(cdir: str, fs: StoreFS) -> list[list[float]]:
     sorted by cell (C rows, a few KB) — shared by the IVF and IVFPQ
     serving paths.  Going through ``spark.read.parquet(...).collect()``
     cost a full Spark job (plan + listing + sort shuffle) PER QUERY,
-    several hundred ms of pure overhead on the serving path."""
-    import io as _io
+    several hundred ms of pure overhead on the serving path.
 
-    import pyarrow.parquet as pq
+    Cached across queries (``io/model_cache.py``): generation dirs are
+    write-once under the epoch protocol, so the directory path plus
+    its part-file names (already listed anyway; Spark part names embed
+    a per-write UUID, so even an out-of-band rewrite at the same path
+    misses) is a sound immutable key.  Repeat queries against an
+    unchanged index skip the read+parse entirely."""
+    from feast_spark.io import model_cache
 
-    rows: list[tuple[int, list[float]]] = []
-    for name in fs.list_files(cdir):
-        if not name.endswith(".parquet"):
-            continue
-        t = pq.read_table(
-            _io.BytesIO(fs.read_bytes(posixpath.join(cdir, name))),
-            columns=["cell", "centroid"],
-        )
-        cells = t.column("cell").to_pylist()
-        cents = t.column("centroid").to_pylist()
-        rows.extend(zip(cells, cents))
-    rows.sort(key=lambda r: r[0])
-    return [[float(x) for x in c] for _, c in rows]
+    names = tuple(
+        n for n in sorted(fs.list_files(cdir)) if n.endswith(".parquet")
+    )
+
+    def _load() -> list[list[float]]:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        rows: list[tuple[int, list[float]]] = []
+        for name in names:
+            t = pq.read_table(
+                _io.BytesIO(fs.read_bytes(posixpath.join(cdir, name))),
+                columns=["cell", "centroid"],
+            )
+            cells = t.column("cell").to_pylist()
+            cents = t.column("centroid").to_pylist()
+            rows.extend(zip(cells, cents))
+        rows.sort(key=lambda r: r[0])
+        return [[float(x) for x in c] for _, c in rows]
+
+    return model_cache.get_or_load(("centroids", cdir, names), _load)
 
 
 def _ivf_load_centroids(

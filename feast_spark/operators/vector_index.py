@@ -1,0 +1,77 @@
+"""Kind-dispatching facade over the persisted vector indexes.
+
+Two persisted ANN layouts exist — IVF (float vectors per cell,
+``operators/similarity.py``) and IVFPQ (PQ codes per cell,
+``operators/pq_index.py``) — and both stamp their manifest with a
+``kind`` (``io/epochs.py``).  A caller holding only a path should not
+have to carry index-kind knowledge the store already has: this facade
+reads the committed stamp and dispatches.
+
+Reference parity: Feast has no ANN; training-data-pipeline extension
+(SURVEY §2.6) — the single entry point over the two index families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feast_spark.io import epochs as epochs_io
+from feast_spark.io.fs import LocalFS, StoreFS
+
+__all__ = ["vector_index_kind", "vector_index_topk"]
+
+_VECTOR_KINDS = ("ivf", "ivfpq")
+
+
+def vector_index_kind(path: str, fs: StoreFS | None = None) -> str:
+    """The committed manifest's vector-index kind: ``"ivf"`` or
+    ``"ivfpq"``.  Manifests predating the kind stamp are IVF (the only
+    vector layout that ever wrote stampless manifests); a committed
+    NON-vector index (bm25/minhash) raises rather than mis-serving."""
+    fs = fs or LocalFS()
+    manifest = epochs_io.read_manifest(
+        path, fs, required_keys=("epochs",), kind="vector index"
+    )
+    kind = manifest.get("kind", "ivf")
+    if kind not in _VECTOR_KINDS:
+        raise ValueError(
+            f"no vector index committed at {path}: the committed manifest "
+            f"is a {kind!r} index"
+        )
+    return kind
+
+
+def vector_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    k: int = 10,
+    fs: StoreFS | None = None,
+) -> DataFrame:
+    """Top-k ANN against whatever vector index is committed at
+    ``path``, dispatching on the manifest's kind stamp.
+
+    The result carries the kind's native score column — (query_id,
+    neighbor_id, cos, rank) from IVF (cosine, self excluded), (query_id,
+    neighbor_id, adc_dist) ascending from IVFPQ (asymmetric L2, self
+    included — PQ codes cannot know the query's identity).  Consumers
+    that only need ranked neighbor ids (RRF fusion, candidate
+    generation) are agnostic; consumers comparing scores across kinds
+    have a modeling problem no facade should paper over."""
+    kind = vector_index_kind(path, fs)
+    if kind == "ivfpq":
+        from feast_spark.operators.pq_index import ivfpq_index_topk
+
+        return ivfpq_index_topk(
+            spark, path, queries, id_col=id_col, vec_col=vec_col,
+            n_probe=n_probe, k=k, fs=fs or LocalFS(),
+        )
+    from feast_spark.operators.similarity import ivf_index_topk
+
+    return ivf_index_topk(
+        spark, path, queries, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe, k=k,
+    )

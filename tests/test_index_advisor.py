@@ -1,0 +1,130 @@
+"""The index-health advisor (operators/index_advisor.py): healthy
+indexes get an empty advice list; each documented bound, when crossed,
+names the action and the concrete rebuild parameter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.index_advisor import index_advise
+from feast_spark.sources.testdata import load_table
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMALL, "embeddings")
+
+
+def _actions(report):
+    return [(a["action"], a.get("param")) for a in report["advice"]]
+
+
+def test_healthy_ivf_has_no_advice(spark, emb, tmp_path):
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=1)
+    report = index_advise(spark, path, target_cell_size=1024)
+    assert report["kind"] == "ivf"
+    assert report["advice"] == []
+    assert report["health"]["n_cells"] == 8
+    assert report["health"]["total_vectors"] == emb.count()
+
+
+def test_overgrown_cells_recommend_rescaled_quantizer(spark, emb, tmp_path):
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=1)
+    # mean cell = total/8 >> 2 * target -> rebuild with total/target cells
+    report = index_advise(
+        spark, path, target_cell_size=10, skew_bound=1e9
+    )
+    acts = _actions(report)
+    assert ("rebuild", "n_centroids") in acts
+    rec = next(a for a in report["advice"] if a["action"] == "rebuild")
+    assert rec["recommended"] == max(8, emb.count() // 10)
+
+
+def test_epoch_pileup_recommends_compact(spark, emb, tmp_path):
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), path, n_centroids=4, iters=1
+    )
+    for r in (1, 2, 3):
+        ivf_index_append(
+            spark, path, emb.filter(F.col("vec_id") % 4 == r)
+        )
+    report = index_advise(spark, path, epoch_bound=2, skew_bound=1e9)
+    assert ("compact", None) in _actions(report)
+    assert report["n_epochs"] == 4
+
+
+def test_skew_recommends_retrain(spark, emb, tmp_path):
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=1)
+    # real cells are never perfectly uniform: a skew bound just above
+    # 1.0 is guaranteed crossed, standing in for drifted appends
+    report = index_advise(
+        spark, path, skew_bound=1.000001, target_cell_size=1_000_000
+    )
+    assert ("rebuild", "n_centroids") in _actions(report)
+    assert "skew" in report["advice"][0]["reason"]
+
+
+def test_bm25_bucket_volume_and_ivfpq_dispatch(spark, emb, tmp_path):
+    from feast_spark.operators.bm25 import build_bm25_index
+    from feast_spark.operators.pq_index import build_ivfpq_index
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    bpath = str(tmp_path / "bm25")
+    build_bm25_index(docs, bpath, "doc_id", "text", n_term_buckets=4)
+    report = index_advise(
+        spark, bpath, target_bucket_postings=10, skew_bound=1e9
+    )
+    assert report["kind"] == "bm25"
+    rec = next(a for a in report["advice"] if a["action"] == "rebuild")
+    assert rec["param"] == "n_term_buckets"
+    total = report["health"]["total_postings"]
+    assert rec["recommended"] >= total // 10  # next pow2 of total/target
+    assert rec["recommended"] & (rec["recommended"] - 1) == 0
+
+    qpath = str(tmp_path / "ivfpq")
+    build_ivfpq_index(
+        emb, qpath, n_centroids=4, iters=1, m_subspaces=4, k_codes=8
+    )
+    report = index_advise(spark, qpath, target_cell_size=1024)
+    assert report["kind"] == "ivfpq"
+    assert report["health"]["total_vectors"] == emb.count()
+
+
+def test_minhash_hot_bucket_flagged(spark, tmp_path):
+    from feast_spark.operators.minhash_index import build_minhash_index
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "mh")
+    build_minhash_index(docs, path, "doc_id", "text")
+    healthy = index_advise(spark, path)
+    assert healthy["kind"] == "minhash"
+    assert healthy["advice"] == []
+    flagged = index_advise(spark, path, hot_bucket_bound=1)
+    assert [a["action"] for a in flagged["advice"]] == ["investigate"]
+
+
+def test_doctor_cli_index_mode(spark, emb, tmp_path, capsys):
+    from feast_spark.cli import main
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4, iters=1)
+    rc = main(["--master", "local[2]", "doctor", "--index", path])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "kind     ivf" in out and "inside every documented bound" in out

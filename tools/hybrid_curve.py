@@ -35,6 +35,7 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from feast_spark.operators.bm25 import build_bm25_index, hybrid_index_topk
+    from feast_spark.operators.pq_index import build_ivfpq_index
     from feast_spark.operators.similarity import build_ivf_index
     from feast_spark.sources.testdata import load_table
     from tools.scale_curve import generate
@@ -98,6 +99,17 @@ def main() -> None:
             lambda: hybrid_index_topk(
                 spark, bm25_path, None, terms, qvec, k=10,
                 vec_index_path=ivf_path, n_probe=8,
+            )
+        )
+        # the memory-bound stack: probed cells hold M-byte PQ codes,
+        # not d*4-byte float vectors — the read-volume tail claim
+        ivfpq_path = base + "/ivfpq"
+        build_ivfpq_index(emb, ivfpq_path, n_centroids=n_cells, iters=2)
+        results[f"x{s:g}_ivfpq"] = time_shape(
+            lambda: hybrid_index_topk(
+                spark, bm25_path, None, terms, qvec, k=10,
+                vec_index_path=ivfpq_path, n_probe=8,
+                vec_index_kind="ivfpq",
             )
         )
         results[f"x{s:g}_cells"] = n_cells
