@@ -1588,11 +1588,17 @@ def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks in SQL, re-encodes the corpus (per-subspace argmin L2,
     ties -> lowest code — numpy argmin's first-occurrence on the
     Spark side), probes, and sums the same per-subspace ADC terms.
-    Ranks are computed on UNROUNDED ADC on both sides (rounding
-    pre-rank would collapse distinct cross-engine values into
-    rank-flipping ties); the displayed distance is rounded to 4 for
-    the value hash.  Exact ADC ties (identical code rows) break by
-    neighbor id on both engines."""
+    Cross-engine FP honesty: the numpy kernel evaluates the expanded
+    quadratic form with pairwise summation while the SQL twin folds
+    (a-b)^2 sequentially, so unrounded ADC values agree to ~1e-12
+    relative, NOT bitwise.  Ranks are therefore computed on UNROUNDED
+    ADC on both sides (rounding pre-rank would collapse genuinely
+    distinct values into rank-flipping ties) and can flip only for
+    candidates within that ~1e-12 band — i.e. exact ties, which only
+    identical code rows produce and which break by neighbor id on
+    both engines; the displayed distance is rounded to 4 for the
+    value hash.  Same risk class as the round-4 cosine and BM25
+    fetch-k boundaries every retrieval gate carries."""
     import tempfile
 
     from pyspark.sql import Window

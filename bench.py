@@ -265,9 +265,16 @@ def main() -> None:
 
     # Round-10 extra: the all-index hybrid serving shape — BOTH
     # channels from persisted indexes (BM25 postings bucket-pruned,
-    # IVF vectors cell-pruned via DPP).  Indexes built once, untimed;
-    # each timed run is the per-query serving cost, which is what the
+    # IVF vectors cell-pruned).  Indexes built once, untimed; each
+    # timed run is the per-query serving cost, which is what the
     # brute hybrid_topk corpus scan is NOT at 100 TB.
+    # NB (r11): "hybrid_index_topk"/"ivfpq_index_topk" are ALSO gated
+    # queries now; the local defs below deliberately SHADOW them here
+    # so the bench slot keeps timing the serving query against a
+    # prebuilt index (cross-round comparable), not the gate's
+    # build+append+query lifecycle.  The r11 control-plane cache
+    # (io/model_cache.py) is live across the timed runs — that IS the
+    # serving semantics the slot measures.
     from feast_spark.operators.similarity import build_ivf_index
 
     _ivf_idx = tempfile.mkdtemp(prefix="bench_ivf_") + "/idx"

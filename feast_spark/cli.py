@@ -43,10 +43,8 @@ def parse_repo(path: str) -> list:
     return objs
 
 
-def _store(args):
+def _cli_spark(args):
     from pyspark.sql import SparkSession
-
-    from feast_spark.feature_store import FeatureStore, RepoConfig
 
     spark = (
         SparkSession.builder.master(args.master)
@@ -56,8 +54,14 @@ def _store(args):
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _store(args):
+    from feast_spark.feature_store import FeatureStore, RepoConfig
+
     return FeatureStore(
-        spark,
+        _cli_spark(args),
         RepoConfig(
             project=args.project,
             registry_path=args.registry,
@@ -221,19 +225,9 @@ def _doctor_index(args) -> int:
     operators/index_advisor.index_advise — prints the health numbers
     and every crossed-bound recommendation; exit code 1 when there is
     advice to act on (cron-friendly, like plain ``doctor``)."""
-    from pyspark.sql import SparkSession
-
     from feast_spark.operators.index_advisor import index_advise
 
-    spark = (
-        SparkSession.builder.master(args.master)
-        .appName("feast_spark-cli")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    report = index_advise(spark, args.index)
+    report = index_advise(_cli_spark(args), args.index)
     print(f"kind     {report['kind']} ({report['n_epochs']} epochs)")
     for key, val in sorted(report["health"].items()):
         print(f"         {key} = {val}")

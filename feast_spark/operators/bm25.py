@@ -931,7 +931,7 @@ def hybrid_index_topk(
         # vector channel
         from feast_spark.operators.similarity import _ivf_vectors
 
-        idx_schema = _ivf_vectors(spark, vec_index_path).schema
+        idx_schema = _ivf_vectors(spark, vec_index_path, fs).schema
         id_type = idx_schema["id"].dataType
         vec_type = idx_schema["vec"].dataType
     else:
@@ -966,6 +966,7 @@ def hybrid_index_topk(
         topk = ivf_index_topk(
             spark, vec_index_path, qdf,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
+            fs=fs,
         )
     else:
         topk = cosine_topk(
@@ -1086,6 +1087,7 @@ def hybrid_index_topk_batch(
         topk = ivf_index_topk(
             spark, vec_index_path, qvecs,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
+            fs=fs,
         )
     else:
         topk = cosine_topk(

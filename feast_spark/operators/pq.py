@@ -115,10 +115,15 @@ def md5_codebooks(
     path; this is the reproducibility path.  Duplicate subvectors are
     kept (encode's argmin tie-breaks to the LOWEST code index on both
     engines, so duplicates are inert).  Bounded driver-side collect
-    (k_codes rows)."""
+    (k_codes rows).
+
+    Row eligibility is deliberately UNFILTERED, exactly like
+    ``md5_centroids`` and the oracle's md5-ranked selection: all three
+    must pick the identical row set or the 'portable' models diverge.
+    The corpus contract (fixed-dimension, non-null vectors — what
+    every operator in this family already assumes) is the caller's."""
     rows = (
         df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
-        .where(F.size("__v") > 0)
         .orderBy(F.md5(F.col("__id").cast("string")))
         .limit(k_codes)
         .collect()

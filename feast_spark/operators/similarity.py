@@ -655,6 +655,7 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     n_probe: int = 4,
     k: int = 10,
+    fs: StoreFS | None = None,
 ) -> DataFrame:
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as
@@ -669,8 +670,8 @@ def ivf_index_topk(
     one (it declines for LocalRelation query frames, the common
     serving shape) and costs an extra subquery stage when it does;
     the literal IN prunes in every case (plan-pinned)."""
-    cents = _ivf_load_centroids(spark, path)
-    vectors = _ivf_vectors(spark, path).select(
+    cents = _ivf_load_centroids(spark, path, fs)
+    vectors = _ivf_vectors(spark, path, fs).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
     # data-driven probe (probe_cells_df): analysis cost independent of

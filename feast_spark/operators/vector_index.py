@@ -73,5 +73,5 @@ def vector_index_topk(
 
     return ivf_index_topk(
         spark, path, queries, id_col=id_col, vec_col=vec_col,
-        n_probe=n_probe, k=k,
+        n_probe=n_probe, k=k, fs=fs,
     )

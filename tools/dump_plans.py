@@ -65,6 +65,11 @@ HEADLINE = [
     "drift_psi",
     "hybrid_all_index",
     "ivfpq_index_topk",
+    # round-11 gated addition (hybrid_rrf rotated out but kept via
+    # re-registration below; the gated hybrid_index_topk's plan is the
+    # hybrid_all_index entry; the gated ivfpq_index_topk's plan is the
+    # entry above)
+    "semdedup",
 ]
 
 
@@ -146,9 +151,11 @@ def main() -> None:
         )
 
     queries["decayed_agg"] = _decayed
-    # rotated out of the gate in r9/r10 but kept in PLANS for continuity
+    # rotated out of the gate in r9/r10/r11 but kept in PLANS for
+    # continuity
     queries["topk_revenue"] = entry_mod.q_topk_revenue
     queries["rollup_revenue"] = entry_mod.q_rollup_revenue
+    queries["hybrid_rrf"] = entry_mod.q_hybrid_rrf
 
     def _dedup_against_index(spark, sf):
         import tempfile
