@@ -98,12 +98,12 @@ def index_advise(
         if kind == "ivf":
             from feast_spark.operators.similarity import ivf_index_stats
 
-            stats = ivf_index_stats(spark, path)
+            stats = ivf_index_stats(spark, path, fs)
             n_col = "n_vectors"
         else:
             from feast_spark.operators.pq_index import ivfpq_index_stats
 
-            stats = ivfpq_index_stats(spark, path)
+            stats = ivfpq_index_stats(spark, path, fs)
             n_col = "n_codes"
         row = stats.select(
             F.max("skew_ratio").alias("skew"),
@@ -155,7 +155,7 @@ def index_advise(
         from feast_spark.operators.bm25 import bm25_index_stats
 
         row = (
-            bm25_index_stats(spark, path)
+            bm25_index_stats(spark, path, fs)
             .select(
                 F.max("skew_ratio").alias("skew"),
                 F.max("total_postings").alias("total"),
@@ -207,7 +207,7 @@ def index_advise(
         from feast_spark.operators.minhash_index import minhash_index_stats
 
         row = (
-            minhash_index_stats(spark, path)
+            minhash_index_stats(spark, path, fs)
             .select(
                 F.sum("n_docs").alias("n_docs"),
                 F.max("max_bucket_size").alias("max_bucket"),

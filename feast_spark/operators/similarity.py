@@ -849,13 +849,13 @@ def ivf_index_append(
     )
 
 
-def ivf_index_stats(spark, path: str) -> DataFrame:
+def ivf_index_stats(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
     """Per-cell vector counts plus the global skew ratio
     (max cell / mean cell) — the rebuild-decision signal for
     ``ivf_index_append``.  One aggregate over partition-pruned
     metadata-cheap scans."""
     counts = (
-        _ivf_vectors(spark, path)
+        _ivf_vectors(spark, path, fs)
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
     )
