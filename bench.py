@@ -295,6 +295,32 @@ def main() -> None:
 
     queries["hybrid_index_topk"] = q_hybrid_index_topk
 
+    # Round-11 extra: the BATCH all-index hybrid — 32 queries in ONE
+    # call, so the per-query floor (stage scheduling + control plane)
+    # is paid once per batch.  Compare per-query cost against the
+    # single-query hybrid_index_topk slot above.
+    _hybrid_batch_df = spark.createDataFrame(
+        [
+            (
+                i,
+                ["hash", "scan", "filter"],
+                [float((j * 37 + i) % 19) / 19.0 for j in range(_hybrid_dim)],
+            )
+            for i in range(32)
+        ],
+        "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+    )
+
+    def q_hybrid_index_batch(spark, sf_dir):
+        from feast_spark.operators.bm25 import hybrid_index_topk_batch
+
+        return hybrid_index_topk_batch(
+            spark, _bm25_idx, None, _hybrid_batch_df, k=10,
+            vec_index_path=_ivf_idx, n_probe=8,
+        )
+
+    queries["hybrid_index_batch"] = q_hybrid_index_batch
+
     # Round-10 extra: persisted IVFPQ serving shape — probed-cell CODE
     # reads + ADC, no float vector ever loaded (index built once,
     # untimed; compare against pq_search, the inline encode-per-run
@@ -352,6 +378,7 @@ def main() -> None:
                 "bm25_topk",
                 "bm25_index_topk",
                 "hybrid_index_topk",
+                "hybrid_index_batch",
                 "ivfpq_index_topk",
                 "online_multiget",
             )

@@ -94,6 +94,24 @@ def main() -> None:
         ),
     }
 
+    # the batch shape: the SAME n_queries in ONE call — the per-query
+    # floor (stage scheduling + control plane) is paid once for the
+    # whole batch, which is the real high-throughput serving pattern
+    from feast_spark.operators.bm25 import hybrid_index_topk_batch
+
+    batch_rows = [
+        (i, terms, qvec(i)) for i in range(1, n_queries + 1)
+    ]
+    batch_df = spark.createDataFrame(
+        batch_rows, "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>"
+    )
+
+    def hybrid_batch():
+        return hybrid_index_topk_batch(
+            spark, bm25_path, None, batch_df, k=10,
+            vec_index_path=ivf_path, n_probe=8,
+        )
+
     real_get_or_load = model_cache.get_or_load
     results: dict[str, float] = {}
     for cached in (False, True):
@@ -101,6 +119,7 @@ def main() -> None:
         model_cache.get_or_load = (
             real_get_or_load if cached else (lambda key, loader: loader())
         )
+        tag = "cached" if cached else "uncached"
         for name, fn in shapes.items():
             fn(0).count()  # untimed warmup (codegen, Python workers)
             samples = []
@@ -108,13 +127,23 @@ def main() -> None:
                 t0 = time.monotonic()
                 fn(i).count()
                 samples.append(time.monotonic() - t0)
-            tag = "cached" if cached else "uncached"
             results[f"{name}_{tag}_mean"] = round(
                 sum(samples) / len(samples), 3
             )
             results[f"{name}_{tag}_median"] = round(
                 statistics.median(samples), 3
             )
+        hybrid_batch().count()  # untimed warmup
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            hybrid_batch().count()
+            samples.append(time.monotonic() - t0)
+        med = statistics.median(samples)
+        results[f"hybrid_batch{n_queries}_{tag}_median"] = round(med, 3)
+        results[f"hybrid_batch{n_queries}_{tag}_per_query"] = round(
+            med / n_queries, 4
+        )
     model_cache.get_or_load = real_get_or_load
     print(
         json.dumps(
