@@ -224,17 +224,30 @@ def _doctor_index(args) -> int:
     """``doctor --index PATH``: health-check a persisted index via
     operators/index_advisor.index_advise — prints the health numbers
     and every crossed-bound recommendation; exit code 1 when there is
-    advice to act on (cron-friendly, like plain ``doctor``)."""
-    from feast_spark.operators.index_advisor import index_advise
+    UNAPPLIED advice to act on (cron-friendly, like plain ``doctor``).
+    With ``--maintain``, mechanical advice (compact + vacuum) is
+    applied in place and only what remains counts against the exit
+    code."""
+    from feast_spark.operators.index_advisor import index_advise, index_maintain
 
-    report = index_advise(_cli_spark(args), args.index)
+    spark = _cli_spark(args)
+    if args.maintain:
+        report = index_maintain(spark, args.index)
+    else:
+        report = index_advise(spark, args.index)
     print(f"kind     {report['kind']} ({report['n_epochs']} epochs)")
     for key, val in sorted(report["health"].items()):
         print(f"         {key} = {val}")
-    if not report["advice"]:
+    for action in report.get("applied", []):
+        print(f"applied  {action}")
+    remaining = [
+        a for a in report["advice"]
+        if not (args.maintain and a["action"] == "compact")
+    ]
+    if not remaining:
         print("ok       inside every documented bound")
         return 0
-    for item in report["advice"]:
+    for item in remaining:
         rec = (
             f" -> {item['param']}={item['recommended']}"
             if "param" in item
@@ -294,6 +307,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--index", default=None, metavar="PATH",
         help="path of a persisted bm25/minhash/ivf/ivfpq index to advise on",
+    )
+    sp.add_argument(
+        "--maintain", action="store_true",
+        help="with --index: APPLY the mechanical advice (compact + "
+        "vacuum); rebuild advice is still only reported",
     )
     sp = sub.add_parser(
         "init",

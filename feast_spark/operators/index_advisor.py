@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
-__all__ = ["index_advise"]
+__all__ = ["index_advise", "index_maintain"]
 
 
 def _next_pow2(n: int) -> int:
@@ -242,3 +242,68 @@ def index_advise(
         "health": health,
         "advice": advice,
     }
+
+
+_COMPACT = {
+    "ivf": "feast_spark.operators.similarity:ivf_index_compact",
+    "ivfpq": "feast_spark.operators.pq_index:ivfpq_index_compact",
+    "bm25": "feast_spark.operators.bm25:bm25_index_compact",
+    "minhash": "feast_spark.operators.minhash_index:minhash_index_compact",
+}
+_VACUUM = {
+    "ivf": "feast_spark.operators.similarity:ivf_index_vacuum",
+    "ivfpq": "feast_spark.operators.pq_index:ivfpq_index_vacuum",
+    "bm25": "feast_spark.operators.bm25:bm25_index_vacuum",
+    "minhash": "feast_spark.operators.minhash_index:minhash_index_vacuum",
+}
+
+
+def _resolve(spec: str):
+    import importlib
+
+    mod, name = spec.split(":")
+    return getattr(importlib.import_module(mod), name)
+
+
+def index_maintain(
+    spark: SparkSession,
+    path: str,
+    fs: StoreFS | None = None,
+    vacuum: bool = True,
+    **bounds,
+) -> dict:
+    """The cron verb: run :func:`index_advise`, APPLY its mechanical
+    recommendations, report the rest.
+
+    - ``compact`` advice is applied (kind-dispatched ``*_index_compact``
+      — query results are byte-identical by the compaction contract,
+      so applying it unattended is safe), then ``vacuum`` reclaims
+      manifest-unreferenced directories (set ``vacuum=False`` while
+      readers of a previous manifest may still be draining).
+    - ``rebuild``/``investigate`` advice is returned UNAPPLIED: a
+      rebuild needs the source corpus and a retrain decision the store
+      cannot make, and boilerplate accumulation needs a human.
+
+    ``bounds`` pass through to :func:`index_advise`.  Returns the
+    advise report plus ``applied`` (actions taken) and ``vacuumed``
+    (removed dirs per sub-table); idempotent — a second run on a
+    healthy index applies nothing."""
+    fs = fs or LocalFS()
+    report = index_advise(spark, path, fs, **bounds)
+    applied: list[str] = []
+    if any(a["action"] == "compact" for a in report["advice"]):
+        _resolve(_COMPACT[report["kind"]])(spark, path, fs)
+        applied.append("compact")
+    vacuumed: dict = {}
+    if vacuum:
+        fn = _resolve(_VACUUM[report["kind"]])
+        # ivf/bm25/minhash vacuums are driver-only (path, fs); the
+        # ivfpq vacuum also sweeps model generations and takes spark
+        vacuumed = (
+            fn(spark, path, fs)
+            if report["kind"] == "ivfpq"
+            else fn(path, fs)
+        )
+        if any(v for v in vacuumed.values()):
+            applied.append("vacuum")
+    return {**report, "applied": applied, "vacuumed": vacuumed}

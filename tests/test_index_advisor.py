@@ -118,6 +118,51 @@ def test_minhash_hot_bucket_flagged(spark, tmp_path):
     assert [a["action"] for a in flagged["advice"]] == ["investigate"]
 
 
+def test_maintain_applies_compact_and_vacuum(spark, emb, tmp_path):
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.index_advisor import index_maintain
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_index_topk,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), path, n_centroids=4, iters=1
+    )
+    for r in (1, 2, 3):
+        ivf_index_append(spark, path, emb.filter(F.col("vec_id") % 4 == r))
+    q = emb.filter(F.col("vec_id") < 2)
+    before = ivf_index_topk(spark, path, q, n_probe=4, k=5).collect()
+
+    report = index_maintain(spark, path, epoch_bound=2, skew_bound=1e9)
+    assert report["applied"] == ["compact", "vacuum"]
+    assert len(report["vacuumed"]["epochs_removed"]) == 4  # superseded
+    manifest = epochs_io.read_manifest(path, LocalFS())
+    assert len(manifest["epochs"]) == 1
+    after = ivf_index_topk(spark, path, q, n_probe=4, k=5).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+    # idempotent: a second run finds a healthy index and applies nothing
+    again = index_maintain(spark, path, epoch_bound=2, skew_bound=1e9)
+    assert again["applied"] == [] and again["advice"] == []
+
+
+def test_maintain_reports_rebuild_unapplied(spark, emb, tmp_path):
+    from feast_spark.operators.index_advisor import index_maintain
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=4, iters=1)
+    report = index_maintain(
+        spark, path, target_cell_size=10, skew_bound=1e9
+    )
+    assert report["applied"] == []  # rebuild advice is never auto-applied
+    assert [a["action"] for a in report["advice"]] == ["rebuild"]
+
+
 def test_doctor_cli_index_mode(spark, emb, tmp_path, capsys):
     from feast_spark.cli import main
     from feast_spark.operators.similarity import build_ivf_index
