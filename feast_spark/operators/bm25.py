@@ -963,10 +963,13 @@ def hybrid_index_topk(
             n_probe, fetch_k, fs=fs,
         )
     elif vec_index_path is not None:
+        # driver_probe: the one query vector was just created from a
+        # Python list — probing it in Python removes two Spark jobs
+        # (probe + distinct-cells collect) from the serving floor
         topk = ivf_index_topk(
             spark, vec_index_path, qdf,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
-            fs=fs,
+            fs=fs, driver_probe=True,
         )
     else:
         topk = cosine_topk(

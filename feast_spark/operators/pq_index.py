@@ -42,7 +42,7 @@ from feast_spark.operators.pq import pq_encode, pq_topk, pq_train
 from feast_spark.operators.similarity import (
     ivf_train_centroids,
     nearest_centroid,
-    probe_cells_df,
+    probe_cells_py,
 )
 
 __all__ = [
@@ -239,26 +239,23 @@ def ivfpq_index_topk(
     from its own probed cells even under skew.  Per-query bytes moved:
     probed cells' CODE rows (M bytes/vector), never float vectors.
 
-    Driver-side cost: the per-query probe sets come back as
-    ``|Q| x n_probe`` (query_id, cell) pairs — inherent to the ADC
-    contract (``pq_topk`` ships every query's probe mask in the task
-    closure) and strictly smaller than the ``|Q|`` full query VECTORS
-    ``pq_topk`` collects regardless; queries are broadcast-few by that
-    same contract."""
+    Driver-side cost: one ``|Q|``-row query collect (inherent to the
+    ADC contract — ``pq_topk`` ships the query vectors and probe masks
+    in the task closure; queries are broadcast-few by that contract)
+    plus the pure-Python probe over the already-loaded centroids —
+    no Spark job is launched before the single ADC query job."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
     cents = _load_centroids(path, manifest, fs)
     books = _load_codebooks(path, manifest, fs)
-    probed = probe_cells_df(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        ),
-        cents,
-        n_probe,
-    )
-    q_probe: dict = {}
-    for r in probed.select("query_id", "cell").collect():
-        q_probe.setdefault(r["query_id"], []).append(r["cell"])
+    # driver-side probe (probe_cells_py, pinned bit-identical to the
+    # probe_cells_df expression): the ADC contract collects the query
+    # vectors anyway, so probing here removes one whole Spark job per
+    # query from the serving floor
+    q_probe: dict = {
+        r[0]: probe_cells_py(r[1], cents, n_probe)
+        for r in queries.select(id_col, vec_col).collect()
+    }
     all_cells = sorted({c for cells in q_probe.values() for c in cells})
     codes = _codes(spark, path, manifest["epochs"]).filter(
         F.col("cell").isin(all_cells)

@@ -403,6 +403,31 @@ def probe_cells_df(
     )
 
 
+def probe_cells_py(
+    qvec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """Pure-Python twin of :func:`probe_cells_df` for query vectors
+    that are ALREADY driver-side: the serving paths collect or receive
+    the (broadcast-few) query vectors anyway, so computing the probe
+    here removes one whole Spark job per query from the serving floor.
+
+    Bit-identical by construction — Python floats ARE IEEE doubles and
+    this loop performs the same operations in the same order as the
+    codegen'd expression: per centroid, fold (cast-to-double(x) - y)^2
+    left to right; then sort by (distance, cell) ascending and take
+    the first ``n_probe``.  Pinned against :func:`probe_cells_df` in
+    tests (including tie cases)."""
+    dists = []
+    for cell, cent in enumerate(centroids):
+        d = 0.0
+        for x, y in zip(qvec, cent):
+            diff = float(x) - y
+            d = d + diff * diff
+        dists.append((d, cell))
+    dists.sort()
+    return [cell for _, cell in dists[:n_probe]]
+
+
 def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
     """The n_probe nearest cell ids for a query vector, as an array."""
     dists = F.array(
@@ -656,6 +681,7 @@ def ivf_index_topk(
     n_probe: int = 4,
     k: int = 10,
     fs: StoreFS | None = None,
+    driver_probe: bool = False,
 ) -> DataFrame:
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as
@@ -669,24 +695,52 @@ def ivf_index_topk(
     subquery would do the same only when Catalyst chooses to insert
     one (it declines for LocalRelation query frames, the common
     serving shape) and costs an extra subquery stage when it does;
-    the literal IN prunes in every case (plan-pinned)."""
+    the literal IN prunes in every case (plan-pinned).
+
+    ``driver_probe=True`` collects the query rows and computes the
+    probe in pure Python (``probe_cells_py``, pinned bit-identical to
+    the ``probe_cells_df`` expression): the probe job AND the
+    distinct-cells collect job disappear, leaving ONE Spark job per
+    call.  Right when queries are request-sized (the serving shape,
+    where they were just created from driver-side values anyway);
+    keep the default for query frames you'd rather not collect."""
     cents = _ivf_load_centroids(spark, path, fs)
     vectors = _ivf_vectors(spark, path, fs).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
-    # data-driven probe (probe_cells_df): analysis cost independent of
-    # the centroid count — the literal-expression probe_cells tree made
-    # per-query planning dominate serving latency at C>=32
-    q = probe_cells_df(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        ),
-        cents,
-        n_probe,
-    )
-    probed = sorted(
-        r["cell"] for r in q.select("cell").distinct().collect()
-    )  # bounded collect: at most C ints
+    if driver_probe:
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        q_schema = StructType(
+            [
+                StructField("query_id", queries.schema[id_col].dataType),
+                StructField("__qvec", queries.schema[vec_col].dataType),
+                StructField("cell", IntegerType()),
+            ]
+        )
+        rows = []
+        cells_seen = set()
+        for r in queries.select(id_col, vec_col).collect():
+            for cell in probe_cells_py(r[1], cents, n_probe):
+                rows.append((r[0], r[1], cell))
+                cells_seen.add(cell)
+        q = spark.createDataFrame(rows, q_schema)
+        probed = sorted(cells_seen)
+    else:
+        # data-driven probe (probe_cells_df): analysis cost independent
+        # of the centroid count — the literal-expression probe_cells
+        # tree made per-query planning dominate serving latency at C>=32
+        q = probe_cells_df(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("__qvec"),
+            ),
+            cents,
+            n_probe,
+        )
+        probed = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )  # bounded collect: at most C ints
     cand = (
         vectors.filter(F.col("cell").isin(probed))
         .join(F.broadcast(q), "cell")

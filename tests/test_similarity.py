@@ -397,3 +397,59 @@ def test_ivf_compact_preserves_results(spark, tmp_path):
     assert removed["epochs_removed"] == ["epoch=0", "epoch=1", "epoch=2"]
     assert removed["centroid_gens_removed"] == []
     assert ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect() == before
+
+
+def test_probe_cells_py_matches_expression_probe(spark):
+    """The pure-Python probe (the serving fast path) must pick the
+    SAME cells as the probe_cells_df expression — same doubles, same
+    summation order, same (distance, cell) tie-break."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.similarity import (
+        md5_centroids,
+        probe_cells_df,
+        probe_cells_py,
+    )
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet").limit(150)
+    cents = md5_centroids(emb, n_centroids=8)
+    # duplicate centroid -> exact distance ties must break to the
+    # lowest cell on both paths
+    cents = cents + [list(cents[0])]
+    q = emb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    expr = {}
+    for r in probe_cells_df(q, cents, 4).collect():
+        expr.setdefault(r["query_id"], []).append(r["cell"])
+    for r in q.collect():
+        assert probe_cells_py(r["__qvec"], cents, 4) == expr[r["query_id"]]
+
+
+def test_ivf_driver_probe_identical_and_single_job(spark, tmp_path):
+    """driver_probe=True must return exactly the expression-probe
+    result while launching fewer Spark jobs (the serving-floor win)."""
+    from feast_spark.operators.similarity import build_ivf_index, ivf_index_topk
+
+    emb = spark.read.parquet(f"{SF_MED}/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=2)
+
+    want = ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    ivf_index_topk(spark, path, queries, n_probe=3, k=5)
+    jobs_default = len(tracker.getJobIdsForGroup(None) or []) - before
+
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got_df = ivf_index_topk(
+        spark, path, queries, n_probe=3, k=5, driver_probe=True
+    )
+    jobs_driver = len(tracker.getJobIdsForGroup(None) or []) - before
+    got = got_df.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # plan construction swaps (probe job + distinct-cells job) for one
+    # query-collect job: strictly fewer jobs before the query runs
+    assert jobs_driver < jobs_default
