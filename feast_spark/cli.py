@@ -232,7 +232,9 @@ def _doctor_index(args) -> int:
 
     spark = _cli_spark(args)
     if args.maintain:
-        report = index_maintain(spark, args.index)
+        # index_maintain re-advises after applying, so report["advice"]
+        # is exactly the still-unapplied advice
+        report = index_maintain(spark, args.index, vacuum=args.vacuum)
     else:
         report = index_advise(spark, args.index)
     print(f"kind     {report['kind']} ({report['n_epochs']} epochs)")
@@ -240,14 +242,10 @@ def _doctor_index(args) -> int:
         print(f"         {key} = {val}")
     for action in report.get("applied", []):
         print(f"applied  {action}")
-    remaining = [
-        a for a in report["advice"]
-        if not (args.maintain and a["action"] == "compact")
-    ]
-    if not remaining:
+    if not report["advice"]:
         print("ok       inside every documented bound")
         return 0
-    for item in remaining:
+    for item in report["advice"]:
         rec = (
             f" -> {item['param']}={item['recommended']}"
             if "param" in item
@@ -310,8 +308,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument(
         "--maintain", action="store_true",
-        help="with --index: APPLY the mechanical advice (compact + "
-        "vacuum); rebuild advice is still only reported",
+        help="with --index: APPLY the mechanical advice (compact); "
+        "rebuild advice is still only reported",
+    )
+    sp.add_argument(
+        "--vacuum", action="store_true",
+        help="with --maintain: also reclaim superseded directories — "
+        "only safe once readers of the previous manifest have drained",
     )
     sp = sub.add_parser(
         "init",
@@ -334,6 +337,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
     if args.cmd == "doctor":
+        if args.index is None and (args.maintain or args.vacuum):
+            p.error("--maintain/--vacuum require --index PATH")
         if args.index is not None:
             return _doctor_index(args)
         return _doctor()

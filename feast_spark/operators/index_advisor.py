@@ -269,7 +269,7 @@ def index_maintain(
     spark: SparkSession,
     path: str,
     fs: StoreFS | None = None,
-    vacuum: bool = True,
+    vacuum: bool = False,
     **bounds,
 ) -> dict:
     """The cron verb: run :func:`index_advise`, APPLY its mechanical
@@ -277,17 +277,23 @@ def index_maintain(
 
     - ``compact`` advice is applied (kind-dispatched ``*_index_compact``
       — query results are byte-identical by the compaction contract,
-      so applying it unattended is safe), then ``vacuum`` reclaims
-      manifest-unreferenced directories (set ``vacuum=False`` while
-      readers of a previous manifest may still be draining).
+      and superseded epochs stay on disk, so applying it unattended is
+      always safe for concurrent readers).
+    - ``vacuum=True`` additionally reclaims manifest-unreferenced
+      directories.  OFF by default on purpose: the vacuum contract
+      (every ``*_index_vacuum`` docstring) requires readers of the
+      PREVIOUS manifest to have drained, and an unattended cron cannot
+      know that — turn it on only when your reader grace window is
+      shorter than the maintenance interval.
     - ``rebuild``/``investigate`` advice is returned UNAPPLIED: a
       rebuild needs the source corpus and a retrain decision the store
       cannot make, and boilerplate accumulation needs a human.
 
-    ``bounds`` pass through to :func:`index_advise`.  Returns the
-    advise report plus ``applied`` (actions taken) and ``vacuumed``
-    (removed dirs per sub-table); idempotent — a second run on a
-    healthy index applies nothing."""
+    ``bounds`` pass through to :func:`index_advise`.  Returns a FRESH
+    post-maintenance report (health/n_epochs/advice reflect the index
+    as left behind, so ``advice`` is exactly what still needs a human)
+    plus ``applied`` (actions taken) and ``vacuumed`` (removed dirs
+    per sub-table); idempotent — a second run applies nothing."""
     fs = fs or LocalFS()
     report = index_advise(spark, path, fs, **bounds)
     applied: list[str] = []
@@ -306,4 +312,6 @@ def index_maintain(
         )
         if any(v for v in vacuumed.values()):
             applied.append("vacuum")
+    if applied:  # re-advise so the report describes the index we left
+        report = index_advise(spark, path, fs, **bounds)
     return {**report, "applied": applied, "vacuumed": vacuumed}

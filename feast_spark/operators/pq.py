@@ -196,6 +196,7 @@ def pq_topk(
     k: int = 10,
     probe_sets: dict | None = None,
     cell_col: str = "cell",
+    query_rows: list | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: (query_id, neighbor_id, adc_dist).
 
@@ -210,15 +211,22 @@ def pq_topk(
     carry ``cell_col``; rows outside a query's own probe set are masked
     to +inf INSIDE the kernel BEFORE the partition-local top-k, so each
     query's k candidates come exclusively from its probed cells — an
-    exact-k guarantee even under cell skew, with no over-fetch."""
+    exact-k guarantee even under cell skew, with no over-fetch.
+
+    ``query_rows`` (optional): pre-collected ``(query_id, vec)`` pairs
+    — pass them when the caller already collected the queries (the
+    persisted-index probe does) so the query plan is evaluated exactly
+    once per call; ``queries`` still supplies the output id type."""
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     m_subspaces = len(books)
-    q_rows = queries.select(
-        F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
-    ).collect()
-    q_ids = [r["qid"] for r in q_rows]
-    Q = _as_matrix([r["qv"] for r in q_rows])
+    if query_rows is None:
+        collected = queries.select(
+            F.col(query_id_col).alias("qid"), F.col(query_vec_col).alias("qv")
+        ).collect()
+        query_rows = [(r["qid"], r["qv"]) for r in collected]
+    q_ids = [qid for qid, _ in query_rows]
+    Q = _as_matrix([qv for _, qv in query_rows])
     if Q.shape[1] != sub * m_subspaces:
         raise ValueError("query dim does not match codebooks")
     # (n_queries, M, K) ADC tables, built once on the driver and shipped

@@ -248,13 +248,16 @@ def ivfpq_index_topk(
     manifest = _manifest(path, fs)
     cents = _load_centroids(path, manifest, fs)
     books = _load_codebooks(path, manifest, fs)
-    # driver-side probe (probe_cells_py, pinned bit-identical to the
-    # probe_cells_df expression): the ADC contract collects the query
-    # vectors anyway, so probing here removes one whole Spark job per
-    # query from the serving floor
+    # ONE query collect per call: the driver-side probe
+    # (probe_cells_py, pinned bit-identical to the probe_cells_df
+    # expression) and the ADC tables are both built from the same
+    # collected rows — no probe job, no double evaluation of the
+    # queries plan
+    q_rows = [
+        (r[0], r[1]) for r in queries.select(id_col, vec_col).collect()
+    ]
     q_probe: dict = {
-        r[0]: probe_cells_py(r[1], cents, n_probe)
-        for r in queries.select(id_col, vec_col).collect()
+        qid: probe_cells_py(qv, cents, n_probe) for qid, qv in q_rows
     }
     all_cells = sorted({c for cells in q_probe.values() for c in cells})
     codes = _codes(spark, path, manifest["epochs"]).filter(
@@ -271,6 +274,7 @@ def ivfpq_index_topk(
         k=k,
         probe_sets=q_probe,
         cell_col="cell",
+        query_rows=q_rows,
     )
 
 

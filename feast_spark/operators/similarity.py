@@ -416,7 +416,19 @@ def probe_cells_py(
     codegen'd expression: per centroid, fold (cast-to-double(x) - y)^2
     left to right; then sort by (distance, cell) ascending and take
     the first ``n_probe``.  Pinned against :func:`probe_cells_df` in
-    tests (including tie cases)."""
+    tests (including tie cases).
+
+    Malformed inputs fail LOUDLY here: the expression path would
+    NULL-pad a short vector (zip_with) into NULL distances while
+    zip() would silently truncate — a wrong-dimension query must not
+    return different plausible-looking cells depending on which probe
+    path a flag selected."""
+    if qvec is None or (centroids and len(qvec) != len(centroids[0])):
+        got = "None" if qvec is None else f"dim {len(qvec)}"
+        raise ValueError(
+            f"query vector must match centroid dim "
+            f"{len(centroids[0]) if centroids else '?'}, got {got}"
+        )
     dists = []
     for cell, cent in enumerate(centroids):
         d = 0.0

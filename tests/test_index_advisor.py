@@ -137,17 +137,38 @@ def test_maintain_applies_compact_and_vacuum(spark, emb, tmp_path):
     q = emb.filter(F.col("vec_id") < 2)
     before = ivf_index_topk(spark, path, q, n_probe=4, k=5).collect()
 
-    report = index_maintain(spark, path, epoch_bound=2, skew_bound=1e9)
+    report = index_maintain(
+        spark, path, epoch_bound=2, skew_bound=1e9, vacuum=True
+    )
     assert report["applied"] == ["compact", "vacuum"]
     assert len(report["vacuumed"]["epochs_removed"]) == 4  # superseded
+    # the report describes the index AS LEFT BEHIND: re-advised after
+    # applying, so no already-applied advice leaks to the caller
+    assert report["n_epochs"] == 1 and report["advice"] == []
     manifest = epochs_io.read_manifest(path, LocalFS())
     assert len(manifest["epochs"]) == 1
     after = ivf_index_topk(spark, path, q, n_probe=4, k=5).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
 
     # idempotent: a second run finds a healthy index and applies nothing
-    again = index_maintain(spark, path, epoch_bound=2, skew_bound=1e9)
+    again = index_maintain(
+        spark, path, epoch_bound=2, skew_bound=1e9, vacuum=True
+    )
     assert again["applied"] == [] and again["advice"] == []
+
+    # default vacuum=False honors the reader-drain contract: compact
+    # flips the manifest but superseded dirs stay on disk
+    path2 = str(tmp_path / "ivf2")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 == 0), path2, n_centroids=4, iters=1
+    )
+    for r in (1, 2, 3):
+        ivf_index_append(spark, path2, emb.filter(F.col("vec_id") % 4 == r))
+    rep2 = index_maintain(spark, path2, epoch_bound=2, skew_bound=1e9)
+    assert rep2["applied"] == ["compact"] and rep2["vacuumed"] == {}
+    import os
+
+    assert len(os.listdir(path2 + "/vectors")) == 5  # 4 old + 1 merged
 
 
 def test_maintain_reports_rebuild_unapplied(spark, emb, tmp_path):
@@ -173,3 +194,49 @@ def test_doctor_cli_index_mode(spark, emb, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "kind     ivf" in out and "inside every documented bound" in out
+
+
+def test_doctor_cli_maintain(spark, emb, tmp_path, capsys):
+    from feast_spark.cli import main
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 3 == 0), path, n_centroids=4, iters=1
+    )
+    for r in (1, 2):
+        ivf_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == r))
+    # 3 epochs > default epoch_bound=8? no — so force compact advice by
+    # checking the flag path on a healthy index first: nothing applied
+    rc = main(["--master", "local[2]", "doctor", "--index", path,
+               "--maintain"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "applied" not in out
+
+    # pile epochs past the bound, then maintain: compact applied, exit 0
+    for _ in range(7):
+        ivf_index_append(spark, path, emb.filter(F.col("vec_id") < 0))
+    for r in range(10):
+        ivf_index_append(
+            spark, path,
+            emb.filter(F.col("vec_id") % 37 == r).limit(3)
+            .withColumn("vec_id", F.col("vec_id") + 10_000 * (r + 1)),
+        )
+    rc = main(["--master", "local[2]", "doctor", "--index", path,
+               "--maintain", "--vacuum"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "applied  compact" in out and "applied  vacuum" in out
+    assert "inside every documented bound" in out
+
+
+def test_doctor_cli_maintain_requires_index():
+    import pytest as _pytest
+
+    from feast_spark.cli import main
+
+    with _pytest.raises(SystemExit):
+        main(["doctor", "--maintain"])
