@@ -339,6 +339,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "doctor":
         if args.index is None and (args.maintain or args.vacuum):
             p.error("--maintain/--vacuum require --index PATH")
+        if args.vacuum and not args.maintain:
+            # _doctor_index only consults --vacuum inside the maintain
+            # branch; silently ignoring the flag would look like a
+            # vacuum that found nothing
+            p.error("--vacuum requires --maintain")
         if args.index is not None:
             return _doctor_index(args)
         return _doctor()

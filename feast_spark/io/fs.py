@@ -55,6 +55,15 @@ class StoreFS:
     def mkdirs(self, path: str) -> None:
         raise NotImplementedError
 
+    def cache_token(self) -> str:
+        """Cheap identity folded into control-plane cache keys
+        (``io/model_cache.py``) so two DIFFERENT StoreFS backends
+        serving the same path STRING cannot alias each other's
+        entries.  Class name is enough in practice: remote paths carry
+        their scheme+bucket in the string itself (``s3a://bucket/..``),
+        so only a cross-BACKEND collision is possible."""
+        return type(self).__name__
+
 
 class LocalFS(StoreFS):
     """POSIX implementation; atomicity via same-directory ``os.replace``."""

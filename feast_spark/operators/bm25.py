@@ -737,7 +737,7 @@ def _corpus_stats(path: str, epochs: list[int], fs) -> tuple[int, int]:
         return n_docs, total_len
 
     return model_cache.get_or_load(
-        ("bm25_stats", path, tuple(epochs)), _load
+        ("bm25_stats", fs.cache_token(), path, tuple(epochs)), _load
     )
 
 

@@ -109,13 +109,12 @@ def index_advise(
             F.max("skew_ratio").alias("skew"),
             F.sum(n_col).alias("total"),
         ).collect()[0]
-        import posixpath
+        # resolve through _ivf_centroids_dir, not manifest["centroids"]:
+        # legacy stampless IVF manifests (tolerated above) lack the
+        # pointer and use the flat centroids/ dir
+        from feast_spark.operators.similarity import _ivf_centroids_dir
 
-        n_cells = len(
-            read_centroid_dir(
-                posixpath.join(path, manifest["centroids"]), fs
-            )
-        )
+        n_cells = len(read_centroid_dir(_ivf_centroids_dir(path, manifest), fs))
         total = int(row["total"] or 0)
         mean_cell = total / n_cells if n_cells else 0.0
         skew = float(row["skew"] or 0.0)

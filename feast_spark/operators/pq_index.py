@@ -107,7 +107,9 @@ def _load_codebooks(path: str, manifest: dict, fs: StoreFS):
             [[float(x) for x in c] for c in book] for book in json.loads(raw)
         ]
 
-    return model_cache.get_or_load(("codebooks", full), _load)
+    return model_cache.get_or_load(
+        ("codebooks", fs.cache_token(), full), _load
+    )
 
 
 def _encode_cells(

@@ -596,7 +596,9 @@ def read_centroid_dir(cdir: str, fs: StoreFS) -> list[list[float]]:
         rows.sort(key=lambda r: r[0])
         return [[float(x) for x in c] for _, c in rows]
 
-    return model_cache.get_or_load(("centroids", cdir, names), _load)
+    return model_cache.get_or_load(
+        ("centroids", fs.cache_token(), cdir, names), _load
+    )
 
 
 def _ivf_load_centroids(

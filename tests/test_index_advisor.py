@@ -240,3 +240,44 @@ def test_doctor_cli_maintain_requires_index():
 
     with _pytest.raises(SystemExit):
         main(["doctor", "--maintain"])
+
+
+def test_doctor_cli_vacuum_requires_maintain(spark, emb, tmp_path):
+    # --vacuum alone used to pass validation and then be silently
+    # ignored (only consulted inside the --maintain branch)
+    import pytest as _pytest
+
+    from feast_spark.cli import main
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=1)
+    with _pytest.raises(SystemExit):
+        main(["doctor", "--index", path, "--vacuum"])
+
+
+def test_advise_legacy_stampless_ivf_manifest(spark, emb, tmp_path):
+    """A pre-stamp IVF manifest (no "kind", no "centroids" pointer,
+    flat centroids/ dir) must produce a report, not a KeyError."""
+    import json
+    import os
+    import shutil
+
+    from feast_spark.operators.similarity import build_ivf_index
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, path, n_centroids=8, iters=1)
+    manifest = json.loads(open(os.path.join(path, "_MANIFEST.json")).read())
+    # rewrite to the legacy layout the advisor claims to tolerate
+    gen_dir = os.path.join(path, manifest["centroids"])
+    flat = os.path.join(path, "centroids_flat")
+    shutil.copytree(gen_dir, flat)
+    shutil.rmtree(os.path.join(path, "centroids"))
+    shutil.move(flat, os.path.join(path, "centroids"))
+    legacy = {k: v for k, v in manifest.items()
+              if k not in ("kind", "centroids")}
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as f:
+        json.dump(legacy, f)
+    report = index_advise(spark, path, target_cell_size=1024)
+    assert report["kind"] == "ivf"
+    assert report["health"]["n_cells"] == 8

@@ -114,37 +114,41 @@ def main() -> None:
 
     real_get_or_load = model_cache.get_or_load
     results: dict[str, float] = {}
-    for cached in (False, True):
-        model_cache.clear()
-        model_cache.get_or_load = (
-            real_get_or_load if cached else (lambda key, loader: loader())
-        )
-        tag = "cached" if cached else "uncached"
-        for name, fn in shapes.items():
-            fn(0).count()  # untimed warmup (codegen, Python workers)
+    try:
+        for cached in (False, True):
+            model_cache.clear()
+            model_cache.get_or_load = (
+                real_get_or_load if cached else (lambda key, loader: loader())
+            )
+            tag = "cached" if cached else "uncached"
+            for name, fn in shapes.items():
+                fn(0).count()  # untimed warmup (codegen, Python workers)
+                samples = []
+                for i in range(1, n_queries + 1):
+                    t0 = time.monotonic()
+                    fn(i).count()
+                    samples.append(time.monotonic() - t0)
+                results[f"{name}_{tag}_mean"] = round(
+                    sum(samples) / len(samples), 3
+                )
+                results[f"{name}_{tag}_median"] = round(
+                    statistics.median(samples), 3
+                )
+            hybrid_batch().count()  # untimed warmup
             samples = []
-            for i in range(1, n_queries + 1):
+            for _ in range(3):
                 t0 = time.monotonic()
-                fn(i).count()
+                hybrid_batch().count()
                 samples.append(time.monotonic() - t0)
-            results[f"{name}_{tag}_mean"] = round(
-                sum(samples) / len(samples), 3
+            med = statistics.median(samples)
+            results[f"hybrid_batch{n_queries}_{tag}_median"] = round(med, 3)
+            results[f"hybrid_batch{n_queries}_{tag}_per_query"] = round(
+                med / n_queries, 4
             )
-            results[f"{name}_{tag}_median"] = round(
-                statistics.median(samples), 3
-            )
-        hybrid_batch().count()  # untimed warmup
-        samples = []
-        for _ in range(3):
-            t0 = time.monotonic()
-            hybrid_batch().count()
-            samples.append(time.monotonic() - t0)
-        med = statistics.median(samples)
-        results[f"hybrid_batch{n_queries}_{tag}_median"] = round(med, 3)
-        results[f"hybrid_batch{n_queries}_{tag}_per_query"] = round(
-            med / n_queries, 4
-        )
-    model_cache.get_or_load = real_get_or_load
+    finally:
+        # always unpatch — an exception mid-loop must not leave the
+        # module with the cache-bypassing lambda for the process
+        model_cache.get_or_load = real_get_or_load
     print(
         json.dumps(
             {
