@@ -1540,18 +1540,21 @@ def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     double before the IVF build: hybrid_index_topk adopts the index's
     stored element type for its query-vector frame, and a float32
     index would truncate the query vector and perturb round-4 cosines
-    off the oracle's exact-double literal."""
+    off the oracle's exact-double literal.
+
+    r12: the append goes through the PAIRED verb
+    (operators/paired_index.py hybrid_index_append), so the shared
+    corpus_epoch stamp — and the per-query alignment check
+    hybrid_index_topk now runs (on_corpus_mismatch default "fail") —
+    are themselves under the hash gate."""
     import tempfile
 
     from feast_spark.operators.bm25 import (
-        bm25_index_append,
         build_bm25_index,
         hybrid_index_topk,
     )
-    from feast_spark.operators.similarity import (
-        build_ivf_index,
-        ivf_index_append,
-    )
+    from feast_spark.operators.paired_index import hybrid_index_append
+    from feast_spark.operators.similarity import build_ivf_index
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1566,11 +1569,14 @@ def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 3 != 0), bpath, "doc_id", "text",
         n_term_buckets=16,
     )
-    bm25_index_append(spark, bpath, docs.filter(F.col("doc_id") % 3 == 0))
     build_ivf_index(
         emb.filter(F.col("vec_id") % 3 != 0), vpath, n_centroids=8, iters=2
     )
-    ivf_index_append(spark, vpath, emb.filter(F.col("vec_id") % 3 == 0))
+    hybrid_index_append(
+        spark, bpath, vpath,
+        docs.filter(F.col("doc_id") % 3 == 0),
+        emb.filter(F.col("vec_id") % 3 == 0),
+    )
     return hybrid_index_topk(
         spark, bpath, None, ["spark", "merge"], _HYBRID_QVEC,
         k=10, fetch_k=50, vec_index_path=vpath, n_probe=8,

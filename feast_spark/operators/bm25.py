@@ -873,6 +873,7 @@ def hybrid_index_topk(
     vec_index_path: str | None = None,
     n_probe: int = 4,
     vec_index_kind: str = "auto",
+    on_corpus_mismatch: str = "fail",
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
@@ -902,15 +903,26 @@ def hybrid_index_topk(
     index's committed manifest stamp
     (``vector_index.vector_index_kind``) — callers need not carry
     knowledge the store already has; pass an explicit kind only to
-    FAIL FAST when the path must be of that kind."""
+    FAIL FAST when the path must be of that kind.
+
+    When both indexes carry a paired ``corpus_epoch`` stamp
+    (``operators/paired_index.py``), the stamps are validated per
+    query: unequal tokens mean a paired append crashed between the
+    two commits and RRF would fuse mismatched corpora —
+    ``on_corpus_mismatch`` picks fail (default) / warn / ignore."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
+    from feast_spark.operators.paired_index import check_corpus_alignment
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
     if fetch_k < k:
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if vec_index_path is not None:
+        check_corpus_alignment(
+            index_path, vec_index_path, fs=fs, on_mismatch=on_corpus_mismatch
+        )
     vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
     lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
     id_col = lex.columns[0]
@@ -1042,6 +1054,7 @@ def hybrid_index_topk_batch(
     vec_index_path: str | None = None,
     n_probe: int = 4,
     vec_index_kind: str = "auto",
+    on_corpus_mismatch: str = "fail",
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
@@ -1060,13 +1073,20 @@ def hybrid_index_topk_batch(
     ``O(batch x n_probe)`` cells and the term buckets the batch hashes
     into — never the corpus.  ``embeddings`` may be ``None`` in those
     modes; without ``vec_index_path`` the channel brute-scans
-    ``embeddings`` (one-off batch shape)."""
+    ``embeddings`` (one-off batch shape).  Paired ``corpus_epoch``
+    stamps are validated like :func:`hybrid_index_topk`
+    (``on_corpus_mismatch``: fail/warn/ignore)."""
+    from feast_spark.operators.paired_index import check_corpus_alignment
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
     if fetch_k < k:
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if vec_index_path is not None:
+        check_corpus_alignment(
+            index_path, vec_index_path, fs=fs, on_mismatch=on_corpus_mismatch
+        )
     vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,

@@ -1,0 +1,241 @@
+"""Cross-index corpus alignment for the hybrid retrieval pair.
+
+``hybrid_index_topk`` (operators/bm25.py) fuses a persisted BM25 index
+with a persisted vector index (IVF/IVFPQ) by reciprocal-rank fusion.
+The two indexes are committed by INDEPENDENT atomic manifest flips, so
+a crash — or a plain operator mistake — between the paired appends
+leaves the lexical channel seeing documents the vector channel doesn't
+(or vice versa), and RRF silently fuses over mismatched corpora.  The
+reference enforces the same "two stores must agree on the slice"
+contract between its offline and online stores
+(sdk/python/tests/test_offline_online_store_consistency.py); this
+module is that discipline for the index pair.
+
+Mechanism — a shared CORPUS-EPOCH token:
+
+* :func:`hybrid_index_append` appends one document slice to BOTH
+  indexes, stamping each manifest with the same ``corpus_epoch``
+  token in the SAME atomic flip that publishes that index's epoch
+  directory.  The flips stay independent — a crash between them
+  leaves the committed tokens UNEQUAL, which is exactly the
+  detection signal (no two-phase commit needed: detection + loud
+  failure is the contract, matching the epoch protocol's
+  reader-resolves-the-manifest model).
+* :func:`check_corpus_alignment` compares the committed tokens; the
+  hybrid query paths call it per query (two tiny manifest reads —
+  the manifest is the freshness authority and is deliberately never
+  cached, ``io/model_cache.py``) and fail or warn on mismatch,
+  flag-controlled.  Indexes that never went through a paired append
+  carry no token and are exempt (backward compatible: alignment is
+  opt-in by using the paired verbs).
+* A crashed pair is repaired by re-running :func:`hybrid_index_append`
+  with the SAME slice and ``resume=True``: the token arithmetic
+  (leader exactly one token ahead) identifies the lagging side and
+  appends the slice only there, under the leader's token.  ``resume``
+  is explicit on purpose — a fresh append observing diverged tokens
+  raises instead of guessing, because silently skipping the leader
+  with a DIFFERENT slice would desynchronize both corpora while
+  EQUALIZING the tokens (the one failure mode worse than a crash).
+
+The streaming shape (one micro-batch into both indexes, exactly-once
+under at-least-once redelivery) is ``hybrid_index_sink`` in
+``streaming/index_sink.py``, which composes these stamps with the
+per-index ``stream_epoch`` watermark.
+
+Scale: everything here is O(1) driver-side manifest work on top of the
+appends themselves — no new Spark jobs, no new shuffles; the per-query
+validation cost is one extra small JSON read per channel (the BM25
+read is shared with the query's own manifest resolution on object
+stores that cache GETs, and is microseconds on local/HDFS).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+
+from feast_spark.io import epochs as epochs_io
+from feast_spark.io.fs import LocalFS, StoreFS
+
+__all__ = [
+    "CORPUS_EPOCH_KEY",
+    "corpus_epoch",
+    "check_corpus_alignment",
+    "ensure_meta",
+    "hybrid_index_append",
+]
+
+CORPUS_EPOCH_KEY = "corpus_epoch"
+
+
+def corpus_epoch(path: str, fs: StoreFS | None = None) -> int | None:
+    """The committed corpus-epoch token of the index at ``path``, or
+    ``None`` for an index that never went through a paired append."""
+    fs = fs or LocalFS()
+    manifest = epochs_io.read_manifest(path, fs)
+    tok = manifest.get(CORPUS_EPOCH_KEY)
+    return int(tok) if tok is not None else None
+
+
+def ensure_meta(path: str, fs: StoreFS, meta: dict) -> None:
+    """Make sure the committed manifest carries ``meta`` — a
+    manifest-only atomic flip when an append NO-OPED (empty slice, or
+    all-blank texts that tokenize to zero postings: the BM25 side
+    skips its epoch while the vector side appends, and without this
+    stamp the pair would read as diverged even though the SEMANTIC
+    corpora agree — blank docs carry no postings)."""
+    manifest = epochs_io.read_manifest(path, fs)
+    if any(manifest.get(k) != v for k, v in meta.items()):
+        epochs_io.commit_manifest(path, fs, {**manifest, **meta})
+
+
+def check_corpus_alignment(
+    bm25_path: str,
+    vec_index_path: str,
+    fs: StoreFS | None = None,
+    on_mismatch: str = "fail",
+) -> dict:
+    """Compare the pair's committed corpus-epoch tokens.
+
+    Returns ``{"bm25": tok|None, "vector": tok|None, "aligned": bool}``.
+    ``aligned`` is False only when BOTH indexes carry a token and they
+    differ — that is the half-applied-pair signature.  ``on_mismatch``:
+    ``"fail"`` raises ValueError (serving default: wrong fused results
+    are worse than no results), ``"warn"`` emits a UserWarning and
+    lets the query proceed (degraded-mode serving), ``"ignore"``
+    checks nothing."""
+    if on_mismatch not in ("fail", "warn", "ignore"):
+        raise ValueError(
+            "on_mismatch must be 'fail', 'warn' or 'ignore', "
+            f"got {on_mismatch!r}"
+        )
+    if on_mismatch == "ignore":
+        return {"bm25": None, "vector": None, "aligned": True}
+    fs = fs or LocalFS()
+    tb = corpus_epoch(bm25_path, fs)
+    tv = corpus_epoch(vec_index_path, fs)
+    aligned = tb is None or tv is None or tb == tv
+    if not aligned:
+        msg = (
+            f"hybrid index pair is corpus-misaligned: BM25 index at "
+            f"{bm25_path} committed corpus_epoch={tb} but vector index "
+            f"at {vec_index_path} committed corpus_epoch={tv} — a paired "
+            "append crashed between the two commits, so one channel "
+            "serves documents the other doesn't.  Re-run "
+            "hybrid_index_append with the SAME document slice and "
+            "resume=True to catch the lagging side up."
+        )
+        if on_mismatch == "fail":
+            raise ValueError(msg)
+        warnings.warn(msg, UserWarning, stacklevel=2)
+    return {"bm25": tb, "vector": tv, "aligned": aligned}
+
+
+def hybrid_index_append(
+    spark: SparkSession,
+    bm25_path: str,
+    vec_index_path: str,
+    docs: DataFrame,
+    embeddings: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs: StoreFS | None = None,
+    resume: bool = False,
+) -> int:
+    """Append one document slice to BOTH halves of a hybrid retrieval
+    pair, stamping each manifest with a shared ``corpus_epoch`` token.
+
+    ``docs`` feeds the BM25 index (must carry its manifest's id/text
+    columns); ``embeddings`` feeds the vector index (``id_col`` /
+    ``vec_col``) and defaults to ``docs`` itself when the slice carries
+    both text and embedding columns.  The vector side dispatches on
+    the committed kind stamp (IVF or IVFPQ) via
+    ``vector_index.vector_index_append``.  Returns the token both
+    manifests carry afterwards.
+
+    Crash contract: both manifests are first INITIALIZED with the
+    current token (a manifest-only flip, first paired append only — an
+    unstamped side would otherwise be exempt from the alignment check
+    and a first-append crash would go undetected), then the BM25 side
+    commits, then the vector side.  A crash between the two commits
+    leaves tokens diverged by exactly one; hybrid queries then FAIL
+    LOUDLY (``check_corpus_alignment``) instead of fusing mismatched
+    corpora.  To repair, re-run with the SAME slice and
+    ``resume=True`` — only the lagging side is appended, under the
+    leader's token.  A fresh (``resume=False``) append over diverged
+    tokens raises: appending a NEW slice to only the lagging side
+    would equalize the tokens while desynchronizing both corpora.
+    ``resume=True`` over an ALIGNED pair also raises rather than
+    guessing — aligned tokens mean either the crashed attempt
+    committed neither side (re-run fresh) or a retry raced a completed
+    pair (nothing to do), and silently picking one could lose or
+    double-append the slice.  Doc-id uniqueness per index across
+    appends remains the caller's contract, which is why ``resume``
+    must replay the ORIGINAL slice.
+
+    Single writer per pair (the epoch protocol's contract per index,
+    lifted to the pair).  For the streaming shape use
+    ``streaming.index_sink.hybrid_index_sink``, which keys the same
+    stamps on the stream's exactly-once batch watermark and therefore
+    repairs replays automatically."""
+    from feast_spark.operators.bm25 import bm25_index_append
+    from feast_spark.operators.vector_index import vector_index_append
+
+    fs = fs or LocalFS()
+    if embeddings is None:
+        embeddings = docs
+    tb = corpus_epoch(bm25_path, fs)
+    tv = corpus_epoch(vec_index_path, fs)
+    nb = -1 if tb is None else tb
+    nv = -1 if tv is None else tv
+    if not resume:
+        if tb is not None and tv is not None and tb != tv:
+            raise ValueError(
+                f"cannot append a fresh slice to a diverged pair "
+                f"(bm25 corpus_epoch={tb}, vector corpus_epoch={tv}): "
+                "repair first by re-running with the ORIGINAL slice "
+                "and resume=True"
+            )
+        # an unstamped side (first paired append, or one side was just
+        # REBUILT — rebuilds drop the token by the carried-meta
+        # allowlist) adopts the pair's current token: stamp both sides
+        # BEFORE touching either, so a crash after the first commit is
+        # detectable (an unstamped side is exempt from the check)
+        base = max(nb, nv)
+        if tb is None:
+            ensure_meta(bm25_path, fs, {CORPUS_EPOCH_KEY: base})
+        if tv is None:
+            ensure_meta(vec_index_path, fs, {CORPUS_EPOCH_KEY: base})
+        token = base + 1
+        append_bm25, append_vec = True, True
+    else:
+        if abs(nb - nv) > 1:
+            raise ValueError(
+                f"pair diverged by more than one paired append "
+                f"(bm25 corpus_epoch={tb}, vector corpus_epoch={tv}) — "
+                "out of the single-writer contract; rebuild both "
+                "indexes from the corpus"
+            )
+        if nb == nv:
+            raise ValueError(
+                f"resume=True on an aligned pair (corpus_epoch={tb} on "
+                "both sides): either the crashed attempt committed "
+                "neither side (re-run WITHOUT resume) or it completed "
+                "(nothing to repair) — refusing to guess between "
+                "losing and double-appending the slice"
+            )
+        token = max(nb, nv)
+        append_bm25 = nb < token
+        append_vec = nv < token
+    meta = {CORPUS_EPOCH_KEY: token}
+    if append_bm25:
+        bm25_index_append(spark, bm25_path, docs, fs=fs, meta=meta)
+        ensure_meta(bm25_path, fs, meta)  # no-op append still stamps
+    if append_vec:
+        vector_index_append(
+            spark, vec_index_path, embeddings,
+            id_col=id_col, vec_col=vec_col, fs=fs, meta=meta,
+        )
+        ensure_meta(vec_index_path, fs, meta)
+    return token

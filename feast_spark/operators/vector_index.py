@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
-__all__ = ["vector_index_kind", "vector_index_topk"]
+__all__ = ["vector_index_kind", "vector_index_topk", "vector_index_append"]
 
 _VECTOR_KINDS = ("ivf", "ivfpq")
 
@@ -74,4 +74,37 @@ def vector_index_topk(
     return ivf_index_topk(
         spark, path, queries, id_col=id_col, vec_col=vec_col,
         n_probe=n_probe, k=k, fs=fs,
+    )
+
+
+def vector_index_append(
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs: StoreFS | None = None,
+    meta: dict | None = None,
+) -> None:
+    """Append vectors to whatever vector index is committed at
+    ``path``, dispatching on the manifest's kind stamp — the write-side
+    sibling of :func:`vector_index_topk` (same frozen-model append
+    semantics either way: ``similarity.ivf_index_append`` /
+    ``pq_index.ivfpq_index_append``).  ``meta`` merges into the
+    manifest in the same atomic flip (stream watermarks, the paired
+    ``corpus_epoch`` stamp)."""
+    kind = vector_index_kind(path, fs)
+    if kind == "ivfpq":
+        from feast_spark.operators.pq_index import ivfpq_index_append
+
+        ivfpq_index_append(
+            spark, path, new_vectors, id_col=id_col, vec_col=vec_col,
+            fs=fs or LocalFS(), meta=meta,
+        )
+        return
+    from feast_spark.operators.similarity import ivf_index_append
+
+    ivf_index_append(
+        spark, path, new_vectors, id_col=id_col, vec_col=vec_col,
+        fs=fs, meta=meta,
     )

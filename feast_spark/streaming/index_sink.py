@@ -48,6 +48,7 @@ __all__ = [
     "minhash_index_sink",
     "ivf_index_sink",
     "ivfpq_index_sink",
+    "hybrid_index_sink",
     "clear_stream_watermark",
 ]
 
@@ -164,6 +165,103 @@ def ivfpq_index_sink(
             fs=fs,
             meta={_WATERMARK_KEY: epoch_id},
         )
+
+    return fn
+
+
+def hybrid_index_sink(
+    spark: SparkSession,
+    bm25_path: str,
+    vec_index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+):
+    """foreachBatch sink folding each micro-batch into BOTH halves of a
+    hybrid retrieval pair — the BM25 lexical index and the vector index
+    (IVF/IVFPQ, kind-dispatched) — under ONE shared ``corpus_epoch``
+    token per batch (``operators/paired_index.py``), so
+    ``hybrid_index_topk``'s alignment check holds across the stream.
+
+    Exactly-once per SIDE: each index keeps its own ``stream_epoch``
+    watermark, so an at-least-once redelivery after a crash BETWEEN
+    the two appends re-applies only the side that missed the batch —
+    the pair converges to the same token instead of double-appending
+    the leader.  The lagging side adopts the leader's committed token
+    (the leader's manifest carries this batch's token precisely
+    because its watermark says the batch applied).  Batch columns must
+    include the BM25 manifest's id/text columns AND
+    ``id_col``/``vec_col``; both indexes must be built before the
+    stream starts, share one checkpoint, and have a single writer
+    (the per-index sink contracts, lifted to the pair).
+
+    A batch id BELOW one side's watermark while the other side hasn't
+    applied it means the pair diverged by more than the one in-flight
+    batch — impossible under one stream + one checkpoint — and raises
+    rather than guessing which token that historic slice carried."""
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.paired_index import CORPUS_EPOCH_KEY
+
+    fs = fs or LocalFS()
+
+    def fn(batch_df: DataFrame, epoch_id: int) -> None:
+        # imported per batch (cheap module-attr lookups) so the append
+        # verbs resolve at CALL time — matching the single-index sinks'
+        # behavior under test fault injection and hot code reload
+        from feast_spark.io import epochs as epochs_io
+        from feast_spark.operators.bm25 import (
+            _bm25_manifest,
+            bm25_index_append,
+        )
+        from feast_spark.operators.paired_index import ensure_meta
+        from feast_spark.operators.vector_index import vector_index_append
+
+        mb = _bm25_manifest(bm25_path, fs)
+        mv = epochs_io.read_manifest(vec_index_path, fs)
+        skip_b = _should_skip(mb, epoch_id)
+        skip_v = _should_skip(mv, epoch_id)
+        if skip_b and skip_v:
+            return  # replay of a fully applied pair
+        for skipped, leader_m, name in (
+            (skip_b, mb, "bm25"), (skip_v, mv, "vector"),
+        ):
+            # the leader's committed token is THIS batch's token only
+            # when this batch is the leader's LATEST (the one in-flight
+            # batch a crash can leave half-applied); a strictly higher
+            # leader watermark means the lagging side missed more than
+            # one batch, whose tokens are no longer recoverable
+            if skipped and leader_m.get(_WATERMARK_KEY, -1) > epoch_id:
+                raise ValueError(
+                    f"hybrid sink: the {name} index applied batch "
+                    f"{epoch_id} and more beyond it (watermark "
+                    f"{leader_m[_WATERMARK_KEY]}) while its pair did not — "
+                    "more than one in-flight batch diverged, which one "
+                    "stream over one checkpoint cannot produce; rebuild "
+                    "the pair from the corpus"
+                )
+        leader = mb if skip_b else (mv if skip_v else None)
+        if leader is not None and leader.get(CORPUS_EPOCH_KEY) is not None:
+            token = int(leader[CORPUS_EPOCH_KEY])
+        else:
+            # fresh pair batch — or a leader that predates the co-sink
+            # (migrated from the single sinks, no token yet): mint past
+            # both committed tokens
+            token = max(
+                int(mb.get(CORPUS_EPOCH_KEY, -1)),
+                int(mv.get(CORPUS_EPOCH_KEY, -1)),
+            ) + 1
+        meta = {_WATERMARK_KEY: epoch_id, CORPUS_EPOCH_KEY: token}
+        if not skip_b:
+            bm25_index_append(spark, bm25_path, batch_df, fs=fs, meta=meta)
+            # an all-blank batch no-ops the append; the stamp must
+            # still advance or the pair reads as diverged
+            ensure_meta(bm25_path, fs, meta)
+        if not skip_v:
+            vector_index_append(
+                spark, vec_index_path, batch_df,
+                id_col=id_col, vec_col=vec_col, fs=fs, meta=meta,
+            )
+            ensure_meta(vec_index_path, fs, meta)
 
     return fn
 
