@@ -574,6 +574,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", ["spark", "window", "merge"], k=15)
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup profile under the hash gate
+    (operators/substr_dedup.py duplicate_substring_stats — the
+    distributed formulation of Lee et al. 2022's ExactSubstr via
+    winnowing fingerprints, Schleimer et al. SIGMOD 2003): per doc,
+    the selected-fingerprint count, how many of those fingerprints
+    are shared with other documents, and the duplicated fraction —
+    the filter-mode signal.  Portable md5 mode lets the DuckDB oracle
+    replay the ENTIRE selection -> detection -> profile pipeline
+    bit-for-bit: same md5-prefix 32-bit hash, same leftmost-min
+    window tie-break, same distinct-(pos,fp) projection.
+    k=24/window=10 guarantees detection of verbatim runs >= 33 chars
+    at ~2/11 selection density — long enough that only genuinely
+    duplicated boilerplate (not common word bigrams) populates
+    n_dup_fps (~30% of the synthetic corpus)."""
+    from feast_spark.operators.substr_dedup import duplicate_substring_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicate_substring_stats(
+        docs, "doc_id", "text", k=24, window=10, portable=True
+    )
+
+
 def q_pit_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 with a composite entity key (l_orderkey, l_suppkey) and an
     integer created-tiebreak column (A2 on l_linenumber)."""
@@ -1670,7 +1693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
-        "bm25_topk": q_bm25_topk,
+        "substr_dedup": q_substr_dedup,
         "json_props": q_json_props,
         "corpus_pipeline": q_corpus_pipeline,
         "shipping_priority": q_shipping_priority,
@@ -1770,6 +1793,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # hybrid SQL), ivfpq_index_topk (md5-frozen quantizer+codebooks ->
     # build/append/ADC-serve vs a full re-encode SQL twin).  All three
     # rotated queries keep their original oracles in
+    # tests/test_rotated_relational.py.
+    # Round 12 rotated bm25_topk (inline corpus-scan BM25: its
+    # tokenizer (_bm25_doc_tables) and scorer (_score_postings) are
+    # the SAME functions gated inside bm25_index_topk, whose oracle is
+    # the identical full-corpus SQL; the hybrid gates fuse it again)
+    # for substr_dedup — the last major dedup family without a
+    # CORRECTNESS row (exact/minhash/semantic/incremental-index were
+    # already gated).  bm25_topk keeps its original oracle in
     # tests/test_rotated_relational.py.
 
 
@@ -2675,38 +2706,40 @@ FROM documents d
 LEFT JOIN uagg u USING (doc_id)
 LEFT JOIN bagg b USING (doc_id)
 """,
-        "bm25_topk": f"""
-WITH tk AS (
-  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
-  FROM documents WHERE length(trim(text)) > 0
-),
-lens AS (
+        "substr_dedup": """
+WITH h AS (
   SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
-           AS len_d
+    CASE WHEN length(text) < 24
+      THEN [CAST(CONCAT('0x', substr(md5(text), 1, 8)) AS BIGINT)]
+      ELSE list_transform(range(1, length(text) - 24 + 2),
+           i -> CAST(CONCAT('0x', substr(md5(substr(text, i, 24)), 1, 8))
+                AS BIGINT))
+    END AS hs
   FROM documents
-),
-stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
-tf AS (
-  SELECT doc_id, term, count(*) AS tf FROM tk
-  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
-),
-dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
-scored AS (
-  SELECT tf.doc_id,
-         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
-                 / (dfreq.df_t + 0.5) + 1.0)
-              * tf.tf * (1.2 + 1)
-              / (tf.tf + 1.2 * (1 - 0.75
-                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
-  FROM tf
-  JOIN dfreq USING (term)
-  JOIN lens USING (doc_id)
-  CROSS JOIN stats
-  GROUP BY 1
+), sel AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, greatest(len(hs) - 10, 0) + 2),
+      j -> {'pos': j - 2 + list_position(hs[j:j+9], list_min(hs[j:j+9])),
+            'fp': list_min(hs[j:j+9])})) AS s
+  FROM h
+), fps AS (
+  SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+), dup AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+), per_doc AS (
+  SELECT f.doc_id,
+         COUNT(*) AS n_fps,
+         SUM(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM fps f LEFT JOIN dup d ON f.fp = d.fp
+  GROUP BY f.doc_id
 )
-SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+SELECT doc.doc_id,
+       CAST(COALESCE(p.n_fps, 0) AS BIGINT) AS n_fps,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_fps,
+       CASE WHEN COALESCE(p.n_fps, 0) > 0
+            THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_fps AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM documents doc LEFT JOIN per_doc p ON doc.doc_id = p.doc_id
 """,
         "json_props": """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -78,6 +78,10 @@ def main() -> None:
     # headlines timed, so headline_total stays comparable), and the
     # portable gated query is timed separately in extra_queries.
     queries["minhash_lsh_fast"] = entry_mod.q_minhash_fast
+    # rotated out of the 50-slot gate in r12 (the inline BM25 math is
+    # gated inside bm25_index_topk) but kept as a bench slot so the
+    # series stays comparable across rounds
+    queries["bm25_topk"] = entry_mod.q_bm25_topk
     # Headline subset: the core temporal operators + the heaviest
     # training-data ops. Everything else still runs under selfcheck.
     headline = [

@@ -468,12 +468,23 @@ def _bm25_next_epoch(path: str, fs: StoreFS, committed: list[int]) -> int:
 
 
 def _bm25_doc_tables(
-    df: DataFrame, id_col: str, text_col: str, n_term_buckets: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_term_buckets: int,
+    stopwords: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """(postings, slice-stats) for a batch of documents — the one
     tokenize/aggregate pass per document the index ever pays.  Stats
     are kept as EXACT longs (n_docs, total_len) so per-epoch rows sum
-    to the corpus totals and avg_len never drifts across appends."""
+    to the corpus totals and avg_len never drifts across appends.
+
+    ``stopwords`` drop their POSTINGS only: ``len_d`` still counts
+    every token, so n_docs/avg_len/len_d — and therefore the score of
+    every non-stopword term — are BIT-IDENTICAL to an index built
+    without the stopword list (pinned by tests).  Dropping the tokens
+    from len_d too would be a different scoring model, not a storage
+    optimization."""
     from feast_spark.operators.docdedup import widen_parallelism
 
     feat = widen_parallelism(df).select(
@@ -481,8 +492,11 @@ def _bm25_doc_tables(
         F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
     )
+    exploded = feat.select(id_col, "len_d", F.explode("__toks").alias("term"))
+    if stopwords:
+        exploded = exploded.filter(~F.col("term").isin(*stopwords))
     posting = (
-        feat.select(id_col, "len_d", F.explode("__toks").alias("term"))
+        exploded
         .groupBy("term", id_col)
         .agg(
             F.count(F.lit(1)).alias("tf"),
@@ -515,6 +529,7 @@ def build_bm25_index(
     text_col: str = "text",
     n_term_buckets: int = 64,
     fs: StoreFS | None = None,
+    stopwords: list[str] | None = None,
 ) -> None:
     """Tokenize the corpus ONCE and commit epoch 0 of the postings +
     stats tables (stage dirs, then one atomic manifest flip; see module
@@ -526,9 +541,23 @@ def build_bm25_index(
     ``n_term_buckets`` bounds how much a query over t terms must list:
     t bucket directories per epoch.  Size it so a bucket's postings fit
     a scan task comfortably (buckets are md5-uniform over terms; heavy
-    terms skew bucket BYTES, which parquet splitting re-balances)."""
+    terms skew bucket BYTES, which parquet splitting re-balances).
+
+    ``stopwords``: terms whose postings are NOT stored (normalized
+    like the corpus: lowercased, deduped).  One hot term's postings
+    skew its bucket and every query hashing there pays the read; more
+    buckets cannot split a single term, so the fix is to stop storing
+    it (the advisor recommends this list — ``index_advise``'s
+    hot-term branch).  Doc LENGTHS still count stopword tokens, so
+    every non-stopword score is bit-identical to an unfiltered index;
+    queries on a stopword score it as absent-everywhere (postings
+    gone), matching "treat it as a stopword upstream".  The list is
+    committed in the manifest; appends apply it automatically."""
     fs = fs or LocalFS()
-    posting, stats = _bm25_doc_tables(df, id_col, text_col, n_term_buckets)
+    stop = tuple(sorted({t.lower() for t in (stopwords or []) if t}))
+    posting, stats = _bm25_doc_tables(
+        df, id_col, text_col, n_term_buckets, stop
+    )
     if posting.limit(1).count() == 0:
         # a zero-row partitioned write emits no parquet part files, so
         # every later read of the epoch would fail schema inference —
@@ -552,6 +581,7 @@ def build_bm25_index(
             "n_term_buckets": n_term_buckets,
             "id_col": id_col,
             "text_col": text_col,
+            "stopwords": list(stop),
         },
     )
 
@@ -583,6 +613,7 @@ def bm25_index_append(
         manifest["id_col"],
         manifest["text_col"],
         manifest["n_term_buckets"],
+        tuple(manifest.get("stopwords", [])),
     )
     if posting.limit(1).count() == 0:
         return  # nothing to fold in: empty slice or all-blank texts
@@ -671,6 +702,15 @@ def _index_postings(
     epochs = manifest["epochs"]
     if (terms is None) == (terms_df is None):
         raise ValueError("pass exactly one of terms / terms_df")
+    # the index stores no postings for its committed stopwords — drop
+    # them from the term set up front so their (hot) buckets are never
+    # listed or scanned; an all-stopword query reads nothing and
+    # scores no documents, which is exactly what the stored index says
+    stop = manifest.get("stopwords", [])
+    if stop and terms is not None:
+        terms = [t for t in terms if t not in set(stop)]
+    elif stop:
+        terms_df = terms_df.filter(~F.col("term").isin(*stop))
     if terms is not None:
         buckets = sorted({term_bucket(t, n_buckets) for t in terms})
     else:
@@ -685,10 +725,16 @@ def _index_postings(
     postings = (
         spark.read.option("basePath", posixpath.join(path, "postings"))
         .parquet(*epochs_io.epoch_paths(path, "postings", epochs))
-        .filter(F.col("bucket").isin(buckets))
+        .filter(
+            F.col("bucket").isin(buckets) if buckets else F.lit(False)
+        )
     )
     if terms is not None:
-        postings = postings.filter(F.col("term").isin(terms))
+        postings = (
+            postings.filter(F.col("term").isin(terms))
+            if terms
+            else postings
+        )
     else:
         # NO broadcast hint: a forced broadcast would pull the whole
         # vocabulary back through the driver — the bound this path
@@ -754,7 +800,11 @@ def bm25_index_topk(
     ranking to ``bm25_topk`` on the indexed corpus (pinned by tests),
     but the per-query cost is O(query-term postings) instead of a
     corpus scan.  df_t comes from the loaded postings themselves, so
-    no separate doc-frequency table can drift out of sync."""
+    no separate doc-frequency table can drift out of sync.  Query
+    terms on the index's committed stopword list are dropped before
+    any bucket is listed (their postings were never stored); a query
+    of ONLY stopwords returns an empty top-k — "no documents match" is
+    what the stored index says — rather than raising."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     terms = sorted({t.lower() for t in query if t})

@@ -151,6 +151,8 @@ def index_advise(
                 }
             )
     elif kind == "bm25":
+        import posixpath
+
         from feast_spark.operators.bm25 import bm25_index_stats
 
         row = (
@@ -159,6 +161,8 @@ def index_advise(
                 F.max("skew_ratio").alias("skew"),
                 F.max("total_postings").alias("total"),
                 F.max("n_docs").alias("n_docs"),
+                F.max_by("bucket", "n_postings").alias("hot_bucket"),
+                F.max("n_postings").alias("hot_n"),
             )
             .collect()[0]
         )
@@ -189,20 +193,64 @@ def index_advise(
                 }
             )
         if skew > skew_bound:
-            advice.append(
-                {
-                    "action": "rebuild",
-                    "param": "n_term_buckets",
-                    "recommended": _next_pow2(n_buckets * 2),
-                    "reason": (
-                        f"bucket skew {skew:.1f} (max/mean) > {skew_bound}: "
-                        "more buckets dilute HASH-collision skew; if one "
-                        "hot TERM dominates, rebuilding cannot split it — "
-                        "treat it as a stopword upstream instead"
-                    ),
-                }
+            # profile the hottest bucket (one partition-pruned read,
+            # one-row result): hash-collision skew dilutes with more
+            # buckets, but a single hot TERM cannot be split — the
+            # mechanical fix is to stop storing its postings
+            # (build_bm25_index stopwords=; doc lengths keep counting
+            # it, so every other term's score is bit-identical)
+            top = (
+                spark.read.option(
+                    "basePath", posixpath.join(path, "postings")
+                )
+                .parquet(
+                    *epochs_io.epoch_paths(
+                        path, "postings", manifest["epochs"]
+                    )
+                )
+                .filter(F.col("bucket") == int(row["hot_bucket"]))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), F.col("term").asc())
+                .first()
             )
+            hot_n = int(row["hot_n"] or 0)
+            if top is not None and hot_n and top["n"] >= 0.5 * hot_n:
+                advice.append(
+                    {
+                        "action": "rebuild",
+                        "param": "stopwords",
+                        "recommended": sorted(
+                            set(manifest.get("stopwords", []))
+                            | {top["term"]}
+                        ),
+                        "reason": (
+                            f"bucket skew {skew:.1f} (max/mean) > "
+                            f"{skew_bound} and one term ({top['term']!r}, "
+                            f"{top['n']} of the hot bucket's {hot_n} "
+                            "postings) dominates: more buckets cannot "
+                            "split a single term — rebuild with it on "
+                            "the stopword list (non-stopword scores are "
+                            "unchanged by contract)"
+                        ),
+                    }
+                )
+            else:
+                advice.append(
+                    {
+                        "action": "rebuild",
+                        "param": "n_term_buckets",
+                        "recommended": _next_pow2(n_buckets * 2),
+                        "reason": (
+                            f"bucket skew {skew:.1f} (max/mean) > "
+                            f"{skew_bound} with no dominant term: "
+                            "hash-collision skew — more buckets dilute it"
+                        ),
+                    }
+                )
     elif kind == "minhash":
+        import posixpath
+
         from feast_spark.operators.minhash_index import minhash_index_stats
 
         row = (
@@ -220,19 +268,62 @@ def index_advise(
         }
         # the query-time hot-bucket cap (default 1000) silently drops
         # over-cap buckets from candidate generation — an index whose
-        # hottest bucket approaches it is accumulating boilerplate
+        # hottest bucket approaches it needs a diagnosis: WHICH profile?
         if max_bucket > hot_bucket_bound:
-            advice.append(
-                {
-                    "action": "investigate",
-                    "reason": (
-                        f"hottest LSH bucket holds {max_bucket} docs > the "
-                        f"query-time cap ({hot_bucket_bound}): "
-                        "near-identical boilerplate is accumulating; dedup "
-                        "it out or raise max_bucket_size consciously"
-                    ),
-                }
+            params = manifest.get("params", {})
+            bands = int(params.get("bands", 0) or 0)
+            # one more aggregate, one row: how many buckets are even
+            # mid-size?  A single boilerplate cluster of near-identical
+            # docs lands in at most `bands` buckets (one per band);
+            # hot-ish buckets across MANY distinct signatures mean the
+            # banding itself is too coarse (the (1/b)^(1/r) similarity
+            # threshold sits too low) and weakly-similar docs collide —
+            # which a rebuild with fewer, wider bands fixes.
+            mid = max(2, hot_bucket_bound // 10)
+            n_mid = (
+                spark.read.option(
+                    "basePath", posixpath.join(path, "bands")
+                )
+                .parquet(
+                    *epochs_io.epoch_paths(path, "bands", manifest["epochs"])
+                )
+                .groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("sz"))
+                .filter(F.col("sz") >= mid)
+                .count()
             )
+            health["n_buckets_over_tenth_cap"] = int(n_mid)
+            if bands and n_mid > 4 * bands:
+                advice.append(
+                    {
+                        "action": "rebuild",
+                        "param": "bands",
+                        "recommended": max(1, bands // 2),
+                        "reason": (
+                            f"hottest LSH bucket holds {max_bucket} docs > "
+                            f"the query-time cap ({hot_bucket_bound}) and "
+                            f"{n_mid} buckets exceed a tenth of it — far "
+                            f"more than the {bands} a boilerplate cluster "
+                            "could fill: the banding is too coarse; "
+                            "rebuild with half the bands (wider rows per "
+                            "band raises the (1/b)^(1/r) similarity "
+                            "threshold)"
+                        ),
+                    }
+                )
+            else:
+                advice.append(
+                    {
+                        "action": "investigate",
+                        "reason": (
+                            f"hottest LSH bucket holds {max_bucket} docs > "
+                            f"the query-time cap ({hot_bucket_bound}) in a "
+                            "handful of buckets: near-identical "
+                            "boilerplate is accumulating; dedup it out or "
+                            "raise max_bucket_size consciously"
+                        ),
+                    }
+                )
     else:
         raise ValueError(f"no advisor for index kind {kind!r} at {path}")
     return {

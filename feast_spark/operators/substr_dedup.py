@@ -50,24 +50,22 @@ __all__ = [
 ]
 
 
-def _selected_fingerprints(
-    text: Column, k: int, w: int, portable: bool = False
-) -> Column:
-    """array<struct<pos:int, fp:long>> of winnowing-selected char
-    k-gram fingerprints (pos is 0-based; ties pick the leftmost min —
-    any deterministic rule preserves the identical-content guarantee).
+def _kgram_hashes(text: Column, k: int, portable: bool = False) -> Column:
+    """array<long> of char k-gram hashes (one per position; a doc
+    shorter than k hashes its whole text once).
 
     ``portable`` swaps xxhash64 for the md5-prefix 32-bit hash every
     other portable mode uses — bit-identical in any engine with md5,
     so a DuckDB oracle can replay the whole selection
-    (tests/test_substr_dedup.py's differential test)."""
+    (tests/test_substr_dedup.py's differential test and the driver
+    gate's substr_dedup oracle)."""
     if portable:
         def _h(c):
             return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
     else:
         _h = F.xxhash64
     n = F.length(text)
-    hashes = F.when(
+    return F.when(
         n < k, F.array(_h(text))
     ).otherwise(
         F.transform(
@@ -75,22 +73,48 @@ def _selected_fingerprints(
             lambda i: _h(text.substr(i + 1, F.lit(k))),
         )
     )
+
+
+def _winnow(hashes: Column, w: int) -> Column:
+    """array<struct<pos:int, fp:long>> of winnowing-selected
+    fingerprints over a MATERIALIZED hash-array column (pos is
+    0-based; ties pick the leftmost min — any deterministic rule
+    preserves the identical-content guarantee).
+
+    ``hashes`` must be a column reference, not an inline expression:
+    higher-order-function lambdas are evaluated interpreted, outside
+    whole-stage codegen's subexpression elimination, so an inlined
+    hash expression would be RE-HASHED once per window reference —
+    O(len * w * len) k-gram hashes per document instead of O(len).
+    Each window folds its slice exactly once (min + leftmost argmin
+    in one ``aggregate`` pass), keeping the whole selection at
+    O(len * w) cheap long ops per document."""
     m = F.size(hashes)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(m - w, F.lit(0))),
-            lambda j: F.struct(
-                (
-                    j
-                    + F.array_position(
-                        F.slice(hashes, j + 1, w),
-                        F.array_min(F.slice(hashes, j + 1, w)),
-                    )
-                    - 1
-                )
-                .cast("int")
-                .alias("pos"),
-                F.array_min(F.slice(hashes, j + 1, w)).alias("fp"),
+            lambda j: F.aggregate(
+                F.slice(hashes, j + 1, w),
+                F.struct(
+                    F.lit(None).cast("long").alias("fp"),
+                    F.lit(-1).alias("rel"),
+                    F.lit(0).alias("i"),
+                ),
+                lambda acc, x: F.struct(
+                    F.when(acc["rel"] < 0, x)
+                    .when(x < acc["fp"], x)
+                    .otherwise(acc["fp"])
+                    .alias("fp"),
+                    F.when(acc["rel"] < 0, acc["i"])
+                    .when(x < acc["fp"], acc["i"])
+                    .otherwise(acc["rel"])
+                    .alias("rel"),
+                    (acc["i"] + F.lit(1)).alias("i"),
+                ),
+                lambda acc: F.struct(
+                    (j + acc["rel"]).cast("int").alias("pos"),
+                    acc["fp"].alias("fp"),
+                ),
             ),
         )
     )
@@ -108,13 +132,17 @@ def with_substring_fingerprints(
     shared substrate of detection and removal.  Docs shorter than k
     chars contribute their whole text as one fingerprint at pos 0
     (exact-match-only semantics for tiny docs, like the shingle
-    guard)."""
+    guard).  The k-gram hash array is materialized as its own column
+    before the window scan — see ``_winnow`` for why inlining it is
+    quadratic."""
     return (
         df.select(
             F.col(id_col),
-            F.explode(
-                _selected_fingerprints(F.col(text_col), k, window, portable)
-            ).alias("__s"),
+            _kgram_hashes(F.col(text_col), k, portable).alias("__hs"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(_winnow(F.col("__hs"), window)).alias("__s"),
         )
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
     )
@@ -136,12 +164,19 @@ def duplicate_substring_stats(
     k: int = 20,
     window: int = 30,
     min_dup_docs: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-doc duplication profile: ``n_fps`` selected fingerprints,
     ``n_dup_fps`` of them shared with >= min_dup_docs - 1 other docs,
     and ``dup_frac`` — the filter-mode signal ('drop docs that are
-    mostly duplicated text' without editing any document)."""
-    fps = with_substring_fingerprints(df, id_col, text_col, k, window)
+    mostly duplicated text' without editing any document).
+    ``portable`` swaps the fingerprint hash for the md5-prefix form so
+    an external SQL engine can replay the whole profile (the driver
+    hash gate's oracle does; xxhash64 default for production — faster,
+    same selection guarantees)."""
+    fps = with_substring_fingerprints(
+        df, id_col, text_col, k, window, portable
+    )
     dup = _dup_fps(fps, id_col, min_dup_docs)
     marked = fps.join(dup.withColumn("__d", F.lit(1)), "fp", "left")
     per_doc = marked.groupBy(id_col).agg(

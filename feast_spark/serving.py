@@ -36,7 +36,7 @@ from datetime import date, datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
-__all__ = ["OnlineServingServer", "serve_online"]
+__all__ = ["OnlineServingServer", "serve_online", "HybridQueryCoalescer"]
 
 
 def _json_default(o: Any):
@@ -158,3 +158,148 @@ def serve_online(store, host: str = "127.0.0.1", port: int = 6566):
         server._httpd.serve_forever()
     finally:
         server.stop()
+
+
+class HybridQueryCoalescer:
+    """Accumulate-then-batch retrieval serving for the all-index hybrid
+    stack — the measured batch amortization exposed as a per-request
+    API.
+
+    The serving-floor decomposition (tools/serving_floor.py, SCALE.md)
+    shows a single ``hybrid_index_topk`` call pays per-CALL Spark stage
+    scheduling (~1.6 s locally) while ONE ``hybrid_index_topk_batch``
+    call over the same queries pays it once (~0.17 s/query at 20
+    queries).  A serving tier therefore wants to answer per-request but
+    EXECUTE per-batch: concurrent :meth:`query` calls park until either
+    ``max_batch`` requests are waiting or ``max_wait_ms`` has passed
+    since the batch's first arrival, one batch call serves them all,
+    and each caller gets back exactly the rows a single
+    ``hybrid_index_topk`` call would have returned (the batch/single
+    identity is pytest-pinned in test_bm25.py; the coalescer identity
+    is pinned in test_serving.py).
+
+    Latency contract: an isolated request waits at most ``max_wait_ms``
+    extra; under load the wait amortizes to ~0 because the batch fills
+    before the timer.  A failed batch call (e.g. the corpus-alignment
+    check tripping, operators/paired_index.py) re-raises IN EVERY
+    parked caller — one poisoned query poisons its batch, which is the
+    honest outcome when the failure is index-level, and per-query
+    failures do not exist below the fused call.
+
+    Thread-safe; Spark is only touched from the dispatcher thread.
+    Close (or use as a context manager) to drain and stop."""
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        vec_index_path: str,
+        k: int = 10,
+        fetch_k: int = 50,
+        rrf_k: int = 60,
+        n_probe: int = 4,
+        vec_index_kind: str = "auto",
+        on_corpus_mismatch: str = "fail",
+        max_batch: int = 32,
+        max_wait_ms: float = 25.0,
+        fs=None,
+    ):
+        self._spark = spark
+        self._kw = dict(
+            k=k, fetch_k=fetch_k, rrf_k=rrf_k, n_probe=n_probe,
+            vec_index_kind=vec_index_kind,
+            on_corpus_mismatch=on_corpus_mismatch, fs=fs,
+        )
+        self._index_path = index_path
+        self._vec_index_path = vec_index_path
+        self._max_batch = max_batch
+        self._max_wait = max_wait_ms / 1000.0
+        self._lock = threading.Lock()
+        self._arrived = threading.Condition(self._lock)
+        self._pending: list[dict] = []
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, name="hybrid-coalescer", daemon=True
+        )
+        self._thread.start()
+
+    def query(self, terms: list[str], qvec: list[float]) -> list[tuple]:
+        """Block until the coalesced batch containing this request is
+        served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
+        order — the same rows as a hybrid_index_topk call."""
+        req = {"terms": terms, "qvec": qvec, "done": threading.Event(),
+               "rows": None, "err": None}
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("coalescer is closed")
+            self._pending.append(req)
+            self._arrived.notify()
+        req["done"].wait()
+        if req["err"] is not None:
+            raise req["err"]
+        return req["rows"]
+
+    def _dispatch_loop(self) -> None:
+        import time
+
+        while True:
+            with self._lock:
+                while not self._pending and not self._closed:
+                    self._arrived.wait()
+                if self._closed and not self._pending:
+                    return
+                deadline = time.monotonic() + self._max_wait
+                while (
+                    len(self._pending) < self._max_batch
+                    and not self._closed
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._arrived.wait(timeout=remaining)
+                batch = self._pending[: self._max_batch]
+                del self._pending[: len(batch)]
+            self._serve(batch)
+
+    def _serve(self, batch: list[dict]) -> None:
+        from feast_spark.operators.bm25 import hybrid_index_topk_batch
+
+        try:
+            qdf = self._spark.createDataFrame(
+                [
+                    (i, r["terms"], [float(x) for x in r["qvec"]])
+                    for i, r in enumerate(batch)
+                ],
+                "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+            )
+            rows = hybrid_index_topk_batch(
+                self._spark, self._index_path, None, qdf,
+                vec_index_path=self._vec_index_path, **self._kw,
+            ).collect()
+            by_q: dict[int, list] = {i: [] for i in range(len(batch))}
+            for r in rows:
+                by_q[r["query_id"]].append(
+                    (r["rank"], (r["id"], r["lex_rank"], r["vec_rank"],
+                                 r["rrf"]))
+                )
+            for i, req in enumerate(batch):
+                req["rows"] = [t for _, t in sorted(by_q[i])]
+                req["done"].set()
+        except Exception as e:  # noqa: BLE001 — fan the failure out
+            for req in batch:
+                req["err"] = e
+                req["done"].set()
+
+    def close(self) -> None:
+        """Stop accepting requests, serve what's parked, join the
+        dispatcher."""
+        with self._lock:
+            self._closed = True
+            self._arrived.notify_all()
+        self._thread.join()
+
+    def __enter__(self) -> "HybridQueryCoalescer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -816,3 +816,54 @@ def test_hybrid_ivfpq_channel(spark, tmp_path):
             spark, lex_path, None, ["spark"], qvec,
             vec_index_path=vec_path, vec_index_kind="hnsw",
         )
+
+
+def test_stopword_index_keeps_other_scores_bit_identical(spark, tmp_path):
+    """stopwords= drops postings only — doc lengths still count the
+    stopword tokens, so every non-stopword query scores BIT-IDENTICAL
+    to an unfiltered index; the stopword itself scores as
+    absent-everywhere (empty top-k)."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    plain, stopped = str(tmp_path / "plain"), str(tmp_path / "stopped")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") < 150), plain, "doc_id", "text",
+        n_term_buckets=8,
+    )
+    build_bm25_index(
+        docs.filter(F.col("doc_id") < 150), stopped, "doc_id", "text",
+        n_term_buckets=8, stopwords=["the", "And", "of", ""],
+    )
+    # appends apply the committed list automatically
+    tail = docs.filter(F.col("doc_id") >= 150)
+    bm25_index_append(spark, plain, tail)
+    bm25_index_append(spark, stopped, tail)
+
+    q = ["spark", "merge", "window"]
+    a = [tuple(r) for r in bm25_index_topk(spark, plain, q, k=20).collect()]
+    b = [tuple(r) for r in bm25_index_topk(spark, stopped, q, k=20).collect()]
+    assert a == b  # bit-identical scores, not approximately
+
+    # a query CONTAINING a stopword scores like the query without it
+    # (the stopword contributes nothing — its postings don't exist)
+    with_stop = [
+        tuple(r)
+        for r in bm25_index_topk(spark, stopped, q + ["the"], k=20).collect()
+    ]
+    assert with_stop == b
+
+    # stopword postings truly absent from storage
+    from feast_spark.operators.bm25 import _index_postings
+
+    postings, _, _ = _index_postings(spark, stopped, ["the"])
+    assert postings.count() == 0
+
+    # an all-stopword query returns an empty top-k, not an error
+    assert bm25_index_topk(spark, stopped, ["the", "of"], k=5).count() == 0

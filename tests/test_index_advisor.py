@@ -114,8 +114,13 @@ def test_minhash_hot_bucket_flagged(spark, tmp_path):
     healthy = index_advise(spark, path)
     assert healthy["kind"] == "minhash"
     assert healthy["advice"] == []
+    # a bound of 1 is an artificial trigger: the diagnosis (which
+    # profile blew the bound) keys off bound/10, so with natural
+    # corpus dups either branch can fire — what matters is that a
+    # crossed bound always yields exactly one actionable row
     flagged = index_advise(spark, path, hot_bucket_bound=1)
-    assert [a["action"] for a in flagged["advice"]] == ["investigate"]
+    assert len(flagged["advice"]) == 1
+    assert flagged["advice"][0]["action"] in ("investigate", "rebuild")
 
 
 def test_maintain_applies_compact_and_vacuum(spark, emb, tmp_path):
@@ -281,3 +286,112 @@ def test_advise_legacy_stampless_ivf_manifest(spark, emb, tmp_path):
     report = index_advise(spark, path, target_cell_size=1024)
     assert report["kind"] == "ivf"
     assert report["health"]["n_cells"] == 8
+
+
+def test_bm25_hot_term_recommends_stopword(spark, tmp_path):
+    """Skew caused by ONE dominant term -> the advisor recommends a
+    concrete stopwords rebuild (more buckets cannot split a term), and
+    rebuilding with it drops the hot bucket's read while non-stopword
+    scores stay bit-identical (the build contract, pinned in
+    test_bm25.py)."""
+    from feast_spark.operators.bm25 import (
+        _index_postings,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    # one term in EVERY doc (bucket volume is posting ROWS = doc
+    # frequency, so the hot term must be the high-df one), unique
+    # tails spread thin across the other buckets
+    docs = spark.createDataFrame(
+        [(i, "boiler " * 5 + f"u{i}") for i in range(200)],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "hot")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    report = index_advise(spark, path, skew_bound=2.0)
+    recs = [a for a in report["advice"] if a.get("param") == "stopwords"]
+    assert recs, report["advice"]
+    assert recs[0]["recommended"] == ["boiler"]
+    assert "boiler" in recs[0]["reason"]
+
+    # applying the recommendation: hot term's postings gone, other
+    # scores identical
+    fixed = str(tmp_path / "fixed")
+    build_bm25_index(
+        docs, fixed, "doc_id", "text", n_term_buckets=16,
+        stopwords=recs[0]["recommended"],
+    )
+    before, _, _ = _index_postings(spark, path, ["boiler"])
+    after, _, _ = _index_postings(spark, fixed, ["boiler"])
+    assert before.count() == 200 and after.count() == 0
+    qa = [tuple(r) for r in bm25_index_topk(spark, path, ["u7", "u19"], k=10).collect()]
+    qb = [tuple(r) for r in bm25_index_topk(spark, fixed, ["u7", "u19"], k=10).collect()]
+    assert qa == qb
+
+
+def test_bm25_collision_skew_recommends_more_buckets(spark, tmp_path):
+    """Skew WITHOUT a dominant term (many distinct terms hashing into
+    the same bucket) keeps the n_term_buckets recommendation."""
+    from feast_spark.operators.bm25 import build_bm25_index
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(30)))
+            for i in range(40)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    path = str(tmp_path / "coll")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=16)
+    # every term appears once, so no term can dominate its bucket;
+    # skew_bound below 1x max/mean guarantees the branch runs
+    report = index_advise(spark, path, skew_bound=0.99)
+    recs = [a for a in report["advice"] if a["action"] == "rebuild"]
+    assert recs and recs[0]["param"] == "n_term_buckets"
+    assert recs[0]["recommended"] == 32
+
+
+def test_minhash_boilerplate_vs_coarse_banding_profiles(spark, tmp_path):
+    """The minhash branch now diagnoses WHICH profile blew the
+    hot-bucket bound: a single boilerplate cluster (few hot buckets,
+    at most one per band) -> investigate; hot-ish buckets across many
+    signatures -> a concrete bands rebuild."""
+    from feast_spark.operators.minhash_index import build_minhash_index
+
+    base = "the quick brown fox jumps over the lazy dog near the river "
+    # profile A: one cluster of 12 identical docs, rest unique
+    docs_a = spark.createDataFrame(
+        [(i, base * 3) for i in range(12)]
+        + [
+            (100 + i, f"doc{i} " + " ".join(f"t{i}a{j}" for j in range(20)))
+            for i in range(30)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pa = str(tmp_path / "boiler")
+    build_minhash_index(docs_a, pa, bands=4, num_hashes=16)
+    ra = index_advise(spark, pa, hot_bucket_bound=10)
+    acts = [a["action"] for a in ra["advice"]]
+    assert "investigate" in acts, ra["advice"]
+    assert not any(a.get("param") == "bands" for a in ra["advice"])
+
+    # profile B: the same cluster PLUS many near-dup pairs — hot-ish
+    # buckets across far more signatures than bands can explain
+    docs_b = spark.createDataFrame(
+        [(i, base * 3) for i in range(12)]
+        + [
+            (1000 + 2 * i + off,
+             f"pair{i} shared content block number {i} repeated tokens "
+             * 4 + f"tail{off}")
+            for i in range(60)
+            for off in (0, 1)
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pb = str(tmp_path / "coarse")
+    build_minhash_index(docs_b, pb, bands=4, num_hashes=16)
+    rb = index_advise(spark, pb, hot_bucket_bound=10)
+    recs = [a for a in rb["advice"] if a.get("param") == "bands"]
+    assert recs, rb["advice"]
+    assert recs[0]["recommended"] == 2

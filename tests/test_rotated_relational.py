@@ -287,6 +287,41 @@ FROM ranked WHERE rn = 1
     # oracle by design: the persisted-index path at n_probe=all must
     # land exactly where the corpus scan does
     "hybrid_rrf": entry_mod._hybrid_oracle(),
+    # rotated r12: inline corpus-scan BM25 (tokenizer + scorer are the
+    # same functions gated inside bm25_index_topk / the hybrid gates)
+    "bm25_topk": f"""
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lens AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
+           AS len_d
+  FROM documents
+),
+stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tk
+  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dfreq.df_t + 0.5)
+                 / (dfreq.df_t + 0.5) + 1.0)
+              * tf.tf * (1.2 + 1)
+              / (tf.tf + 1.2 * (1 - 0.75
+                  + 0.75 * lens.len_d / stats.avg_len)) ) AS bm25
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN lens USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+""",
 }
 
 _FUNCS = {
@@ -315,6 +350,7 @@ _FUNCS = {
     "pit_join_composite_key": entry_mod.q_pit_join_composite_key,
     "pit_join_list_feature": entry_mod.q_pit_join_list_feature,
     "hybrid_rrf": entry_mod.q_hybrid_rrf,
+    "bm25_topk": entry_mod.q_bm25_topk,
 }
 
 

@@ -132,3 +132,92 @@ def test_info_health_and_errors(store):
         )
         assert status == 200
         assert body["field_values"][0]["fields"]["value"] == pytest.approx(0.3)
+
+
+def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
+    """The request coalescer (serving.HybridQueryCoalescer): N
+    concurrent .query() calls are served by ONE batch call and each
+    caller receives exactly the single-call hybrid_index_topk rows;
+    a failed batch (corpus misalignment) re-raises in every caller."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import build_bm25_index, hybrid_index_topk
+    from feast_spark.operators.paired_index import ensure_meta
+    from feast_spark.operators.similarity import build_ivf_index
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.serving import HybridQueryCoalescer
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lex_path, vec_path = str(tmp_path / "bm25"), str(tmp_path / "ivf")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
+    build_ivf_index(emb, vec_path, n_centroids=4, iters=1)
+    dim = len(emb.select("embedding").first()[0])
+
+    def qvec(i):
+        return [float((j * 37 + i) % 19) / 19.0 for j in range(dim)]
+
+    terms = ["spark", "merge"]
+    n = 6
+    results: dict[int, list] = {}
+    with HybridQueryCoalescer(
+        spark, lex_path, vec_path, k=5, n_probe=4,
+        max_batch=n, max_wait_ms=3000.0,
+    ) as co:
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, co.query(terms, qvec(i))
+                )
+            )
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert set(results) == set(range(n))
+    for i in range(n):
+        single = hybrid_index_topk(
+            spark, lex_path, None, terms, qvec(i), k=5,
+            vec_index_path=vec_path, n_probe=4,
+        ).collect()
+        assert results[i] == [
+            (r["id"], r["lex_rank"], r["vec_rank"], r["rrf"]) for r in single
+        ], i
+
+    # poison the pair: diverged corpus tokens -> every caller sees the
+    # alignment failure (and closed coalescers refuse new work)
+    fs = LocalFS()
+    ensure_meta(lex_path, fs, {"corpus_epoch": 3})
+    ensure_meta(vec_path, fs, {"corpus_epoch": 2})
+    co2 = HybridQueryCoalescer(
+        spark, lex_path, vec_path, k=5, n_probe=4,
+        max_batch=2, max_wait_ms=50.0,
+    )
+    try:
+        errs = {}
+
+        def call(i):
+            try:
+                co2.query(terms, qvec(i))
+            except ValueError as e:
+                errs[i] = str(e)
+
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert set(errs) == {0, 1}
+        assert all("corpus-misaligned" in v for v in errs.values())
+    finally:
+        co2.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        co2.query(terms, qvec(0))

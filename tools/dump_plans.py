@@ -70,6 +70,11 @@ HEADLINE = [
     # hybrid_all_index entry; the gated ivfpq_index_topk's plan is the
     # entry above)
     "semdedup",
+    # round-12 gated addition (bm25_topk rotated out but kept via
+    # re-registration below; substr_dedup's plan is the no-Python
+    # winnowing evidence: fingerprint selection inside codegen, one
+    # fp-keyed exchange)
+    "substr_dedup",
 ]
 
 
@@ -156,6 +161,7 @@ def main() -> None:
     queries["topk_revenue"] = entry_mod.q_topk_revenue
     queries["rollup_revenue"] = entry_mod.q_rollup_revenue
     queries["hybrid_rrf"] = entry_mod.q_hybrid_rrf
+    queries["bm25_topk"] = entry_mod.q_bm25_topk
 
     def _dedup_against_index(spark, sf):
         import tempfile
