@@ -210,6 +210,19 @@ def hybrid_index_append(
         token = base + 1
         append_bm25, append_vec = True, True
     else:
+        if tb is None or tv is None:
+            # an unstamped side is UNKNOWN, not "one behind": e.g. a
+            # side rebuilt from the full corpus (rebuild drops the
+            # token) already CONTAINS the slice — resuming onto it
+            # would double-append.  A fresh append re-initializes an
+            # unstamped side safely; resume refuses to guess.
+            raise ValueError(
+                f"resume=True needs BOTH sides stamped (bm25 "
+                f"corpus_epoch={tb}, vector corpus_epoch={tv}): an "
+                "unstamped side's contents are unknown — if it was "
+                "rebuilt from the full corpus, append the NEXT slice "
+                "fresh instead"
+            )
         if abs(nb - nv) > 1:
             raise ValueError(
                 f"pair diverged by more than one paired append "

@@ -227,8 +227,10 @@ class HybridQueryCoalescer:
         """Block until the coalesced batch containing this request is
         served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
         order — the same rows as a hybrid_index_topk call."""
+        import time
+
         req = {"terms": terms, "qvec": qvec, "done": threading.Event(),
-               "rows": None, "err": None}
+               "rows": None, "err": None, "t": time.monotonic()}
         with self._lock:
             if self._closed:
                 raise RuntimeError("coalescer is closed")
@@ -248,7 +250,11 @@ class HybridQueryCoalescer:
                     self._arrived.wait()
                 if self._closed and not self._pending:
                     return
-                deadline = time.monotonic() + self._max_wait
+                # deadline from the batch head's ARRIVAL, not from when
+                # the dispatcher got around to looking: a request that
+                # parked while the previous batch was being served has
+                # already waited its share
+                deadline = self._pending[0]["t"] + self._max_wait
                 while (
                     len(self._pending) < self._max_batch
                     and not self._closed
@@ -265,9 +271,14 @@ class HybridQueryCoalescer:
         from feast_spark.operators.bm25 import hybrid_index_topk_batch
 
         try:
+            # query ids are NEGATIVE (-1, -2, ...) like the single
+            # call's query_vec_id=-1 default: the vector channels
+            # exclude neighbor_id == query_id (self-exclusion), so an
+            # id colliding with a corpus id would silently drop that
+            # document from its own query's candidates
             qdf = self._spark.createDataFrame(
                 [
-                    (i, r["terms"], [float(x) for x in r["qvec"]])
+                    (-(i + 1), r["terms"], [float(x) for x in r["qvec"]])
                     for i, r in enumerate(batch)
                 ],
                 "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
@@ -278,7 +289,7 @@ class HybridQueryCoalescer:
             ).collect()
             by_q: dict[int, list] = {i: [] for i in range(len(batch))}
             for r in rows:
-                by_q[r["query_id"]].append(
+                by_q[-r["query_id"] - 1].append(
                     (r["rank"], (r["id"], r["lex_rank"], r["vec_rank"],
                                  r["rrf"]))
                 )

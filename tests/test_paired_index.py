@@ -149,6 +149,25 @@ def test_resume_on_aligned_pair_raises(spark, tmp_path):
         )
 
 
+def test_resume_refuses_unstamped_side(spark, tmp_path):
+    """resume must not treat an UNSTAMPED side as 'one behind': a side
+    rebuilt from the full corpus (rebuild drops the token) already
+    contains the slice — resuming onto it would double-append (r12
+    review finding)."""
+    docs, emb, lex_path, vec_path = _build_pair(spark, tmp_path)
+    d1, e1 = _slice(docs, emb, 100, 130)
+    hybrid_index_append(spark, lex_path, vec_path, d1, e1)
+    build_ivf_index(  # rebuild over the full corpus: token dropped
+        emb.filter(F.col("vec_id") < 130), vec_path,
+        n_centroids=N_CENTROIDS, iters=1,
+    )
+    assert corpus_epoch(vec_path) is None
+    with pytest.raises(ValueError, match="BOTH sides stamped"):
+        hybrid_index_append(
+            spark, lex_path, vec_path, d1, e1, resume=True
+        )
+
+
 def test_vector_rebuild_drops_token_and_pair_reinitializes(spark, tmp_path):
     """A vector-side rebuild (the advisor's drift remedy) drops the
     corpus token by the carried-meta allowlist; the check exempts the

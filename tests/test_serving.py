@@ -158,10 +158,19 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
     lex_path, vec_path = str(tmp_path / "bm25"), str(tmp_path / "ivf")
     build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
     build_ivf_index(emb, vec_path, n_centroids=4, iters=1)
-    dim = len(emb.select("embedding").first()[0])
+
+    # query i's vector IS corpus embedding i, so doc i is query i's #1
+    # cosine neighbor: if the coalescer's internal query ids ever
+    # collide with corpus ids again, the self-exclusion filter drops
+    # doc i from query i's candidates and the identity below breaks
+    # deterministically (regression for the r12 review finding)
+    by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
 
     def qvec(i):
-        return [float((j * 37 + i) % 19) / 19.0 for j in range(dim)]
+        return by_id[i]
 
     terms = ["spark", "merge"]
     n = 6

@@ -149,6 +149,63 @@ def main() -> None:
         # always unpatch — an exception mid-loop must not leave the
         # module with the cache-bypassing lambda for the process
         model_cache.get_or_load = real_get_or_load
+
+    # the request coalescer (serving.HybridQueryCoalescer): the SAME
+    # n_queries issued as concurrent per-request .query() calls — the
+    # serving-tier shape — must land near the raw batch per-query
+    # floor, since it executes as one hybrid_index_topk_batch call
+    import threading
+
+    from feast_spark.serving import HybridQueryCoalescer
+
+    errs: list[BaseException] = []
+
+    def _call(co, i):
+        try:
+            co.query(terms, qvec(i))
+        except BaseException as e:  # noqa: BLE001 — fail the RUN, not a thread
+            errs.append(e)
+
+    with HybridQueryCoalescer(
+        spark, bm25_path, ivf_path, k=10, n_probe=8,
+        max_batch=n_queries, max_wait_ms=2000.0,
+    ) as co:
+        co.query(terms, qvec(0))  # untimed warmup
+        samples = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            threads = [
+                threading.Thread(target=_call, args=(co, i))
+                for i in range(1, n_queries + 1)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            samples.append(time.monotonic() - t0)
+        med = statistics.median(samples)
+    if errs:
+        # a swallowed per-thread failure would publish a per-query
+        # floor that never ran the queries
+        raise errs[0]
+    results[f"coalescer{n_queries}_median"] = round(med, 3)
+    results[f"coalescer{n_queries}_per_query"] = round(med / n_queries, 4)
+
+    # many-index serving: cycle 3 indexes' single-query shapes to pin
+    # that the control-plane cache (_MAX_ENTRIES=64 LRU) does not
+    # thrash back to the uncached floor when a tier serves several
+    # indexes at once (each index pins ~2-3 small entries)
+    model_cache.clear()
+    for name, fn in shapes.items():
+        fn(0).count()  # warm each shape once (codegen + cache fill)
+    samples = []
+    for i in range(1, n_queries + 1):
+        t0 = time.monotonic()
+        for name, fn in shapes.items():
+            fn(i).count()
+        samples.append(time.monotonic() - t0)
+    results["cycle3_median"] = round(statistics.median(samples), 3)
+    results["cycle3_cache"] = dict(model_cache.stats())
     print(
         json.dumps(
             {
