@@ -64,10 +64,22 @@ def _rows_to_field_values(result: dict) -> list[dict]:
 class OnlineServingServer:
     """Serve a :class:`~feast_spark.feature_store.FeatureStore`'s online
     features over HTTP on ``host:port`` (port 0 = ephemeral).  Use as a
-    context manager or call :meth:`start` / :meth:`stop`."""
+    context manager or call :meth:`start` / :meth:`stop`.
 
-    def __init__(self, store, host: str = "127.0.0.1", port: int = 0):
+    ``retrieval``: an optional :class:`HybridQueryCoalescer`; when set,
+    ``POST /hybrid-search`` ``{"terms": [...], "vector": [...]}``
+    answers hybrid lexical+vector retrieval — each HTTP handler thread
+    parks in the coalescer, so CONCURRENT requests are served by one
+    Spark batch call (the measured 15x per-call amortization reaches
+    the wire without the transport doing anything special).  The
+    coalescer's lifecycle belongs to the caller (it may be shared by
+    several transports); the server does not close it."""
+
+    def __init__(
+        self, store, host: str = "127.0.0.1", port: int = 0, retrieval=None
+    ):
         self.store = store
+        self.retrieval = retrieval
         self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
         self._thread: threading.Thread | None = None
 
@@ -78,6 +90,7 @@ class OnlineServingServer:
 
     def _handler_cls(self):
         store = self.store
+        server = self
 
         class Handler(BaseHTTPRequestHandler):
             # serving logs belong to the caller's logger, not stderr
@@ -109,6 +122,9 @@ class OnlineServingServer:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):  # noqa: N802
+                if self.path == "/hybrid-search":
+                    self._hybrid_search()
+                    return
                 if self.path != "/get-online-features":
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
@@ -126,6 +142,43 @@ class OnlineServingServer:
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
                 except Exception as e:  # store-side failure
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+
+            def _hybrid_search(self):
+                if server.retrieval is None:
+                    self._send(
+                        404,
+                        {"error": "no retrieval coalescer configured "
+                                  "(pass retrieval= to the server)"},
+                    )
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(length) or b"{}")
+                    terms = req["terms"]
+                    vector = req["vector"]
+                    if not isinstance(terms, list) or not terms:
+                        raise ValueError("terms must be a non-empty list")
+                    if not isinstance(vector, list) or not vector:
+                        raise ValueError("vector must be a non-empty list")
+                    rows = server.retrieval.query(terms, vector)
+                    self._send(
+                        200,
+                        {
+                            "results": [
+                                {
+                                    "id": rid,
+                                    "lex_rank": lr,
+                                    "vec_rank": vr,
+                                    "rrf": rrf,
+                                }
+                                for rid, lr, vr, rrf in rows
+                            ]
+                        },
+                    )
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+                except Exception as e:  # index-side failure
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         return Handler

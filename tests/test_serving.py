@@ -230,3 +230,79 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
         co2.close()
     with pytest.raises(RuntimeError, match="closed"):
         co2.query(terms, qvec(0))
+
+
+def test_hybrid_search_endpoint_coalesces_http_requests(
+    spark, store, tmp_path
+):
+    """POST /hybrid-search: concurrent HTTP requests park in the
+    coalescer and come back with single-call-identical rows; a server
+    without a coalescer 404s the path; bad payloads 400."""
+    import threading
+    import urllib.error
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import build_bm25_index, hybrid_index_topk
+    from feast_spark.operators.similarity import build_ivf_index
+    from feast_spark.serving import HybridQueryCoalescer
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lex_path, vec_path = str(tmp_path / "bm25s"), str(tmp_path / "ivfs")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
+    build_ivf_index(emb, vec_path, n_centroids=4, iters=1)
+    dim = len(emb.select("embedding").first()[0])
+
+    def qvec(i):
+        return [float((j * 37 + i) % 19) / 19.0 for j in range(dim)]
+
+    terms = ["spark", "merge"]
+    n = 4
+    with HybridQueryCoalescer(
+        spark, lex_path, vec_path, k=5, n_probe=4,
+        max_batch=n, max_wait_ms=3000.0,
+    ) as co, OnlineServingServer(store, retrieval=co) as srv:
+        results = {}
+
+        def call(i):
+            results[i] = _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": terms, "vector": qvec(i)},
+            )
+
+        threads = [
+            threading.Thread(target=call, args=(i,)) for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(n):
+            status, body = results[i]
+            assert status == 200
+            single = hybrid_index_topk(
+                spark, lex_path, None, terms, qvec(i), k=5,
+                vec_index_path=vec_path, n_probe=4,
+            ).collect()
+            assert body["results"] == [
+                {"id": r["id"], "lex_rank": r["lex_rank"],
+                 "vec_rank": r["vec_rank"], "rrf": r["rrf"]}
+                for r in single
+            ], i
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{srv.address}/hybrid-search", {"terms": [], "vector": [1.0]})
+        assert ei.value.code == 400
+
+    with OnlineServingServer(store) as srv:  # no retrieval configured
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": ["x"], "vector": [1.0]},
+            )
+        assert ei.value.code == 404
