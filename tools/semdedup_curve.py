@@ -49,6 +49,12 @@ def main() -> None:
         for s in os.environ.get("SPARK_GRAFT_SCALES", "1,3,10,30").split(",")
     ]
     runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "2"))
+    # which columns to time: at x100 the full recompute re-clusters a
+    # 500k-vector corpus (many minutes) — the incremental column can be
+    # extended alone once the recompute trend is established
+    ops = os.environ.get(
+        "SPARK_GRAFT_OPS", "incremental,full_recompute"
+    ).split(",")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     root = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
@@ -95,6 +101,8 @@ def main() -> None:
                 lambda: semantic_dedup_pairs(emb, threshold=THRESHOLD),
             ),
         ):
+            if label not in ops:
+                continue
             samples = []
             for _ in range(runs):
                 t0 = time.monotonic()
