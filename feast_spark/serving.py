@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 from datetime import date, datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
@@ -152,6 +153,11 @@ class OnlineServingServer:
                                   "(pass retrieval= to the server)"},
                     )
                     return
+                # parse + validate FULLY before touching the coalescer:
+                # a malformed element slipping into the shared batch
+                # would fail every concurrent request parked with it,
+                # and an index-side failure must surface as 500, not as
+                # the client's fault
                 try:
                     length = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(length) or b"{}")
@@ -159,27 +165,34 @@ class OnlineServingServer:
                     vector = req["vector"]
                     if not isinstance(terms, list) or not terms:
                         raise ValueError("terms must be a non-empty list")
+                    terms = [str(t) for t in terms]
                     if not isinstance(vector, list) or not vector:
                         raise ValueError("vector must be a non-empty list")
-                    rows = server.retrieval.query(terms, vector)
-                    self._send(
-                        200,
-                        {
-                            "results": [
-                                {
-                                    "id": rid,
-                                    "lex_rank": lr,
-                                    "vec_rank": vr,
-                                    "rrf": rrf,
-                                }
-                                for rid, lr, vr, rrf in rows
-                            ]
-                        },
-                    )
+                    vector = [float(x) for x in vector]
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
-                except Exception as e:  # index-side failure
+                    return
+                try:
+                    rows = server.retrieval.query(terms, vector)
+                except Exception as e:  # index-side failure (e.g. the
+                    # corpus-alignment check tripping) — a server
+                    # problem, visible to 5xx monitoring
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._send(
+                    200,
+                    {
+                        "results": [
+                            {
+                                "id": rid,
+                                "lex_rank": lr,
+                                "vec_rank": vr,
+                                "rrf": rrf,
+                            }
+                            for rid, lr, vr, rrf in rows
+                        ]
+                    },
+                )
 
         return Handler
 
@@ -280,8 +293,6 @@ class HybridQueryCoalescer:
         """Block until the coalesced batch containing this request is
         served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
         order — the same rows as a hybrid_index_topk call."""
-        import time
-
         req = {"terms": terms, "qvec": qvec, "done": threading.Event(),
                "rows": None, "err": None, "t": time.monotonic()}
         with self._lock:
@@ -295,8 +306,6 @@ class HybridQueryCoalescer:
         return req["rows"]
 
     def _dispatch_loop(self) -> None:
-        import time
-
         while True:
             with self._lock:
                 while not self._pending and not self._closed:

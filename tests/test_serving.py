@@ -299,6 +299,46 @@ def test_hybrid_search_endpoint_coalesces_http_requests(
             _post(f"{srv.address}/hybrid-search", {"terms": [], "vector": [1.0]})
         assert ei.value.code == 400
 
+        # a malformed ELEMENT is rejected in the handler (400) and
+        # never reaches the shared batch — a valid concurrent request
+        # in the same window must still succeed (r12 review finding)
+        ok = {}
+
+        def good():
+            ok["r"] = _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": terms, "vector": qvec(1)},
+            )
+
+        t = threading.Thread(target=good)
+        t.start()
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": terms, "vector": ["oops"] + qvec(2)[1:]},
+            )
+        t.join()
+        assert ei.value.code == 400
+        assert ok["r"][0] == 200
+
+    # index-side failure (diverged pair) -> 500, not the client's fault
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.paired_index import ensure_meta
+
+    fs = LocalFS()
+    ensure_meta(lex_path, fs, {"corpus_epoch": 9})
+    ensure_meta(vec_path, fs, {"corpus_epoch": 8})
+    with HybridQueryCoalescer(
+        spark, lex_path, vec_path, k=5, n_probe=4,
+        max_batch=1, max_wait_ms=10.0,
+    ) as co5, OnlineServingServer(store, retrieval=co5) as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": terms, "vector": qvec(0)},
+            )
+        assert ei.value.code == 500
+
     with OnlineServingServer(store) as srv:  # no retrieval configured
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(

@@ -52,9 +52,21 @@ def main() -> None:
     # which columns to time: at x100 the full recompute re-clusters a
     # 500k-vector corpus (many minutes) — the incremental column can be
     # extended alone once the recompute trend is established
-    ops = os.environ.get(
-        "SPARK_GRAFT_OPS", "incremental,full_recompute"
-    ).split(",")
+    ops = [
+        t.strip()
+        for t in os.environ.get(
+            "SPARK_GRAFT_OPS", "incremental,full_recompute"
+        ).split(",")
+        if t.strip()
+    ]
+    unknown = set(ops) - {"incremental", "full_recompute"}
+    if unknown or not ops:
+        # a typo'd label would silently time NOTHING after paying the
+        # full corpus-generation + index-build cost at every scale
+        raise SystemExit(
+            f"SPARK_GRAFT_OPS must name incremental/full_recompute, "
+            f"got {sorted(unknown) or ops}"
+        )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     root = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",

@@ -149,6 +149,9 @@ def main() -> None:
         # always unpatch — an exception mid-loop must not leave the
         # module with the cache-bypassing lambda for the process
         model_cache.get_or_load = real_get_or_load
+    # the historical top-level cache_stats field describes the CACHED
+    # measurement loop — snapshot before later phases reset the counters
+    cached_loop_stats = dict(model_cache.stats())
 
     # the request coalescer (serving.HybridQueryCoalescer): the SAME
     # n_queries issued as concurrent per-request .query() calls — the
@@ -212,7 +215,7 @@ def main() -> None:
                 "metric": "serving_floor",
                 "sf_dir": sf_dir,
                 "n_queries": n_queries,
-                "cache_stats": model_cache.stats(),
+                "cache_stats": cached_loop_stats,
                 "seconds": results,
             }
         )
