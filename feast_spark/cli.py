@@ -255,6 +255,39 @@ def _doctor_index(args) -> int:
     return 1
 
 
+def _doctor_pair(args) -> int:
+    """``doctor --pair BM25_PATH VEC_PATH``: report the hybrid pair's
+    corpus alignment (operators/paired_index.py).  Exit 1 on diverged
+    tokens — a paired append crashed between its two commits and
+    hybrid queries are failing loudly; repair by re-running the SAME
+    slice with ``hybrid_index_append(..., resume=True)``.  Driver-only
+    (two manifest reads) — cron-friendly, no Spark session."""
+    from feast_spark.operators.paired_index import corpus_epoch
+
+    bm25_path, vec_path = args.pair
+    tb = corpus_epoch(bm25_path)
+    tv = corpus_epoch(vec_path)
+    aligned = tb is None or tv is None or tb == tv
+    print(f"bm25     corpus_epoch = {tb} ({bm25_path})")
+    print(f"vector   corpus_epoch = {tv} ({vec_path})")
+    if not aligned:
+        print(
+            "MISALIGNED  a paired append crashed between its two "
+            "commits; re-run the SAME slice with "
+            "hybrid_index_append(..., resume=True)"
+        )
+        return 1
+    if tb is None or tv is None:
+        print(
+            "ok       unstamped (no paired append yet, or one side "
+            "rebuilt) — alignment checks are exempt until the next "
+            "paired append stamps both sides"
+        )
+    else:
+        print("ok       corpus-aligned")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="feast_spark")
     p.add_argument("--registry", default="registry.json")
@@ -316,6 +349,14 @@ def main(argv: list[str] | None = None) -> int:
         help="with --maintain: also reclaim superseded directories — "
         "only safe once readers of the previous manifest have drained",
     )
+    sp.add_argument(
+        "--pair", nargs=2, default=None,
+        metavar=("BM25_PATH", "VEC_PATH"),
+        help="check a hybrid retrieval pair's corpus alignment "
+        "(operators/paired_index.py): exit 1 when the committed "
+        "corpus_epoch tokens diverge — a paired append crashed "
+        "between its two commits",
+    )
     sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
@@ -344,6 +385,10 @@ def main(argv: list[str] | None = None) -> int:
             # branch; silently ignoring the flag would look like a
             # vacuum that found nothing
             p.error("--vacuum requires --maintain")
+        if args.pair is not None and args.index is not None:
+            p.error("--pair and --index are mutually exclusive")
+        if args.pair is not None:
+            return _doctor_pair(args)
         if args.index is not None:
             return _doctor_index(args)
         return _doctor()

@@ -282,3 +282,32 @@ def test_hybrid_sink_streams_pair_and_repairs_crashed_batch(
     sink_mod.clear_stream_watermark(vec_path)
     with pytest.raises(ValueError, match="more than one in-flight"):
         fn(b1, 1)
+
+
+def test_doctor_pair_cli(spark, tmp_path, capsys):
+    """doctor --pair: 0 on aligned or unstamped pairs, 1 with the
+    repair instruction on diverged tokens; no Spark session needed."""
+    from feast_spark.cli import main
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.paired_index import ensure_meta
+
+    docs, emb, lex_path, vec_path = _build_pair(spark, tmp_path)
+    rc = main(["doctor", "--pair", lex_path, vec_path])
+    out = capsys.readouterr().out
+    assert rc == 0 and "unstamped" in out
+
+    d1, e1 = _slice(docs, emb, 100, 130)
+    hybrid_index_append(spark, lex_path, vec_path, d1, e1)
+    rc = main(["doctor", "--pair", lex_path, vec_path])
+    out = capsys.readouterr().out
+    assert rc == 0 and "corpus-aligned" in out
+
+    ensure_meta(vec_path, LocalFS(), {"corpus_epoch": 7})
+    rc = main(["doctor", "--pair", lex_path, vec_path])
+    out = capsys.readouterr().out
+    assert rc == 1 and "MISALIGNED" in out and "resume=True" in out
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["doctor", "--pair", lex_path, vec_path, "--index", lex_path])
