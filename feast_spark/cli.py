@@ -257,20 +257,36 @@ def _doctor_index(args) -> int:
 
 def _doctor_pair(args) -> int:
     """``doctor --pair BM25_PATH VEC_PATH``: report the hybrid pair's
-    corpus alignment (operators/paired_index.py).  Exit 1 on diverged
-    tokens — a paired append crashed between its two commits and
-    hybrid queries are failing loudly; repair by re-running the SAME
-    slice with ``hybrid_index_append(..., resume=True)``.  Driver-only
-    (two manifest reads) — cron-friendly, no Spark session."""
-    from feast_spark.operators.paired_index import corpus_epoch
+    corpus alignment (the SAME ``check_corpus_alignment`` predicate
+    serving enforces, so the cron verb can never diverge from it).
+    Exit 1 on diverged tokens — a paired append crashed between its
+    two commits and hybrid queries are failing loudly; repair by
+    re-running the SAME slice with ``hybrid_index_append(...,
+    resume=True)``.  Exit 2 on a missing/foreign path (distinct from
+    misalignment so a cron never repairs a typo).  Driver-only (two
+    manifest reads) — no Spark session."""
+    import warnings
+
+    from feast_spark.operators.paired_index import check_corpus_alignment
 
     bm25_path, vec_path = args.pair
-    tb = corpus_epoch(bm25_path)
-    tv = corpus_epoch(vec_path)
-    aligned = tb is None or tv is None or tb == tv
+    try:
+        with warnings.catch_warnings():
+            # the CLI reports the mismatch itself (plus exit code); the
+            # library's UserWarning would double-report on stderr
+            warnings.simplefilter("ignore")
+            rep = check_corpus_alignment(
+                bm25_path, vec_path, on_mismatch="warn"
+            )
+    except ValueError as e:
+        # missing/foreign path: NOT the misalignment exit code — a cron
+        # must not repair a healthy pair over a typo
+        print(f"error    {e}")
+        return 2
+    tb, tv = rep["bm25"], rep["vector"]
     print(f"bm25     corpus_epoch = {tb} ({bm25_path})")
     print(f"vector   corpus_epoch = {tv} ({vec_path})")
-    if not aligned:
+    if not rep["aligned"]:
         print(
             "MISALIGNED  a paired append crashed between its two "
             "commits; re-run the SAME slice with "

@@ -163,9 +163,17 @@ class OnlineServingServer:
                     req = json.loads(self.rfile.read(length) or b"{}")
                     terms = req["terms"]
                     vector = req["vector"]
-                    if not isinstance(terms, list) or not terms:
-                        raise ValueError("terms must be a non-empty list")
-                    terms = [str(t) for t in terms]
+                    if (
+                        not isinstance(terms, list)
+                        or not terms
+                        or not all(
+                            isinstance(t, str) and t for t in terms
+                        )
+                    ):
+                        raise ValueError(
+                            "terms must be a non-empty list of "
+                            "non-empty strings"
+                        )
                     if not isinstance(vector, list) or not vector:
                         raise ValueError("vector must be a non-empty list")
                     vector = [float(x) for x in vector]

