@@ -315,3 +315,42 @@ def test_doctor_pair_cli(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["doctor", "--pair", lex_path, vec_path, "--index", lex_path])
+
+
+def test_hybrid_sink_through_real_readstream(spark, tmp_path):
+    """The co-sink behind a REAL readStream + foreachBatch: one
+    availableNow batch advances both watermarks and both corpus tokens
+    together, and the pair serves."""
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.streaming.index_sink import hybrid_index_sink
+
+    docs, emb, lex_path, vec_path = _build_pair(spark, tmp_path)
+    both = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "vec_id", "embedding"
+    )
+    schema = ("doc_id BIGINT, text STRING, vec_id BIGINT, "
+              "embedding ARRAY<DOUBLE>")
+    src = tmp_path / "in"
+    src.mkdir()
+    both.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 140)
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src / "b1"))
+    q = (
+        stream.writeStream.foreachBatch(
+            hybrid_index_sink(spark, lex_path, vec_path)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    fs = LocalFS()
+    mb = epochs_io.read_manifest(lex_path, fs)
+    mv = epochs_io.read_manifest(vec_path, fs)
+    assert mb["stream_epoch"] == 0 and mv["stream_epoch"] == 0
+    assert mb["corpus_epoch"] == mv["corpus_epoch"] == 0
+    assert _serve(spark, lex_path, vec_path, _qvec(emb)).count() == 5
