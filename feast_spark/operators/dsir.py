@@ -1,0 +1,226 @@
+"""DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+via Importance Resampling", NeurIPS) — select raw-corpus documents
+whose hashed n-gram distribution matches a target corpus.
+
+The public method: featurize documents into a hashed bag of word
+n-grams (the paper uses unigrams + bigrams; ``n_max`` here), fit
+bucket distributions p_target / p_raw over the SAME hashed feature
+space, score every raw document with its log importance weight
+
+    log w(x) = sum_b  c_x[b] * (log p_target[b] - log p_raw[b])
+
+and resample by Gumbel top-k, so the kept subset is approximately
+distributed like the target while drawn from the raw pool.  This is
+the distribution-MATCHING selector next to the budget-based
+``operators/packing.mixture_by_source`` (which allocates token budgets
+by source, not by content).
+
+Spark shape (the 100 TB arguments):
+
+* Featurization follows the ``docdedup.with_shingles`` discipline: the
+  token array is materialized in its OWN projection (inlining it into
+  the per-ngram lambda re-runs the tokenizer per ngram — the measured
+  15x trap), n-grams hash to a 32-bit md5 bucket (engine-portable —
+  the DuckDB twin in tests replays every weight bit-for-bit up to
+  float summation order), and counts aggregate with map-side combine:
+  the shuffle carries at most ``n_buckets`` rows per distribution and
+  one row per (doc, distinct bucket) for the per-doc weights.
+* The log-ratio table is ``n_buckets`` rows (default 8192, ~a few
+  hundred KB) broadcast into the per-doc join — no shuffle of the
+  corpus by bucket.
+* Resampling is stateless Gumbel top-k keyed on md5(seed || id) (the
+  ``functions/split.py`` discipline): deterministic, engine-portable,
+  no driver-side sampling state; the global top-k is a
+  TakeOrderedAndProject, never a full sort.
+
+Smoothing: add-``smoothing`` on BOTH distributions over the same
+``n_buckets`` domain keeps every log-ratio finite (a bucket seen only
+in the target contributes a large-but-finite positive weight instead
+of +inf).
+
+Reference parity: Feast has no data-selection operators; this is a
+training-data-pipeline extension (SURVEY §2.6) built from the public
+paper only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from feast_spark.functions.text import normalize_text, tokens
+
+__all__ = [
+    "ngram_bucket_histogram",
+    "dsir_log_weights",
+    "dsir_resample",
+]
+
+
+def _h32(s: Column) -> Column:
+    """First 32 md5 bits as a long — the repo's engine-portable hash
+    idiom (functions/split.hash_bucket)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _kgrams(toks: Column, k: int, n_buckets: int) -> Column:
+    """Hashed k-gram buckets at one size.  A separate function on
+    purpose: the transform lambda must take exactly ONE parameter —
+    pyspark passes (element, index) to two-parameter lambdas, so the
+    idiomatic `lambda i, k=k:` default-capture silently rebinds k to
+    the ARRAY INDEX."""
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: _h32(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+        % n_buckets,
+    )
+
+
+def _bucket_array(toks: Column, n_max: int, n_buckets: int) -> Column:
+    """array<long> of hashed n-gram buckets (sizes 1..n_max, every
+    OCCURRENCE kept — bag semantics, not a set).  ``toks`` MUST be a
+    materialized column reference, never an inline tokenizer
+    expression: higher-order-function lambdas are interpreted, so an
+    inline expression would re-tokenize once per n-gram (the
+    with_shingles / substr_dedup O(len²) trap)."""
+    out = None
+    for k in range(1, n_max + 1):
+        # fewer than k tokens -> no k-grams (the sequence would wrap)
+        g = F.when(F.size(toks) >= k, _kgrams(toks, k, n_buckets)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        out = g if out is None else F.concat(out, g)
+    return out
+
+
+def _exploded_buckets(
+    df: DataFrame, cols: list[str], text_col: str, n_max: int, n_buckets: int
+) -> DataFrame:
+    """One row per n-gram occurrence: (*cols, bucket).  Tokens
+    materialize in their own projection (see :func:`_bucket_array`)."""
+    feat = df.select(
+        *cols, tokens(normalize_text(F.col(text_col))).alias("__toks")
+    )
+    return feat.select(
+        *cols,
+        F.explode(
+            _bucket_array(F.col("__toks"), n_max, n_buckets)
+        ).alias("bucket"),
+    )
+
+
+def ngram_bucket_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    n_max: int = 2,
+    n_buckets: int = 8192,
+) -> DataFrame:
+    """(bucket, cnt) — corpus-level hashed-ngram histogram: one
+    tokenize pass, map-side combined aggregate, <= n_buckets output
+    rows whatever the corpus size."""
+    return (
+        _exploded_buckets(df, [], text_col, n_max, n_buckets)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 2,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """(id, log_weight) for every raw document: the summed log ratio of
+    smoothed target/raw bucket probabilities over the document's
+    hashed-ngram bag.  Documents with no features (blank text) weigh
+    0.0 — indifferent, not excluded.
+
+    Cost: one tokenize+aggregate pass over each corpus for the two
+    histograms (<= n_buckets rows each), one tokenize+count pass over
+    raw for per-doc buckets, one broadcast join against the
+    n_buckets-row log-ratio table, one groupBy(id).  Nothing scales
+    with corpus size except the linear passes."""
+    ht = ngram_bucket_histogram(target, text_col, n_max, n_buckets)
+    hr = ngram_bucket_histogram(raw, text_col, n_max, n_buckets)
+    tt = ht.agg(F.sum("cnt").cast("double").alias("__tt"))
+    tr = hr.agg(F.sum("cnt").cast("double").alias("__tr"))
+    s = float(smoothing)
+    b = float(n_buckets)
+    ratios = (
+        hr.withColumnRenamed("cnt", "cr")
+        .join(ht.withColumnRenamed("cnt", "ct"), "bucket", "full_outer")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + s)
+                    / (F.col("__tt") + s * b)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + s)
+                    / (F.col("__tr") + s * b)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    doc = (
+        _exploded_buckets(raw, [id_col], text_col, n_max, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    weights = (
+        doc.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
+    )
+    return (
+        raw.select(id_col)
+        .join(weights, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_max: int = 2,
+    n_buckets: int = 8192,
+    smoothing: float = 1.0,
+    seed: str = "",
+) -> DataFrame:
+    """``n_docs`` raw documents resampled toward the target
+    distribution: Gumbel top-k over the log weights — equivalent to
+    sampling WITHOUT replacement with probability proportional to
+    w(x), but stateless and deterministic per ``seed`` (the Gumbel
+    noise comes from md5(seed || id), the hash_split discipline).  All
+    raw columns pass through."""
+    if n_docs <= 0:
+        raise ValueError(f"n_docs must be positive, got {n_docs}")
+    w = dsir_log_weights(
+        raw, target, id_col, text_col, n_max, n_buckets, smoothing
+    )
+    # u strictly inside (0, 1): (h32 + 0.5) / 2^32
+    u = (
+        _h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    keyed = w.withColumn("__key", F.col("log_weight") + gumbel)
+    top = (
+        keyed.orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(n_docs)
+        .select(id_col)
+    )
+    return raw.join(top, id_col, "leftsemi")

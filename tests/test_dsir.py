@@ -1,0 +1,158 @@
+"""DSIR importance resampling (operators/dsir.py): the hashed-ngram
+log weights replay bit-for-bit (up to float summation order) in a
+DuckDB twin of the md5-bucket feature space; resampling measurably
+shifts the kept set toward the target distribution, deterministically
+per seed; the whole pipeline stays JVM-side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from feast_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_resample,
+    ngram_bucket_histogram,
+)
+
+N_BUCKETS = 512
+N_MAX = 2
+
+_A = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+_B = ["uno", "dos", "tres", "cuatro", "cinco", "seis"]
+
+
+def _doc(vocab, i, n=12):
+    return " ".join(vocab[(i * 7 + j * 3) % len(vocab)] for j in range(n))
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    raw = spark.createDataFrame(
+        [(i, _doc(_A, i)) for i in range(60)]
+        + [(100 + i, _doc(_B, i)) for i in range(60)]
+        + [(999, "   ")],  # featureless doc: weight must be 0.0
+        "doc_id BIGINT, text STRING",
+    )
+    target = spark.createDataFrame(
+        [(1000 + i, _doc(_B, i + 3)) for i in range(40)],
+        "doc_id BIGINT, text STRING",
+    )
+    return raw, target
+
+
+def test_log_weights_match_duckdb_twin(spark, corpora):
+    import duckdb
+
+    raw, target = corpora
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            raw, target, n_max=N_MAX, n_buckets=N_BUCKETS
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    for name, df in (("raw", raw), ("target", target)):
+        con.execute(f"CREATE TABLE {name} (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            f"INSERT INTO {name} VALUES (?, ?)",
+            sorted((r["doc_id"], r["text"]) for r in df.collect()),
+        )
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    bucket_sql = (
+        "CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) % {B}"
+    ).format(B=N_BUCKETS)
+
+    def buckets_cte(table):
+        # unigrams + bigrams over the normalized tokens, every
+        # occurrence kept; blank docs contribute nothing
+        return f"""
+  SELECT doc_id, {bucket_sql} AS bucket FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(trim(text)) = 0 THEN []
+           ELSE regexp_split_to_array({norm}, '\\s+') END
+      || CASE WHEN length(trim(text)) = 0 THEN []
+           WHEN len(regexp_split_to_array({norm}, '\\s+')) < 2 THEN []
+           ELSE list_transform(
+             range(1, len(regexp_split_to_array({norm}, '\\s+'))),
+             i -> array_to_string(
+               regexp_split_to_array({norm}, '\\s+')[i:i+1], ' '))
+      END) AS g
+    FROM {table})
+"""
+
+    q = f"""
+WITH rb AS ({buckets_cte('raw')}),
+tb AS ({buckets_cte('target')}),
+hr AS (SELECT bucket, COUNT(*) AS cr FROM rb GROUP BY bucket),
+ht AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(cr) FROM hr) AS tr, (SELECT SUM(ct) FROM ht) AS tt),
+ratio AS (
+  SELECT COALESCE(hr.bucket, ht.bucket) AS bucket,
+         ln((COALESCE(ct, 0) + 1.0) / (tt + {N_BUCKETS}))
+       - ln((COALESCE(cr, 0) + 1.0) / (tr + {N_BUCKETS})) AS log_ratio
+  FROM hr FULL OUTER JOIN ht ON hr.bucket = ht.bucket CROSS JOIN tot
+),
+doc AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2)
+SELECT r.doc_id,
+       COALESCE(SUM(d.cnt * ratio.log_ratio), 0.0) AS log_weight
+FROM raw r
+LEFT JOIN doc d ON r.doc_id = d.doc_id
+LEFT JOIN ratio ON d.bucket = ratio.bucket
+GROUP BY r.doc_id
+"""
+    want = dict(con.execute(q).fetchall())
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == pytest.approx(want[did], rel=1e-9, abs=1e-12), did
+    assert got[999] == 0.0  # blank doc: indifferent, not excluded
+    # weights separate the populations: every B-vocab doc outweighs
+    # every A-vocab doc
+    assert min(got[100 + i] for i in range(60)) > max(
+        got[i] for i in range(60)
+    )
+
+
+def test_resample_shifts_toward_target_and_is_deterministic(
+    spark, corpora
+):
+    raw, target = corpora
+    kept = dsir_resample(
+        raw, target, n_docs=50, n_max=N_MAX, n_buckets=N_BUCKETS, seed="s1"
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert len(ids) == 50
+    frac_b = sum(1 for i in ids if 100 <= i < 200) / len(ids)
+    assert frac_b > 0.9  # raw pool is 50/50; the kept set is ~target
+
+    again = sorted(
+        r["doc_id"]
+        for r in dsir_resample(
+            raw, target, n_docs=50, n_max=N_MAX, n_buckets=N_BUCKETS,
+            seed="s1",
+        ).select("doc_id").collect()
+    )
+    assert again == ids  # stateless determinism per seed
+    other = sorted(
+        r["doc_id"]
+        for r in dsir_resample(
+            raw, target, n_docs=50, n_max=N_MAX, n_buckets=N_BUCKETS,
+            seed="s2",
+        ).select("doc_id").collect()
+    )
+    assert other != ids  # the Gumbel noise actually depends on the seed
+
+    with pytest.raises(ValueError, match="n_docs"):
+        dsir_resample(raw, target, n_docs=0)
+
+
+def test_histogram_bounded_and_plan_python_free(spark, corpora):
+    raw, target = corpora
+    hist = ngram_bucket_histogram(raw, n_max=N_MAX, n_buckets=N_BUCKETS)
+    assert hist.count() <= N_BUCKETS
+    plan = (
+        dsir_log_weights(raw, target, n_max=N_MAX, n_buckets=N_BUCKETS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                   "FlatMapGroupsInPandas"):
+        assert marker not in plan, marker
