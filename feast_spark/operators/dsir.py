@@ -139,15 +139,44 @@ def dsir_log_weights(
     hashed-ngram bag.  Documents with no features (blank text) weigh
     0.0 — indifferent, not excluded.
 
-    Cost: one tokenize+aggregate pass over each corpus for the two
-    histograms (<= n_buckets rows each), one tokenize+count pass over
-    raw for per-doc buckets, one broadcast join against the
-    n_buckets-row log-ratio table, one groupBy(id).  Nothing scales
-    with corpus size except the linear passes."""
+    Cost: ONE tokenize pass over each corpus — the raw histogram is
+    derived from the per-doc bucket counts (same aggregate subtree, so
+    Spark reuses the exchange instead of re-scanning raw), the target
+    histogram is its own pass, the n_buckets-row log-ratio table
+    broadcasts into the per-doc join, one groupBy(id).  Nothing scales
+    with corpus size except the linear passes.
+
+    An EMPTY (or all-blank) target fails loudly in-plan
+    (``raise_error``, the packing guard discipline): with no target
+    features every ratio would be NULL and every weight would coalesce
+    to 0.0 — 'distribution-matched' output that is actually a uniform
+    hash sample, which must never ship silently."""
+    if smoothing <= 0:
+        # log(0) is NULL in Spark and F.sum SKIPS NULLs: one-sided
+        # buckets would silently drop out of every document's sum
+        raise ValueError(f"smoothing must be > 0, got {smoothing}")
+    if n_max < 1:
+        raise ValueError(f"n_max must be >= 1, got {n_max}")
+    doc = (
+        _exploded_buckets(raw, [id_col], text_col, n_max, n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     ht = ngram_bucket_histogram(target, text_col, n_max, n_buckets)
-    hr = ngram_bucket_histogram(raw, text_col, n_max, n_buckets)
-    tt = ht.agg(F.sum("cnt").cast("double").alias("__tt"))
-    tr = hr.agg(F.sum("cnt").cast("double").alias("__tr"))
+    hr = doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    tt = ht.agg(
+        F.when(
+            F.sum("cnt").isNull(),
+            F.raise_error(
+                "dsir: target corpus has no n-gram features (empty or "
+                "all-blank texts) — weights would silently degrade to "
+                "a uniform sample"
+            ).cast("double"),
+        )
+        .otherwise(F.sum("cnt").cast("double"))
+        .alias("__tt")
+    )
+    tr = hr.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("__tr"))
     s = float(smoothing)
     b = float(n_buckets)
     ratios = (
@@ -168,11 +197,6 @@ def dsir_log_weights(
                 )
             ).alias("log_ratio"),
         )
-    )
-    doc = (
-        _exploded_buckets(raw, [id_col], text_col, n_max, n_buckets)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     weights = (
         doc.join(F.broadcast(ratios), "bucket")
@@ -201,21 +225,22 @@ def dsir_resample(
     seed: str = "",
 ) -> DataFrame:
     """``n_docs`` raw documents resampled toward the target
-    distribution: Gumbel top-k over the log weights — equivalent to
-    sampling WITHOUT replacement with probability proportional to
-    w(x), but stateless and deterministic per ``seed`` (the Gumbel
-    noise comes from md5(seed || id), the hash_split discipline).  All
-    raw columns pass through."""
+    distribution: Gumbel top-k over the log weights — the LOG-SPACE
+    form of ``packing.weighted_sample``'s A-ES key (argmax of
+    log w + Gumbel(u) selects the same set as argmin of -ln(u)/w for
+    the same u, but survives |log w| > 709 where exp() would
+    overflow on long documents).  Stateless and deterministic per
+    ``seed``: the noise comes from the SAME ``packing._uniform01``
+    md5(seed || id) draw weighted_sample uses, so the two samplers
+    share one randomness discipline.  All raw columns pass through."""
     if n_docs <= 0:
         raise ValueError(f"n_docs must be positive, got {n_docs}")
+    from feast_spark.operators.packing import _uniform01
+
     w = dsir_log_weights(
         raw, target, id_col, text_col, n_max, n_buckets, smoothing
     )
-    # u strictly inside (0, 1): (h32 + 0.5) / 2^32
-    u = (
-        _h32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
+    u = _uniform01(F.col(id_col), seed)
     gumbel = -F.log(-F.log(u))
     keyed = w.withColumn("__key", F.col("log_weight") + gumbel)
     top = (

@@ -145,6 +145,30 @@ def test_resample_shifts_toward_target_and_is_deterministic(
         dsir_resample(raw, target, n_docs=0)
 
 
+def test_degenerate_inputs_fail_loudly(spark, corpora):
+    """Guard rails (r12 review findings): smoothing <= 0 would NULL
+    one-sided log-ratios (Spark sum skips NULLs -> silently wrong
+    weights); an empty/all-blank target would coalesce every weight to
+    0.0 and ship a uniform sample labeled as distribution-matched."""
+    from feast_spark.operators.dsir import dsir_log_weights as dlw
+
+    raw, target = corpora
+    with pytest.raises(ValueError, match="smoothing"):
+        dlw(raw, target, smoothing=0.0)
+    with pytest.raises(ValueError, match="n_max"):
+        dlw(raw, target, n_max=0)
+    blank_target = spark.createDataFrame(
+        [(1, "   "), (2, "")], "doc_id BIGINT, text STRING"
+    )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="no n-gram features"
+    ):
+        dlw(raw, blank_target, n_buckets=N_BUCKETS).collect()
+
+
 def test_histogram_bounded_and_plan_python_free(spark, corpora):
     raw, target = corpora
     hist = ngram_bucket_histogram(raw, n_max=N_MAX, n_buckets=N_BUCKETS)
