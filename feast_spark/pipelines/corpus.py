@@ -117,6 +117,15 @@ class CorpusConfig:
     split_weights: dict[str, float] = field(
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
+    # DSIR selection (active when a dsir_target_df is passed to
+    # build_corpus): keep this many documents, importance-resampled so
+    # their hashed-ngram distribution matches the target corpus
+    # (operators/dsir.py — the distribution-matching selector; the
+    # budgets knob below is the per-source budget mixer)
+    dsir_target_n: int | None = None
+    dsir_ngram_max: int = 2
+    dsir_n_buckets: int = 8192
+    dsir_seed: str = ""
     # mixing / packing
     budgets: dict[str, int] | None = None
     pack_max_tokens: int | None = None
@@ -139,6 +148,7 @@ def build_corpus(
     embeddings_df: DataFrame | None = None,
     quarantine_rules: dict | None = None,
     quarantine_sink=None,
+    dsir_target_df: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, dict[str, int]]:
     """Run the full corpus pipeline over ``docs``.
 
@@ -324,6 +334,28 @@ def build_corpus(
         )
         deduped = _mark(
             "decontaminated", deduped.join(hits, c.id_col, "left_anti")
+        )
+
+    # 4c. optional DSIR selection: importance-resample the cleaned,
+    # deduped, decontaminated pool toward the target distribution —
+    # BEFORE splitting, so train/val/test all come from the selected
+    # corpus (selection after splitting would skew the split ratios)
+    if dsir_target_df is not None:
+        if c.dsir_target_n is None:
+            raise ValueError(
+                "pass config.dsir_target_n (the number of documents to "
+                "keep) along with dsir_target_df"
+            )
+        from feast_spark.operators.dsir import dsir_resample
+
+        deduped = _mark(
+            "dsir_selected",
+            dsir_resample(
+                deduped, dsir_target_df, n_docs=c.dsir_target_n,
+                id_col=c.id_col, text_col=c.text_col,
+                n_max=c.dsir_ngram_max, n_buckets=c.dsir_n_buckets,
+                seed=c.dsir_seed,
+            ),
         )
 
     # 5. deterministic split

@@ -180,3 +180,38 @@ def test_histogram_bounded_and_plan_python_free(spark, corpora):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                    "FlatMapGroupsInPandas"):
         assert marker not in plan, marker
+
+
+def test_build_corpus_dsir_stage(spark, corpora):
+    """The pipeline facade's optional DSIR stage: selection runs after
+    dedup/decontamination and before splitting; the report carries the
+    stage count; omitting dsir_target_n with a target frame is loud."""
+    from feast_spark.pipelines.corpus import CorpusConfig, build_corpus
+
+    # unique tail tokens: the fixture's periodic docs collapse under
+    # the pipeline's exact-dedup stage before DSIR ever runs
+    raw = spark.createDataFrame(
+        [(i, _doc(_A, i) + f" uniq{i}", "web") for i in range(60)]
+        + [(100 + i, _doc(_B, i) + f" uniq{i}", "web") for i in range(60)],
+        "doc_id BIGINT, text STRING, source STRING",
+    )
+    _, target = corpora
+    cfg = CorpusConfig(
+        min_quality=0.0, min_tokens=0, near_dedup=False,
+        dsir_target_n=40, dsir_n_buckets=N_BUCKETS, dsir_ngram_max=N_MAX,
+    )
+    out, stages = build_corpus(
+        raw, config=cfg, report=True, dsir_target_df=target
+    )
+    assert stages["dsir_selected"] == 40
+    ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+    assert len(ids) == 40
+    frac_b = sum(1 for i in ids if 100 <= i < 200) / len(ids)
+    assert frac_b > 0.85  # the selected pool is ~target-distributed
+    assert "split" in out.columns  # selection happened BEFORE the split
+
+    with pytest.raises(ValueError, match="dsir_target_n"):
+        build_corpus(
+            raw, config=CorpusConfig(min_quality=0.0, min_tokens=0),
+            dsir_target_df=target,
+        )
