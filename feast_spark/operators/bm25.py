@@ -608,6 +608,15 @@ def bm25_index_append(
     exactly-once epoch watermark (streaming/index_sink.py)."""
     fs = fs or LocalFS()
     manifest = _bm25_manifest(path, fs)
+    if new_df.limit(1).count() == 0:
+        return  # nothing to fold in: an empty slice
+    # NOT gated on postings emptiness: a non-empty slice whose every
+    # token is a committed stopword (or blank) still has docs whose
+    # n_docs/total_len belong in the stats table — dropping them would
+    # break the bit-identical-to-unfiltered n_docs/avg_len contract
+    # (and desync the hybrid pair, whose vector side appends them).
+    # The postings epoch dir may then hold zero part files, which the
+    # multi-path epoch reads tolerate (pinned by tests).
     posting, stats = _bm25_doc_tables(
         new_df,
         manifest["id_col"],
@@ -615,8 +624,6 @@ def bm25_index_append(
         manifest["n_term_buckets"],
         tuple(manifest.get("stopwords", [])),
     )
-    if posting.limit(1).count() == 0:
-        return  # nothing to fold in: empty slice or all-blank texts
     epoch = _bm25_next_epoch(path, fs, manifest["epochs"])
     _bm25_write_epoch(path, epoch, posting, stats)
     _bm25_commit(

@@ -240,7 +240,17 @@ def dsir_resample(
     w = dsir_log_weights(
         raw, target, id_col, text_col, n_max, n_buckets, smoothing
     )
-    u = _uniform01(F.col(id_col), seed)
+    # _uniform01 draws in (0, 1]; at u == 1.0 (an md5 draw of exactly
+    # 2^32-1, probability 2^-32 per doc) ln(u) is 0.0 and -ln(0.0) is
+    # NULL (Spark ln returns NULL out of domain, even under ANSI), so
+    # the key would be NULL, sort LAST, and the doc could never be
+    # selected regardless of its weight — at multi-billion-doc scale a
+    # few docs per corpus hit this.  Clamp into the open interval;
+    # 1 - 2^-33 is exact in a double and keeps the draw uniform to
+    # within one half-ulp of the lattice.
+    u = F.least(
+        _uniform01(F.col(id_col), seed), F.lit(1.0 - 2.0**-33)
+    )
     gumbel = -F.log(-F.log(u))
     keyed = w.withColumn("__key", F.col("log_weight") + gumbel)
     top = (

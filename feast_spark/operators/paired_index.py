@@ -80,11 +80,13 @@ def corpus_epoch(path: str, fs: StoreFS | None = None) -> int | None:
 
 def ensure_meta(path: str, fs: StoreFS, meta: dict) -> None:
     """Make sure the committed manifest carries ``meta`` — a
-    manifest-only atomic flip when an append NO-OPED (empty slice, or
-    all-blank texts that tokenize to zero postings: the BM25 side
-    skips its epoch while the vector side appends, and without this
-    stamp the pair would read as diverged even though the SEMANTIC
-    corpora agree — blank docs carry no postings)."""
+    manifest-only atomic flip when an append NO-OPED (an EMPTY slice:
+    appends skip their epoch for zero input rows, but the pair token
+    must still advance on both sides or the pair would read as
+    diverged even though the corpora agree).  Non-empty slices always
+    commit an epoch — even all-stopword/all-blank ones, whose postings
+    are empty but whose doc counts belong in the stats table — so this
+    stamp is a no-op for them."""
     manifest = epochs_io.read_manifest(path, fs)
     if any(manifest.get(k) != v for k, v in meta.items()):
         epochs_io.commit_manifest(path, fs, {**manifest, **meta})

@@ -363,12 +363,23 @@ class HybridQueryCoalescer:
                     (r["rank"], (r["id"], r["lex_rank"], r["vec_rank"],
                                  r["rrf"]))
                 )
-            for i, req in enumerate(batch):
-                req["rows"] = [t for _, t in sorted(by_q[i])]
+            # materialize EVERY request's rows before waking ANY caller:
+            # if this bookkeeping throws mid-loop after some done.set(),
+            # the except block would mark already-delivered requests as
+            # failed and a caller racing done.wait() could raise for a
+            # request that succeeded
+            results = [
+                [t for _, t in sorted(by_q[i])] for i in range(len(batch))
+            ]
+            for req, res in zip(batch, results):
+                req["rows"] = res
                 req["done"].set()
-        except Exception as e:  # noqa: BLE001 — fan the failure out
+        except Exception as e:  # noqa: BLE001 — fan the failure out,
+            # but only to requests not already delivered (rows is a
+            # list — possibly empty — once assigned, never None)
             for req in batch:
-                req["err"] = e
+                if req["rows"] is None:
+                    req["err"] = e
                 req["done"].set()
 
     def close(self) -> None:

@@ -867,3 +867,59 @@ def test_stopword_index_keeps_other_scores_bit_identical(spark, tmp_path):
 
     # an all-stopword query returns an empty top-k, not an error
     assert bm25_index_topk(spark, stopped, ["the", "of"], k=5).count() == 0
+
+
+def test_append_all_stopword_slice_still_counts_docs(spark, tmp_path):
+    """A non-empty slice whose every token is a committed stopword has
+    zero postings but n_docs/total_len > 0: the append must commit the
+    stats row anyway (an epoch whose postings dir holds no part files),
+    or the stopword index's n_docs/avg_len — and therefore EVERY
+    non-stopword score — silently drifts off the unfiltered index, and
+    the hybrid pair desyncs (the vector side appends those docs)."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_stats,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "grape melon kiwi"), (2, "melon kiwi kiwi the")],
+        "doc_id BIGINT, text STRING",
+    )
+    tail = spark.createDataFrame(
+        [(3, "the the the"), (4, "   ")], "doc_id BIGINT, text STRING"
+    )
+    stopped = str(tmp_path / "stopped")
+    build_bm25_index(base, stopped, n_term_buckets=4, stopwords=["the"])
+    bm25_index_append(spark, stopped, tail)  # zero-posting epoch
+
+    # the unfiltered contract twin: full rebuild over the union
+    plain = str(tmp_path / "plain")
+    build_bm25_index(base.unionByName(tail), plain, n_term_buckets=4)
+    want = [
+        tuple(r) for r in bm25_index_topk(spark, plain, ["kiwi"], k=10).collect()
+    ]
+    got = [
+        tuple(r)
+        for r in bm25_index_topk(spark, stopped, ["kiwi"], k=10).collect()
+    ]
+    assert got == want  # bit-identical, including the n_docs=4 idf
+
+    st = bm25_index_stats(spark, stopped).first()
+    assert st["n_docs"] == 4 and st["n_epochs"] == 2
+
+    # an EMPTY slice is still a no-op (no epoch, no manifest flip)
+    bm25_index_append(spark, stopped, tail.limit(0))
+    assert bm25_index_stats(spark, stopped).first()["n_epochs"] == 2
+
+    # compact folds the zero-posting epoch without error and keeps
+    # scores + stats identical
+    bm25_index_compact(spark, stopped)
+    st2 = bm25_index_stats(spark, stopped).first()
+    assert st2["n_docs"] == 4 and st2["n_epochs"] == 1
+    assert [
+        tuple(r)
+        for r in bm25_index_topk(spark, stopped, ["kiwi"], k=10).collect()
+    ] == want

@@ -145,6 +145,27 @@ def test_resample_shifts_toward_target_and_is_deterministic(
         dsir_resample(raw, target, n_docs=0)
 
 
+def test_gumbel_key_survives_u_equal_one(spark, corpora, monkeypatch):
+    """The md5 draw hits exactly 1.0 with probability 2^-32 per doc;
+    un-clamped, -ln(-ln(1.0)) is NULL, the key sorts LAST and the doc
+    can never be selected regardless of weight.  Force u = 1.0 for
+    every doc: with the clamp the Gumbel term is a shared constant, so
+    selection degrades to pure argmax over log_weight — the top-weight
+    (target-vocab) docs, not the lowest ids a NULL-key sort picks."""
+    from feast_spark.operators import packing
+
+    monkeypatch.setattr(
+        packing, "_uniform01", lambda col, salt: F.lit(1.0)
+    )
+    raw, target = corpora
+    kept = dsir_resample(
+        raw, target, n_docs=10, n_max=N_MAX, n_buckets=N_BUCKETS
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert len(ids) == 10
+    assert all(100 <= i < 200 for i in ids), ids  # argmax, not id order
+
+
 def test_degenerate_inputs_fail_loudly(spark, corpora):
     """Guard rails (r12 review findings): smoothing <= 0 would NULL
     one-sided log-ratios (Spark sum skips NULLs -> silently wrong

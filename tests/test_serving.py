@@ -232,6 +232,47 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
         co2.query(terms, qvec(0))
 
 
+def test_coalescer_failure_skips_already_delivered_requests(spark):
+    """_serve fans a batch failure out ONLY to requests whose rows were
+    never assigned: a request already delivered (rows set, done fired)
+    must not be re-marked failed by post-collect bookkeeping throwing
+    mid-batch — a caller racing done.wait() against the err write could
+    raise for a query that succeeded (r12 ADVICE finding)."""
+    import threading
+
+    from feast_spark.serving import HybridQueryCoalescer
+
+    co = HybridQueryCoalescer.__new__(HybridQueryCoalescer)  # no thread
+    co._spark = spark
+    co._kw = {}
+    co._index_path, co._vec_index_path = "unused", "unused"
+
+    def boom(*a, **kw):
+        raise RuntimeError("index exploded")
+
+    import feast_spark.operators.bm25 as bm25_mod
+
+    orig = bm25_mod.hybrid_index_topk_batch
+    bm25_mod.hybrid_index_topk_batch = boom
+    try:
+        delivered = {
+            "terms": ["a"], "qvec": [1.0], "done": threading.Event(),
+            "rows": [("doc", 1, 1, 0.5)], "err": None, "t": 0.0,
+        }
+        delivered["done"].set()
+        parked = {
+            "terms": ["b"], "qvec": [2.0], "done": threading.Event(),
+            "rows": None, "err": None, "t": 0.0,
+        }
+        co._serve([delivered, parked])
+    finally:
+        bm25_mod.hybrid_index_topk_batch = orig
+    assert delivered["err"] is None  # success stays a success
+    assert delivered["rows"] == [("doc", 1, 1, 0.5)]
+    assert isinstance(parked["err"], RuntimeError)
+    assert parked["done"].is_set()
+
+
 def test_hybrid_search_endpoint_coalesces_http_requests(
     spark, store, tmp_path
 ):
