@@ -958,6 +958,26 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling under the hash gate
+    (operators/dsir.py, Xie et al. 2023): select the 120 raw documents
+    whose hashed unigram+bigram distribution best matches the
+    German-language slice — log importance weights over md5-bucket
+    histograms, Gumbel top-k on the shared md5 randomness discipline.
+    Gated on the SELECTED SET (doc_id, lang, source): the per-doc
+    weights are float sums in shuffle order (pinned to 1e-9 vs the
+    DuckDB twin in tests/test_dsir.py), but the selection is exact
+    because the Gumbel-key gaps at the k-boundary dwarf summation-order
+    noise by many orders of magnitude."""
+    from feast_spark.operators.dsir import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "de")
+    return dsir_resample(
+        docs, target, n_docs=120, n_max=2, n_buckets=512, seed=""
+    ).select("doc_id", "lang", "source")
+
+
 def q_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join: views attributed to the purchase whose
     1-day window [purchase_ts, purchase_ts + 1d) contains them, then
@@ -1674,8 +1694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pit_join": q_pit_join,
         "pit_join_multiview": q_pit_join_multiview,
-        "latest_per_key": q_latest_per_key,
         "latest_per_key_created": q_latest_per_key_created,
+        "dsir_resample": q_dsir_resample,
         "retrieval_ndcg": q_retrieval_ndcg,
         "pii_scrub": q_pii_scrub,
         "dedup_exact": q_dedup_exact,
@@ -1802,6 +1822,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # CORRECTNESS row (exact/minhash/semantic/incremental-index were
     # already gated).  bm25_topk keeps its original oracle in
     # tests/test_rotated_relational.py.
+    # Round 13 rotated latest_per_key (A1: the SAME operators/dedup.
+    # latest_per_key function stays gated inside latest_per_key_created
+    # — tie-break superset over a unioned frame — and its argmax shape
+    # inside every PIT query) for dsir_resample — the only operator
+    # family introduced since r9 without a CORRECTNESS row.
+    # latest_per_key keeps its original oracle in
+    # tests/test_rotated_relational.py and stays a headline bench slot
+    # via re-registration in bench.py/tools/dump_plans.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -2340,6 +2368,72 @@ SELECT doc_id, {expr} AS scrubbed FROM synth
 """
 
 
+def _dsir_oracle(
+    n_docs: int = 120, n_buckets: int = 512, lang: str = "de"
+) -> str:
+    """DuckDB twin of q_dsir_resample (operators/dsir.py): replays the
+    full pipeline — hashed unigram+bigram md5 buckets, smoothed
+    target/raw log-ratios, per-doc summed log weights, the md5-uniform
+    Gumbel key with the same open-interval clamp — then selects the
+    same top-``n_docs`` set.  Weight sums differ from Spark only by
+    float summation order (~1e-12 relative, pinned in tests/
+    test_dsir.py); the k-boundary key gap is orders of magnitude wider,
+    so the selected set hashes identically."""
+    bucket = f"CAST(CONCAT('0x', substr(md5(g), 1, 8)) AS BIGINT) % {n_buckets}"
+
+    def cte(pred: str) -> str:
+        # unigrams + bigrams over the normalized tokens, every
+        # occurrence kept (bag semantics); blank/NULL docs contribute
+        # nothing (unnest of NULL/[] emits no rows)
+        return f"""
+  SELECT doc_id, {bucket} AS bucket FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(trim(text)) = 0 THEN []
+           ELSE regexp_split_to_array({_NORM_TEXT}, '\\s+') END
+      || CASE WHEN length(trim(text)) = 0 THEN []
+           WHEN len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) < 2 THEN []
+           ELSE list_transform(
+             range(1, len(regexp_split_to_array({_NORM_TEXT}, '\\s+'))),
+             i -> array_to_string(
+               regexp_split_to_array({_NORM_TEXT}, '\\s+')[i:i+1], ' '))
+      END) AS g
+    FROM documents {pred})
+"""
+
+    return f"""
+WITH rb AS ({cte("")}),
+tb AS ({cte(f"WHERE lang = '{lang}'")}),
+hr AS (SELECT bucket, COUNT(*) AS cr FROM rb GROUP BY bucket),
+ht AS (SELECT bucket, COUNT(*) AS ct FROM tb GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(cr) FROM hr) AS tr,
+               (SELECT SUM(ct) FROM ht) AS tt),
+doc AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM rb GROUP BY 1, 2),
+ratio AS (
+  SELECT COALESCE(hr.bucket, ht.bucket) AS bucket,
+         ln((COALESCE(ct, 0) + 1.0) / (tt + {n_buckets}))
+       - ln((COALESCE(cr, 0) + 1.0) / (tr + {n_buckets})) AS log_ratio
+  FROM hr FULL OUTER JOIN ht ON hr.bucket = ht.bucket CROSS JOIN tot
+),
+w AS (
+  SELECT r.doc_id,
+         COALESCE(SUM(d.cnt * ratio.log_ratio), 0.0) AS log_weight
+  FROM documents r
+  LEFT JOIN doc d ON r.doc_id = d.doc_id
+  LEFT JOIN ratio ON d.bucket = ratio.bucket
+  GROUP BY r.doc_id
+),
+keyed AS (
+  SELECT doc_id,
+         log_weight - ln(-ln(LEAST(({_H32_ID} + 1.0) / 4294967296.0,
+                                   1.0 - POWER(2.0, -33)))) AS key
+  FROM w
+),
+sel AS (SELECT doc_id FROM keyed ORDER BY key DESC, doc_id ASC LIMIT {n_docs})
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN sel USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pit_join": _PIT_ORACLE.format(
@@ -2375,14 +2469,7 @@ FROM entity e
 LEFT JOIN rv ON rv.event_id = e.event_id AND rv.rn = 1
 LEFT JOIN rc ON rc.event_id = e.event_id AND rc.rn = 1
 """,
-        "latest_per_key": """
-SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-FROM (
-  SELECT user_id, event_type, ts, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC) rn
-  FROM events
-) WHERE rn = 1
-""",
+        "dsir_resample": _dsir_oracle(),
         "latest_per_key_created": """
 WITH both_v AS (
   SELECT user_id, ts, value, CAST(1 AS BIGINT) AS created FROM events

@@ -82,6 +82,9 @@ def main() -> None:
     # gated inside bm25_index_topk) but kept as a bench slot so the
     # series stays comparable across rounds
     queries["bm25_topk"] = entry_mod.q_bm25_topk
+    # rotated out in r13 (A1 stays gated via latest_per_key_created)
+    # but kept as a HEADLINE slot so headline_total stays comparable
+    queries["latest_per_key"] = entry_mod.q_latest_per_key
     # Headline subset: the core temporal operators + the heaviest
     # training-data ops. Everything else still runs under selfcheck.
     headline = [
@@ -377,6 +380,7 @@ def main() -> None:
                 "pit_sorted_merge_bucketed",
                 "substr_dedup_stats",
                 "semantic_dedup",
+                "dsir_resample",  # gated r13: two linear passes + Gumbel top-k
                 "doc_chunks",
                 "sketch_rollup",
                 "bm25_topk",

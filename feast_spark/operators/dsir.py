@@ -97,8 +97,14 @@ def _exploded_buckets(
     df: DataFrame, cols: list[str], text_col: str, n_max: int, n_buckets: int
 ) -> DataFrame:
     """One row per n-gram occurrence: (*cols, bucket).  Tokens
-    materialize in their own projection (see :func:`_bucket_array`)."""
-    feat = df.select(
+    materialize in their own projection (see :func:`_bucket_array`).
+    Featurization is CPU-bound (one md5 per n-gram), so the scan is
+    widened to the session parallelism when the input has fewer files
+    than cores (the ``docdedup.widen_parallelism`` discipline — a no-op
+    at 100 TB where splits already outnumber cores)."""
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    feat = widen_parallelism(df).select(
         *cols, tokens(normalize_text(F.col(text_col))).alias("__toks")
     )
     return feat.select(

@@ -287,6 +287,17 @@ FROM ranked WHERE rn = 1
     # oracle by design: the persisted-index path at n_probe=all must
     # land exactly where the corpus scan does
     "hybrid_rrf": entry_mod._hybrid_oracle(),
+    # rotated r13: A1 latest-per-key dedup — the SAME operators/dedup.
+    # latest_per_key function stays gated inside latest_per_key_created
+    # (tie-break superset over a unioned frame)
+    "latest_per_key": """
+SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC) rn
+  FROM events
+) WHERE rn = 1
+""",
     # rotated r12: inline corpus-scan BM25 (tokenizer + scorer are the
     # same functions gated inside bm25_index_topk / the hybrid gates)
     "bm25_topk": f"""
@@ -351,6 +362,7 @@ _FUNCS = {
     "pit_join_list_feature": entry_mod.q_pit_join_list_feature,
     "hybrid_rrf": entry_mod.q_hybrid_rrf,
     "bm25_topk": entry_mod.q_bm25_topk,
+    "latest_per_key": entry_mod.q_latest_per_key,
 }
 
 

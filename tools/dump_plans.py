@@ -75,6 +75,12 @@ HEADLINE = [
     # winnowing evidence: fingerprint selection inside codegen, one
     # fp-keyed exchange)
     "substr_dedup",
+    # round-13 gated addition (latest_per_key rotated out but kept via
+    # re-registration below; dsir_resample's plan is the two-linear-
+    # passes evidence: histogram aggregates map-side combined, the
+    # n_buckets-row log-ratio table broadcast, selection a
+    # TakeOrderedAndProject — never a full sort)
+    "dsir_resample",
 ]
 
 
@@ -162,6 +168,7 @@ def main() -> None:
     queries["rollup_revenue"] = entry_mod.q_rollup_revenue
     queries["hybrid_rrf"] = entry_mod.q_hybrid_rrf
     queries["bm25_topk"] = entry_mod.q_bm25_topk
+    queries["latest_per_key"] = entry_mod.q_latest_per_key  # rotated r13
 
     def _dedup_against_index(spark, sf):
         import tempfile
