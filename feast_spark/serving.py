@@ -37,7 +37,14 @@ from datetime import date, datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
-__all__ = ["OnlineServingServer", "serve_online", "HybridQueryCoalescer"]
+__all__ = [
+    "OnlineServingServer",
+    "serve_online",
+    "QueryCoalescer",
+    "HybridQueryCoalescer",
+    "BM25QueryCoalescer",
+    "VectorQueryCoalescer",
+]
 
 
 def _json_default(o: Any):
@@ -234,58 +241,43 @@ def serve_online(store, host: str = "127.0.0.1", port: int = 6566):
         server.stop()
 
 
-class HybridQueryCoalescer:
-    """Accumulate-then-batch retrieval serving for the all-index hybrid
-    stack — the measured batch amortization exposed as a per-request
-    API.
+class QueryCoalescer:
+    """Accumulate-then-batch retrieval serving core — the measured
+    batch amortization exposed as a per-request API.
 
     The serving-floor decomposition (tools/serving_floor.py, SCALE.md)
-    shows a single ``hybrid_index_topk`` call pays per-CALL Spark stage
-    scheduling (~1.6 s locally) while ONE ``hybrid_index_topk_batch``
-    call over the same queries pays it once (~0.17 s/query at 20
-    queries).  A serving tier therefore wants to answer per-request but
-    EXECUTE per-batch: concurrent :meth:`query` calls park until either
+    shows every single ``*_index_topk`` call pays per-CALL Spark stage
+    scheduling (~0.6-1.6 s locally) while ONE batch call over the same
+    queries pays it once (~0.17 s/query for the hybrid at 20 queries).
+    A serving tier therefore wants to answer per-request but EXECUTE
+    per-batch: concurrent ``query()`` calls park until either
     ``max_batch`` requests are waiting or ``max_wait_ms`` has passed
     since the batch's first arrival, one batch call serves them all,
-    and each caller gets back exactly the rows a single
-    ``hybrid_index_topk`` call would have returned (the batch/single
-    identity is pytest-pinned in test_bm25.py; the coalescer identity
-    is pinned in test_serving.py).
+    and each caller gets back exactly the rows its single-call verb
+    would have returned (identity pytest-pinned per kind in
+    test_serving.py).
+
+    Subclasses provide the typed ``query()`` (which must VALIDATE the
+    request before parking it — a malformed request must fail its own
+    caller, never the shared batch) and ``_serve_batch(batch)``, which
+    runs ONE fused call and returns one row-list per request, in batch
+    order.  Internal batch query ids are NEGATIVE (-1, -2, ...) so
+    they can never collide with a corpus id and trip a vector
+    channel's self-exclusion (regression-pinned).
 
     Latency contract: an isolated request waits at most ``max_wait_ms``
     extra; under load the wait amortizes to ~0 because the batch fills
     before the timer.  A failed batch call (e.g. the corpus-alignment
     check tripping, operators/paired_index.py) re-raises IN EVERY
-    parked caller — one poisoned query poisons its batch, which is the
-    honest outcome when the failure is index-level, and per-query
-    failures do not exist below the fused call.
+    undelivered parked caller — one poisoned query poisons its batch,
+    which is the honest outcome when the failure is index-level, and
+    per-query failures do not exist below the fused call.
 
     Thread-safe; Spark is only touched from the dispatcher thread.
     Close (or use as a context manager) to drain and stop."""
 
-    def __init__(
-        self,
-        spark,
-        index_path: str,
-        vec_index_path: str,
-        k: int = 10,
-        fetch_k: int = 50,
-        rrf_k: int = 60,
-        n_probe: int = 4,
-        vec_index_kind: str = "auto",
-        on_corpus_mismatch: str = "fail",
-        max_batch: int = 32,
-        max_wait_ms: float = 25.0,
-        fs=None,
-    ):
+    def __init__(self, spark, max_batch: int = 32, max_wait_ms: float = 25.0):
         self._spark = spark
-        self._kw = dict(
-            k=k, fetch_k=fetch_k, rrf_k=rrf_k, n_probe=n_probe,
-            vec_index_kind=vec_index_kind,
-            on_corpus_mismatch=on_corpus_mismatch, fs=fs,
-        )
-        self._index_path = index_path
-        self._vec_index_path = vec_index_path
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
         self._lock = threading.Lock()
@@ -293,16 +285,16 @@ class HybridQueryCoalescer:
         self._pending: list[dict] = []
         self._closed = False
         self._thread = threading.Thread(
-            target=self._dispatch_loop, name="hybrid-coalescer", daemon=True
+            target=self._dispatch_loop,
+            name=f"{type(self).__name__}-dispatch",
+            daemon=True,
         )
         self._thread.start()
 
-    def query(self, terms: list[str], qvec: list[float]) -> list[tuple]:
-        """Block until the coalesced batch containing this request is
-        served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
-        order — the same rows as a hybrid_index_topk call."""
-        req = {"terms": terms, "qvec": qvec, "done": threading.Event(),
-               "rows": None, "err": None, "t": time.monotonic()}
+    def _submit(self, fields: dict) -> list:
+        """Park a validated request; block until its batch is served."""
+        req = {**fields, "done": threading.Event(), "rows": None,
+               "err": None, "t": time.monotonic()}
         with self._lock:
             if self._closed:
                 raise RuntimeError("coalescer is closed")
@@ -312,6 +304,9 @@ class HybridQueryCoalescer:
         if req["err"] is not None:
             raise req["err"]
         return req["rows"]
+
+    def _serve_batch(self, batch: list[dict]) -> list[list]:
+        raise NotImplementedError  # subclass responsibility
 
     def _dispatch_loop(self) -> None:
         while True:
@@ -338,39 +333,13 @@ class HybridQueryCoalescer:
             self._serve(batch)
 
     def _serve(self, batch: list[dict]) -> None:
-        from feast_spark.operators.bm25 import hybrid_index_topk_batch
-
         try:
-            # query ids are NEGATIVE (-1, -2, ...) like the single
-            # call's query_vec_id=-1 default: the vector channels
-            # exclude neighbor_id == query_id (self-exclusion), so an
-            # id colliding with a corpus id would silently drop that
-            # document from its own query's candidates
-            qdf = self._spark.createDataFrame(
-                [
-                    (-(i + 1), r["terms"], [float(x) for x in r["qvec"]])
-                    for i, r in enumerate(batch)
-                ],
-                "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
-            )
-            rows = hybrid_index_topk_batch(
-                self._spark, self._index_path, None, qdf,
-                vec_index_path=self._vec_index_path, **self._kw,
-            ).collect()
-            by_q: dict[int, list] = {i: [] for i in range(len(batch))}
-            for r in rows:
-                by_q[-r["query_id"] - 1].append(
-                    (r["rank"], (r["id"], r["lex_rank"], r["vec_rank"],
-                                 r["rrf"]))
-                )
             # materialize EVERY request's rows before waking ANY caller:
-            # if this bookkeeping throws mid-loop after some done.set(),
-            # the except block would mark already-delivered requests as
+            # if bookkeeping throws mid-loop after some done.set(), the
+            # except block would mark already-delivered requests as
             # failed and a caller racing done.wait() could raise for a
             # request that succeeded
-            results = [
-                [t for _, t in sorted(by_q[i])] for i in range(len(batch))
-            ]
+            results = self._serve_batch(batch)
             for req, res in zip(batch, results):
                 req["rows"] = res
                 req["done"].set()
@@ -382,6 +351,18 @@ class HybridQueryCoalescer:
                     req["err"] = e
                 req["done"].set()
 
+    @staticmethod
+    def _group_by_request(
+        rows, n: int, sort_key, row_tuple
+    ) -> list[list]:
+        """Split collected batch rows back into per-request lists (the
+        negative-id convention: request i was query id -(i+1)), each
+        ordered by ``sort_key(row)``."""
+        by_q: dict[int, list] = {i: [] for i in range(n)}
+        for r in rows:
+            by_q[-r["query_id"] - 1].append((sort_key(r), row_tuple(r)))
+        return [[t for _, t in sorted(by_q[i])] for i in range(n)]
+
     def close(self) -> None:
         """Stop accepting requests, serve what's parked, join the
         dispatcher."""
@@ -390,8 +371,175 @@ class HybridQueryCoalescer:
             self._arrived.notify_all()
         self._thread.join()
 
-    def __enter__(self) -> "HybridQueryCoalescer":
+    def __enter__(self) -> "QueryCoalescer":
         return self
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+class HybridQueryCoalescer(QueryCoalescer):
+    """Coalesced all-index hybrid retrieval: each batch is ONE
+    ``hybrid_index_topk_batch`` call (BM25 postings + vector index,
+    RRF-fused); ``query()`` returns the single-call
+    ``hybrid_index_topk`` rows.  Measured 0.177 s/query at 20
+    concurrent requests vs the 1.6-2.1 s single-call floor
+    (tools/serving_floor.py)."""
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        vec_index_path: str,
+        k: int = 10,
+        fetch_k: int = 50,
+        rrf_k: int = 60,
+        n_probe: int = 4,
+        vec_index_kind: str = "auto",
+        on_corpus_mismatch: str = "fail",
+        max_batch: int = 32,
+        max_wait_ms: float = 25.0,
+        fs=None,
+    ):
+        self._kw = dict(
+            k=k, fetch_k=fetch_k, rrf_k=rrf_k, n_probe=n_probe,
+            vec_index_kind=vec_index_kind,
+            on_corpus_mismatch=on_corpus_mismatch, fs=fs,
+        )
+        self._index_path = index_path
+        self._vec_index_path = vec_index_path
+        super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    def query(self, terms: list[str], qvec: list[float]) -> list[tuple]:
+        """Block until the coalesced batch containing this request is
+        served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
+        order — the same rows as a hybrid_index_topk call."""
+        return self._submit(
+            {"terms": terms, "qvec": [float(x) for x in qvec]}
+        )
+
+    def _serve_batch(self, batch: list[dict]) -> list[list]:
+        from feast_spark.operators.bm25 import hybrid_index_topk_batch
+
+        qdf = self._spark.createDataFrame(
+            [(-(i + 1), r["terms"], r["qvec"]) for i, r in enumerate(batch)],
+            "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+        )
+        rows = hybrid_index_topk_batch(
+            self._spark, self._index_path, None, qdf,
+            vec_index_path=self._vec_index_path, **self._kw,
+        ).collect()
+        return self._group_by_request(
+            rows, len(batch),
+            sort_key=lambda r: r["rank"],
+            row_tuple=lambda r: (
+                r["id"], r["lex_rank"], r["vec_rank"], r["rrf"]
+            ),
+        )
+
+
+class BM25QueryCoalescer(QueryCoalescer):
+    """Coalesced lexical-only retrieval: each batch is ONE
+    ``bm25_index_topk_batch`` call over the union of the parked
+    queries' term buckets; ``query()`` returns the single-call
+    ``bm25_index_topk`` rows (id, bm25) in rank order — identical
+    scores, since single and batch share the index postings and the
+    exact-long corpus stats (identity pytest-pinned)."""
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        max_batch: int = 32,
+        max_wait_ms: float = 25.0,
+        fs=None,
+    ):
+        self._index_path = index_path
+        self._kw = dict(k=k, k1=k1, b=b, fs=fs)
+        super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    def query(self, terms: list[str]) -> list[tuple]:
+        """[(id, bm25), ...] in rank order — the same rows as a
+        bm25_index_topk call.  Validation mirrors the single call
+        (empty term set raises) and runs BEFORE parking, so a bad
+        request can never poison its batch."""
+        norm = sorted({t.lower() for t in terms if t})
+        if not norm:
+            raise ValueError(
+                "query must contain at least one non-empty term"
+            )
+        return self._submit({"terms": norm})
+
+    def _serve_batch(self, batch: list[dict]) -> list[list]:
+        from feast_spark.operators.bm25 import bm25_index_topk_batch
+
+        qdf = self._spark.createDataFrame(
+            [(-(i + 1), r["terms"]) for i, r in enumerate(batch)],
+            "query_id LONG, terms ARRAY<STRING>",
+        )
+        out = bm25_index_topk_batch(
+            self._spark, self._index_path, qdf, **self._kw
+        )
+        id_col = out.columns[1]  # the index's committed id column
+        rows = out.collect()
+        return self._group_by_request(
+            rows, len(batch),
+            sort_key=lambda r: r["rank"],
+            row_tuple=lambda r: (r[id_col], r["bm25"]),
+        )
+
+
+class VectorQueryCoalescer(QueryCoalescer):
+    """Coalesced vector-only ANN retrieval against a persisted IVF or
+    IVFPQ index (kind dispatched from the manifest stamp,
+    ``operators/vector_index.py``): each batch is ONE
+    ``vector_index_topk`` call whose probed-cell scan covers the whole
+    batch; ``query()`` returns the kind's native single-call rows —
+    (neighbor_id, cos, rank) for IVF, (neighbor_id, adc_dist) ordered
+    by ascending distance for IVFPQ."""
+
+    def __init__(
+        self,
+        spark,
+        index_path: str,
+        k: int = 10,
+        n_probe: int = 4,
+        max_batch: int = 32,
+        max_wait_ms: float = 25.0,
+        fs=None,
+    ):
+        self._index_path = index_path
+        self._kw = dict(k=k, n_probe=n_probe, fs=fs)
+        super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
+
+    def query(self, qvec: list[float]) -> list[tuple]:
+        """The single-call ``vector_index_topk`` rows for one query
+        vector, minus the query_id column."""
+        if not qvec:
+            raise ValueError("qvec must be a non-empty vector")
+        return self._submit({"qvec": [float(x) for x in qvec]})
+
+    def _serve_batch(self, batch: list[dict]) -> list[list]:
+        from feast_spark.operators.vector_index import vector_index_topk
+
+        qdf = self._spark.createDataFrame(
+            [(-(i + 1), r["qvec"]) for i, r in enumerate(batch)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>",
+        )
+        out = vector_index_topk(
+            self._spark, self._index_path, qdf, **self._kw
+        )
+        cols = [c for c in out.columns if c != "query_id"]
+        has_rank = "rank" in cols  # IVF carries rank; IVFPQ orders by ADC
+        rows = out.collect()
+        return self._group_by_request(
+            rows, len(batch),
+            sort_key=(
+                (lambda r: r["rank"]) if has_rank
+                else (lambda r: (r["adc_dist"], r["neighbor_id"]))
+            ),
+            row_tuple=lambda r: tuple(r[c] for c in cols),
+        )

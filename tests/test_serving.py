@@ -232,6 +232,114 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
         co2.query(terms, qvec(0))
 
 
+def test_bm25_and_vector_coalescers_match_single_calls(spark, tmp_path):
+    """The per-kind coalescers (r13): concurrent BM25QueryCoalescer /
+    VectorQueryCoalescer .query() calls are served by ONE batch call
+    per kind and each caller receives the single-call verb's rows —
+    lexical against bm25_index_topk, vector against vector_index_topk
+    (IVF and IVFPQ kinds, auto-dispatched); per-request validation
+    fails the caller without touching the batch."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+    from feast_spark.operators.pq_index import build_ivfpq_index
+    from feast_spark.operators.similarity import build_ivf_index
+    from feast_spark.operators.vector_index import vector_index_topk
+    from feast_spark.serving import BM25QueryCoalescer, VectorQueryCoalescer
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lex_path = str(tmp_path / "bm25")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
+
+    term_sets = [["spark", "merge"], ["parquet"], ["window", "scan"],
+                 ["spark"], ["merge", "hash"]]
+    results: dict[int, list] = {}
+    with BM25QueryCoalescer(
+        spark, lex_path, k=5, max_batch=len(term_sets), max_wait_ms=3000.0
+    ) as co:
+        threads = [
+            threading.Thread(
+                target=lambda i=i: results.__setitem__(
+                    i, co.query(term_sets[i])
+                )
+            )
+            for i in range(len(term_sets))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        # validation failures never park (the batch above already ran)
+        with pytest.raises(ValueError, match="non-empty term"):
+            co.query(["", None])
+    for i, terms in enumerate(term_sets):
+        single = bm25_index_topk(spark, lex_path, terms, k=5).collect()
+        got_ids = [t[0] for t in results[i]]
+        assert got_ids == [r["doc_id"] for r in single], i
+        assert [t[1] for t in results[i]] == pytest.approx(
+            [r["bm25"] for r in single], rel=1e-9
+        ), i
+
+    by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    }
+    for kind, build in (
+        ("ivf", lambda p: build_ivf_index(emb, p, n_centroids=4, iters=1)),
+        ("ivfpq", lambda p: build_ivfpq_index(emb, p, n_centroids=4, iters=1)),
+    ):
+        vec_path = str(tmp_path / f"vec_{kind}")
+        build(vec_path)
+        vres: dict[int, list] = {}
+        with VectorQueryCoalescer(
+            spark, vec_path, k=5, n_probe=2, max_batch=4,
+            max_wait_ms=3000.0,
+        ) as vo:
+            vthreads = [
+                threading.Thread(
+                    target=lambda i=i: vres.__setitem__(
+                        i, vo.query(by_id[i])
+                    )
+                )
+                for i in range(4)
+            ]
+            for t in vthreads:
+                t.start()
+            for t in vthreads:
+                t.join()
+            with pytest.raises(ValueError, match="non-empty vector"):
+                vo.query([])
+        for i in range(4):
+            qdf = spark.createDataFrame(
+                [(-(i + 1), by_id[i])], "vec_id LONG, embedding ARRAY<DOUBLE>"
+            )
+            out = vector_index_topk(spark, vec_path, qdf, n_probe=2, k=5)
+            cols = [c for c in out.columns if c != "query_id"]
+            single_rows = out.collect()
+            if "rank" in cols:
+                single_rows.sort(key=lambda r: r["rank"])
+            else:
+                single_rows.sort(
+                    key=lambda r: (r["adc_dist"], r["neighbor_id"])
+                )
+            want = [tuple(r[c] for c in cols) for r in single_rows]
+            # ids + order exact; float scores to 1e-9 — the IVFPQ ADC
+            # kernel's numpy reduction order varies with batch shape
+            # (last-ulp drift), and ranks consume only the ordering
+            assert [t[0] for t in vres[i]] == [t[0] for t in want], (kind, i)
+            for got_t, want_t in zip(vres[i], want):
+                assert got_t[1:] == pytest.approx(want_t[1:], rel=1e-9), (
+                    kind, i,
+                )
+
+
 def test_coalescer_failure_skips_already_delivered_requests(spark):
     """_serve fans a batch failure out ONLY to requests whose rows were
     never assigned: a request already delivered (rows set, done fired)

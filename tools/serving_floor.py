@@ -194,6 +194,60 @@ def main() -> None:
     results[f"coalescer{n_queries}_median"] = round(med, 3)
     results[f"coalescer{n_queries}_per_query"] = round(med / n_queries, 4)
 
+    # per-kind coalescers (r13): the same amortization for a
+    # lexical-only tier (BM25QueryCoalescer -> bm25_index_topk_batch)
+    # and a vector-only tier (VectorQueryCoalescer -> one
+    # vector_index_topk call over the fused batch, here IVFPQ ADC)
+    from feast_spark.serving import BM25QueryCoalescer, VectorQueryCoalescer
+
+    def qvec_list(i: int) -> list[float]:
+        return qvec(i)
+
+    kind_setups = {
+        "bm25_coalescer": (
+            BM25QueryCoalescer(
+                spark, bm25_path, k=10,
+                max_batch=n_queries, max_wait_ms=2000.0,
+            ),
+            lambda co, i: co.query(terms + [f"t{i}"]),
+        ),
+        "vector_coalescer": (
+            VectorQueryCoalescer(
+                spark, ivfpq_path, k=10, n_probe=8,
+                max_batch=n_queries, max_wait_ms=2000.0,
+            ),
+            lambda co, i: co.query(qvec_list(i)),
+        ),
+    }
+    for kname, (co, issue) in kind_setups.items():
+        kerrs: list[BaseException] = []
+
+        def _kcall(i, co=co, issue=issue, kerrs=kerrs):
+            try:
+                issue(co, i)
+            except BaseException as e:  # noqa: BLE001 — fail the RUN
+                kerrs.append(e)
+
+        with co:
+            issue(co, 0)  # untimed warmup
+            samples = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                threads = [
+                    threading.Thread(target=_kcall, args=(i,))
+                    for i in range(1, n_queries + 1)
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+                samples.append(time.monotonic() - t0)
+            med = statistics.median(samples)
+        if kerrs:
+            raise kerrs[0]
+        results[f"{kname}{n_queries}_median"] = round(med, 3)
+        results[f"{kname}{n_queries}_per_query"] = round(med / n_queries, 4)
+
     # many-index serving: cycle 3 indexes' single-query shapes to pin
     # that the control-plane cache (_MAX_ENTRIES=64 LRU) does not
     # thrash back to the uncached floor when a tier serves several
