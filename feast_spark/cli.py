@@ -263,8 +263,16 @@ def _doctor_pair(args) -> int:
     two commits and hybrid queries are failing loudly; repair by
     re-running the SAME slice with ``hybrid_index_append(...,
     resume=True)``.  Exit 2 on a missing/foreign path (distinct from
-    misalignment so a cron never repairs a typo).  Driver-only (two
-    manifest reads) — no Spark session."""
+    misalignment so a cron never repairs a typo).  With ``--strict``,
+    exit 3 when EITHER side is unstamped: unstamped sides are exempt
+    from serving-time alignment checks (backward compatibility /
+    rebuild window), so a cron watching a production pair that is
+    SUPPOSED to be stamped wants the detection window itself to be
+    loud — e.g. right after a vector-side rebuild drops the token.
+    Close the window with ``paired_index.restamp_pair`` (after
+    attesting the rebuilt side covers the pair's corpus) or with the
+    next paired append.  Driver-only (two manifest reads) — no Spark
+    session."""
     import warnings
 
     from feast_spark.operators.paired_index import check_corpus_alignment
@@ -294,13 +302,14 @@ def _doctor_pair(args) -> int:
         )
         return 1
     if tb is None or tv is None:
+        status = "UNSTAMPED" if args.strict else "ok       unstamped"
         print(
-            "ok       unstamped (no paired append yet, or one side "
+            f"{status} (no paired append yet, or one side "
             "rebuilt) — alignment checks are exempt until the next "
-            "paired append stamps both sides"
+            "paired append (or restamp_pair) stamps both sides"
         )
-    else:
-        print("ok       corpus-aligned")
+        return 3 if args.strict else 0
+    print("ok       corpus-aligned")
     return 0
 
 
@@ -371,7 +380,14 @@ def main(argv: list[str] | None = None) -> int:
         help="check a hybrid retrieval pair's corpus alignment "
         "(operators/paired_index.py): exit 1 when the committed "
         "corpus_epoch tokens diverge — a paired append crashed "
-        "between its two commits",
+        "between its two commits; exit 2 on a bad path",
+    )
+    sp.add_argument(
+        "--strict", action="store_true",
+        help="with --pair: also exit 3 when either side is UNSTAMPED "
+        "— the state in which alignment checks are exempt (e.g. after "
+        "a rebuild dropped the token), which a cron watching a "
+        "stamped production pair should treat as its own alarm",
     )
     sp = sub.add_parser(
         "init",
@@ -403,6 +419,9 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--vacuum requires --maintain")
         if args.pair is not None and args.index is not None:
             p.error("--pair and --index are mutually exclusive")
+        if args.strict and args.pair is None:
+            # silently ignoring --strict would look like a strict run
+            p.error("--strict requires --pair")
         if args.pair is not None:
             return _doctor_pair(args)
         if args.index is not None:

@@ -64,6 +64,7 @@ __all__ = [
     "check_corpus_alignment",
     "ensure_meta",
     "hybrid_index_append",
+    "restamp_pair",
 ]
 
 CORPUS_EPOCH_KEY = "corpus_epoch"
@@ -132,6 +133,72 @@ def check_corpus_alignment(
             raise ValueError(msg)
         warnings.warn(msg, UserWarning, stacklevel=2)
     return {"bm25": tb, "vector": tv, "aligned": aligned}
+
+
+def restamp_pair(
+    bm25_path: str,
+    vec_index_path: str,
+    fs: StoreFS | None = None,
+    attest_same_corpus: bool = False,
+) -> int:
+    """Close the alignment-exemption window a REBUILD opens.
+
+    Rebuilding one side of a stamped pair from the full corpus drops
+    its ``corpus_epoch`` (by the carried-meta allowlist — correct: a
+    rebuild is a new index over whatever corpus the caller passed).
+    Until the next paired append re-stamps it, the pair is EXEMPT from
+    alignment checks — a detection window where a later crash could go
+    unnoticed (``doctor --pair --strict`` exits 3 on exactly this
+    state).  When the caller can attest the rebuilt side was rebuilt
+    from the PAIR'S corpus — the blessed maintenance runbook, e.g. a
+    BM25 rebuild applying the advisor's ``stopwords=`` over the same
+    documents — this verb copies the surviving side's token onto the
+    unstamped side, restoring the check immediately.
+
+    ``attest_same_corpus=True`` is REQUIRED: the stamp is a statement
+    about corpus identity that only the caller can make, and making it
+    explicit keeps an automated pipeline from restamping a pair whose
+    rebuilt side actually serves a different corpus (which would turn
+    the alignment check into a false negative — worse than the window).
+
+    Refuses (raises ValueError) when: neither side is stamped (nothing
+    to carry — initialize via a paired append), both sides are stamped
+    and DIVERGED (that is a crashed append: repair with
+    ``hybrid_index_append(..., resume=True)``), or the attestation is
+    missing.  Both sides stamped and aligned is an idempotent no-op.
+    Returns the token the pair carries afterwards."""
+    if not attest_same_corpus:
+        raise ValueError(
+            "restamp_pair requires attest_same_corpus=True — the caller "
+            "must attest the rebuilt side was rebuilt from the pair's "
+            "corpus; restamping a different corpus would silence the "
+            "alignment check exactly when it matters"
+        )
+    fs = fs or LocalFS()
+    tb = corpus_epoch(bm25_path, fs)
+    tv = corpus_epoch(vec_index_path, fs)
+    if tb is None and tv is None:
+        raise ValueError(
+            "neither side of the pair carries a corpus_epoch stamp — "
+            "nothing to carry forward; initialize the pair with "
+            "hybrid_index_append instead"
+        )
+    if tb is not None and tv is not None:
+        if tb != tv:
+            raise ValueError(
+                f"pair is diverged (bm25 corpus_epoch={tb}, vector "
+                f"corpus_epoch={tv}) — that is a crashed paired append, "
+                "not a rebuild window; repair with hybrid_index_append("
+                "..., resume=True) and the ORIGINAL slice"
+            )
+        return tb  # already aligned: idempotent no-op
+    token = tb if tb is not None else tv
+    meta = {CORPUS_EPOCH_KEY: token}
+    if tb is None:
+        ensure_meta(bm25_path, fs, meta)
+    else:
+        ensure_meta(vec_index_path, fs, meta)
+    return token
 
 
 def hybrid_index_append(

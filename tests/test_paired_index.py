@@ -286,35 +286,109 @@ def test_hybrid_sink_streams_pair_and_repairs_crashed_batch(
 
 def test_doctor_pair_cli(spark, tmp_path, capsys):
     """doctor --pair: 0 on aligned or unstamped pairs, 1 with the
-    repair instruction on diverged tokens; no Spark session needed."""
+    repair instruction on diverged tokens; --strict additionally exits
+    3 on an unstamped side (the alignment-exemption window a rebuild
+    opens — a cron watching a stamped production pair wants it loud);
+    no Spark session needed."""
     from feast_spark.cli import main
     from feast_spark.io.fs import LocalFS
     from feast_spark.operators.paired_index import ensure_meta
 
     docs, emb, lex_path, vec_path = _build_pair(spark, tmp_path)
+    # state 1: unstamped pair — default exempt/ok, strict alarms
     rc = main(["doctor", "--pair", lex_path, vec_path])
     out = capsys.readouterr().out
     assert rc == 0 and "unstamped" in out
+    rc = main(["doctor", "--pair", lex_path, vec_path, "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 3 and "UNSTAMPED" in out
 
+    # state 2: both stamped + aligned — 0 under both modes
     d1, e1 = _slice(docs, emb, 100, 130)
     hybrid_index_append(spark, lex_path, vec_path, d1, e1)
-    rc = main(["doctor", "--pair", lex_path, vec_path])
-    out = capsys.readouterr().out
-    assert rc == 0 and "corpus-aligned" in out
+    for flags in ([], ["--strict"]):
+        rc = main(["doctor", "--pair", lex_path, vec_path, *flags])
+        out = capsys.readouterr().out
+        assert rc == 0 and "corpus-aligned" in out, flags
 
-    ensure_meta(vec_path, LocalFS(), {"corpus_epoch": 7})
+    # state 2b: ONE side unstamped (rebuild window) — strict exits 3
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 130), vec_path,
+        n_centroids=N_CENTROIDS, iters=1,
+    )
     rc = main(["doctor", "--pair", lex_path, vec_path])
     out = capsys.readouterr().out
-    assert rc == 1 and "MISALIGNED" in out and "resume=True" in out
+    assert rc == 0 and "unstamped" in out
+    rc = main(["doctor", "--pair", lex_path, vec_path, "--strict"])
+    out = capsys.readouterr().out
+    assert rc == 3 and "UNSTAMPED" in out and "restamp_pair" in out
+
+    # state 3: diverged — 1 under both modes (repair, not restamp)
+    ensure_meta(vec_path, LocalFS(), {"corpus_epoch": 7})
+    for flags in ([], ["--strict"]):
+        rc = main(["doctor", "--pair", lex_path, vec_path, *flags])
+        out = capsys.readouterr().out
+        assert rc == 1 and "MISALIGNED" in out and "resume=True" in out, flags
 
     # missing path -> exit 2 (distinct from misalignment: a cron must
-    # never run the repair against a typo)
-    rc = main(["doctor", "--pair", lex_path, str(tmp_path / "nope")])
-    out = capsys.readouterr().out
-    assert rc == 2 and "error" in out
+    # never run the repair against a typo), strict or not
+    for flags in ([], ["--strict"]):
+        rc = main(
+            ["doctor", "--pair", lex_path, str(tmp_path / "nope"), *flags]
+        )
+        out = capsys.readouterr().out
+        assert rc == 2 and "error" in out, flags
 
     with pytest.raises(SystemExit):
         main(["doctor", "--pair", lex_path, vec_path, "--index", lex_path])
+    with pytest.raises(SystemExit):  # --strict without --pair is loud
+        main(["doctor", "--strict"])
+
+
+def test_restamp_pair_closes_rebuild_window(spark, tmp_path):
+    """restamp_pair: after a rebuild of ONE side from the pair's
+    corpus (caller-attested), the surviving token is copied over and
+    alignment checking resumes immediately; every ambiguous state
+    refuses."""
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.paired_index import ensure_meta, restamp_pair
+
+    docs, emb, lex_path, vec_path = _build_pair(spark, tmp_path)
+
+    # neither side stamped: nothing to carry
+    with pytest.raises(ValueError, match="neither side"):
+        restamp_pair(lex_path, vec_path, attest_same_corpus=True)
+
+    d1, e1 = _slice(docs, emb, 100, 130)
+    hybrid_index_append(spark, lex_path, vec_path, d1, e1)
+
+    # aligned pair: idempotent no-op
+    assert restamp_pair(lex_path, vec_path, attest_same_corpus=True) == 0
+
+    # the runbook: vector side rebuilt over the pair's full corpus
+    build_ivf_index(
+        emb.filter(F.col("vec_id") < 130), vec_path,
+        n_centroids=N_CENTROIDS, iters=1,
+    )
+    assert corpus_epoch(vec_path) is None
+    # attestation is mandatory — the stamp is a corpus-identity claim
+    with pytest.raises(ValueError, match="attest_same_corpus"):
+        restamp_pair(lex_path, vec_path)
+    assert corpus_epoch(vec_path) is None  # refused == untouched
+    assert restamp_pair(lex_path, vec_path, attest_same_corpus=True) == 0
+    assert corpus_epoch(vec_path) == 0
+    assert check_corpus_alignment(lex_path, vec_path) == {
+        "bm25": 0, "vector": 0, "aligned": True,
+    }
+    assert _serve(spark, lex_path, vec_path, _qvec(emb)).count() == 5
+    # and the next paired append advances normally
+    d2, e2 = _slice(docs, emb, 130, 160)
+    assert hybrid_index_append(spark, lex_path, vec_path, d2, e2) == 1
+
+    # diverged pair: restamp refuses — that is a crash, not a rebuild
+    ensure_meta(vec_path, LocalFS(), {"corpus_epoch": 9})
+    with pytest.raises(ValueError, match="diverged"):
+        restamp_pair(lex_path, vec_path, attest_same_corpus=True)
 
 
 def test_hybrid_sink_through_real_readstream(spark, tmp_path):
