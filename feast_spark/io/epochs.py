@@ -72,10 +72,58 @@ def read_manifest(
     return manifest
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A manifest flip raced another writer: the committed head is no
+    longer the manifest this write derived from.  The epoch protocol is
+    single-writer by contract; this error turns a contract violation —
+    which plain ``os.replace`` would resolve as silent last-writer-wins
+    (lost epochs, lost pair stamps) — into a loud failure.  Re-read the
+    manifest and re-apply the change, or fix the duplicated writer."""
+
+
 def commit_manifest(path: str, fs: StoreFS, manifest: dict) -> None:
-    fs.write_bytes_atomic(
-        posixpath.join(path, MANIFEST), json.dumps(manifest).encode()
-    )
+    """Atomically publish ``manifest`` — with optimistic concurrency
+    for every read-modify-write flow.
+
+    Every committed manifest carries a monotonically increasing
+    ``commit_seq``.  Writers that derive their manifest from the
+    committed head (appends, compacts, meta stamps — anything built as
+    ``{**read_manifest, ...}``) carry the head's ``commit_seq`` along,
+    and this function treats that carried value as the expected parent:
+    if the committed head has moved past it, the flip raises
+    :class:`ConcurrentCommitError` instead of silently discarding the
+    other writer's epochs/stamps.  Fresh manifests without a
+    ``commit_seq`` (index BUILDS — including rebuild-over-existing,
+    where ``carried_meta``'s allowlist deliberately drops the seq)
+    overwrite unconditionally: a rebuild is a new index over a
+    caller-supplied corpus, last-writer-wins by design, and it still
+    bumps the seq so any in-flight pre-rebuild appender fails its CAS.
+
+    The check-then-rename window is closed entirely on LocalFS (an
+    flock around the read+compare+replace); on object stores
+    ``StoreFS.lock`` defaults to a no-op and a production deployment
+    maps the compare to the store's conditional put (S3 ``If-Match``,
+    GCS ``ifGenerationMatch``) — SCALE.md documents the mapping.
+    Manifests written before this protocol carry no seq; protection
+    engages from their first re-commit."""
+    mp = posixpath.join(path, MANIFEST)
+    expected = manifest.get("commit_seq")
+    with fs.lock(mp):
+        head_seq = (
+            json.loads(fs.read_bytes(mp)).get("commit_seq", 0)
+            if fs.exists(mp)
+            else None
+        )
+        if expected is not None and head_seq != expected:
+            raise ConcurrentCommitError(
+                f"manifest at {path} moved from commit_seq={expected} to "
+                f"{head_seq} since it was read — another writer committed "
+                "in between (the epoch protocol is single-writer per "
+                "index).  Re-read the manifest and re-apply, or remove "
+                "the duplicate writer."
+            )
+        out = {**manifest, "commit_seq": (head_seq or 0) + 1}
+        fs.write_bytes_atomic(mp, json.dumps(out).encode())
 
 
 # the sidecar keys a rebuild preserves from a pre-existing manifest

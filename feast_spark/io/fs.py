@@ -64,6 +64,19 @@ class StoreFS:
         so only a cross-BACKEND collision is possible."""
         return type(self).__name__
 
+    def lock(self, path: str):
+        """Best-effort mutual exclusion around a read-check-write of the
+        control file at ``path`` (``io/epochs.commit_manifest``'s CAS).
+        Default: a no-op context manager — on object stores the
+        check+PUT window is narrowed but not closed (a real deployment
+        maps the check to a conditional put: S3 If-Match, GCS
+        ifGenerationMatch — see SCALE.md); LocalFS closes it with an
+        OS advisory lock, making same-host interleaved commits strictly
+        serialized."""
+        import contextlib
+
+        return contextlib.nullcontext()
+
 
 class LocalFS(StoreFS):
     """POSIX implementation; atomicity via same-directory ``os.replace``."""
@@ -107,6 +120,27 @@ class LocalFS(StoreFS):
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+    def lock(self, path: str):
+        """``flock`` on a ``<path>.lock`` sidecar: released on close OR
+        process death (no stale-lockfile failure mode), so same-host
+        concurrent committers serialize and the CAS in
+        ``commit_manifest`` observes a quiescent head."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def _flock():
+            if os.path.dirname(path):
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+            fd = os.open(f"{path}.lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)  # closing releases the flock
+
+        return _flock()
 
 
 class HadoopFS(StoreFS):

@@ -38,6 +38,7 @@ from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
 __all__ = [
+    "normalize_query_terms",
     "bm25_topk",
     "bm25_topk_batch",
     "hybrid_topk",
@@ -52,6 +53,19 @@ __all__ = [
     "bm25_index_compact",
     "bm25_index_vacuum",
 ]
+
+
+def normalize_query_terms(query: list[str]) -> list[str]:
+    """The single-call query-term normalization (lowercase, drop
+    empties/Nones, dedup, sort), shared by ``bm25_topk`` /
+    ``bm25_index_topk`` and ``serving.BM25QueryCoalescer`` — ONE
+    implementation so the pinned coalesced==single-call identity can
+    never drift on a normalization change.  Raises when nothing
+    survives (the single-call contract)."""
+    terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("query must contain at least one non-empty term")
+    return terms
 
 
 def _score_postings(
@@ -104,9 +118,7 @@ def bm25_topk(
     terms count once — the standard bag-of-words-query simplification."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    terms = sorted({t.lower() for t in query if t})
-    if not terms:
-        raise ValueError("query must contain at least one non-empty term")
+    terms = normalize_query_terms(query)
 
     from feast_spark.operators.docdedup import widen_parallelism
 
@@ -814,9 +826,7 @@ def bm25_index_topk(
     what the stored index says — rather than raising."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    terms = sorted({t.lower() for t in query if t})
-    if not terms:
-        raise ValueError("query must contain at least one non-empty term")
+    terms = normalize_query_terms(query)
     tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
     scored = _score_postings(tf, stats, id_col, k1, b)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
 
-__all__ = ["vector_index_kind", "vector_index_topk", "vector_index_append"]
+__all__ = [
+    "vector_index_kind",
+    "vector_index_dim",
+    "vector_index_topk",
+    "vector_index_append",
+]
 
 _VECTOR_KINDS = ("ivf", "ivfpq")
 
@@ -39,6 +44,24 @@ def vector_index_kind(path: str, fs: StoreFS | None = None) -> str:
             f"is a {kind!r} index"
         )
     return kind
+
+
+def vector_index_dim(path: str, fs: StoreFS | None = None) -> int:
+    """Embedding dimensionality of the committed index at ``path``,
+    read from its quantizer's centroid table (driver-side, through the
+    model-cache-backed loaders — no Spark job).  Serving edges use it
+    to reject a wrong-length query vector BEFORE it reaches a fused
+    batch call, where the failure would take every concurrent request
+    down with it (serving.VectorQueryCoalescer / HybridQueryCoalescer)."""
+    fs = fs or LocalFS()
+    kind = vector_index_kind(path, fs)
+    if kind == "ivfpq":
+        from feast_spark.operators.pq_index import _load_centroids, _manifest
+
+        return len(_load_centroids(path, _manifest(path, fs), fs)[0])
+    from feast_spark.operators.similarity import _ivf_load_centroids
+
+    return len(_ivf_load_centroids(None, path, fs)[0])
 
 
 def vector_index_topk(

@@ -378,6 +378,28 @@ class QueryCoalescer:
         self.close()
 
 
+def _index_dim(vec_index_path: str, fs) -> int:
+    """Construction-time resolution of the index's embedding
+    dimensionality (operators/vector_index.vector_index_dim).  Resolved
+    once: dimensionality is structural — a rebuild that CHANGES it is a
+    different serving config and warrants a fresh coalescer."""
+    from feast_spark.operators.vector_index import vector_index_dim
+
+    return vector_index_dim(vec_index_path, fs)
+
+
+def _check_dim(qvec, dim: int) -> list[float]:
+    if not qvec:
+        raise ValueError("qvec must be a non-empty vector")
+    vec = [float(x) for x in qvec]
+    if len(vec) != dim:
+        raise ValueError(
+            f"query vector has {len(vec)} dimensions but the index "
+            f"stores {dim}-dimensional embeddings"
+        )
+    return vec
+
+
 class HybridQueryCoalescer(QueryCoalescer):
     """Coalesced all-index hybrid retrieval: each batch is ONE
     ``hybrid_index_topk_batch`` call (BM25 postings + vector index,
@@ -408,14 +430,22 @@ class HybridQueryCoalescer(QueryCoalescer):
         )
         self._index_path = index_path
         self._vec_index_path = vec_index_path
+        self._dim = _index_dim(vec_index_path, fs)
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def query(self, terms: list[str], qvec: list[float]) -> list[tuple]:
         """Block until the coalesced batch containing this request is
         served; returns [(id, lex_rank, vec_rank, rrf), ...] in rank
-        order — the same rows as a hybrid_index_topk call."""
+        order — the same rows as a hybrid_index_topk call.  Term and
+        vector shape are validated BEFORE parking (a wrong-length
+        vector would otherwise fail the fused kernel and take every
+        concurrent parked request down with it)."""
+        if not terms or not any(t for t in terms):
+            raise ValueError(
+                "query must contain at least one non-empty term"
+            )
         return self._submit(
-            {"terms": terms, "qvec": [float(x) for x in qvec]}
+            {"terms": terms, "qvec": _check_dim(qvec, self._dim)}
         )
 
     def _serve_batch(self, batch: list[dict]) -> list[list]:
@@ -463,15 +493,13 @@ class BM25QueryCoalescer(QueryCoalescer):
 
     def query(self, terms: list[str]) -> list[tuple]:
         """[(id, bm25), ...] in rank order — the same rows as a
-        bm25_index_topk call.  Validation mirrors the single call
-        (empty term set raises) and runs BEFORE parking, so a bad
-        request can never poison its batch."""
-        norm = sorted({t.lower() for t in terms if t})
-        if not norm:
-            raise ValueError(
-                "query must contain at least one non-empty term"
-            )
-        return self._submit({"terms": norm})
+        bm25_index_topk call.  Validation IS the single call's
+        (shared ``normalize_query_terms``, so the identity cannot
+        drift) and runs BEFORE parking, so a bad request can never
+        poison its batch."""
+        from feast_spark.operators.bm25 import normalize_query_terms
+
+        return self._submit({"terms": normalize_query_terms(terms)})
 
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.bm25 import bm25_index_topk_batch
@@ -513,14 +541,15 @@ class VectorQueryCoalescer(QueryCoalescer):
     ):
         self._index_path = index_path
         self._kw = dict(k=k, n_probe=n_probe, fs=fs)
+        self._dim = _index_dim(index_path, fs)
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def query(self, qvec: list[float]) -> list[tuple]:
         """The single-call ``vector_index_topk`` rows for one query
-        vector, minus the query_id column."""
-        if not qvec:
-            raise ValueError("qvec must be a non-empty vector")
-        return self._submit({"qvec": [float(x) for x in qvec]})
+        vector, minus the query_id column.  Vector shape is validated
+        against the index's committed dimensionality BEFORE parking —
+        a wrong-length vector fails ITS caller, not the fused batch."""
+        return self._submit({"qvec": _check_dim(qvec, self._dim)})
 
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.vector_index import vector_index_topk

@@ -192,6 +192,15 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
         for t in threads:
             t.join()
     assert set(results) == set(range(n))
+    # malformed hybrid requests fail their caller before parking
+    with HybridQueryCoalescer(
+        spark, lex_path, vec_path, k=5, n_probe=4, max_batch=2,
+        max_wait_ms=50.0,
+    ) as co_v:
+        with pytest.raises(ValueError, match="non-empty term"):
+            co_v.query([], qvec(0))
+        with pytest.raises(ValueError, match="dimensions"):
+            co_v.query(terms, [0.5, 0.5])
     for i in range(n):
         single = hybrid_index_topk(
             spark, lex_path, None, terms, qvec(i), k=5,
@@ -316,6 +325,10 @@ def test_bm25_and_vector_coalescers_match_single_calls(spark, tmp_path):
                 t.join()
             with pytest.raises(ValueError, match="non-empty vector"):
                 vo.query([])
+            # wrong-dimension vector fails ITS caller before parking —
+            # it must never reach (and poison) the fused batch call
+            with pytest.raises(ValueError, match="dimensions"):
+                vo.query([0.1, 0.2])
         for i in range(4):
             qdf = spark.createDataFrame(
                 [(-(i + 1), by_id[i])], "vec_id LONG, embedding ARRAY<DOUBLE>"

@@ -200,9 +200,6 @@ def main() -> None:
     # vector_index_topk call over the fused batch, here IVFPQ ADC)
     from feast_spark.serving import BM25QueryCoalescer, VectorQueryCoalescer
 
-    def qvec_list(i: int) -> list[float]:
-        return qvec(i)
-
     kind_setups = {
         "bm25_coalescer": (
             BM25QueryCoalescer(
@@ -216,7 +213,7 @@ def main() -> None:
                 spark, ivfpq_path, k=10, n_probe=8,
                 max_batch=n_queries, max_wait_ms=2000.0,
             ),
-            lambda co, i: co.query(qvec_list(i)),
+            lambda co, i: co.query(qvec(i)),
         ),
     }
     for kname, (co, issue) in kind_setups.items():
