@@ -40,11 +40,21 @@ from typing import Any
 __all__ = [
     "OnlineServingServer",
     "serve_online",
+    "CoalescerRequestError",
     "QueryCoalescer",
     "HybridQueryCoalescer",
     "BM25QueryCoalescer",
     "VectorQueryCoalescer",
 ]
+
+
+class CoalescerRequestError(ValueError):
+    """A coalescer request failed ITS OWN pre-parking validation (bad
+    terms, wrong vector dimensionality).  A distinct type so transports
+    can map it to 400 while index-side failures surfacing through the
+    fused batch call (e.g. a ValueError from the corpus-alignment
+    check) stay 500 — the client's fault and the server's fault must
+    not share an exception class."""
 
 
 def _json_default(o: Any):
@@ -79,15 +89,28 @@ class OnlineServingServer:
     answers hybrid lexical+vector retrieval — each HTTP handler thread
     parks in the coalescer, so CONCURRENT requests are served by one
     Spark batch call (the measured 15x per-call amortization reaches
-    the wire without the transport doing anything special).  The
-    coalescer's lifecycle belongs to the caller (it may be shared by
-    several transports); the server does not close it."""
+    the wire without the transport doing anything special).
+    ``lexical`` (:class:`BM25QueryCoalescer`) and ``vector``
+    (:class:`VectorQueryCoalescer`) are the single-channel twins:
+    ``POST /search`` ``{"terms": [...]}`` and ``POST /vector-search``
+    ``{"vector": [...]}``, each row keyed by the coalescer's
+    ``columns``.  Every coalescer's lifecycle belongs to the caller
+    (it may be shared by several transports); the server does not
+    close them."""
 
     def __init__(
-        self, store, host: str = "127.0.0.1", port: int = 0, retrieval=None
+        self,
+        store,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        retrieval=None,
+        lexical=None,
+        vector=None,
     ):
         self.store = store
         self.retrieval = retrieval
+        self.lexical = lexical
+        self.vector = vector
         self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
         self._thread: threading.Thread | None = None
 
@@ -133,6 +156,18 @@ class OnlineServingServer:
                 if self.path == "/hybrid-search":
                     self._hybrid_search()
                     return
+                if self.path == "/search":
+                    self._single_channel_search(
+                        server.lexical, "lexical",
+                        lambda req: (self._parse_terms(req),),
+                    )
+                    return
+                if self.path == "/vector-search":
+                    self._single_channel_search(
+                        server.vector, "vector",
+                        lambda req: (self._parse_vector(req),),
+                    )
+                    return
                 if self.path != "/get-online-features":
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
@@ -152,6 +187,31 @@ class OnlineServingServer:
                 except Exception as e:  # store-side failure
                     self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
+            def _read_json(self) -> dict:
+                length = int(self.headers.get("Content-Length", "0"))
+                return json.loads(self.rfile.read(length) or b"{}")
+
+            @staticmethod
+            def _parse_terms(req: dict) -> list[str]:
+                terms = req["terms"]
+                if (
+                    not isinstance(terms, list)
+                    or not terms
+                    or not all(isinstance(t, str) and t for t in terms)
+                ):
+                    raise ValueError(
+                        "terms must be a non-empty list of "
+                        "non-empty strings"
+                    )
+                return terms
+
+            @staticmethod
+            def _parse_vector(req: dict) -> list[float]:
+                vector = req["vector"]
+                if not isinstance(vector, list) or not vector:
+                    raise ValueError("vector must be a non-empty list")
+                return [float(x) for x in vector]
+
             def _hybrid_search(self):
                 if server.retrieval is None:
                     self._send(
@@ -161,34 +221,24 @@ class OnlineServingServer:
                     )
                     return
                 # parse + validate FULLY before touching the coalescer:
-                # a malformed element slipping into the shared batch
-                # would fail every concurrent request parked with it,
-                # and an index-side failure must surface as 500, not as
-                # the client's fault
+                # a malformed element must fail as 400 without parking
+                # (the coalescer re-validates pre-parking as a second
+                # line of defense), and an index-side failure must
+                # surface as 500, not as the client's fault
                 try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    req = json.loads(self.rfile.read(length) or b"{}")
-                    terms = req["terms"]
-                    vector = req["vector"]
-                    if (
-                        not isinstance(terms, list)
-                        or not terms
-                        or not all(
-                            isinstance(t, str) and t for t in terms
-                        )
-                    ):
-                        raise ValueError(
-                            "terms must be a non-empty list of "
-                            "non-empty strings"
-                        )
-                    if not isinstance(vector, list) or not vector:
-                        raise ValueError("vector must be a non-empty list")
-                    vector = [float(x) for x in vector]
+                    req = self._read_json()
+                    terms = self._parse_terms(req)
+                    vector = self._parse_vector(req)
                 except (KeyError, ValueError, TypeError) as e:
                     self._send(400, {"error": str(e)})
                     return
                 try:
                     rows = server.retrieval.query(terms, vector)
+                except CoalescerRequestError as e:  # pre-parking
+                    # validation the transport cannot do itself (vector
+                    # dimensionality vs the index) — the client's fault
+                    self._send(400, {"error": str(e)})
+                    return
                 except Exception as e:  # index-side failure (e.g. the
                     # corpus-alignment check tripping) — a server
                     # problem, visible to 5xx monitoring
@@ -207,6 +257,36 @@ class OnlineServingServer:
                             for rid, lr, vr, rrf in rows
                         ]
                     },
+                )
+
+            def _single_channel_search(self, co, name, parse):
+                """POST /search and /vector-search: one coalescer, rows
+                keyed by its ``columns`` — same 400/500 split as the
+                hybrid endpoint."""
+                if co is None:
+                    self._send(
+                        404,
+                        {"error": f"no {name} coalescer configured "
+                                  f"(pass {name}= to the server)"},
+                    )
+                    return
+                try:
+                    args = parse(self._read_json())
+                except (KeyError, ValueError, TypeError) as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                try:
+                    rows = co.query(*args)
+                except CoalescerRequestError as e:  # pre-parking validation
+                    self._send(400, {"error": str(e)})
+                    return
+                except Exception as e:
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                cols = co.columns
+                self._send(
+                    200,
+                    {"results": [dict(zip(cols, r)) for r in rows]},
                 )
 
         return Handler
@@ -390,10 +470,10 @@ def _index_dim(vec_index_path: str, fs) -> int:
 
 def _check_dim(qvec, dim: int) -> list[float]:
     if not qvec:
-        raise ValueError("qvec must be a non-empty vector")
+        raise CoalescerRequestError("qvec must be a non-empty vector")
     vec = [float(x) for x in qvec]
     if len(vec) != dim:
-        raise ValueError(
+        raise CoalescerRequestError(
             f"query vector has {len(vec)} dimensions but the index "
             f"stores {dim}-dimensional embeddings"
         )
@@ -441,7 +521,7 @@ class HybridQueryCoalescer(QueryCoalescer):
         vector would otherwise fail the fused kernel and take every
         concurrent parked request down with it)."""
         if not terms or not any(t for t in terms):
-            raise ValueError(
+            raise CoalescerRequestError(
                 "query must contain at least one non-empty term"
             )
         return self._submit(
@@ -487,8 +567,16 @@ class BM25QueryCoalescer(QueryCoalescer):
         max_wait_ms: float = 25.0,
         fs=None,
     ):
+        from feast_spark.operators.bm25 import _bm25_manifest
+        from feast_spark.io.fs import LocalFS
+
         self._index_path = index_path
         self._kw = dict(k=k, k1=k1, b=b, fs=fs)
+        #: row layout of each query() tuple (the index's committed id
+        #: column + the score) — what the HTTP edge keys results by
+        self.columns = (
+            _bm25_manifest(index_path, fs or LocalFS())["id_col"], "bm25"
+        )
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def query(self, terms: list[str]) -> list[tuple]:
@@ -499,7 +587,11 @@ class BM25QueryCoalescer(QueryCoalescer):
         poison its batch."""
         from feast_spark.operators.bm25 import normalize_query_terms
 
-        return self._submit({"terms": normalize_query_terms(terms)})
+        try:
+            norm = normalize_query_terms(terms)
+        except ValueError as e:  # re-typed so transports can 400 it
+            raise CoalescerRequestError(str(e)) from None
+        return self._submit({"terms": norm})
 
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.bm25 import bm25_index_topk_batch
@@ -539,9 +631,19 @@ class VectorQueryCoalescer(QueryCoalescer):
         max_wait_ms: float = 25.0,
         fs=None,
     ):
+        from feast_spark.operators.vector_index import vector_index_kind
+
         self._index_path = index_path
         self._kw = dict(k=k, n_probe=n_probe, fs=fs)
         self._dim = _index_dim(index_path, fs)
+        #: row layout of each query() tuple — the kind's native
+        #: single-call columns minus query_id (module docstring of
+        #: operators/vector_index.py)
+        self.columns = (
+            ("neighbor_id", "adc_dist")
+            if vector_index_kind(index_path, fs) == "ivfpq"
+            else ("neighbor_id", "cos", "rank")
+        )
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def query(self, qvec: list[float]) -> list[tuple]:

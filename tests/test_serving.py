@@ -507,3 +507,113 @@ def test_hybrid_search_endpoint_coalesces_http_requests(
                 {"terms": ["x"], "vector": [1.0]},
             )
         assert ei.value.code == 404
+
+
+def test_single_channel_search_endpoints(spark, store, tmp_path):
+    """POST /search (BM25QueryCoalescer) and /vector-search
+    (VectorQueryCoalescer): concurrent HTTP requests coalesce per kind
+    and return single-call-identical rows keyed by the coalescer's
+    columns; unconfigured channels 404; malformed payloads — including
+    a wrong-dimension vector, which only the coalescer's pre-parking
+    check can see — 400."""
+    import threading
+    import urllib.error
+
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+    from feast_spark.operators.pq_index import build_ivfpq_index
+    from feast_spark.serving import BM25QueryCoalescer, VectorQueryCoalescer
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    emb = load_table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lex_path, vec_path = str(tmp_path / "bm25e"), str(tmp_path / "pqe")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
+    build_ivfpq_index(emb, vec_path, n_centroids=4, iters=1)
+    by_id = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    }
+    term_sets = [["spark", "merge"], ["parquet"], ["window"], ["scan"]]
+
+    with BM25QueryCoalescer(
+        spark, lex_path, k=5, max_batch=4, max_wait_ms=3000.0
+    ) as lex_co, VectorQueryCoalescer(
+        spark, vec_path, k=5, n_probe=2, max_batch=4, max_wait_ms=3000.0
+    ) as vec_co, OnlineServingServer(
+        store, lexical=lex_co, vector=vec_co
+    ) as srv:
+        lex_res, vec_res = {}, {}
+
+        def lex_call(i):
+            lex_res[i] = _post(
+                f"{srv.address}/search", {"terms": term_sets[i]}
+            )
+
+        def vec_call(i):
+            vec_res[i] = _post(
+                f"{srv.address}/vector-search", {"vector": by_id[i]}
+            )
+
+        threads = [
+            threading.Thread(target=f, args=(i,))
+            for i in range(4)
+            for f in (lex_call, vec_call)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i in range(4):
+            status, body = lex_res[i]
+            assert status == 200
+            single = bm25_index_topk(
+                spark, lex_path, term_sets[i], k=5
+            ).collect()
+            assert [r["doc_id"] for r in body["results"]] == [
+                r["doc_id"] for r in single
+            ], i
+            assert [r["bm25"] for r in body["results"]] == pytest.approx(
+                [r["bm25"] for r in single], rel=1e-9
+            ), i
+
+            status, body = vec_res[i]
+            assert status == 200
+            # ids + order exact vs a direct (differently-batched) call;
+            # ADC floats drift in the last ulps across batch shapes
+            direct = vec_co.query(by_id[i])
+            assert [r["neighbor_id"] for r in body["results"]] == [
+                t[0] for t in direct
+            ], i
+            assert [r["adc_dist"] for r in body["results"]] == pytest.approx(
+                [t[1] for t in direct], rel=1e-9
+            ), i
+
+        # malformed payloads are the client's fault: 400, and the
+        # server keeps serving
+        for url, payload in (
+            ("/search", {"terms": []}),
+            ("/search", {"nope": 1}),
+            ("/vector-search", {"vector": []}),
+            ("/vector-search", {"vector": ["oops"]}),
+            ("/vector-search", {"vector": [0.1, 0.2]}),  # wrong dims
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(f"{srv.address}{url}", payload)
+            assert ei.value.code == 400, (url, payload)
+        status, _ = _post(f"{srv.address}/search", {"terms": ["spark"]})
+        assert status == 200
+
+    with OnlineServingServer(store) as srv:  # channels unconfigured
+        for url, payload in (
+            ("/search", {"terms": ["x"]}),
+            ("/vector-search", {"vector": [1.0]}),
+        ):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(f"{srv.address}{url}", payload)
+            assert ei.value.code == 404, url
