@@ -61,7 +61,11 @@ def normalize_query_terms(query: list[str]) -> list[str]:
     ``bm25_index_topk`` and ``serving.BM25QueryCoalescer`` — ONE
     implementation so the pinned coalesced==single-call identity can
     never drift on a normalization change.  Raises when nothing
-    survives (the single-call contract)."""
+    survives, and on non-string elements (a clear ValueError instead
+    of an AttributeError off ``.lower()`` — the coalescer re-types
+    both as the client's fault)."""
+    if not all(t is None or isinstance(t, str) for t in query):
+        raise ValueError("query terms must be strings")
     terms = sorted({t.lower() for t in query if t})
     if not terms:
         raise ValueError("query must contain at least one non-empty term")

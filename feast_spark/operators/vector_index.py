@@ -46,15 +46,18 @@ def vector_index_kind(path: str, fs: StoreFS | None = None) -> str:
     return kind
 
 
-def vector_index_dim(path: str, fs: StoreFS | None = None) -> int:
+def vector_index_dim(
+    path: str, fs: StoreFS | None = None, kind: str | None = None
+) -> int:
     """Embedding dimensionality of the committed index at ``path``,
     read from its quantizer's centroid table (driver-side, through the
     model-cache-backed loaders — no Spark job).  Serving edges use it
     to reject a wrong-length query vector BEFORE it reaches a fused
     batch call, where the failure would take every concurrent request
-    down with it (serving.VectorQueryCoalescer / HybridQueryCoalescer)."""
+    down with it (serving.VectorQueryCoalescer / HybridQueryCoalescer).
+    Pass ``kind`` when already resolved to skip one manifest read."""
     fs = fs or LocalFS()
-    kind = vector_index_kind(path, fs)
+    kind = kind or vector_index_kind(path, fs)
     if kind == "ivfpq":
         from feast_spark.operators.pq_index import _load_centroids, _manifest
 

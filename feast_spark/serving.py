@@ -193,6 +193,8 @@ class OnlineServingServer:
 
             @staticmethod
             def _parse_terms(req: dict) -> list[str]:
+                if "terms" not in req:
+                    raise ValueError("request must contain 'terms'")
                 terms = req["terms"]
                 if (
                     not isinstance(terms, list)
@@ -207,6 +209,8 @@ class OnlineServingServer:
 
             @staticmethod
             def _parse_vector(req: dict) -> list[float]:
+                if "vector" not in req:
+                    raise ValueError("request must contain 'vector'")
                 vector = req["vector"]
                 if not isinstance(vector, list) or not vector:
                     raise ValueError("vector must be a non-empty list")
@@ -469,9 +473,22 @@ def _index_dim(vec_index_path: str, fs) -> int:
 
 
 def _check_dim(qvec, dim: int) -> list[float]:
+    import math
+
     if not qvec:
         raise CoalescerRequestError("qvec must be a non-empty vector")
-    vec = [float(x) for x in qvec]
+    try:
+        vec = [float(x) for x in qvec]
+    except (TypeError, ValueError):
+        raise CoalescerRequestError(
+            "qvec must contain only numbers"
+        ) from None
+    if not all(math.isfinite(x) for x in vec):
+        # json.loads happily parses bare NaN/Infinity tokens; letting
+        # them through yields NaN distances and a 200 response whose
+        # body strict JSON parsers reject — the client's fault, caught
+        # here so every transport rejects it as such
+        raise CoalescerRequestError("qvec must contain only finite numbers")
     if len(vec) != dim:
         raise CoalescerRequestError(
             f"query vector has {len(vec)} dimensions but the index "
@@ -520,9 +537,18 @@ class HybridQueryCoalescer(QueryCoalescer):
         vector shape are validated BEFORE parking (a wrong-length
         vector would otherwise fail the fused kernel and take every
         concurrent parked request down with it)."""
-        if not terms or not any(t for t in terms):
+        if (
+            not terms
+            or not all(isinstance(t, str) for t in terms)
+            or not any(terms)
+        ):
+            # element types are enforced here, not just at the HTTP
+            # edge: a non-string term would otherwise fail the fused
+            # createDataFrame (terms ARRAY<STRING>) and take every
+            # concurrently parked request down with it
             raise CoalescerRequestError(
-                "query must contain at least one non-empty term"
+                "terms must be a list of strings with at least one "
+                "non-empty term"
             )
         return self._submit(
             {"terms": terms, "qvec": _check_dim(qvec, self._dim)}
@@ -600,11 +626,11 @@ class BM25QueryCoalescer(QueryCoalescer):
             [(-(i + 1), r["terms"]) for i, r in enumerate(batch)],
             "query_id LONG, terms ARRAY<STRING>",
         )
-        out = bm25_index_topk_batch(
+        rows = bm25_index_topk_batch(
             self._spark, self._index_path, qdf, **self._kw
-        )
-        id_col = out.columns[1]  # the index's committed id column
-        rows = out.collect()
+        ).collect()
+        id_col = self.columns[0]  # the manifest's id column — the one
+        # source of truth shared with the wire layout
         return self._group_by_request(
             rows, len(batch),
             sort_key=lambda r: r["rank"],
@@ -631,17 +657,23 @@ class VectorQueryCoalescer(QueryCoalescer):
         max_wait_ms: float = 25.0,
         fs=None,
     ):
-        from feast_spark.operators.vector_index import vector_index_kind
+        from feast_spark.operators.vector_index import (
+            vector_index_dim,
+            vector_index_kind,
+        )
 
         self._index_path = index_path
         self._kw = dict(k=k, n_probe=n_probe, fs=fs)
-        self._dim = _index_dim(index_path, fs)
+        kind = vector_index_kind(index_path, fs)  # resolved once
+        self._dim = vector_index_dim(index_path, fs, kind=kind)
         #: row layout of each query() tuple — the kind's native
         #: single-call columns minus query_id (module docstring of
-        #: operators/vector_index.py)
+        #: operators/vector_index.py).  _serve_batch reads rows BY
+        #: these names, so a verb schema change fails loudly instead
+        #: of silently mislabeling wire results.
         self.columns = (
             ("neighbor_id", "adc_dist")
-            if vector_index_kind(index_path, fs) == "ivfpq"
+            if kind == "ivfpq"
             else ("neighbor_id", "cos", "rank")
         )
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
@@ -660,17 +692,18 @@ class VectorQueryCoalescer(QueryCoalescer):
             [(-(i + 1), r["qvec"]) for i, r in enumerate(batch)],
             "vec_id LONG, embedding ARRAY<DOUBLE>",
         )
-        out = vector_index_topk(
+        rows = vector_index_topk(
             self._spark, self._index_path, qdf, **self._kw
-        )
-        cols = [c for c in out.columns if c != "query_id"]
-        has_rank = "rank" in cols  # IVF carries rank; IVFPQ orders by ADC
-        rows = out.collect()
+        ).collect()
+        # self.columns is the one source of truth for the row layout:
+        # rows are read BY NAME, so a reordered/renamed verb column
+        # raises instead of silently pairing values under wrong keys
+        has_rank = "rank" in self.columns  # IVF; IVFPQ orders by ADC
         return self._group_by_request(
             rows, len(batch),
             sort_key=(
                 (lambda r: r["rank"]) if has_rank
                 else (lambda r: (r["adc_dist"], r["neighbor_id"]))
             ),
-            row_tuple=lambda r: tuple(r[c] for c in cols),
+            row_tuple=lambda r: tuple(r[c] for c in self.columns),
         )
