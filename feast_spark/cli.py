@@ -313,6 +313,77 @@ def _doctor_pair(args) -> int:
     return 0
 
 
+_KIND_SUBDIRS = {
+    "bm25": ("postings", "stats"),
+    "minhash": ("bands", "shingles"),
+    "ivf": ("vectors",),
+    "ivfpq": ("codes",),
+}
+
+
+def _doctor_history(args) -> int:
+    """``doctor --history PATH``: print the index's commit log — one
+    line per archived manifest (``_history/commit_seq=N.json``,
+    written by every ``io/epochs.commit_manifest``): seq, kind, epoch
+    list, pair/stream stamps, and whether every epoch directory the
+    archived manifest references still exists on disk (``readable`` =
+    a valid ``as_of=`` target; ``expired`` = vacuum removed some of
+    its epochs).  The audit trail behind time travel, same discipline
+    as ``DESCRIBE HISTORY`` on a Delta table.  Driver-only (tiny JSON
+    reads) — no Spark session.  Exit 2 on a missing/uncommitted
+    path."""
+    import json as _json
+    import posixpath
+
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+
+    fs = LocalFS()
+    path = args.history
+    try:
+        head = epochs_io.read_manifest(path, fs)
+    except ValueError as e:
+        print(f"error    {e}")
+        return 2
+    head_seq = head.get("commit_seq")
+    seqs = epochs_io.history_seqs(path, fs)
+    if not seqs:
+        print(
+            "no archived commits — the index predates manifest history "
+            "(its next commit starts the log) or vacuum expired them all"
+        )
+        return 0
+    for s in seqs:
+        m = _json.loads(
+            fs.read_bytes(posixpath.join(path, epochs_io.HISTORY_DIR,
+                                         f"commit_seq={s}.json"))
+        )
+        kind = m.get("kind", "?")
+        epochs = m.get("epochs", [])
+        subdirs = _KIND_SUBDIRS.get(kind, ())
+        readable = all(
+            fs.exists(posixpath.join(path, sub, f"epoch={e}"))
+            for sub in subdirs
+            for e in epochs
+        )
+        stamps = "".join(
+            f" {k}={m[k]}"
+            for k in ("corpus_epoch", "stream_epoch")
+            if k in m
+        )
+        mark = "*" if s == head_seq else " "
+        state = "readable" if readable else "expired "
+        print(
+            f"{mark}seq={s:<4} {state} kind={kind:<7} "
+            f"epochs={epochs}{stamps}"
+        )
+    print(
+        "*=head; 'readable' commits are valid as_of= targets "
+        "(vacuum retain_last bounds the window)"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="feast_spark")
     p.add_argument("--registry", default="registry.json")
@@ -389,6 +460,12 @@ def main(argv: list[str] | None = None) -> int:
         "a rebuild dropped the token), which a cron watching a "
         "stamped production pair should treat as its own alarm",
     )
+    sp.add_argument(
+        "--history", default=None, metavar="PATH",
+        help="print a persisted index's commit log (archived manifests "
+        "under _history/): seq, kind, epochs, stamps, and whether each "
+        "commit is still a readable as_of= time-travel target",
+    )
     sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
@@ -419,9 +496,15 @@ def main(argv: list[str] | None = None) -> int:
             p.error("--vacuum requires --maintain")
         if args.pair is not None and args.index is not None:
             p.error("--pair and --index are mutually exclusive")
+        if args.history is not None and (
+            args.index is not None or args.pair is not None
+        ):
+            p.error("--history is mutually exclusive with --index/--pair")
         if args.strict and args.pair is None:
             # silently ignoring --strict would look like a strict run
             p.error("--strict requires --pair")
+        if args.history is not None:
+            return _doctor_history(args)
         if args.pair is not None:
             return _doctor_pair(args)
         if args.index is not None:

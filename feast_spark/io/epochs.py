@@ -29,6 +29,25 @@ import posixpath
 from feast_spark.io.fs import LocalFS, StoreFS
 
 MANIFEST = "_MANIFEST.json"
+HISTORY_DIR = "_history"
+
+
+def _history_path(path: str, seq: int) -> str:
+    return posixpath.join(path, HISTORY_DIR, f"commit_seq={seq}.json")
+
+
+def history_seqs(path: str, fs: StoreFS) -> list[int]:
+    """Sorted ``commit_seq`` values with an archived manifest under
+    ``_history/`` — the index's time-travel window.  Bounded: one entry
+    per commit, expired by vacuum down to its retention window."""
+    base = posixpath.join(path, HISTORY_DIR)
+    seqs = []
+    for name in fs.list_files(base) if fs.exists(base) else []:
+        if name.startswith("commit_seq=") and name.endswith(".json"):
+            body = name[len("commit_seq="):-len(".json")]
+            if body.isdigit():
+                seqs.append(int(body))
+    return sorted(seqs)
 
 
 def read_manifest(
@@ -37,6 +56,7 @@ def read_manifest(
     required_keys: tuple[str, ...] = ("epochs",),
     kind: str = "index",
     kind_id: str | None = None,
+    as_of_seq: int | None = None,
 ) -> dict:
     """Load and validate the committed manifest.  A manifest missing
     ``required_keys`` — e.g. one written by an older, incompatible
@@ -49,11 +69,39 @@ def read_manifest(
     required keys happen to overlap (every kind writes ``epochs``, so
     key checks alone cannot distinguish e.g. a stale IVF reader from a
     fresh IVFPQ manifest).  Manifests predating the stamp (no ``kind``
-    key) are accepted for backward compatibility."""
-    mp = posixpath.join(path, MANIFEST)
-    if not fs.exists(mp):
-        raise ValueError(f"no {kind} committed at {path}")
-    manifest = json.loads(fs.read_bytes(mp))
+    key) are accepted for backward compatibility.
+
+    ``as_of_seq`` resolves the ARCHIVED manifest of that commit instead
+    of the head — time travel, the Delta/Iceberg ``VERSION AS OF``
+    discipline: every ``commit_manifest`` archives its result under
+    ``_history/commit_seq=N.json``, and because epoch directories are
+    write-once, a historical manifest's epoch list reads exactly the
+    bytes head served at commit N (until vacuum expires the retention
+    window — the error then names the surviving range).  Validation
+    (required keys, kind stamp) applies to the archived manifest the
+    same as to head, so travelling across a rebuild to a DIFFERENT
+    index kind fails loudly rather than reading a foreign layout."""
+    if as_of_seq is not None:
+        hp = _history_path(path, as_of_seq)
+        if not fs.exists(hp):
+            avail = history_seqs(path, fs)
+            window = (
+                f"archived commits: {avail[0]}..{avail[-1]}"
+                if avail
+                else "no archived commits (index predates manifest "
+                "history, or vacuum expired them all)"
+            )
+            raise ValueError(
+                f"no {kind} manifest archived at {path} for "
+                f"commit_seq={as_of_seq} — {window}; commits past the "
+                "vacuum retention window are expired"
+            )
+        manifest = json.loads(fs.read_bytes(hp))
+    else:
+        mp = posixpath.join(path, MANIFEST)
+        if not fs.exists(mp):
+            raise ValueError(f"no {kind} committed at {path}")
+        manifest = json.loads(fs.read_bytes(mp))
     missing = [k for k in required_keys if k not in manifest]
     if missing:
         raise ValueError(
@@ -123,7 +171,18 @@ def commit_manifest(path: str, fs: StoreFS, manifest: dict) -> None:
                 "the duplicate writer."
             )
         out = {**manifest, "commit_seq": (head_seq or 0) + 1}
-        fs.write_bytes_atomic(mp, json.dumps(out).encode())
+        data = json.dumps(out).encode()
+        # archive BEFORE the head flip so a committed head always has
+        # its history entry (time travel to the head seq never 404s).
+        # A crash between the two writes leaves an orphan history file
+        # for a seq head never reached; the next commit computes the
+        # same seq from head and atomically overwrites the orphan, so
+        # history never shows a manifest that was not, or will not be,
+        # the committed head at that seq.
+        fs.write_bytes_atomic(
+            _history_path(path, out["commit_seq"]), data
+        )
+        fs.write_bytes_atomic(mp, data)
 
 
 # the sidecar keys a rebuild preserves from a pre-existing manifest
@@ -176,16 +235,67 @@ def next_epoch(
     return (max(seen) + 1) if seen else 0
 
 
+def retention_window(
+    path: str,
+    fs: StoreFS,
+    retain_last: int,
+    head_seq: int | None = None,
+) -> tuple[set[int], set[int], list[dict]]:
+    """The vacuum retention window: ``(protected_epochs, keep_seqs,
+    retained_manifests)`` covering the ``retain_last`` most recent
+    archived commits plus the head's own archive entry (always kept so
+    ``as_of=head`` never expires).  Epochs any retained manifest
+    references are PROTECTED from vacuum — the Iceberg
+    expire-snapshots discipline: the time-travel window and the
+    in-flight-reader grace window are the same mechanism, because a
+    reader that resolved manifest N scans exactly the directories
+    manifest N lists."""
+    if retain_last < 0:
+        raise ValueError(f"retain_last must be >= 0, got {retain_last}")
+    seqs = history_seqs(path, fs)
+    keep = set(seqs[-retain_last:]) if retain_last > 0 else set()
+    if head_seq is not None:
+        keep.add(head_seq)
+    protected: set[int] = set()
+    manifests: list[dict] = []
+    for s in sorted(keep):
+        hp = _history_path(path, s)
+        if not fs.exists(hp):
+            continue  # a pre-history head has no archive entry
+        m = json.loads(fs.read_bytes(hp))
+        manifests.append(m)
+        protected.update(m.get("epochs", []))
+    return protected, keep, manifests
+
+
+def expire_history(
+    path: str, fs: StoreFS, keep_seqs: set[int]
+) -> list[int]:
+    """Delete archived manifests outside ``keep_seqs`` — run by vacuum
+    AFTER epoch deletion so the time-travel window is honest: every
+    surviving ``as_of`` target still has all of its epoch directories,
+    and an expired target fails with the friendly range error instead
+    of a missing-path read mid-scan."""
+    removed = []
+    for s in history_seqs(path, fs):
+        if s not in keep_seqs:
+            fs.delete(_history_path(path, s))
+            removed.append(s)
+    return removed
+
+
 def vacuum_epochs(
     path: str,
     fs: StoreFS | None,
     live_epochs: list[int],
     subdirs: tuple[str, ...],
+    protect_epochs: set[int] | frozenset[int] = frozenset(),
 ) -> dict[str, list[str]]:
-    """Delete ``epoch=*`` directories not in ``live_epochs`` under each
-    sub-table; returns {subdir: [removed, ...]}."""
+    """Delete ``epoch=*`` directories not in ``live_epochs`` (nor in
+    ``protect_epochs`` — the retention window's time-travel targets)
+    under each sub-table; returns {subdir: [removed, ...]}."""
     fs = fs or LocalFS()
-    live = {f"epoch={e}" for e in live_epochs}
+    live = {f"epoch={e}" for e in [*live_epochs, *protect_epochs]}
     removed: dict[str, list[str]] = {sub: [] for sub in subdirs}
     for sub in subdirs:
         base = posixpath.join(path, sub)

@@ -465,13 +465,16 @@ def _term_bucket_expr(term, n_buckets: int):
 _BM25_SUBDIRS = ("postings", "stats")
 
 
-def _bm25_manifest(path: str, fs: StoreFS) -> dict:
+def _bm25_manifest(
+    path: str, fs: StoreFS, as_of: int | None = None
+) -> dict:
     return epochs_io.read_manifest(
         path,
         fs,
         required_keys=("epochs", "n_term_buckets", "id_col", "text_col"),
         kind="BM25 index",
         kind_id="bm25",
+        as_of_seq=as_of,
     )
 
 
@@ -683,17 +686,35 @@ def bm25_index_compact(
     _bm25_commit(path, fs, {**manifest, "epochs": [merged]})
 
 
-def bm25_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+def bm25_index_vacuum(
+    path: str, fs: StoreFS | None = None, retain_last: int = 0
+) -> dict:
     """Delete epoch directories the committed manifest no longer lists
     (compaction leftovers, crashed-writer orphans).  Returns
-    ``{"postings": [...], "stats": [...]}`` of removed dirs.  Run from
-    the single writer once readers of the previous manifest have
-    drained (the Delta/Iceberg VACUUM contract); never touches a dir
-    the current manifest references."""
+    ``{"postings": [...], "stats": [...], "history_expired": [...]}``.
+    Never touches a dir the current manifest references.
+
+    ``retain_last`` keeps the N most recent archived commits readable:
+    their epochs are protected from deletion and their ``_history``
+    entries survive, so ``bm25_index_topk(as_of=seq)`` works across
+    the window — which doubles as the in-flight-reader grace window
+    (a reader that resolved manifest N scans exactly manifest N's
+    directories).  With the default 0 only the head stays readable —
+    run vacuum once readers of the previous manifest have drained
+    (the Delta/Iceberg VACUUM contract)."""
     fs = fs or LocalFS()
-    return epochs_io.vacuum_epochs(
-        path, fs, _bm25_manifest(path, fs)["epochs"], _BM25_SUBDIRS
+    manifest = _bm25_manifest(path, fs)
+    protected, keep_seqs, _ = epochs_io.retention_window(
+        path, fs, retain_last, head_seq=manifest.get("commit_seq")
     )
+    removed = epochs_io.vacuum_epochs(
+        path, fs, manifest["epochs"], _BM25_SUBDIRS,
+        protect_epochs=protected,
+    )
+    removed["history_expired"] = [
+        str(s) for s in epochs_io.expire_history(path, fs, keep_seqs)
+    ]
+    return removed
 
 
 def _index_postings(
@@ -702,6 +723,7 @@ def _index_postings(
     terms: list[str] | None = None,
     fs=None,
     terms_df: DataFrame | None = None,
+    as_of: int | None = None,
 ):
     """(postings-for-terms, one-row stats, id_col) from a persisted
     index; the bucket IN-list is computed driver-side so the parquet
@@ -717,9 +739,15 @@ def _index_postings(
     bounded by ``n_term_buckets``, a structural constant, never by the
     batch's vocabulary — and the term filter is an UNHINTED semi-join
     against the frame, broadcast by AQE only while it is genuinely
-    small; right for huge batches)."""
+    small; right for huge batches).
+
+    ``as_of`` resolves the manifest archived at that ``commit_seq``
+    instead of head (time travel): epoch dirs are write-once, so the
+    historical epoch list reads exactly the bytes head served then,
+    and the stats cache key carries the epoch tuple so head and
+    historical reads never cross-contaminate."""
     fs = fs or LocalFS()
-    manifest = _bm25_manifest(path, fs)
+    manifest = _bm25_manifest(path, fs, as_of=as_of)
     n_buckets = manifest["n_term_buckets"]
     id_col = manifest["id_col"]
     epochs = manifest["epochs"]
@@ -818,6 +846,7 @@ def bm25_index_topk(
     k1: float = 1.2,
     b: float = 0.75,
     fs=None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k BM25 against a persisted index — identical scores and
     ranking to ``bm25_topk`` on the indexed corpus (pinned by tests),
@@ -827,11 +856,19 @@ def bm25_index_topk(
     terms on the index's committed stopword list are dropped before
     any bucket is listed (their postings were never stored); a query
     of ONLY stopwords returns an empty top-k — "no documents match" is
-    what the stored index says — rather than raising."""
+    what the stored index says — rather than raising.
+
+    ``as_of=commit_seq`` time-travels: scores are computed against the
+    manifest archived at that commit (epochs AND corpus stats AND the
+    then-committed stopword list), bit-identical to what head served
+    at that commit — pinned by tests.  Vacuum's ``retain_last``
+    bounds the window."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     terms = normalize_query_terms(query)
-    tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+    tf, stats, id_col = _index_postings(
+        spark, path, terms, fs=fs, as_of=as_of
+    )
     scored = _score_postings(tf, stats, id_col, k1, b)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
@@ -847,6 +884,7 @@ def bm25_index_topk_batch(
     b: float = 0.75,
     fs=None,
     max_terms_inlist: int = 4096,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k against a persisted index — the
     ``bm25_topk_batch`` output contract ((query_id, id, bm25, rank)),
@@ -881,10 +919,12 @@ def bm25_index_topk_batch(
     small_batch = len(sample) <= max_terms_inlist
     if small_batch:
         terms = sorted(r["term"] for r in sample)
-        tf, stats, id_col = _index_postings(spark, path, terms, fs=fs)
+        tf, stats, id_col = _index_postings(
+            spark, path, terms, fs=fs, as_of=as_of
+        )
     else:
         tf, stats, id_col = _index_postings(
-            spark, path, fs=fs, terms_df=qterms
+            spark, path, fs=fs, terms_df=qterms, as_of=as_of
         )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     # dfreq is vocabulary-bounded: hint it broadcast only below the
@@ -945,6 +985,7 @@ def hybrid_index_topk(
     n_probe: int = 4,
     vec_index_kind: str = "auto",
     on_corpus_mismatch: str = "fail",
+    as_of: tuple[int, int] | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
@@ -980,7 +1021,16 @@ def hybrid_index_topk(
     (``operators/paired_index.py``), the stamps are validated per
     query: unequal tokens mean a paired append crashed between the
     two commits and RRF would fuse mismatched corpora —
-    ``on_corpus_mismatch`` picks fail (default) / warn / ignore."""
+    ``on_corpus_mismatch`` picks fail (default) / warn / ignore.
+
+    ``as_of=(bm25_seq, vec_seq)`` time-travels BOTH channels to the
+    named archived commits (index-path modes only): every read —
+    postings, stats, stopwords, centroids/codes, the schema probe AND
+    the pair-alignment check — resolves the historical manifests, so
+    the fused result is bit-identical to what head served at that pair
+    of commits (pinned by tests).  Two seqs because the pair's commit
+    counters are independent; the alignment stamps tie the pair
+    together, the seqs name each side's commit."""
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     from feast_spark.operators.paired_index import check_corpus_alignment
@@ -990,12 +1040,25 @@ def hybrid_index_topk(
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if as_of is not None and (embeddings is not None or vec_index_path is None):
+        raise ValueError(
+            "as_of requires both channels to be served from persisted "
+            "indexes (vec_index_path, no embeddings): a brute-force "
+            "scan has no commit history to travel to"
+        )
+    as_of_lex = as_of[0] if as_of else None
+    as_of_vec = as_of[1] if as_of else None
     if vec_index_path is not None:
         check_corpus_alignment(
-            index_path, vec_index_path, fs=fs, on_mismatch=on_corpus_mismatch
+            index_path, vec_index_path, fs=fs,
+            on_mismatch=on_corpus_mismatch, as_of=as_of,
         )
-    vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
-    lex = bm25_index_topk(spark, index_path, query_terms, k=fetch_k, fs=fs)
+    vec_index_kind = _resolve_vec_kind(
+        vec_index_kind, vec_index_path, fs, as_of=as_of_vec
+    )
+    lex = bm25_index_topk(
+        spark, index_path, query_terms, k=fetch_k, fs=fs, as_of=as_of_lex
+    )
     id_col = lex.columns[0]
     lex = lex.select(
         F.col(id_col).alias("id"),
@@ -1012,9 +1075,17 @@ def hybrid_index_topk(
         # make the self-exclusion filter compare string to bigint —
         # NULL for every non-numeric id — and silently empty the
         # vector channel
-        from feast_spark.operators.similarity import _ivf_vectors
+        from feast_spark.operators.similarity import (
+            _ivf_manifest,
+            _ivf_vectors,
+        )
 
-        idx_schema = _ivf_vectors(spark, vec_index_path, fs).schema
+        idx_schema = _ivf_vectors(
+            spark, vec_index_path, fs,
+            manifest=_ivf_manifest(
+                vec_index_path, fs or LocalFS(), as_of=as_of_vec
+            ),
+        ).schema
         id_type = idx_schema["id"].dataType
         vec_type = idx_schema["vec"].dataType
     else:
@@ -1026,7 +1097,9 @@ def hybrid_index_topk(
         from feast_spark.operators.pq_index import _codes as _pq_codes
         from feast_spark.operators.pq_index import _manifest as _pq_manifest
 
-        pq_manifest = _pq_manifest(vec_index_path, fs or LocalFS())
+        pq_manifest = _pq_manifest(
+            vec_index_path, fs or LocalFS(), as_of=as_of_vec
+        )
         id_type = _pq_codes(
             spark, vec_index_path, pq_manifest["epochs"]
         ).schema["id"].dataType
@@ -1043,7 +1116,7 @@ def hybrid_index_topk(
     if vec_index_path is not None and vec_index_kind == "ivfpq":
         topk = _ivfpq_ranked(
             spark, vec_index_path, qdf, emb_id_col, vec_col,
-            n_probe, fetch_k, fs=fs,
+            n_probe, fetch_k, fs=fs, as_of=as_of_vec,
         )
     elif vec_index_path is not None:
         # driver_probe: the one query vector was just created from a
@@ -1052,7 +1125,7 @@ def hybrid_index_topk(
         topk = ivf_index_topk(
             spark, vec_index_path, qdf,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
-            fs=fs, driver_probe=True,
+            fs=fs, driver_probe=True, as_of=as_of_vec,
         )
     else:
         topk = cosine_topk(
@@ -1066,7 +1139,8 @@ def hybrid_index_topk(
 
 
 def _resolve_vec_kind(
-    vec_index_kind: str, vec_index_path: str | None, fs
+    vec_index_kind: str, vec_index_path: str | None, fs,
+    as_of: int | None = None,
 ) -> str:
     """``auto`` -> the committed manifest's kind stamp (a no-op without
     an index path: the brute channel has no kind); explicit kinds pass
@@ -1080,12 +1154,13 @@ def _resolve_vec_kind(
     if vec_index_kind == "auto" and vec_index_path is not None:
         from feast_spark.operators.vector_index import vector_index_kind
 
-        return vector_index_kind(vec_index_path, fs)
+        return vector_index_kind(vec_index_path, fs, as_of=as_of)
     return vec_index_kind
 
 
 def _ivfpq_ranked(
-    spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k, fs=None
+    spark, path, qdf, emb_id_col, vec_col, n_probe, fetch_k, fs=None,
+    as_of=None,
 ):
     """(query_id, neighbor_id, rank) from the persisted IVFPQ index —
     ranks derived from ascending ADC distance (ties by neighbor id),
@@ -1098,7 +1173,7 @@ def _ivfpq_ranked(
     adc = ivfpq_index_topk(
         spark, path, qdf,
         id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe,
-        k=fetch_k + 1, fs=fs,
+        k=fetch_k + 1, fs=fs, as_of=as_of,
     ).filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
@@ -1126,6 +1201,7 @@ def hybrid_index_topk_batch(
     n_probe: int = 4,
     vec_index_kind: str = "auto",
     on_corpus_mismatch: str = "fail",
+    as_of: tuple[int, int] | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,
@@ -1146,7 +1222,9 @@ def hybrid_index_topk_batch(
     modes; without ``vec_index_path`` the channel brute-scans
     ``embeddings`` (one-off batch shape).  Paired ``corpus_epoch``
     stamps are validated like :func:`hybrid_index_topk`
-    (``on_corpus_mismatch``: fail/warn/ignore)."""
+    (``on_corpus_mismatch``: fail/warn/ignore), and
+    ``as_of=(bm25_seq, vec_seq)`` time-travels both channels to the
+    named archived commits the same way (index-path modes only)."""
     from feast_spark.operators.paired_index import check_corpus_alignment
     from feast_spark.operators.similarity import cosine_topk, ivf_index_topk
 
@@ -1154,14 +1232,25 @@ def hybrid_index_topk_batch(
         raise ValueError(f"fetch_k ({fetch_k}) must be >= k ({k})")
     if vec_index_path is None and embeddings is None:
         raise ValueError("pass embeddings or vec_index_path")
+    if as_of is not None and (embeddings is not None or vec_index_path is None):
+        raise ValueError(
+            "as_of requires both channels to be served from persisted "
+            "indexes (vec_index_path, no embeddings): a brute-force "
+            "scan has no commit history to travel to"
+        )
+    as_of_lex = as_of[0] if as_of else None
+    as_of_vec = as_of[1] if as_of else None
     if vec_index_path is not None:
         check_corpus_alignment(
-            index_path, vec_index_path, fs=fs, on_mismatch=on_corpus_mismatch
+            index_path, vec_index_path, fs=fs,
+            on_mismatch=on_corpus_mismatch, as_of=as_of,
         )
-    vec_index_kind = _resolve_vec_kind(vec_index_kind, vec_index_path, fs)
+    vec_index_kind = _resolve_vec_kind(
+        vec_index_kind, vec_index_path, fs, as_of=as_of_vec
+    )
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,
-        terms_col=terms_col, k=fetch_k, fs=fs,
+        terms_col=terms_col, k=fetch_k, fs=fs, as_of=as_of_lex,
     )
     id_col = lex.columns[1]
     lex = lex.select(
@@ -1175,13 +1264,13 @@ def hybrid_index_topk_batch(
     if vec_index_path is not None and vec_index_kind == "ivfpq":
         topk = _ivfpq_ranked(
             spark, vec_index_path, qvecs, emb_id_col, vec_col,
-            n_probe, fetch_k, fs=fs,
+            n_probe, fetch_k, fs=fs, as_of=as_of_vec,
         )
     elif vec_index_path is not None:
         topk = ivf_index_topk(
             spark, vec_index_path, qvecs,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
-            fs=fs,
+            fs=fs, as_of=as_of_vec,
         )
     else:
         topk = cosine_topk(

@@ -71,13 +71,16 @@ MANIFEST = "_MANIFEST.json"
 _SUBDIRS = ("bands", "shingles")
 
 
-def _manifest(root: str, fs: StoreFS) -> dict:
+def _manifest(
+    root: str, fs: StoreFS, as_of: int | None = None
+) -> dict:
     return epochs_io.read_manifest(
         root,
         fs,
         required_keys=("epochs", "params"),
         kind="minhash index",
         kind_id="minhash",
+        as_of_seq=as_of,
     )
 
 
@@ -246,6 +249,7 @@ def dedup_against_index(
     threshold: float = 0.8,
     max_bucket_size: int | None = 1000,
     fs: StoreFS | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard) touching at least one NEW
     document: new-vs-corpus AND new-vs-new (a fresh slice usually
@@ -263,9 +267,13 @@ def dedup_against_index(
     recompute would cap on.  Only candidate docs' shingles are read
     back for the exact-Jaccard verify.
 
-    New doc ids must be disjoint from the index's (append contract)."""
+    New doc ids must be disjoint from the index's (append contract).
+    ``as_of=commit_seq`` checks the new slice against the corpus AS OF
+    that archived commit (params and epoch list both historical) —
+    e.g. to reproduce exactly which docs a past ingestion run would
+    have flagged."""
     fs = fs or LocalFS()
-    manifest = _manifest(path, fs)
+    manifest = _manifest(path, fs, as_of=as_of)
     params = manifest["params"]
     epochs = manifest["epochs"]
     id_col = params["id_col"]
@@ -383,14 +391,27 @@ def minhash_index_compact(
     _commit(path, fs, {**manifest, "epochs": [merged]})
 
 
-def minhash_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+def minhash_index_vacuum(
+    path: str, fs: StoreFS | None = None, retain_last: int = 0
+) -> dict:
     """Delete epoch directories the committed manifest no longer lists
     (compaction leftovers, crashed-append orphans).  Returns
-    ``{"bands": [...], "shingles": [...]}`` of removed dirs.  Run from
-    the single writer once readers of the previous manifest have
-    drained (the Delta/Iceberg VACUUM contract); never touches a dir
-    the current manifest references."""
+    ``{"bands": [...], "shingles": [...], "history_expired": [...]}``.
+    ``retain_last`` keeps the N most recent archived commits readable
+    for ``dedup_against_index(as_of=seq)`` (the retention window is
+    also the in-flight-reader grace window).  Run from the single
+    writer once readers outside the window have drained (the
+    Delta/Iceberg VACUUM contract); never touches a dir the current
+    manifest references."""
     fs = fs or LocalFS()
-    return epochs_io.vacuum_epochs(
-        path, fs, _manifest(path, fs)["epochs"], _SUBDIRS
+    manifest = _manifest(path, fs)
+    protected, keep_seqs, _ = epochs_io.retention_window(
+        path, fs, retain_last, head_seq=manifest.get("commit_seq")
     )
+    removed = epochs_io.vacuum_epochs(
+        path, fs, manifest["epochs"], _SUBDIRS, protect_epochs=protected
+    )
+    removed["history_expired"] = [
+        str(s) for s in epochs_io.expire_history(path, fs, keep_seqs)
+    ]
+    return removed

@@ -70,11 +70,16 @@ __all__ = [
 CORPUS_EPOCH_KEY = "corpus_epoch"
 
 
-def corpus_epoch(path: str, fs: StoreFS | None = None) -> int | None:
+def corpus_epoch(
+    path: str, fs: StoreFS | None = None, as_of: int | None = None
+) -> int | None:
     """The committed corpus-epoch token of the index at ``path``, or
-    ``None`` for an index that never went through a paired append."""
+    ``None`` for an index that never went through a paired append.
+    ``as_of`` reads the token the archived commit carried — the pair
+    alignment a TIME-TRAVEL query must validate is the alignment of
+    the two historical manifests it reads, not head's."""
     fs = fs or LocalFS()
-    manifest = epochs_io.read_manifest(path, fs)
+    manifest = epochs_io.read_manifest(path, fs, as_of_seq=as_of)
     tok = manifest.get(CORPUS_EPOCH_KEY)
     return int(tok) if tok is not None else None
 
@@ -98,6 +103,7 @@ def check_corpus_alignment(
     vec_index_path: str,
     fs: StoreFS | None = None,
     on_mismatch: str = "fail",
+    as_of: tuple[int, int] | None = None,
 ) -> dict:
     """Compare the pair's committed corpus-epoch tokens.
 
@@ -107,7 +113,10 @@ def check_corpus_alignment(
     ``"fail"`` raises ValueError (serving default: wrong fused results
     are worse than no results), ``"warn"`` emits a UserWarning and
     lets the query proceed (degraded-mode serving), ``"ignore"``
-    checks nothing."""
+    checks nothing.  ``as_of=(bm25_seq, vec_seq)`` validates the two
+    ARCHIVED manifests a time-travel query reads — a historical pair
+    is aligned iff those manifests' tokens agree, regardless of what
+    head looks like now."""
     if on_mismatch not in ("fail", "warn", "ignore"):
         raise ValueError(
             "on_mismatch must be 'fail', 'warn' or 'ignore', "
@@ -116,8 +125,10 @@ def check_corpus_alignment(
     if on_mismatch == "ignore":
         return {"bm25": None, "vector": None, "aligned": True}
     fs = fs or LocalFS()
-    tb = corpus_epoch(bm25_path, fs)
-    tv = corpus_epoch(vec_index_path, fs)
+    tb = corpus_epoch(bm25_path, fs, as_of=as_of[0] if as_of else None)
+    tv = corpus_epoch(
+        vec_index_path, fs, as_of=as_of[1] if as_of else None
+    )
     aligned = tb is None or tv is None or tb == tv
     if not aligned:
         msg = (

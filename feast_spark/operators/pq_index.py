@@ -57,13 +57,16 @@ __all__ = [
 _SUBDIRS = ("codes",)
 
 
-def _manifest(path: str, fs: StoreFS) -> dict:
+def _manifest(
+    path: str, fs: StoreFS, as_of: int | None = None
+) -> dict:
     return epochs_io.read_manifest(
         path,
         fs,
         required_keys=("epochs", "centroids", "codebooks", "id_col", "vec_col"),
         kind="IVFPQ index",
         kind_id="ivfpq",
+        as_of_seq=as_of,
     )
 
 
@@ -230,6 +233,7 @@ def ivfpq_index_topk(
     n_probe: int = 4,
     k: int = 10,
     fs: StoreFS | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k ADC neighbors against the persisted index: (query_id,
     neighbor_id, adc_dist).  Identical to the inline ``pq.ivfpq_topk``
@@ -245,9 +249,14 @@ def ivfpq_index_topk(
     ADC contract — ``pq_topk`` ships the query vectors and probe masks
     in the task closure; queries are broadcast-few by that contract)
     plus the pure-Python probe over the already-loaded centroids —
-    no Spark job is launched before the single ADC query job."""
+    no Spark job is launched before the single ADC query job.
+
+    ``as_of=commit_seq`` time-travels: epochs, centroid generation and
+    codebook generation all resolve from the manifest archived at that
+    commit — the frozen-model pairing head served then (vacuum's
+    ``retain_last`` protects all three across the window)."""
     fs = fs or LocalFS()
-    manifest = _manifest(path, fs)
+    manifest = _manifest(path, fs, as_of=as_of)
     cents = _load_centroids(path, manifest, fs)
     books = _load_codebooks(path, manifest, fs)
     # ONE query collect per call: the driver-side probe
@@ -357,31 +366,52 @@ def ivfpq_index_compact(
 
 
 def ivfpq_index_vacuum(
-    spark: SparkSession, path: str, fs: StoreFS | None = None
+    spark: SparkSession, path: str, fs: StoreFS | None = None,
+    retain_last: int = 0,
 ) -> dict:
     """Delete epoch directories the manifest no longer references AND
     superseded model generations (centroid dirs / codebook files not
-    pointed to by the committed manifest) — run after readers of the
-    previous manifest have drained."""
+    pointed to by the committed manifest) — run after readers of
+    manifests outside the retention window have drained.
+
+    ``retain_last`` keeps the N most recent archived commits readable
+    (``ivfpq_index_topk(as_of=seq)``): their epochs, centroid
+    generations AND codebook generations are all protected, preserving
+    each historical manifest's frozen-model pairing."""
     fs = fs or LocalFS()
     manifest = _manifest(path, fs)
-    removed = epochs_io.vacuum_epochs(path, fs, manifest["epochs"], _SUBDIRS)
-    live_cent = manifest["centroids"]
+    protected, keep_seqs, retained = epochs_io.retention_window(
+        path, fs, retain_last, head_seq=manifest.get("commit_seq")
+    )
+    removed = epochs_io.vacuum_epochs(
+        path, fs, manifest["epochs"], _SUBDIRS, protect_epochs=protected
+    )
+    # .get(): a retained manifest across a kind-rebuild may be foreign
+    # (no centroids/codebooks keys) — its epochs are still protected,
+    # its model pointers simply contribute nothing
+    live_cents = {
+        m.get("centroids") for m in [manifest, *retained]
+    } - {None}
     cbase = posixpath.join(path, "centroids")
     removed["centroids"] = []
     for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
         rel = posixpath.join("centroids", d)
-        if d.startswith("gen=") and rel != live_cent:
+        if d.startswith("gen=") and rel not in live_cents:
             fs.delete(posixpath.join(cbase, d))
             removed["centroids"].append(d)
-    live_book = manifest["codebooks"]
+    live_books = {
+        m.get("codebooks") for m in [manifest, *retained]
+    } - {None}
     bbase = posixpath.join(path, "codebooks")
     removed["codebooks"] = []
     for f in fs.list_files(bbase) if fs.exists(bbase) else []:
         rel = posixpath.join("codebooks", f)
-        if f.startswith("gen=") and rel != live_book:
+        if f.startswith("gen=") and rel not in live_books:
             fs.delete(posixpath.join(bbase, f))
             removed["codebooks"].append(f)
     removed["centroids"].sort()
     removed["codebooks"].sort()
+    removed["history_expired"] = [
+        str(s) for s in epochs_io.expire_history(path, fs, keep_seqs)
+    ]
     return removed

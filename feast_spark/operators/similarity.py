@@ -526,9 +526,12 @@ _IVF_MANIFEST = "_MANIFEST.json"
 _IVF_SUBDIRS = ("vectors",)
 
 
-def _ivf_manifest(path: str, fs: StoreFS) -> dict:
+def _ivf_manifest(
+    path: str, fs: StoreFS, as_of: int | None = None
+) -> dict:
     return epochs_io.read_manifest(
-        path, fs, required_keys=("epochs",), kind="IVF index", kind_id="ivf"
+        path, fs, required_keys=("epochs",), kind="IVF index",
+        kind_id="ivf", as_of_seq=as_of,
     )
 
 
@@ -602,24 +605,30 @@ def read_centroid_dir(cdir: str, fs: StoreFS) -> list[list[float]]:
 
 
 def _ivf_load_centroids(
-    spark, path: str, fs: StoreFS | None = None
+    spark, path: str, fs: StoreFS | None = None,
+    manifest: dict | None = None,
 ) -> list[list[float]]:
     """Centroids resolved THROUGH the manifest, so a query never pairs
     one generation's quantizer with another generation's cell-tagged
-    vectors (rebuild commits both pointers in one atomic flip)."""
+    vectors (rebuild commits both pointers in one atomic flip).  Pass
+    ``manifest`` to resolve an already-loaded (possibly historical)
+    manifest instead of re-reading head."""
     fs = fs or LocalFS()
-    return read_centroid_dir(
-        _ivf_centroids_dir(path, _ivf_manifest(path, fs)), fs
-    )
+    manifest = manifest if manifest is not None else _ivf_manifest(path, fs)
+    return read_centroid_dir(_ivf_centroids_dir(path, manifest), fs)
 
 
-def _ivf_vectors(spark, path: str, fs: StoreFS | None = None) -> DataFrame:
+def _ivf_vectors(
+    spark, path: str, fs: StoreFS | None = None,
+    manifest: dict | None = None,
+) -> DataFrame:
     """The committed (id, vec, cell) corpus: only manifest-listed epoch
     directories are read, so a crashed append is invisible.  ``cell``
     stays a discovered partition column under every epoch dir — cell
     equality/IN filters still prune directories."""
     fs = fs or LocalFS()
-    epochs = _ivf_manifest(path, fs)["epochs"]
+    manifest = manifest if manifest is not None else _ivf_manifest(path, fs)
+    epochs = manifest["epochs"]
     return (
         spark.read.option("basePath", posixpath.join(path, "vectors"))
         .parquet(*epochs_io.epoch_paths(path, "vectors", epochs))
@@ -696,6 +705,7 @@ def ivf_index_topk(
     k: int = 10,
     fs: StoreFS | None = None,
     driver_probe: bool = False,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as
@@ -717,9 +727,17 @@ def ivf_index_topk(
     distinct-cells collect job disappear, leaving ONE Spark job per
     call.  Right when queries are request-sized (the serving shape,
     where they were just created from driver-side values anyway);
-    keep the default for query frames you'd rather not collect."""
-    cents = _ivf_load_centroids(spark, path, fs)
-    vectors = _ivf_vectors(spark, path, fs).select(
+    keep the default for query frames you'd rather not collect.
+
+    ``as_of=commit_seq`` time-travels: centroid generation AND epoch
+    list resolve from the manifest archived at that commit — the
+    internally consistent (quantizer, cells) pairing head served then.
+    Vacuum's ``retain_last`` protects both from deletion across the
+    window."""
+    fs = fs or LocalFS()
+    manifest = _ivf_manifest(path, fs, as_of=as_of)
+    cents = _ivf_load_centroids(spark, path, fs, manifest=manifest)
+    vectors = _ivf_vectors(spark, path, fs, manifest=manifest).select(
         F.col("id").alias("neighbor_id"), F.col("vec").alias("__cvec"), "cell"
     )
     if driver_probe:
@@ -964,31 +982,49 @@ def ivf_index_compact(spark, path: str, fs: StoreFS | None = None) -> None:
     _ivf_commit(path, fs, {**manifest, "epochs": [merged]})
 
 
-def ivf_index_vacuum(path: str, fs: StoreFS | None = None) -> dict:
+def ivf_index_vacuum(
+    path: str, fs: StoreFS | None = None, retain_last: int = 0
+) -> dict:
     """Delete epoch and centroid-generation directories the committed
     manifest no longer references (rebuild leftovers, crashed-append
     orphans).  Returns ``{"epochs_removed": [...],
-    "centroid_gens_removed": [...]}``.
+    "centroid_gens_removed": [...], "history_expired": [...]}``.
+
+    ``retain_last`` keeps the N most recent archived commits readable
+    (``ivf_index_topk(as_of=seq)``): their epochs AND their centroid
+    generations are protected — a historical manifest must keep its
+    own internally consistent (quantizer, cells) pairing or time
+    travel across a rebuild would pair one generation's quantizer
+    with another's cell tags.
 
     Run it from the single writer, and only once no reader launched
-    against the PREVIOUS manifest is still scanning (readers resolve
-    directories at plan time; the usual object-store grace window — the
-    same contract as Delta/Iceberg VACUUM).  Never removes anything the
-    current manifest lists, so it is always safe with respect to NEW
-    readers."""
+    against a manifest OUTSIDE the retention window is still scanning
+    (readers resolve directories at plan time; the retention window IS
+    the reader grace window — the Delta/Iceberg VACUUM contract).
+    Never removes anything the current manifest lists, so it is always
+    safe with respect to NEW readers."""
     fs = fs or LocalFS()
     manifest = _ivf_manifest(path, fs)
+    protected, keep_seqs, retained = epochs_io.retention_window(
+        path, fs, retain_last, head_seq=manifest.get("commit_seq")
+    )
     removed_e = epochs_io.vacuum_epochs(
-        path, fs, manifest["epochs"], _IVF_SUBDIRS
+        path, fs, manifest["epochs"], _IVF_SUBDIRS,
+        protect_epochs=protected,
     )["vectors"]
-    live_gen = posixpath.basename(manifest.get("centroids", "centroids"))
+    live_gens = {
+        posixpath.basename(m.get("centroids", "centroids"))
+        for m in [manifest, *retained]
+    }
     removed_g = []
     cbase = posixpath.join(path, "centroids")
     for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
-        if d.startswith("gen=") and d != live_gen:
+        if d.startswith("gen=") and d not in live_gens:
             fs.delete(posixpath.join(cbase, d))
             removed_g.append(d)
+    expired = epochs_io.expire_history(path, fs, keep_seqs)
     return {
         "epochs_removed": removed_e,
         "centroid_gens_removed": sorted(removed_g),
+        "history_expired": [str(s) for s in expired],
     }

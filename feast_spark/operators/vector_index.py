@@ -28,14 +28,19 @@ __all__ = [
 _VECTOR_KINDS = ("ivf", "ivfpq")
 
 
-def vector_index_kind(path: str, fs: StoreFS | None = None) -> str:
+def vector_index_kind(
+    path: str, fs: StoreFS | None = None, as_of: int | None = None
+) -> str:
     """The committed manifest's vector-index kind: ``"ivf"`` or
     ``"ivfpq"``.  Manifests predating the kind stamp are IVF (the only
     vector layout that ever wrote stampless manifests); a committed
-    NON-vector index (bm25/minhash) raises rather than mis-serving."""
+    NON-vector index (bm25/minhash) raises rather than mis-serving.
+    ``as_of`` resolves the archived commit's stamp — time travel
+    across a kind-rebuild dispatches to the kind that served THEN."""
     fs = fs or LocalFS()
     manifest = epochs_io.read_manifest(
-        path, fs, required_keys=("epochs",), kind="vector index"
+        path, fs, required_keys=("epochs",), kind="vector index",
+        as_of_seq=as_of,
     )
     kind = manifest.get("kind", "ivf")
     if kind not in _VECTOR_KINDS:
@@ -76,9 +81,13 @@ def vector_index_topk(
     n_probe: int = 4,
     k: int = 10,
     fs: StoreFS | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Top-k ANN against whatever vector index is committed at
-    ``path``, dispatching on the manifest's kind stamp.
+    ``path``, dispatching on the manifest's kind stamp.  ``as_of``
+    time-travels: dispatch AND the underlying read both resolve the
+    archived commit (a kind-rebuild inside the window serves the kind
+    that served then).
 
     The result carries the kind's native score column — (query_id,
     neighbor_id, cos, rank) from IVF (cosine, self excluded), (query_id,
@@ -87,19 +96,19 @@ def vector_index_topk(
     that only need ranked neighbor ids (RRF fusion, candidate
     generation) are agnostic; consumers comparing scores across kinds
     have a modeling problem no facade should paper over."""
-    kind = vector_index_kind(path, fs)
+    kind = vector_index_kind(path, fs, as_of=as_of)
     if kind == "ivfpq":
         from feast_spark.operators.pq_index import ivfpq_index_topk
 
         return ivfpq_index_topk(
             spark, path, queries, id_col=id_col, vec_col=vec_col,
-            n_probe=n_probe, k=k, fs=fs or LocalFS(),
+            n_probe=n_probe, k=k, fs=fs or LocalFS(), as_of=as_of,
         )
     from feast_spark.operators.similarity import ivf_index_topk
 
     return ivf_index_topk(
         spark, path, queries, id_col=id_col, vec_col=vec_col,
-        n_probe=n_probe, k=k, fs=fs,
+        n_probe=n_probe, k=k, fs=fs, as_of=as_of,
     )
 
 
