@@ -20,6 +20,11 @@ without touching the store side:
   the reference's Python path actually emits, feature_store.py:588-615).
 * ``GET /info`` — GetFeastServingInfo twin: version + store type.
 * ``GET /health`` — liveness.
+* ``GET /metrics`` — per-endpoint request counts, status classes and
+  fixed-bucket latency histograms (:class:`ServingMetrics`), plus each
+  configured coalescer's amortization counters
+  (:meth:`QueryCoalescer.stats`) — batch fill, queue wait, fused-call
+  time — the numbers max_batch/max_wait_ms are tuned against.
 
 The server is a thin transport: every request resolves through
 ``FeatureStore.get_online_features`` (same statuses, same on-demand
@@ -45,7 +50,89 @@ __all__ = [
     "HybridQueryCoalescer",
     "BM25QueryCoalescer",
     "VectorQueryCoalescer",
+    "ServingMetrics",
 ]
+
+
+# fixed latency bucket bounds (ms), Prometheus-histogram style:
+# cumulative counts land in the first bucket whose bound >= the
+# observation, with one overflow bucket past the last bound.  Fixed
+# bounds keep aggregation across servers a pointwise vector add.
+LATENCY_BUCKETS_MS = (
+    1.0, 2.5, 5.0, 10.0, 25.0, 50.0, 100.0, 250.0, 500.0,
+    1000.0, 2500.0, 5000.0, 10000.0,
+)
+
+
+class ServingMetrics:
+    """Thread-safe per-endpoint request counters for the HTTP server:
+    request count, status-class counts (2xx/4xx/5xx), and a
+    fixed-bucket latency histogram (:data:`LATENCY_BUCKETS_MS`) with
+    sum/max — enough to derive rate, error ratio and any quantile
+    estimate downstream, shaped so scraping N servers aggregates by
+    vector addition (the Prometheus histogram discipline, no client
+    library needed).
+
+    Endpoint label cardinality is BOUNDED: only paths the server
+    actually routes are recorded by name; anything else (scanners,
+    typos) folds into ``"other"`` so an unauthenticated caller cannot
+    grow the label space.  Exposed at ``GET /metrics`` together with
+    each configured coalescer's ``stats()``."""
+
+    def __init__(self, known_endpoints: tuple[str, ...] = ()):
+        self._known = set(known_endpoints)
+        self._lock = threading.Lock()
+        self._endpoints: dict[str, dict] = {}
+        self._started = time.time()
+
+    def observe(self, endpoint: str, status: int, elapsed_s: float) -> None:
+        name = endpoint if endpoint in self._known else "other"
+        ms = elapsed_s * 1000.0
+        with self._lock:
+            e = self._endpoints.get(name)
+            if e is None:
+                e = self._endpoints[name] = {
+                    "requests": 0,
+                    "by_status": {},
+                    "latency_ms_sum": 0.0,
+                    "latency_ms_max": 0.0,
+                    "latency_bucket_counts": [0]
+                    * (len(LATENCY_BUCKETS_MS) + 1),
+                }
+            e["requests"] += 1
+            klass = f"{status // 100}xx"
+            e["by_status"][klass] = e["by_status"].get(klass, 0) + 1
+            e["latency_ms_sum"] += ms
+            e["latency_ms_max"] = max(e["latency_ms_max"], ms)
+            for i, bound in enumerate(LATENCY_BUCKETS_MS):
+                if ms <= bound:
+                    e["latency_bucket_counts"][i] += 1
+                    break
+            else:
+                e["latency_bucket_counts"][-1] += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            endpoints = {
+                name: {
+                    **e,
+                    "by_status": dict(e["by_status"]),
+                    "latency_bucket_counts": list(
+                        e["latency_bucket_counts"]
+                    ),
+                    "latency_ms_avg": (
+                        e["latency_ms_sum"] / e["requests"]
+                        if e["requests"]
+                        else 0.0
+                    ),
+                }
+                for name, e in self._endpoints.items()
+            }
+        return {
+            "uptime_s": time.time() - self._started,
+            "latency_bucket_bounds_ms": list(LATENCY_BUCKETS_MS),
+            "endpoints": endpoints,
+        }
 
 
 class CoalescerRequestError(ValueError):
@@ -111,6 +198,10 @@ class OnlineServingServer:
         self.retrieval = retrieval
         self.lexical = lexical
         self.vector = vector
+        self.metrics = ServingMetrics(known_endpoints=(
+            "/health", "/info", "/metrics", "/get-online-features",
+            "/hybrid-search", "/search", "/vector-search",
+        ))
         self._httpd = ThreadingHTTPServer((host, port), self._handler_cls())
         self._thread: threading.Thread | None = None
 
@@ -135,10 +226,30 @@ class OnlineServingServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                # the single response exit point doubles as the metrics
+                # tap: endpoint label cardinality is bounded inside
+                # ServingMetrics, so unknown paths cannot grow it
+                server.metrics.observe(
+                    self.path, code,
+                    time.monotonic() - getattr(self, "_t0", time.monotonic()),
+                )
 
             def do_GET(self):  # noqa: N802
+                self._t0 = time.monotonic()
                 if self.path == "/health":
                     self._send(200, {"status": "ok"})
+                elif self.path == "/metrics":
+                    snap = server.metrics.snapshot()
+                    snap["coalescers"] = {
+                        name: co.stats()
+                        for name, co in (
+                            ("retrieval", server.retrieval),
+                            ("lexical", server.lexical),
+                            ("vector", server.vector),
+                        )
+                        if co is not None
+                    }
+                    self._send(200, snap)
                 elif self.path == "/info":
                     self._send(
                         200,
@@ -153,6 +264,7 @@ class OnlineServingServer:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):  # noqa: N802
+                self._t0 = time.monotonic()
                 if self.path == "/hybrid-search":
                     self._hybrid_search()
                     return
@@ -368,6 +480,10 @@ class QueryCoalescer:
         self._arrived = threading.Condition(self._lock)
         self._pending: list[dict] = []
         self._closed = False
+        # amortization evidence, maintained by _serve under self._lock:
+        # how full batches run and how long requests park is exactly
+        # what a capacity planner tunes max_batch/max_wait_ms against
+        self._stats = self._new_stats()
         self._thread = threading.Thread(
             target=self._dispatch_loop,
             name=f"{type(self).__name__}-dispatch",
@@ -416,7 +532,22 @@ class QueryCoalescer:
                 del self._pending[: len(batch)]
             self._serve(batch)
 
+    @staticmethod
+    def _new_stats() -> dict:
+        return {
+            "requests": 0,
+            "batches": 0,
+            "failed_batches": 0,
+            "rows_returned": 0,
+            "batch_size_max": 0,
+            "wait_s_sum": 0.0,
+            "serve_s_sum": 0.0,
+        }
+
     def _serve(self, batch: list[dict]) -> None:
+        t0 = time.monotonic()
+        failed = False
+        rows_returned = 0
         try:
             # materialize EVERY request's rows before waking ANY caller:
             # if bookkeeping throws mid-loop after some done.set(), the
@@ -426,14 +557,52 @@ class QueryCoalescer:
             results = self._serve_batch(batch)
             for req, res in zip(batch, results):
                 req["rows"] = res
+                rows_returned += len(res)
                 req["done"].set()
         except Exception as e:  # noqa: BLE001 — fan the failure out,
             # but only to requests not already delivered (rows is a
             # list — possibly empty — once assigned, never None)
+            failed = True
             for req in batch:
                 if req["rows"] is None:
                     req["err"] = e
                 req["done"].set()
+        finally:
+            with self._lock:
+                s = self._stats
+                s["requests"] += len(batch)
+                s["batches"] += 1
+                s["failed_batches"] += int(failed)
+                s["rows_returned"] += rows_returned
+                s["batch_size_max"] = max(s["batch_size_max"], len(batch))
+                s["wait_s_sum"] += sum(t0 - req["t"] for req in batch)
+                s["serve_s_sum"] += time.monotonic() - t0
+
+    def stats(self) -> dict:
+        """Snapshot of the coalescer's amortization counters plus the
+        derived tuning numbers: ``batch_size_avg`` (how full batches
+        actually run — if it hugs 1 under load, raise ``max_wait_ms``;
+        if it hugs ``max_batch``, raise ``max_batch``),
+        ``wait_ms_avg`` (queueing latency a request paid on top of the
+        fused call) and ``serve_ms_avg_per_batch`` (the fused-call
+        cost the batching amortizes)."""
+        with self._lock:
+            s = dict(self._stats)
+            s["pending"] = len(self._pending)
+        s["batch_size_avg"] = (
+            s["requests"] / s["batches"] if s["batches"] else 0.0
+        )
+        s["wait_ms_avg"] = (
+            s["wait_s_sum"] / s["requests"] * 1000.0
+            if s["requests"]
+            else 0.0
+        )
+        s["serve_ms_avg_per_batch"] = (
+            s["serve_s_sum"] / s["batches"] * 1000.0
+            if s["batches"]
+            else 0.0
+        )
+        return s
 
     @staticmethod
     def _group_by_request(

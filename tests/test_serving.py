@@ -371,6 +371,8 @@ def test_coalescer_failure_skips_already_delivered_requests(spark):
     co._spark = spark
     co._kw = {}
     co._index_path, co._vec_index_path = "unused", "unused"
+    co._lock = threading.Lock()
+    co._stats = co._new_stats()
 
     def boom(*a, **kw):
         raise RuntimeError("index exploded")
@@ -620,3 +622,112 @@ def test_single_channel_search_endpoints(spark, store, tmp_path):
             with pytest.raises(urllib.error.HTTPError) as ei:
                 _post(f"{srv.address}{url}", payload)
             assert ei.value.code == 404, url
+
+
+def test_metrics_endpoint_and_coalescer_stats(spark, store, tmp_path):
+    """GET /metrics (r13): per-endpoint counters with status classes
+    and fixed-bucket latency histograms, unknown paths folded into a
+    bounded 'other' label, and each configured coalescer's
+    amortization stats (batch fill / queue wait / fused-call time)
+    surfaced under its channel name."""
+    import threading
+    import urllib.error
+
+    from feast_spark.operators.bm25 import build_bm25_index
+    from feast_spark.serving import LATENCY_BUCKETS_MS, BM25QueryCoalescer
+    from feast_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    lex_path = str(tmp_path / "bm25")
+    build_bm25_index(docs, lex_path, "doc_id", "text", n_term_buckets=8)
+
+    with BM25QueryCoalescer(
+        spark, lex_path, k=5, max_batch=3, max_wait_ms=2000.0
+    ) as co, OnlineServingServer(store, lexical=co) as srv:
+        # one good GET, one scanner path, one client error, and three
+        # coalesced searches
+        with urllib.request.urlopen(f"{srv.address}/health") as r:
+            assert r.status == 200
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{srv.address}/secret-admin-page")
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{srv.address}/search", {"terms": []})
+        assert ei.value.code == 400
+        threads = [
+            threading.Thread(
+                target=lambda: _post(
+                    f"{srv.address}/search", {"terms": ["spark"]}
+                )
+            )
+            for _ in range(3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        with urllib.request.urlopen(f"{srv.address}/metrics") as r:
+            snap = json.loads(r.read())
+
+    assert snap["latency_bucket_bounds_ms"] == list(LATENCY_BUCKETS_MS)
+    eps = snap["endpoints"]
+    assert eps["/health"]["requests"] == 1
+    assert eps["/health"]["by_status"] == {"2xx": 1}
+    # the scanner path did NOT mint a label
+    assert "/secret-admin-page" not in eps
+    assert eps["other"]["by_status"] == {"4xx": 1}
+    search = eps["/search"]
+    assert search["requests"] == 4
+    assert search["by_status"] == {"2xx": 3, "4xx": 1}
+    # histogram counts add up and the summary stats are consistent
+    assert sum(search["latency_bucket_counts"]) == 4
+    assert search["latency_ms_max"] >= search["latency_ms_avg"] > 0
+
+    co_stats = snap["coalescers"]["lexical"]
+    assert co_stats["requests"] == 3
+    assert co_stats["batches"] >= 1
+    assert co_stats["failed_batches"] == 0
+    assert co_stats["rows_returned"] == 15  # 3 requests x k=5
+    assert co_stats["batch_size_max"] <= 3
+    assert co_stats["batch_size_avg"] == pytest.approx(
+        co_stats["requests"] / co_stats["batches"]
+    )
+    assert co_stats["serve_ms_avg_per_batch"] > 0
+    assert "vector" not in snap["coalescers"]  # unconfigured channel
+
+
+def test_coalescer_stats_count_failed_batches(spark):
+    """A fused-call failure increments failed_batches and still counts
+    the batch's requests — the error ratio is visible at /metrics."""
+    import threading
+
+    from feast_spark.serving import HybridQueryCoalescer
+
+    co = HybridQueryCoalescer.__new__(HybridQueryCoalescer)  # no thread
+    co._spark = spark
+    co._kw = {}
+    co._index_path, co._vec_index_path = "unused", "unused"
+    co._lock = threading.Lock()
+    co._stats = co._new_stats()
+    co._pending = []
+
+    def boom(*a, **kw):
+        raise RuntimeError("index exploded")
+
+    import feast_spark.operators.bm25 as bm25_mod
+
+    orig = bm25_mod.hybrid_index_topk_batch
+    bm25_mod.hybrid_index_topk_batch = boom
+    try:
+        req = {
+            "terms": ["a"], "qvec": [1.0], "done": threading.Event(),
+            "rows": None, "err": None, "t": 0.0,
+        }
+        co._serve([req])
+    finally:
+        bm25_mod.hybrid_index_topk_batch = orig
+    s = co.stats()
+    assert s["failed_batches"] == 1 and s["batches"] == 1
+    assert s["requests"] == 1 and s["rows_returned"] == 0
