@@ -1311,7 +1311,14 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into one, then serve the query reading ONLY its terms' bucket
     directories — partition pruning makes per-query cost O(query-term
     postings).  The oracle is the FULL-corpus BM25 SQL, so the gate
-    proves append+compact land exactly where a single build would."""
+    proves append+compact land exactly where a single build would.
+
+    r13 second leg: the SAME index is also queried ``as_of=1`` — the
+    archived BUILD commit (io/epochs.py manifest history) — and must
+    score bit-identically to a corpus that never contained the
+    appended third (the two-thirds oracle leg).  Time travel's
+    archived-manifest resolution, historical epoch list AND historical
+    corpus stats are all under the hash gate."""
     import tempfile
 
     from feast_spark.operators.bm25 import (
@@ -1329,7 +1336,13 @@ def q_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bm25_index_append(spark, path, docs.filter(F.col("doc_id") % 3 == 0))
     bm25_index_compact(spark, path)
-    return bm25_index_topk(spark, path, ["hash", "scan", "filter"], k=15)
+    head = bm25_index_topk(spark, path, ["hash", "scan", "filter"], k=15)
+    asof = bm25_index_topk(
+        spark, path, ["hash", "scan", "filter"], k=15, as_of=1
+    )
+    return head.select(F.lit("head").alias("leg"), "doc_id", "bm25").unionAll(
+        asof.select(F.lit("asof_build").alias("leg"), "doc_id", "bm25")
+    )
 
 
 def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1850,22 +1863,23 @@ _TOK_CNT = (
 _MD5_ID = "md5(CAST(doc_id AS VARCHAR))"
 _H32_ID = "CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
 
-def _bm25_oracle(terms: list[str], k: int) -> str:
+def _bm25_oracle(terms: list[str], k: int, doc_filter: str = "") -> str:
     """DuckDB twin of bm25_topk / bm25_index_topk (identical scoring by
     construction — operators/bm25.py _score_postings): Lucene-idf BM25
-    term-for-term."""
+    term-for-term.  ``doc_filter`` restricts the corpus (the time-travel
+    leg scores against the docs committed AT a given index commit)."""
     tl = ", ".join(f"'{t}'" for t in sorted(terms))
     return f"""
 WITH tk AS (
   SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text)) > 0 {doc_filter}
 ),
 lens AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
            AS len_d
-  FROM documents
+  FROM documents WHERE TRUE {doc_filter}
 ),
 stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
 tf AS (
@@ -3331,7 +3345,19 @@ FROM events GROUP BY event_type
         "semdedup": _semdedup_oracle(),
         "ivfpq_index_topk": _ivfpq_oracle(),
         "hybrid_index_topk": _hybrid_oracle(),
-        "bm25_index_topk": _bm25_oracle(["hash", "scan", "filter"], 15),
+        # two legs: head (full corpus after build->append->compact) and
+        # the as_of time-travel read of the BUILD commit (2/3 corpus) —
+        # the archived-manifest resolution itself is under the hash gate
+        "bm25_index_topk": f"""
+SELECT 'head' AS leg, doc_id, bm25 FROM (
+{_bm25_oracle(["hash", "scan", "filter"], 15)}
+)
+UNION ALL
+SELECT 'asof_build' AS leg, doc_id, bm25 FROM (
+{_bm25_oracle(["hash", "scan", "filter"], 15,
+              doc_filter="AND doc_id % 3 != 0")}
+)
+""",
         "online_serving": """
 WITH u AS (SELECT CAST(range AS BIGINT) AS user_id FROM range(0, 152)),
 l AS (
