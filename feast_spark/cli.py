@@ -346,6 +346,9 @@ def _doctor_history(args) -> int:
         print(f"error    {e}")
         return 2
     head_seq = head.get("commit_seq")
+    tags_by_seq: dict[int, list[str]] = {}
+    for name, seq in epochs_io.read_tags(path, fs).items():
+        tags_by_seq.setdefault(seq, []).append(name)
     seqs = epochs_io.history_seqs(path, fs)
     if not seqs:
         print(
@@ -373,14 +376,65 @@ def _doctor_history(args) -> int:
         )
         mark = "*" if s == head_seq else " "
         state = "readable" if readable else "expired "
+        names = tags_by_seq.get(s)
+        tagtxt = f" tags={sorted(names)}" if names else ""
         print(
             f"{mark}seq={s:<4} {state} kind={kind:<7} "
-            f"epochs={epochs}{stamps}"
+            f"epochs={epochs}{stamps}{tagtxt}"
         )
     print(
         "*=head; 'readable' commits are valid as_of= targets "
-        "(vacuum retain_last bounds the window)"
+        "(vacuum retain_last bounds the window; tagged commits are "
+        "pinned until the tag is deleted)"
     )
+    return 0
+
+
+def _cmd_tag(args) -> int:
+    """``tag PATH [NAME] [--seq N] [--delete] [--list]``: pin / unpin /
+    list named commits (io/epochs.py tag table).  A tagged commit is
+    exempt from every vacuum retention window until its tag is deleted
+    — 'the corpus the June model trained on' stays an ``as_of="name"``
+    target while daily vacuums reclaim everything else.  Defaults to
+    pinning the CURRENT head commit.  Exit 2 on a missing path, an
+    unarchived seq, or an unknown tag name."""
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+
+    fs = LocalFS()
+    path = args.index_path
+    try:
+        head = epochs_io.read_manifest(path, fs)
+    except ValueError as e:
+        print(f"error    {e}")
+        return 2
+    if args.list:
+        tags = epochs_io.read_tags(path, fs)
+        if not tags:
+            print("no tags")
+        for name in sorted(tags):
+            print(f"{name} -> commit_seq={tags[name]}")
+        return 0
+    if not args.name:
+        print("error    NAME is required unless --list")
+        return 2
+    try:
+        if args.delete:
+            epochs_io.delete_tag(path, fs, args.name)
+            print(f"deleted  {args.name}")
+        else:
+            seq = args.seq if args.seq is not None else head.get("commit_seq")
+            if seq is None:
+                print(
+                    "error    head manifest predates commit_seq; commit "
+                    "once to start the history log, then tag"
+                )
+                return 2
+            epochs_io.tag_commit(path, fs, args.name, seq)
+            print(f"tagged   {args.name} -> commit_seq={seq}")
+    except ValueError as e:
+        print(f"error    {e}")
+        return 2
     return 0
 
 
@@ -467,6 +521,22 @@ def main(argv: list[str] | None = None) -> int:
         "commit is still a readable as_of= time-travel target",
     )
     sp = sub.add_parser(
+        "tag",
+        help="pin/unpin/list named index commits (io/epochs.py tag "
+        "table): a tagged commit stays a readable as_of= target "
+        "through every vacuum until the tag is deleted",
+    )
+    sp.add_argument("index_path")
+    sp.add_argument("name", nargs="?", default=None)
+    sp.add_argument(
+        "--seq", type=int, default=None,
+        help="commit_seq to pin (default: the current head commit)",
+    )
+    sp.add_argument("--delete", action="store_true",
+                    help="delete NAME instead of creating it")
+    sp.add_argument("--list", action="store_true",
+                    help="list the committed tags")
+    sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
         "(cli.py init / repo_operations.init_repo)",
@@ -484,6 +554,8 @@ def main(argv: list[str] | None = None) -> int:
 
         print(f"feast_spark SDK version: {feast_spark.__version__}")
         return 0
+    if args.cmd == "tag":
+        return _cmd_tag(args)
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
     if args.cmd == "doctor":

@@ -30,10 +30,89 @@ from feast_spark.io.fs import LocalFS, StoreFS
 
 MANIFEST = "_MANIFEST.json"
 HISTORY_DIR = "_history"
+TAGS = "_TAGS.json"
 
 
 def _history_path(path: str, seq: int) -> str:
     return posixpath.join(path, HISTORY_DIR, f"commit_seq={seq}.json")
+
+
+def read_tags(path: str, fs: StoreFS) -> dict[str, int]:
+    """The index's named commit tags: ``{name: commit_seq}``.  A tagged
+    commit is PINNED — exempt from every vacuum retention window until
+    the tag is deleted (the Iceberg table-tag discipline): 'the corpus
+    the 2024-06 model trained on' stays reproducible while daily
+    vacuums reclaim everything else."""
+    tp = posixpath.join(path, TAGS)
+    if not fs.exists(tp):
+        return {}
+    return {str(k): int(v) for k, v in json.loads(fs.read_bytes(tp)).items()}
+
+
+def tag_commit(path: str, fs: StoreFS | None, name: str, seq: int) -> None:
+    """Pin ``commit_seq=seq`` under ``name``.  The seq must have an
+    archived manifest (and therefore resolvable epochs) — tagging an
+    already-expired commit would pin a read that can never succeed.
+    Re-tagging an existing name moves it (one writer's deliberate
+    choice; tags share the manifest's single-writer contract and the
+    same lock)."""
+    fs = fs or LocalFS()
+    if not name or "=" in name or name.isdigit():
+        # a digit-only tag would be ambiguous with a literal seq in
+        # as_of=; '=' breaks the doctor --history rendering contract
+        raise ValueError(
+            f"tag name must be non-empty, non-numeric and '='-free, "
+            f"got {name!r}"
+        )
+    if not fs.exists(_history_path(path, seq)):
+        avail = history_seqs(path, fs)
+        window = (
+            f"archived commits: {avail[0]}..{avail[-1]}"
+            if avail else "no archived commits"
+        )
+        raise ValueError(
+            f"cannot tag commit_seq={seq} at {path}: no archived "
+            f"manifest ({window}) — only commits inside the history "
+            "window can be pinned"
+        )
+    tp = posixpath.join(path, TAGS)
+    with fs.lock(posixpath.join(path, MANIFEST)):
+        tags = read_tags(path, fs)
+        tags[name] = int(seq)
+        fs.write_bytes_atomic(tp, json.dumps(tags).encode())
+
+
+def delete_tag(path: str, fs: StoreFS | None, name: str) -> None:
+    """Unpin ``name`` — its commit joins the normal retention window
+    and the NEXT vacuum may reclaim it.  Missing names raise (a cron
+    deleting the wrong tag name should hear about it)."""
+    fs = fs or LocalFS()
+    tp = posixpath.join(path, TAGS)
+    with fs.lock(posixpath.join(path, MANIFEST)):
+        tags = read_tags(path, fs)
+        if name not in tags:
+            raise ValueError(
+                f"no tag {name!r} at {path}; committed tags: "
+                f"{sorted(tags)}"
+            )
+        del tags[name]
+        fs.write_bytes_atomic(tp, json.dumps(tags).encode())
+
+
+def resolve_as_of(
+    path: str, fs: StoreFS, as_of: int | str
+) -> int:
+    """An ``as_of`` value as the commit seq it names: ints pass
+    through, strings resolve through the tag table."""
+    if isinstance(as_of, str):
+        tags = read_tags(path, fs)
+        if as_of not in tags:
+            raise ValueError(
+                f"no tag {as_of!r} at {path}; committed tags: "
+                f"{sorted(tags)}"
+            )
+        return tags[as_of]
+    return as_of
 
 
 def history_seqs(path: str, fs: StoreFS) -> list[int]:
@@ -56,7 +135,7 @@ def read_manifest(
     required_keys: tuple[str, ...] = ("epochs",),
     kind: str = "index",
     kind_id: str | None = None,
-    as_of_seq: int | None = None,
+    as_of_seq: int | str | None = None,
 ) -> dict:
     """Load and validate the committed manifest.  A manifest missing
     ``required_keys`` — e.g. one written by an older, incompatible
@@ -80,8 +159,11 @@ def read_manifest(
     window — the error then names the surviving range).  Validation
     (required keys, kind stamp) applies to the archived manifest the
     same as to head, so travelling across a rebuild to a DIFFERENT
-    index kind fails loudly rather than reading a foreign layout."""
+    index kind fails loudly rather than reading a foreign layout.
+    A STRING ``as_of_seq`` resolves through the tag table
+    (:func:`tag_commit`) — pinned named commits."""
     if as_of_seq is not None:
+        as_of_seq = resolve_as_of(path, fs, as_of_seq)
         hp = _history_path(path, as_of_seq)
         if not fs.exists(hp):
             avail = history_seqs(path, fs)
@@ -256,6 +338,9 @@ def retention_window(
     keep = set(seqs[-retain_last:]) if retain_last > 0 else set()
     if head_seq is not None:
         keep.add(head_seq)
+    # tagged commits are pinned OUTSIDE the sliding window: they stay
+    # readable through any number of vacuums until the tag is deleted
+    keep.update(read_tags(path, fs).values())
     protected: set[int] = set()
     manifests: list[dict] = []
     for s in sorted(keep):

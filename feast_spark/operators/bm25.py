@@ -466,7 +466,7 @@ _BM25_SUBDIRS = ("postings", "stats")
 
 
 def _bm25_manifest(
-    path: str, fs: StoreFS, as_of: int | None = None
+    path: str, fs: StoreFS, as_of: int | str | None = None
 ) -> dict:
     return epochs_io.read_manifest(
         path,
@@ -723,7 +723,7 @@ def _index_postings(
     terms: list[str] | None = None,
     fs=None,
     terms_df: DataFrame | None = None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ):
     """(postings-for-terms, one-row stats, id_col) from a persisted
     index; the bucket IN-list is computed driver-side so the parquet
@@ -846,7 +846,7 @@ def bm25_index_topk(
     k1: float = 1.2,
     b: float = 0.75,
     fs=None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Top-k BM25 against a persisted index — identical scores and
     ranking to ``bm25_topk`` on the indexed corpus (pinned by tests),
@@ -884,7 +884,7 @@ def bm25_index_topk_batch(
     b: float = 0.75,
     fs=None,
     max_terms_inlist: int = 4096,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Per-query BM25 top-k against a persisted index — the
     ``bm25_topk_batch`` output contract ((query_id, id, bm25, rank)),
@@ -985,7 +985,7 @@ def hybrid_index_topk(
     n_probe: int = 4,
     vec_index_kind: str = "auto",
     on_corpus_mismatch: str = "fail",
-    as_of: tuple[int, int] | None = None,
+    as_of: tuple[int | str, int | str] | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk` with the lexical channel served from a
     persisted BM25 index — same output contract and fusion (shared
@@ -1140,7 +1140,7 @@ def hybrid_index_topk(
 
 def _resolve_vec_kind(
     vec_index_kind: str, vec_index_path: str | None, fs,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> str:
     """``auto`` -> the committed manifest's kind stamp (a no-op without
     an index path: the brute channel has no kind); explicit kinds pass
@@ -1201,7 +1201,7 @@ def hybrid_index_topk_batch(
     n_probe: int = 4,
     vec_index_kind: str = "auto",
     on_corpus_mismatch: str = "fail",
-    as_of: tuple[int, int] | None = None,
+    as_of: tuple[int | str, int | str] | None = None,
 ) -> DataFrame:
     """:func:`hybrid_topk_batch` with the lexical channel served from
     a persisted BM25 index — same (query_id, id, lex_rank, vec_rank,

@@ -72,7 +72,7 @@ _SUBDIRS = ("bands", "shingles")
 
 
 def _manifest(
-    root: str, fs: StoreFS, as_of: int | None = None
+    root: str, fs: StoreFS, as_of: int | str | None = None
 ) -> dict:
     return epochs_io.read_manifest(
         root,
@@ -249,7 +249,7 @@ def dedup_against_index(
     threshold: float = 0.8,
     max_bucket_size: int | None = 1000,
     fs: StoreFS | None = None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a, id_b, jaccard) touching at least one NEW
     document: new-vs-corpus AND new-vs-new (a fresh slice usually

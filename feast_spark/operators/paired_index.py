@@ -71,7 +71,7 @@ CORPUS_EPOCH_KEY = "corpus_epoch"
 
 
 def corpus_epoch(
-    path: str, fs: StoreFS | None = None, as_of: int | None = None
+    path: str, fs: StoreFS | None = None, as_of: int | str | None = None
 ) -> int | None:
     """The committed corpus-epoch token of the index at ``path``, or
     ``None`` for an index that never went through a paired append.
@@ -103,7 +103,7 @@ def check_corpus_alignment(
     vec_index_path: str,
     fs: StoreFS | None = None,
     on_mismatch: str = "fail",
-    as_of: tuple[int, int] | None = None,
+    as_of: tuple[int | str, int | str] | None = None,
 ) -> dict:
     """Compare the pair's committed corpus-epoch tokens.
 

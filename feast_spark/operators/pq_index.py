@@ -58,7 +58,7 @@ _SUBDIRS = ("codes",)
 
 
 def _manifest(
-    path: str, fs: StoreFS, as_of: int | None = None
+    path: str, fs: StoreFS, as_of: int | str | None = None
 ) -> dict:
     return epochs_io.read_manifest(
         path,
@@ -233,7 +233,7 @@ def ivfpq_index_topk(
     n_probe: int = 4,
     k: int = 10,
     fs: StoreFS | None = None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Top-k ADC neighbors against the persisted index: (query_id,
     neighbor_id, adc_dist).  Identical to the inline ``pq.ivfpq_topk``

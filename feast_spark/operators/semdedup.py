@@ -200,6 +200,7 @@ def semdedup_against_index(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     max_cluster_size: int | None = 10_000,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Incremental semantic dedup: (id_a, id_b, cos) pairs with
     cosine >= threshold touching at least one NEW vector, searched
@@ -224,14 +225,20 @@ def semdedup_against_index(
 
     New ids must be disjoint from the index's (append contract);
     the normal flow is dedup -> drop -> ``ivf_index_append`` the
-    survivors."""
+    survivors.  ``as_of=commit_seq`` checks the new slice against the
+    corpus AS OF that archived commit (quantizer generation and epoch
+    list both historical — io/epochs.py manifest history), e.g. to
+    reproduce a past ingestion run's dedup decisions exactly."""
     from feast_spark.operators.docdedup import _bucket_pairs, _persist
     from feast_spark.operators.similarity import (
         _ivf_load_centroids,
+        _ivf_manifest,
         _ivf_vectors,
     )
+    from feast_spark.io.fs import LocalFS
 
-    cents = _ivf_load_centroids(spark, path)
+    manifest = _ivf_manifest(path, LocalFS(), as_of=as_of)
+    cents = _ivf_load_centroids(spark, path, manifest=manifest)
     new_assigned = new_df.select(
         F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
     ).withColumn("__cell", nearest_centroid(F.col("__v"), cents))
@@ -240,7 +247,7 @@ def semdedup_against_index(
         for r in new_assigned.select("__cell").distinct().collect()
     )
     idx = (
-        _ivf_vectors(spark, path)
+        _ivf_vectors(spark, path, manifest=manifest)
         .filter(F.col("cell").isin(touched))
         .select(
             F.col("id").alias("__sid"),

@@ -527,7 +527,7 @@ _IVF_SUBDIRS = ("vectors",)
 
 
 def _ivf_manifest(
-    path: str, fs: StoreFS, as_of: int | None = None
+    path: str, fs: StoreFS, as_of: int | str | None = None
 ) -> dict:
     return epochs_io.read_manifest(
         path, fs, required_keys=("epochs",), kind="IVF index",
@@ -705,7 +705,7 @@ def ivf_index_topk(
     k: int = 10,
     fs: StoreFS | None = None,
     driver_probe: bool = False,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Top-k cosine ANN against a persisted IVF index (see
     ``build_ivf_index``). Same output schema/semantics as

@@ -29,7 +29,7 @@ _VECTOR_KINDS = ("ivf", "ivfpq")
 
 
 def vector_index_kind(
-    path: str, fs: StoreFS | None = None, as_of: int | None = None
+    path: str, fs: StoreFS | None = None, as_of: int | str | None = None
 ) -> str:
     """The committed manifest's vector-index kind: ``"ivf"`` or
     ``"ivfpq"``.  Manifests predating the kind stamp are IVF (the only
@@ -81,7 +81,7 @@ def vector_index_topk(
     n_probe: int = 4,
     k: int = 10,
     fs: StoreFS | None = None,
-    as_of: int | None = None,
+    as_of: int | str | None = None,
 ) -> DataFrame:
     """Top-k ANN against whatever vector index is committed at
     ``path``, dispatching on the manifest's kind stamp.  ``as_of``

@@ -542,3 +542,121 @@ def test_doctor_history_lists_commits(spark, docs, tmp_path, capsys):
     assert "*seq=3" in out and " seq=2" not in out
 
     assert main(["doctor", "--history", str(tmp_path / "nope")]) == 2
+
+
+def test_semdedup_as_of(spark, tmp_path):
+    from feast_spark.operators.semdedup import semdedup_against_index
+    from feast_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+
+    base = vecs([(i, [1.0, 0.0, 0.0]) for i in (1, 2, 3)]
+                + [(i, [0.0, 1.0, 0.0]) for i in (4, 5)])
+    path = str(tmp_path / "ivf")
+    build_ivf_index(base, path, n_centroids=2, iters=2)
+    ivf_index_append(spark, path, vecs([(10, [1.0, 0.0, 0.0])]))
+    probe = vecs([(99, [1.0, 0.0, 0.0])])
+    at_head = _rows(
+        semdedup_against_index(spark, path, probe).orderBy("id_a", "id_b")
+    )
+    at_build = _rows(
+        semdedup_against_index(spark, path, probe, as_of=1)
+        .orderBy("id_a", "id_b")
+    )
+    # vector 10 only exists at head
+    assert len(at_head) == len(at_build) + 1
+    assert all(a != 10 and b != 10 for a, b, _ in at_build)
+
+
+# ---------------------------------------------------------------------------
+# tags: named pinned commits (Iceberg tag discipline)
+# ---------------------------------------------------------------------------
+
+
+def test_tags_pin_commits_through_vacuum(spark, docs, tmp_path):
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_compact,
+        bm25_index_topk,
+        bm25_index_vacuum,
+        build_bm25_index,
+    )
+
+    fs = LocalFS()
+    path = str(tmp_path / "bm25")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") < 16), path, "doc_id", "text",
+        n_term_buckets=4,
+    )
+    at_build = _rows(bm25_index_topk(spark, path, ["alpha"], k=8))
+    epochs_io.tag_commit(path, fs, "june-train", 1)
+    bm25_index_append(spark, path, docs.filter(F.col("doc_id") >= 16))
+    bm25_index_compact(spark, path)
+
+    # default vacuum (retain_last=0) would normally expire seq 1 — the
+    # tag pins it: epochs kept, archive entry kept, as_of by NAME works
+    out = bm25_index_vacuum(path)
+    assert "1" not in out["history_expired"]
+    assert _rows(
+        bm25_index_topk(spark, path, ["alpha"], k=8, as_of="june-train")
+    ) == at_build
+    assert _rows(
+        bm25_index_topk(spark, path, ["alpha"], k=8, as_of=1)
+    ) == at_build
+
+    # deleting the tag releases the pin: next vacuum reclaims it
+    epochs_io.delete_tag(path, fs, "june-train")
+    out = bm25_index_vacuum(path)
+    assert "1" in out["history_expired"]
+    with pytest.raises(ValueError, match="archived commits"):
+        bm25_index_topk(spark, path, ["alpha"], k=8, as_of=1).collect()
+    with pytest.raises(ValueError, match="no tag"):
+        bm25_index_topk(
+            spark, path, ["alpha"], k=8, as_of="june-train"
+        ).collect()
+
+
+def test_tag_validation(tmp_path):
+    fs = LocalFS()
+    root = str(tmp_path / "idx")
+    epochs_io.commit_manifest(root, fs, {"kind": "bm25", "epochs": [0]})
+    with pytest.raises(ValueError, match="no archived manifest"):
+        epochs_io.tag_commit(root, fs, "x", 9)
+    for bad in ("", "7", "a=b"):
+        with pytest.raises(ValueError, match="tag name"):
+            epochs_io.tag_commit(root, fs, bad, 1)
+    with pytest.raises(ValueError, match="no tag"):
+        epochs_io.delete_tag(root, fs, "missing")
+    # re-tagging moves the pin
+    head = epochs_io.read_manifest(root, fs)
+    epochs_io.commit_manifest(root, fs, {**head, "epochs": [0, 1]})
+    epochs_io.tag_commit(root, fs, "x", 1)
+    epochs_io.tag_commit(root, fs, "x", 2)
+    assert epochs_io.read_tags(root, fs) == {"x": 2}
+
+
+def test_tag_cli(docs, tmp_path, capsys):
+    from feast_spark.cli import main
+    from feast_spark.operators.bm25 import build_bm25_index
+
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, path, "doc_id", "text", n_term_buckets=4)
+
+    assert main(["tag", path, "release-1"]) == 0  # pins head (seq 1)
+    assert "commit_seq=1" in capsys.readouterr().out
+    assert main(["tag", path, "--list"]) == 0
+    assert "release-1 -> commit_seq=1" in capsys.readouterr().out
+    # the commit log shows the pin
+    assert main(["doctor", "--history", path]) == 0
+    assert "tags=['release-1']" in capsys.readouterr().out
+    assert main(["tag", path, "release-1", "--delete"]) == 0
+    capsys.readouterr()
+    assert main(["tag", path, "nope", "--seq", "9"]) == 2
+    assert main(["tag", str(tmp_path / "missing"), "x"]) == 2
+    assert main(["tag", path]) == 2  # NAME required without --list
