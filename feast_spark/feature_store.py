@@ -754,6 +754,7 @@ class FeatureStore:
         entity_rows: list[dict],
         full_field_statuses: bool = False,
         now: datetime | None = None,
+        as_of: datetime | None = None,
     ) -> dict:
         """Multiget with per-feature field statuses
         (feature_store.py:504-617, ServingService FieldStatus).
@@ -769,7 +770,25 @@ class FeatureStore:
         OUTSIDE_MAX_AGE with the stale value withheld (served as
         None — stale features must not silently feed a model).  ``now``
         is naive-UTC like every stored timestamp; default wall clock.
+
+        ``as_of`` (naive-UTC datetime) time-travels the read: every
+        view resolves the online snapshot that was CURRENT at that
+        instant (the parquet store's manifest commit log —
+        io/manifest.py ``path_as_of``), answering "what did serving
+        return yesterday 14:00" exactly, including ttl statuses, which
+        classify against ``as_of`` (a value fresh then is PRESENT even
+        if stale now).  Requires the snapshot-retaining parquet store
+        (``keep_versions`` bounds the window); KV backends overwrite in
+        place and raise.
         """
+        if as_of is not None and not getattr(
+            self.online_store, "supports_time_travel", False
+        ):
+            raise ValueError(
+                "as_of requires the snapshot-retaining parquet online "
+                f"store; {type(self.online_store).__name__} overwrites "
+                "values in place and keeps no history"
+            )
         refs = (
             features.feature_refs
             if isinstance(features, FeatureService)
@@ -798,17 +817,21 @@ class FeatureStore:
         statuses: dict[str, list[str]] = {}
         for view, feats in grouped:
             join_keys = self._join_keys_for_view(view)
+            kw = {} if as_of is None else {"as_of": as_of}
             got = self.online_store.online_read(
-                self.spark, self.config.project, view.name, req, join_keys, feats
+                self.spark, self.config.project, view.name, req, join_keys,
+                feats, **kw,
             )
             rows = {r["__req_id"]: r for r in got.collect()}
             ordered = [rows[i] for i in sorted(rows.keys())]
             if full_field_statuses:
                 cutoff = None
                 if view.ttl is not None:
-                    ref_now = now or datetime.now(timezone.utc).replace(
-                        tzinfo=None
-                    )
+                    # a time-travel read classifies freshness against
+                    # the instant it replays, not today's wall clock
+                    ref_now = now or as_of or datetime.now(
+                        timezone.utc
+                    ).replace(tzinfo=None)
                     cutoff = ref_now - view.ttl
 
                 def classify(r, f):

@@ -18,12 +18,21 @@ from __future__ import annotations
 
 import json
 import posixpath
+import time
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
 from feast_spark.io.fs import LocalFS, StoreFS
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _to_epoch_s(dt: datetime) -> float:
+    """Naive datetimes are UTC (the store's timestamp convention)."""
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
 
 
 class ManifestedParquetTable:
@@ -57,7 +66,11 @@ class ManifestedParquetTable:
         ]
         return f"v_{(max(versions) + 1 if versions else 1):08d}"
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, as_of: int | datetime | None = None
+    ) -> DataFrame | None:
+        if as_of is not None:
+            return spark.read.parquet(self.path_as_of(as_of))
         current = self.current_path()
         if current is None:
             return None
@@ -116,30 +129,99 @@ class ManifestedParquetTable:
         )
         self._flip(version, meta)
 
+    def _read_manifest(self) -> dict:
+        mp = self._manifest_path()
+        if not self.fs.exists(mp):
+            return {}
+        return json.loads(self.fs.read_bytes(mp))
+
+    def history(self) -> list[dict]:
+        """The retained commit log, oldest first: one
+        ``{"seq", "version", "committed_at"}`` entry per commit whose
+        snapshot directory GC still keeps (the ``keep_versions``
+        window) — the resolvable time-travel targets."""
+        return list(self._read_manifest().get("history", []))
+
+    def path_as_of(self, as_of: int | datetime) -> str:
+        """The snapshot directory serving reads resolved at commit seq
+        ``as_of`` (int) or at wall-clock instant ``as_of`` (datetime,
+        naive = UTC): the latest commit at-or-before that instant —
+        Delta's ``TIMESTAMP AS OF``, possible because snapshots are
+        immutable and GC keeps ``keep_versions`` of them.  Raises with
+        the surviving window when the target is older than retention
+        (GC'd snapshots are gone; the error is honest) or newer than
+        the last commit (nothing served then)."""
+        hist = self.history()
+        if not hist:
+            raise ValueError(
+                f"no commit history at {self.root} — the table predates "
+                "commit logging (its next commit starts the log) or was "
+                "never committed"
+            )
+        if isinstance(as_of, datetime):
+            ts = _to_epoch_s(as_of)
+            live = [e for e in hist if e["committed_at"] <= ts]
+            if not live:
+                oldest = datetime.fromtimestamp(
+                    hist[0]["committed_at"], tz=timezone.utc
+                )
+                raise ValueError(
+                    f"no snapshot at {self.root} as of {as_of}: the "
+                    f"oldest retained commit is seq={hist[0]['seq']} at "
+                    f"{oldest:%Y-%m-%d %H:%M:%S}Z — older snapshots were "
+                    "reclaimed by keep_versions GC (raise keep_versions "
+                    "to widen the window)"
+                )
+            entry = live[-1]
+        else:
+            by_seq = {e["seq"]: e for e in hist}
+            if as_of not in by_seq:
+                raise ValueError(
+                    f"no snapshot at {self.root} for commit seq={as_of}: "
+                    f"retained seqs {hist[0]['seq']}..{hist[-1]['seq']} "
+                    "(keep_versions GC reclaims older snapshots)"
+                )
+            entry = by_seq[as_of]
+        return posixpath.join(self.root, entry["version"])
+
     def _flip(
         self,
         version: str,
         meta: dict | None,
         tables: list[str] | None = None,
     ) -> None:
+        prev = self._read_manifest()
         manifest = {"current": version, "format": "parquet"}
         if tables:
             manifest["tables"] = tables
-        merged = dict(self.current_meta())
+        merged = dict(prev.get("meta", {}))
         merged.update(meta or {})
         merged = {k: v for k, v in merged.items() if v is not None}
         if merged:
             manifest["meta"] = merged
-        self.fs.write_bytes_atomic(
-            self._manifest_path(),
-            json.dumps(manifest).encode(),
-        )
         versions = sorted(
             d
             for d in self.fs.list_subdirs(self.root)
             if d.startswith("v_") and d[2:].isdigit()
         )
         keep = set(versions[-self.keep_versions :]) | {version}
+        # commit log: seq + wall-clock per commit, truncated to the
+        # kept snapshot dirs so every listed entry is resolvable
+        # (path_as_of / time travel); recorded in the SAME atomic
+        # manifest write that publishes the snapshot
+        seq = prev.get("seq", 0) + 1
+        history = [
+            e for e in prev.get("history", []) if e["version"] in keep
+        ]
+        history.append(
+            {"seq": seq, "version": version, "committed_at": time.time()}
+        )
+        manifest["seq"] = seq
+        manifest["history"] = history
+        self.fs.write_bytes_atomic(
+            self._manifest_path(),
+            json.dumps(manifest).encode(),
+        )
         for v in versions:
             if v not in keep:
                 try:

@@ -217,6 +217,12 @@ class OnlineStore:
             for v in view_names:
                 self.fs.delete(self._table_dir(project, v))
 
+    #: the parquet store keeps ``keep_versions`` immutable snapshots, so
+    #: it can serve time-travel reads; KV backends overwrite in place
+    #: and cannot (feature_store.get_online_features checks this flag
+    #: before passing as_of through)
+    supports_time_travel = True
+
     def online_read(
         self,
         spark: SparkSession,
@@ -225,11 +231,24 @@ class OnlineStore:
         entity_rows_df: DataFrame,
         join_keys: list[str],
         feature_cols: list[str],
+        as_of=None,
     ) -> DataFrame:
         """J4 — multiget as a broadcast semi-join of request keys against
         the KV table (feature_store.py:568-587).  Returns one row per
-        request row with NULL features on miss, plus ``__found``."""
-        path = self._current_data_path(project, view_name)
+        request row with NULL features on miss, plus ``__found``.
+
+        ``as_of`` (datetime, naive = UTC; or an int commit seq) serves
+        the read from the snapshot that was current THEN — what did we
+        serve this entity yesterday 14:00? — resolved through the
+        manifest commit log (``io/manifest.path_as_of``); snapshots
+        older than the ``keep_versions`` GC window raise with the
+        surviving range."""
+        if as_of is not None:
+            path = self._mtable(
+                self._table_dir(project, view_name)
+            ).path_as_of(as_of)
+        else:
+            path = self._current_data_path(project, view_name)
         keyed = entity_rows_df.withColumn(_KEY, encode_entity_key(join_keys))
         if path is None:
             out = keyed

@@ -1,0 +1,169 @@
+"""Online-store time travel (io/manifest.py commit log): every
+manifest flip records {seq, version, committed_at} for the snapshots GC
+keeps, ManifestedParquetTable.read/path_as_of resolve a commit seq or a
+wall-clock instant (Delta TIMESTAMP AS OF), and
+FeatureStore.get_online_features(as_of=) replays what serving returned
+at that instant — including ttl statuses classified against it."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark import (
+    Entity,
+    FeatureStore,
+    FeatureView,
+    FileSource,
+    RepoConfig,
+    ValueType,
+)
+from feast_spark.io.fs import LocalFS
+from feast_spark.io.manifest import ManifestedParquetTable
+
+
+def _utcnow():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def test_manifest_commit_log_and_as_of(spark, tmp_path):
+    t = ManifestedParquetTable(str(tmp_path / "t"), keep_versions=3)
+    for i in (1, 2, 3):
+        t.commit(spark.createDataFrame([(i,)], "x INT"))
+    hist = t.history()
+    assert [e["seq"] for e in hist] == [1, 2, 3]
+    assert [e["committed_at"] for e in hist] == sorted(
+        e["committed_at"] for e in hist
+    )
+    for i in (1, 2, 3):
+        assert t.read(spark, as_of=i).collect()[0]["x"] == i
+    # TIMESTAMP AS OF: an instant between commits resolves the earlier
+    # one; an instant after the last resolves head
+    mid = datetime.fromtimestamp(
+        (hist[0]["committed_at"] + hist[1]["committed_at"]) / 2,
+        tz=timezone.utc,
+    ).replace(tzinfo=None)
+    assert t.read(spark, as_of=mid).collect()[0]["x"] == 1
+    assert t.read(spark, as_of=_utcnow() + timedelta(days=1)) \
+        .collect()[0]["x"] == 3
+    # before the oldest retained commit: honest error naming the window
+    early = datetime.fromtimestamp(
+        hist[0]["committed_at"] - 60, tz=timezone.utc
+    ).replace(tzinfo=None)
+    with pytest.raises(ValueError, match="oldest retained"):
+        t.path_as_of(early)
+
+
+def test_manifest_gc_truncates_the_window(spark, tmp_path):
+    t = ManifestedParquetTable(str(tmp_path / "t"), keep_versions=2)
+    for i in (1, 2, 3):
+        t.commit(spark.createDataFrame([(i,)], "x INT"))
+    hist = t.history()
+    assert [e["seq"] for e in hist] == [2, 3]  # seq 1's dir was GC'd
+    with pytest.raises(ValueError, match="retained seqs 2..3"):
+        t.path_as_of(1)
+    assert t.read(spark, as_of=2).collect()[0]["x"] == 2
+
+
+def test_manifest_without_history_is_friendly(spark, tmp_path):
+    t = ManifestedParquetTable(str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="no commit history"):
+        t.path_as_of(1)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    now = _utcnow()
+    rows = [
+        Row(id=1, value=0.3, ts_1=now - timedelta(hours=3),
+            created_ts=now),
+        Row(id=3, value=4.0, ts_1=now - timedelta(hours=4),
+            created_ts=now),
+    ]
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows).write.parquet(src_path)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="tt",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="fv",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=src_path,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                    field_mapping={"ts_1": "ts", "id": "driver_id"},
+                ),
+            ),
+        ]
+    )
+    st.materialize(now - timedelta(hours=5), now)
+    return st
+
+
+def test_get_online_features_as_of_replays_the_snapshot(
+    spark, store, tmp_path
+):
+    now = _utcnow()
+    between = _utcnow()
+    # a later ingestion overwrites driver 1 (newer event_ts wins)
+    newer = spark.createDataFrame(
+        [Row(driver_id=1, value=9.9, ts=now - timedelta(minutes=5),
+             created_ts=now)]
+    )
+    store.online_store.online_write_batch(
+        spark, "tt", "fv", newer, ["driver_id"], "ts", "created_ts",
+        ["value"],
+    )
+    head = store.get_online_features(["fv:value"], [{"driver_id": 1}])
+    assert head["value"] == [pytest.approx(9.9)]
+    past = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of=between
+    )
+    assert past["value"] == [pytest.approx(0.3)]
+    # ttl statuses classify against the replayed instant (value was
+    # 3h old THEN — inside the 1-day ttl -> PRESENT)
+    past_full = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], full_field_statuses=True,
+        as_of=between,
+    )
+    assert past_full["__statuses"]["value"] == ["PRESENT"]
+    assert past_full["value"] == [pytest.approx(0.3)]
+    # before the store's first commit: the window error surfaces
+    with pytest.raises(ValueError, match="oldest retained"):
+        store.get_online_features(
+            ["fv:value"], [{"driver_id": 1}],
+            as_of=now - timedelta(days=2),
+        )
+
+
+def test_kv_backends_reject_as_of(spark, tmp_path):
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="tt2",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online.db"),
+            online_store_type="sqlite",
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+        ]
+    )
+    with pytest.raises(ValueError, match="overwrites"):
+        st.get_online_features(
+            ["fv:value"], [{"driver_id": 1}], as_of=_utcnow()
+        )
