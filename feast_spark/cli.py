@@ -467,7 +467,15 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("entities", help="list registry entities")
     sub.add_parser("feature-views", help="list registry feature views")
-    sub.add_parser("registry-dump", help="print the raw registry JSON")
+    sp = sub.add_parser(
+        "registry-dump",
+        help="print the raw registry JSON; --as-of SEQ prints the "
+        "archived version committed at that seq (registry.py history)",
+    )
+    sp.add_argument(
+        "--as-of", type=int, default=None, metavar="SEQ",
+        help="archived registry version to print instead of head",
+    )
     sp = sub.add_parser(
         "registry-export",
         help="write the registry as reference-compatible "
@@ -630,6 +638,22 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "registry-dump":
         import os
 
+        if args.as_of is not None:
+            import posixpath
+
+            hp = posixpath.join(
+                f"{args.registry}.history", f"seq={args.as_of}.json"
+            )
+            if os.path.exists(hp):
+                with open(hp) as f:
+                    print(f.read())
+                return 0
+            print(
+                f"no archived registry version seq={args.as_of} at "
+                f"{args.registry} (see {args.registry}.history/)",
+                file=sys.stderr,
+            )
+            return 1
         if os.path.exists(args.registry):
             with open(args.registry) as f:
                 print(f.read())

@@ -16,7 +16,9 @@ cache-TTL refresh path (registry.py:110-126).
 from __future__ import annotations
 
 import json
-from datetime import datetime
+import posixpath
+import time
+from datetime import datetime, timezone
 
 from feast_spark.entity import Entity
 from feast_spark.errors import EntityNotFoundError, FeatureViewNotFoundError
@@ -99,18 +101,128 @@ class Registry:
         view.materialization_intervals.append((start, end))
 
     # -- persistence ---------------------------------------------------
+
+    #: archived registry versions kept per commit (definitions are
+    #: small JSON; the window exists so a runaway apply loop cannot
+    #: grow the sidecar unboundedly)
+    keep_history = 50
+
+    def _history_dir(self) -> str:
+        return f"{self.path}.history"
+
     def commit(self) -> None:
         """Single atomic write (registry.py:390-393,473-501): temp +
-        rename locally/HDFS, single-object PUT on object stores."""
+        rename locally/HDFS, single-object PUT on object stores.
+
+        Every commit also archives the full payload under
+        ``<path>.history/seq=N.json`` (written BEFORE the head flip,
+        the ``io/epochs.py`` ordering — a crash orphan is overwritten
+        by the next commit), stamped with a monotonically increasing
+        ``seq`` and ``committed_at`` — so :meth:`load_as_of` answers
+        "which feature definitions were live when model X trained"
+        (the reference keeps no registry history; this is the index /
+        online-store time-travel discipline applied to the control
+        plane).  The newest :attr:`keep_history` versions are kept."""
+        prev_seq = 0
+        if self.fs.exists(self.path):
+            prev_seq = json.loads(self.fs.read_bytes(self.path)).get(
+                "seq", 0
+            )
         payload = {
+            "seq": prev_seq + 1,
+            "committed_at": time.time(),
             "entities": [e.to_dict() for e in self.entities.values()],
             "feature_views": [v.to_dict() for v in self.feature_views.values()],
             "feature_services": [s.to_dict() for s in self.feature_services.values()],
             "on_demand_views": [v.to_dict() for v in self.on_demand_views.values()],
         }
+        data = json.dumps(payload, indent=1).encode()
         self.fs.write_bytes_atomic(
-            self.path, json.dumps(payload, indent=1).encode()
+            posixpath.join(self._history_dir(), f"seq={prev_seq + 1}.json"),
+            data,
         )
+        self.fs.write_bytes_atomic(self.path, data)
+        for s in self.history_seqs()[: -self.keep_history]:
+            self.fs.delete(
+                posixpath.join(self._history_dir(), f"seq={s}.json")
+            )
+
+    def history_seqs(self) -> list[int]:
+        """Sorted archived registry versions (the load_as_of targets)."""
+        base = self._history_dir()
+        out = []
+        for name in self.fs.list_files(base) if self.fs.exists(base) else []:
+            if name.startswith("seq=") and name.endswith(".json"):
+                body = name[4:-5]
+                if body.isdigit():
+                    out.append(int(body))
+        return sorted(out)
+
+    @classmethod
+    def load_as_of(
+        cls,
+        path: str,
+        as_of: int | datetime,
+        fs: StoreFS | None = None,
+    ) -> "Registry":
+        """A read-only snapshot of the registry as committed at seq
+        ``as_of`` (int) or at wall-clock instant ``as_of`` (datetime,
+        naive = UTC — the latest commit at-or-before it).  Calling
+        :meth:`commit` on the snapshot is refused: republishing an old
+        version as head must be an explicit apply, not an accident."""
+        fs = fs or LocalFS()
+        reg = cls.__new__(cls)
+        reg.path = path
+        reg.fs = fs
+        seqs = reg.history_seqs()
+        if not seqs:
+            raise ValueError(
+                f"no registry history at {path} — the registry predates "
+                "version archiving (its next apply starts the log)"
+            )
+        if isinstance(as_of, datetime):
+            ts = as_of
+            if ts.tzinfo is None:
+                ts = ts.replace(tzinfo=timezone.utc)
+            epoch = ts.timestamp()
+            live = []
+            for s in seqs:
+                p = posixpath.join(f"{path}.history", f"seq={s}.json")
+                if json.loads(fs.read_bytes(p)).get(
+                    "committed_at", float("inf")
+                ) <= epoch:
+                    live.append(s)
+            if not live:
+                raise ValueError(
+                    f"no registry version at {path} as of {as_of}: "
+                    f"oldest archived seq is {seqs[0]} (versions past "
+                    "keep_history are pruned)"
+                )
+            seq = live[-1]
+        else:
+            if as_of not in seqs:
+                raise ValueError(
+                    f"no registry version seq={as_of} at {path}: "
+                    f"archived seqs {seqs[0]}..{seqs[-1]} (versions "
+                    "past keep_history are pruned)"
+                )
+            seq = as_of
+        hp = posixpath.join(f"{path}.history", f"seq={seq}.json")
+        reg.entities = {}
+        reg.feature_views = {}
+        reg.feature_services = {}
+        reg.on_demand_views = {}
+        reg._load_payload(json.loads(fs.read_bytes(hp)))
+        reg._frozen_seq = seq
+
+        def _refuse_commit() -> None:
+            raise RuntimeError(
+                f"this Registry is a read-only as_of={seq} snapshot; "
+                "load the live registry to apply changes"
+            )
+
+        reg.commit = _refuse_commit  # type: ignore[method-assign]
+        return reg
 
     def refresh(self) -> None:
         """Re-read the backing object (reference registry.py:110-126):
@@ -119,7 +231,9 @@ class Registry:
             self._load()
 
     def _load(self) -> None:
-        payload = json.loads(self.fs.read_bytes(self.path))
+        self._load_payload(json.loads(self.fs.read_bytes(self.path)))
+
+    def _load_payload(self, payload: dict) -> None:
         self.entities = {
             e["name"]: Entity.from_dict(e) for e in payload.get("entities", [])
         }

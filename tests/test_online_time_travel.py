@@ -167,3 +167,85 @@ def test_kv_backends_reject_as_of(spark, tmp_path):
         st.get_online_features(
             ["fv:value"], [{"driver_id": 1}], as_of=_utcnow()
         )
+
+
+# ---------------------------------------------------------------------------
+# registry history: which definitions were live when a model trained
+# ---------------------------------------------------------------------------
+
+
+def test_registry_history_and_load_as_of(tmp_path):
+    from feast_spark.registry import Registry
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path)
+    reg.apply_entity(Entity(name="driver", join_key="driver_id",
+                            value_type=ValueType.INT64))
+    reg.apply_feature_view(
+        FeatureView(
+            name="fv", entities=["driver"], ttl=timedelta(days=1),
+            batch_source=FileSource(path="x.parquet",
+                                    event_timestamp_column="ts"),
+        )
+    )
+    reg.commit()
+    reg.apply_feature_view(
+        FeatureView(
+            name="fv", entities=["driver"], ttl=timedelta(days=7),
+            batch_source=FileSource(path="x.parquet",
+                                    event_timestamp_column="ts"),
+        )
+    )
+    reg.commit()
+    assert reg.history_seqs() == [1, 2]
+
+    old = Registry.load_as_of(path, 1)
+    assert old.get_feature_view("fv").ttl == timedelta(days=1)
+    assert Registry.load_as_of(path, 2).get_feature_view("fv").ttl \
+        == timedelta(days=7)
+    # datetime resolution: after the last commit -> head version
+    assert Registry.load_as_of(
+        path, _utcnow() + timedelta(minutes=1)
+    ).get_feature_view("fv").ttl == timedelta(days=7)
+    # snapshots are read-only
+    with pytest.raises(RuntimeError, match="read-only"):
+        old.commit()
+    with pytest.raises(ValueError, match="archived seqs 1..2"):
+        Registry.load_as_of(path, 9)
+    with pytest.raises(ValueError, match="oldest archived|no registry"):
+        Registry.load_as_of(path, _utcnow() - timedelta(days=1))
+
+
+def test_registry_history_pruned_to_window(tmp_path):
+    from feast_spark.registry import Registry
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path)
+    reg.keep_history = 3
+    reg.apply_entity(Entity(name="driver", join_key="driver_id",
+                            value_type=ValueType.INT64))
+    for _ in range(5):
+        reg.commit()
+    assert reg.history_seqs() == [3, 4, 5]
+    with pytest.raises(ValueError, match="archived seqs 3..5"):
+        Registry.load_as_of(path, 1)
+
+
+def test_registry_dump_as_of_cli(tmp_path, capsys):
+    import json as _json
+
+    from feast_spark.cli import main
+    from feast_spark.registry import Registry
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path)
+    reg.apply_entity(Entity(name="driver", join_key="driver_id",
+                            value_type=ValueType.INT64))
+    reg.commit()
+    reg.apply_entity(Entity(name="rider", join_key="rider_id",
+                            value_type=ValueType.INT64))
+    reg.commit()
+    assert main(["--registry", path, "registry-dump", "--as-of", "1"]) == 0
+    payload = _json.loads(capsys.readouterr().out)
+    assert [e["name"] for e in payload["entities"]] == ["driver"]
+    assert main(["--registry", path, "registry-dump", "--as-of", "9"]) == 1
