@@ -660,3 +660,57 @@ def test_tag_cli(docs, tmp_path, capsys):
     assert main(["tag", path, "nope", "--seq", "9"]) == 2
     assert main(["tag", str(tmp_path / "missing"), "x"]) == 2
     assert main(["tag", path]) == 2  # NAME required without --list
+
+
+def test_streaming_sink_commits_are_time_travel_targets(spark, tmp_path):
+    """Every micro-batch the streaming sink folds in goes through
+    commit_manifest, so it lands in the history log: as_of to the
+    pre-stream commit serves exactly the pre-stream index, and the
+    archived mid-stream manifest carries its stream_epoch watermark."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from feast_spark.operators.bm25 import bm25_index_topk, build_bm25_index
+    from feast_spark.streaming.index_sink import bm25_index_sink
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    first = [(i, f"alpha scan doc{i}") for i in range(40)]
+    rest = [(i, "alpha alpha fresh") for i in range(100, 120)]
+
+    idx = str(tmp_path / "idx")
+    build_bm25_index(
+        spark.createDataFrame(first, schema), idx, "doc_id", "text",
+        n_term_buckets=4,
+    )
+    pre_stream = _rows(bm25_index_topk(spark, idx, ["alpha"], k=8))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(rest, schema).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src / "b1"))
+    q = (
+        stream.writeStream.foreachBatch(bm25_index_sink(spark, idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert _rows(bm25_index_topk(spark, idx, ["alpha"], k=8)) != pre_stream
+    # seq 1 = the batch build; the stream's fold is a later commit
+    assert _rows(bm25_index_topk(spark, idx, ["alpha"], k=8, as_of=1)) \
+        == pre_stream
+    fs = LocalFS()
+    head_seq = epochs_io.read_manifest(idx, fs)["commit_seq"]
+    archived = json.loads(
+        fs.read_bytes(f"{idx}/_history/commit_seq={head_seq}.json")
+    )
+    assert archived["stream_epoch"] == 0  # the watermark is archived too
