@@ -52,7 +52,8 @@ def vector_index_kind(
 
 
 def vector_index_dim(
-    path: str, fs: StoreFS | None = None, kind: str | None = None
+    path: str, fs: StoreFS | None = None, kind: str | None = None,
+    as_of: int | str | None = None,
 ) -> int:
     """Embedding dimensionality of the committed index at ``path``,
     read from its quantizer's centroid table (driver-side, through the
@@ -60,16 +61,24 @@ def vector_index_dim(
     to reject a wrong-length query vector BEFORE it reaches a fused
     batch call, where the failure would take every concurrent request
     down with it (serving.VectorQueryCoalescer / HybridQueryCoalescer).
-    Pass ``kind`` when already resolved to skip one manifest read."""
+    Pass ``kind`` when already resolved to skip one manifest read.
+    ``as_of`` resolves the ARCHIVED commit's quantizer — a pinned
+    serving tier validates against the model it actually serves."""
     fs = fs or LocalFS()
-    kind = kind or vector_index_kind(path, fs)
+    kind = kind or vector_index_kind(path, fs, as_of=as_of)
     if kind == "ivfpq":
         from feast_spark.operators.pq_index import _load_centroids, _manifest
 
-        return len(_load_centroids(path, _manifest(path, fs), fs)[0])
-    from feast_spark.operators.similarity import _ivf_load_centroids
+        return len(
+            _load_centroids(path, _manifest(path, fs, as_of=as_of), fs)[0]
+        )
+    from feast_spark.operators.similarity import _ivf_load_centroids, _ivf_manifest
 
-    return len(_ivf_load_centroids(None, path, fs)[0])
+    return len(
+        _ivf_load_centroids(
+            None, path, fs, manifest=_ivf_manifest(path, fs, as_of=as_of)
+        )[0]
+    )
 
 
 def vector_index_topk(

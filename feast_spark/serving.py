@@ -631,14 +631,16 @@ class QueryCoalescer:
         self.close()
 
 
-def _index_dim(vec_index_path: str, fs) -> int:
+def _index_dim(vec_index_path: str, fs, as_of=None) -> int:
     """Construction-time resolution of the index's embedding
     dimensionality (operators/vector_index.vector_index_dim).  Resolved
     once: dimensionality is structural — a rebuild that CHANGES it is a
-    different serving config and warrants a fresh coalescer."""
+    different serving config and warrants a fresh coalescer.  A pinned
+    coalescer (``as_of``) resolves the PINNED commit's dimensionality,
+    so it validates requests against the model it actually serves."""
     from feast_spark.operators.vector_index import vector_index_dim
 
-    return vector_index_dim(vec_index_path, fs)
+    return vector_index_dim(vec_index_path, fs, as_of=as_of)
 
 
 def _check_dim(qvec, dim: int) -> list[float]:
@@ -688,15 +690,23 @@ class HybridQueryCoalescer(QueryCoalescer):
         max_batch: int = 32,
         max_wait_ms: float = 25.0,
         fs=None,
+        as_of: tuple | None = None,
     ):
+        # as_of PINS the serving tier to a pair of archived commits
+        # (seqs or tag names, io/epochs.py manifest history): every
+        # fused call replays exactly that pair — a reproducible
+        # serving config for A/B or rollback, vacuum-immune when the
+        # commits are tagged
         self._kw = dict(
             k=k, fetch_k=fetch_k, rrf_k=rrf_k, n_probe=n_probe,
             vec_index_kind=vec_index_kind,
-            on_corpus_mismatch=on_corpus_mismatch, fs=fs,
+            on_corpus_mismatch=on_corpus_mismatch, fs=fs, as_of=as_of,
         )
         self._index_path = index_path
         self._vec_index_path = vec_index_path
-        self._dim = _index_dim(vec_index_path, fs)
+        self._dim = _index_dim(
+            vec_index_path, fs, as_of=as_of[1] if as_of else None
+        )
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
     def query(self, terms: list[str], qvec: list[float]) -> list[tuple]:
@@ -761,16 +771,23 @@ class BM25QueryCoalescer(QueryCoalescer):
         max_batch: int = 32,
         max_wait_ms: float = 25.0,
         fs=None,
+        as_of: int | str | None = None,
     ):
         from feast_spark.operators.bm25 import _bm25_manifest
         from feast_spark.io.fs import LocalFS
 
         self._index_path = index_path
-        self._kw = dict(k=k, k1=k1, b=b, fs=fs)
+        # as_of pins every fused call to one archived commit (seq or
+        # tag name) — the id column below resolves from the SAME
+        # pinned manifest the queries will read
+        self._kw = dict(k=k, k1=k1, b=b, fs=fs, as_of=as_of)
         #: row layout of each query() tuple (the index's committed id
         #: column + the score) — what the HTTP edge keys results by
         self.columns = (
-            _bm25_manifest(index_path, fs or LocalFS())["id_col"], "bm25"
+            _bm25_manifest(index_path, fs or LocalFS(), as_of=as_of)[
+                "id_col"
+            ],
+            "bm25",
         )
         super().__init__(spark, max_batch=max_batch, max_wait_ms=max_wait_ms)
 
@@ -825,6 +842,7 @@ class VectorQueryCoalescer(QueryCoalescer):
         max_batch: int = 32,
         max_wait_ms: float = 25.0,
         fs=None,
+        as_of: int | str | None = None,
     ):
         from feast_spark.operators.vector_index import (
             vector_index_dim,
@@ -832,9 +850,12 @@ class VectorQueryCoalescer(QueryCoalescer):
         )
 
         self._index_path = index_path
-        self._kw = dict(k=k, n_probe=n_probe, fs=fs)
-        kind = vector_index_kind(index_path, fs)  # resolved once
-        self._dim = vector_index_dim(index_path, fs, kind=kind)
+        # as_of pins every fused call to one archived commit (seq or
+        # tag name); kind, dimensionality and row layout all resolve
+        # from the SAME pinned manifest the queries will read
+        self._kw = dict(k=k, n_probe=n_probe, fs=fs, as_of=as_of)
+        kind = vector_index_kind(index_path, fs, as_of=as_of)
+        self._dim = vector_index_dim(index_path, fs, kind=kind, as_of=as_of)
         #: row layout of each query() tuple — the kind's native
         #: single-call columns minus query_id (module docstring of
         #: operators/vector_index.py).  _serve_batch reads rows BY

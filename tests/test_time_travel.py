@@ -714,3 +714,49 @@ def test_streaming_sink_commits_are_time_travel_targets(spark, tmp_path):
         fs.read_bytes(f"{idx}/_history/commit_seq={head_seq}.json")
     )
     assert archived["stream_epoch"] == 0  # the watermark is archived too
+
+
+def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
+    """A serving tier pinned to as_of (seq or tag) replays exactly the
+    pinned commit through the fused batch path — rollback / A/B as a
+    coalescer constructor argument, vacuum-immune when tagged."""
+    from feast_spark.operators.bm25 import bm25_index_topk
+    from feast_spark.operators.paired_index import hybrid_index_append
+    from feast_spark.serving import BM25QueryCoalescer, VectorQueryCoalescer
+    from feast_spark.operators.vector_index import vector_index_topk
+
+    bp, vp = _pair(spark, tmp_path, range(12))
+    fs = LocalFS()
+    b_seq = epochs_io.read_manifest(bp, fs)["commit_seq"]
+    v_seq = epochs_io.read_manifest(vp, fs)["commit_seq"]
+    epochs_io.tag_commit(bp, fs, "prod", b_seq)
+    epochs_io.tag_commit(vp, fs, "prod", v_seq)
+    lex_then = _rows(bm25_index_topk(spark, bp, ["alpha", "scan"], k=5))
+    q = _vecs(spark, [1000])
+    vec_then = _rows(
+        vector_index_topk(spark, vp, q, n_probe=2, k=4).orderBy("rank")
+    )
+
+    slice2 = spark.createDataFrame(
+        [(i, "alpha alpha scan fresh",
+          [1.0, 1.0, 1.0]) for i in range(50, 60)],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>",
+    )
+    hybrid_index_append(spark, bp, vp, slice2, id_col="doc_id",
+                        vec_col="embedding")
+
+    with BM25QueryCoalescer(
+        spark, bp, k=5, max_batch=1, max_wait_ms=10.0, as_of="prod"
+    ) as lex_co:
+        assert lex_co.query(["alpha", "scan"]) == lex_then
+        # head serves the appended docs; the pin does not
+        head_ids = {r[0] for r in bm25_index_topk(
+            spark, bp, ["alpha", "scan"], k=5).collect()}
+        assert head_ids & set(range(50, 60))
+    qvec = [float(1000 % 5), float((1000 * 7) % 11), 1.0]
+    with VectorQueryCoalescer(
+        spark, vp, k=4, n_probe=2, max_batch=1, max_wait_ms=10.0,
+        as_of="prod",
+    ) as vec_co:
+        got = vec_co.query(qvec)
+        assert [g[0] for g in got] == [r[1] for r in vec_then]
