@@ -760,3 +760,41 @@ def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
     ) as vec_co:
         got = vec_co.query(qvec)
         assert [g[0] for g in got] == [r[1] for r in vec_then]
+
+
+def test_hybrid_batch_as_of(spark, tmp_path):
+    from feast_spark.operators.bm25 import hybrid_index_topk_batch
+    from feast_spark.operators.paired_index import hybrid_index_append
+
+    bp, vp = _pair(spark, tmp_path, range(12))
+    fs = LocalFS()
+    b_seq = epochs_io.read_manifest(bp, fs)["commit_seq"]
+    v_seq = epochs_io.read_manifest(vp, fs)["commit_seq"]
+    queries = spark.createDataFrame(
+        [(1, ["alpha", "scan"], [1.0, 2.0, 1.0]),
+         (2, ["doc3"], [0.0, 1.0, 1.0])],
+        "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
+    )
+    before = _rows(
+        hybrid_index_topk_batch(
+            spark, bp, None, queries, k=5, vec_index_path=vp, n_probe=2
+        ).orderBy("query_id", "rank")
+    )
+    slice2 = spark.createDataFrame(
+        [(i, "alpha scan fresh", [1.0, 2.0, 1.0]) for i in range(50, 56)],
+        "doc_id LONG, text STRING, embedding ARRAY<DOUBLE>",
+    )
+    hybrid_index_append(spark, bp, vp, slice2, id_col="doc_id",
+                        vec_col="embedding")
+    after = _rows(
+        hybrid_index_topk_batch(
+            spark, bp, None, queries, k=5, vec_index_path=vp, n_probe=2
+        ).orderBy("query_id", "rank")
+    )
+    assert after != before
+    assert _rows(
+        hybrid_index_topk_batch(
+            spark, bp, None, queries, k=5, vec_index_path=vp, n_probe=2,
+            as_of=(b_seq, v_seq),
+        ).orderBy("query_id", "rank")
+    ) == before
