@@ -1684,18 +1684,30 @@ def q_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=cents, codebooks=books,
     )
     ivfpq_index_append(spark, path, emb.filter(F.col("vec_id") % 3 == 0))
-    out = ivfpq_index_topk(
-        spark, path, emb.filter(F.col("vec_id") < 5), n_probe=3, k=10
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id").asc()
     )
-    return out.select(
-        "query_id",
-        "neighbor_id",
-        F.round("adc_dist", 4).alias("adc_dist"),
-        F.row_number().over(w).alias("rank"),
+
+    def _ranked(df, leg):
+        return df.select(
+            F.lit(leg).alias("leg"),
+            "query_id",
+            "neighbor_id",
+            F.round("adc_dist", 4).alias("adc_dist"),
+            F.row_number().over(w).alias("rank"),
+        )
+
+    head = ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), n_probe=3, k=10
     )
+    # r13 second leg: as_of=1 (the archived BUILD commit) must rank
+    # against a corpus that never contained the appended third — the
+    # historical epoch list on the codes scan is under the hash gate
+    asof = ivfpq_index_topk(
+        spark, path, emb.filter(F.col("vec_id") < 5), n_probe=3, k=10,
+        as_of=1,
+    )
+    return _ranked(head, "head").unionAll(_ranked(asof, "asof_build"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2206,6 +2218,7 @@ def _ivfpq_oracle(
     n_probe: int = 3,
     k: int = 10,
     n_queries: int = 5,
+    corpus_filter: str = "",
 ) -> str:
     """SQL twin of the persisted IVFPQ index with md5-frozen models:
     re-derives the coarse quantizer AND the per-subspace codebooks
@@ -2214,7 +2227,10 @@ def _ivfpq_oracle(
     ties -> lowest code), probes each query's n_probe nearest cells,
     and sums the per-subspace ADC terms.  Ranks are over UNROUNDED
     ADC (+ neighbor-id tie-break) exactly as the Spark side ranks —
-    rounding only the displayed distance."""
+    rounding only the displayed distance.  ``corpus_filter`` restricts
+    which vectors the index CONTAINS (the time-travel leg: frozen
+    models are md5-derived from the full table on both sides, so only
+    the stored corpus differs at a historical commit)."""
     sel_n = max(n_centroids, k_codes)
 
     def _sl(e: str, mref: str) -> str:
@@ -2241,7 +2257,7 @@ WITH ac AS (
     SELECT c.vec_id, ct.cell,
            ROW_NUMBER() OVER (PARTITION BY c.vec_id
                               ORDER BY {_l2_sql('c.e', 'ct.ce')}, ct.cell) AS rn
-    FROM ac c CROSS JOIN cent ct
+    FROM ac c CROSS JOIN cent ct {corpus_filter}
   ) t WHERE rn = 1
 ), enc AS (
   SELECT vec_id, m, code FROM (
@@ -3343,7 +3359,20 @@ SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
 FROM events GROUP BY event_type
 """,
         "semdedup": _semdedup_oracle(),
-        "ivfpq_index_topk": _ivfpq_oracle(),
+        # two legs like bm25_index_topk: head (build on 2/3 + append
+        # 1/3) vs the full-corpus oracle, and as_of= the archived build
+        # commit vs the 2/3-corpus oracle — historical epoch lists on
+        # the vector side (codes scan) under the hash gate; the frozen
+        # models are corpus-split-independent (md5 over the full table)
+        "ivfpq_index_topk": f"""
+SELECT 'head' AS leg, query_id, neighbor_id, adc_dist, rank FROM (
+{_ivfpq_oracle()}
+)
+UNION ALL
+SELECT 'asof_build' AS leg, query_id, neighbor_id, adc_dist, rank FROM (
+{_ivfpq_oracle(corpus_filter="WHERE c.vec_id % 3 != 0")}
+)
+""",
         "hybrid_index_topk": _hybrid_oracle(),
         # two legs: head (full corpus after build->append->compact) and
         # the as_of time-travel read of the BUILD commit (2/3 corpus) —
