@@ -322,24 +322,92 @@ _KIND_SUBDIRS = {
 
 
 def _doctor_history(args) -> int:
-    """``doctor --history PATH``: print the index's commit log — one
-    line per archived manifest (``_history/commit_seq=N.json``,
-    written by every ``io/epochs.commit_manifest``): seq, kind, epoch
-    list, pair/stream stamps, and whether every epoch directory the
-    archived manifest references still exists on disk (``readable`` =
-    a valid ``as_of=`` target; ``expired`` = vacuum removed some of
-    its epochs).  The audit trail behind time travel, same discipline
-    as ``DESCRIBE HISTORY`` on a Delta table.  Driver-only (tiny JSON
-    reads) — no Spark session.  Exit 2 on a missing/uncommitted
-    path."""
+    """``doctor --history PATH``: print the commit log of whatever
+    committed layer lives at PATH — a persisted INDEX (epoch manifests,
+    ``_history/commit_seq=N.json``), an ONLINE snapshot table
+    (``io/manifest.py`` versioned parquet + commit log), or a REGISTRY
+    file (``<path>.history/seq=N.json``) — one line per retained
+    commit: seq, kind/version, stamps/pins, and whether it is still a
+    readable ``as_of=`` target.  The audit trail behind time travel,
+    same discipline as ``DESCRIBE HISTORY`` on a Delta table.
+    Driver-only (tiny JSON reads) — no Spark session.  Exit 2 on a
+    missing/uncommitted path."""
     import json as _json
+    import os
     import posixpath
+    from datetime import datetime, timezone
 
     from feast_spark.io import epochs as epochs_io
     from feast_spark.io.fs import LocalFS
 
     fs = LocalFS()
     path = args.history
+
+    def _fmt_ts(epoch_s: float) -> str:
+        return datetime.fromtimestamp(epoch_s, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%SZ"
+        )
+
+    # registry file: a JSON document (not a directory) with .history/
+    if os.path.isfile(path):
+        from feast_spark.registry import Registry
+
+        reg = Registry.__new__(Registry)
+        reg.path, reg.fs = path, fs
+        seqs = reg.history_seqs()
+        if not seqs:
+            print(
+                "no archived registry versions — the registry predates "
+                "version archiving (its next apply starts the log)"
+            )
+            return 0
+        head_seq = _json.loads(fs.read_bytes(path)).get("seq")
+        for s in seqs:
+            m = _json.loads(
+                fs.read_bytes(
+                    posixpath.join(f"{path}.history", f"seq={s}.json")
+                )
+            )
+            mark = "*" if s == head_seq else " "
+            at = (
+                _fmt_ts(m["committed_at"]) if "committed_at" in m else "?"
+            )
+            print(
+                f"{mark}seq={s:<4} {at}  entities={len(m.get('entities', []))} "
+                f"views={len(m.get('feature_views', []))} "
+                f"services={len(m.get('feature_services', []))}"
+            )
+        print("*=head; each seq is a Registry.load_as_of target")
+        return 0
+
+    # online snapshot table: manifest with a 'current' version pointer
+    mp = posixpath.join(path, "_MANIFEST.json")
+    if fs.exists(mp) and "current" in _json.loads(fs.read_bytes(mp)):
+        from feast_spark.io.manifest import ManifestedParquetTable
+
+        t = ManifestedParquetTable(path, fs=fs)
+        hist = t.history()
+        if not hist:
+            print(
+                "no commit log — the table predates commit logging "
+                "(its next commit starts the log)"
+            )
+            return 0
+        head_seq = hist[-1]["seq"]
+        for e in hist:
+            mark = "*" if e["seq"] == head_seq else " "
+            readable = fs.exists(posixpath.join(path, e["version"]))
+            state = "readable" if readable else "expired "
+            print(
+                f"{mark}seq={e['seq']:<4} {state} "
+                f"{_fmt_ts(e['committed_at'])}  {e['version']}"
+            )
+        print(
+            "*=head; 'readable' commits are valid as_of= targets "
+            "(keep_versions GC bounds the window)"
+        )
+        return 0
+
     try:
         head = epochs_io.read_manifest(path, fs)
     except ValueError as e:

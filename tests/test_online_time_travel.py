@@ -249,3 +249,27 @@ def test_registry_dump_as_of_cli(tmp_path, capsys):
     payload = _json.loads(capsys.readouterr().out)
     assert [e["name"] for e in payload["entities"]] == ["driver"]
     assert main(["--registry", path, "registry-dump", "--as-of", "9"]) == 1
+
+
+def test_doctor_history_detects_all_three_layers(
+    spark, store, tmp_path, capsys
+):
+    """doctor --history is layer-agnostic: an online snapshot table and
+    a registry file print their commit logs through the same verb the
+    indexes use."""
+    from feast_spark.cli import main
+
+    # online table (written by the store fixture's materialize)
+    table_dir = str(tmp_path / "online" / "tt" / "fv")
+    assert main(["doctor", "--history", table_dir]) == 0
+    out = capsys.readouterr().out
+    assert "*seq=1" in out and "readable" in out and "v_00000001" in out
+
+    # registry file
+    reg_path = str(tmp_path / "registry.json")
+    assert main(["doctor", "--history", reg_path]) == 0
+    out = capsys.readouterr().out
+    assert "*seq=2" in out  # apply + materialize both commit
+    assert "entities=1" in out and "views=1" in out
+
+    assert main(["doctor", "--history", str(tmp_path / "nope")]) == 2
