@@ -426,24 +426,29 @@ def _doctor_history(args) -> int:
         return 0
     for s in seqs:
         m = _json.loads(
-            fs.read_bytes(posixpath.join(path, epochs_io.HISTORY_DIR,
-                                         f"commit_seq={s}.json"))
+            fs.read_bytes(epochs_io.history_manifest_path(path, s))
         )
         kind = m.get("kind", "?")
         epochs = m.get("epochs", [])
-        subdirs = _KIND_SUBDIRS.get(kind, ())
-        readable = all(
-            fs.exists(posixpath.join(path, sub, f"epoch={e}"))
-            for sub in subdirs
-            for e in epochs
-        )
+        subdirs = _KIND_SUBDIRS.get(kind)
+        if subdirs is None:
+            # an unrecognized kind's epoch layout is unknown: say so
+            # instead of letting all() over an empty generator print a
+            # vacuously-true 'readable' for a possibly-vacuumed target
+            state = "unknown "
+        else:
+            readable = all(
+                fs.exists(posixpath.join(path, sub, f"epoch={e}"))
+                for sub in subdirs
+                for e in epochs
+            )
+            state = "readable" if readable else "expired "
         stamps = "".join(
             f" {k}={m[k]}"
             for k in ("corpus_epoch", "stream_epoch")
             if k in m
         )
         mark = "*" if s == head_seq else " "
-        state = "readable" if readable else "expired "
         names = tags_by_seq.get(s)
         tagtxt = f" tags={sorted(names)}" if names else ""
         print(

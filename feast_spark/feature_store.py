@@ -777,7 +777,8 @@ class FeatureStore:
         io/manifest.py ``path_as_of``), answering "what did serving
         return yesterday 14:00" exactly, including ttl statuses, which
         classify against ``as_of`` (a value fresh then is PRESENT even
-        if stale now).  Requires the snapshot-retaining parquet store
+        if stale now; an explicit ``now=`` still takes precedence over
+        ``as_of`` for the cutoff — the caller asked for that clock).  Requires the snapshot-retaining parquet store
         (``keep_versions`` bounds the window); KV backends overwrite in
         place and raise.
         """
@@ -789,6 +790,12 @@ class FeatureStore:
                 f"store; {type(self.online_store).__name__} overwrites "
                 "values in place and keeps no history"
             )
+        if as_of is not None and as_of.tzinfo is not None:
+            # normalize once: snapshot resolution accepts aware
+            # datetimes, but the ttl cutoff compares against the
+            # store's NAIVE-UTC event timestamps — an aware cutoff
+            # would TypeError mid-classification
+            as_of = as_of.astimezone(timezone.utc).replace(tzinfo=None)
         refs = (
             features.feature_refs
             if isinstance(features, FeatureService)

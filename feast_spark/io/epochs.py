@@ -37,6 +37,22 @@ def _history_path(path: str, seq: int) -> str:
     return posixpath.join(path, HISTORY_DIR, f"commit_seq={seq}.json")
 
 
+def history_manifest_path(path: str, seq: int) -> str:
+    """Where commit ``seq``'s archived manifest lives — the one owner
+    of the archive layout (CLI and tools resolve through this)."""
+    return _history_path(path, seq)
+
+
+def retention_lock(path: str, fs: StoreFS):
+    """The lock every retention-affecting writer must hold: tag /
+    delete_tag / the vacuum sequence (retention_window → deletes →
+    expire_history) all serialize on it, so a tag committed while a
+    vacuum computes its keep set cannot end up pinned to a commit that
+    vacuum then expires — the race would silently violate the
+    'tagged commits are vacuum-immune' contract."""
+    return fs.lock(posixpath.join(path, MANIFEST))
+
+
 def read_tags(path: str, fs: StoreFS) -> dict[str, int]:
     """The index's named commit tags: ``{name: commit_seq}``.  A tagged
     commit is PINNED — exempt from every vacuum retention window until
@@ -64,19 +80,23 @@ def tag_commit(path: str, fs: StoreFS | None, name: str, seq: int) -> None:
             f"tag name must be non-empty, non-numeric and '='-free, "
             f"got {name!r}"
         )
-    if not fs.exists(_history_path(path, seq)):
-        avail = history_seqs(path, fs)
-        window = (
-            f"archived commits: {avail[0]}..{avail[-1]}"
-            if avail else "no archived commits"
-        )
-        raise ValueError(
-            f"cannot tag commit_seq={seq} at {path}: no archived "
-            f"manifest ({window}) — only commits inside the history "
-            "window can be pinned"
-        )
     tp = posixpath.join(path, TAGS)
-    with fs.lock(posixpath.join(path, MANIFEST)):
+    with retention_lock(path, fs):
+        # existence checked INSIDE the lock: a vacuum holding it has
+        # either finished (this seq survived or is gone — checked
+        # against the post-vacuum truth) or has not started (it will
+        # see this tag in its keep set) — never in between
+        if not fs.exists(_history_path(path, seq)):
+            avail = history_seqs(path, fs)
+            window = (
+                f"archived commits: {avail[0]}..{avail[-1]}"
+                if avail else "no archived commits"
+            )
+            raise ValueError(
+                f"cannot tag commit_seq={seq} at {path}: no archived "
+                f"manifest ({window}) — only commits inside the history "
+                "window can be pinned"
+            )
         tags = read_tags(path, fs)
         tags[name] = int(seq)
         fs.write_bytes_atomic(tp, json.dumps(tags).encode())
@@ -88,7 +108,7 @@ def delete_tag(path: str, fs: StoreFS | None, name: str) -> None:
     deleting the wrong tag name should hear about it)."""
     fs = fs or LocalFS()
     tp = posixpath.join(path, TAGS)
-    with fs.lock(posixpath.join(path, MANIFEST)):
+    with retention_lock(path, fs):
         tags = read_tags(path, fs)
         if name not in tags:
             raise ValueError(

@@ -149,8 +149,10 @@ class ManifestedParquetTable:
         Delta's ``TIMESTAMP AS OF``, possible because snapshots are
         immutable and GC keeps ``keep_versions`` of them.  Raises with
         the surviving window when the target is older than retention
-        (GC'd snapshots are gone; the error is honest) or newer than
-        the last commit (nothing served then)."""
+        (GC'd snapshots are gone; the error is honest).  An instant at
+        or past the last commit resolves to HEAD — head is what
+        serving returned at every instant since that commit (pinned by
+        tests; int seqs, by contrast, raise when unknown)."""
         hist = self.history()
         if not hist:
             raise ValueError(
@@ -185,6 +187,21 @@ class ManifestedParquetTable:
         return posixpath.join(self.root, entry["version"])
 
     def _flip(
+        self,
+        version: str,
+        meta: dict | None,
+        tables: list[str] | None = None,
+    ) -> None:
+        # read-modify-write of seq/meta/history under the manifest
+        # lock: the documented manual-commit-beside-streaming flow
+        # means two writers CAN interleave, and an unlocked seq
+        # derivation would mint duplicate seqs and a commit log that
+        # path_as_of silently mis-resolves (same hazard io/epochs.py
+        # commit_manifest locks against)
+        with self.fs.lock(self._manifest_path()):
+            self._flip_locked(version, meta, tables)
+
+    def _flip_locked(
         self,
         version: str,
         meta: dict | None,

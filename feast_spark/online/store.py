@@ -242,11 +242,19 @@ class OnlineStore:
         serve this entity yesterday 14:00? — resolved through the
         manifest commit log (``io/manifest.path_as_of``); snapshots
         older than the ``keep_versions`` GC window raise with the
-        surviving range."""
+        surviving range.  Degradation matches the head path's: a view
+        NEVER materialized serves NOT_FOUND rows (it would have then,
+        too), and a feature column added after the replayed instant
+        serves NULL (serving then had no such column) — only an
+        actually-expired snapshot errors."""
         if as_of is not None:
-            path = self._mtable(
-                self._table_dir(project, view_name)
-            ).path_as_of(as_of)
+            table_dir = self._table_dir(project, view_name)
+            if not self.fs.exists(posixpath.join(table_dir, MANIFEST)):
+                # never committed: the head path serves NOT_FOUND rows
+                # for this state, and so did serving at the instant
+                path = None
+            else:
+                path = self._mtable(table_dir).path_as_of(as_of)
         else:
             path = self._current_data_path(project, view_name)
         keyed = entity_rows_df.withColumn(_KEY, encode_entity_key(join_keys))
@@ -259,9 +267,17 @@ class OnlineStore:
                 .withColumn(_EVENT_TS, F.lit(None).cast("timestamp"))
                 .drop(_KEY)
             )
-        store = spark.read.parquet(path).select(
-            _KEY, _EVENT_TS, *[F.col(f) for f in feature_cols]
-        )
+        snap = spark.read.parquet(path)
+        # a feature column the snapshot predates (schema evolution
+        # lands new columns only in newer snapshots) serves NULL — on
+        # the as_of path that IS the faithful replay; head snapshots
+        # always carry every registered column via the write-side
+        # evolution, so this is a no-op there
+        present = [f for f in feature_cols if f in snap.columns]
+        store = snap.select(_KEY, _EVENT_TS, *[F.col(f) for f in present])
+        for f in feature_cols:
+            if f not in present:
+                store = store.withColumn(f, F.lit(None))
         # Scale path: broadcast the SMALL request-key set to semi-filter the
         # (potentially huge) store; the surviving rows are at most one per
         # request key, so they in turn broadcast for the left join.  The

@@ -404,14 +404,15 @@ def minhash_index_vacuum(
     Delta/Iceberg VACUUM contract); never touches a dir the current
     manifest references."""
     fs = fs or LocalFS()
-    manifest = _manifest(path, fs)
-    protected, keep_seqs, _ = epochs_io.retention_window(
-        path, fs, retain_last, head_seq=manifest.get("commit_seq")
-    )
-    removed = epochs_io.vacuum_epochs(
-        path, fs, manifest["epochs"], _SUBDIRS, protect_epochs=protected
-    )
-    removed["history_expired"] = [
-        str(s) for s in epochs_io.expire_history(path, fs, keep_seqs)
-    ]
+    with epochs_io.retention_lock(path, fs):  # vs concurrent tag_commit
+        manifest = _manifest(path, fs)
+        protected, keep_seqs, _ = epochs_io.retention_window(
+            path, fs, retain_last, head_seq=manifest.get("commit_seq")
+        )
+        removed = epochs_io.vacuum_epochs(
+            path, fs, manifest["epochs"], _SUBDIRS, protect_epochs=protected
+        )
+        removed["history_expired"] = [
+            str(s) for s in epochs_io.expire_history(path, fs, keep_seqs)
+        ]
     return removed

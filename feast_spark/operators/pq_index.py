@@ -379,6 +379,11 @@ def ivfpq_index_vacuum(
     generations AND codebook generations are all protected, preserving
     each historical manifest's frozen-model pairing."""
     fs = fs or LocalFS()
+    with epochs_io.retention_lock(path, fs):  # vs concurrent tag_commit
+        return _vacuum_locked(path, fs, retain_last)
+
+
+def _vacuum_locked(path: str, fs: StoreFS, retain_last: int) -> dict:
     manifest = _manifest(path, fs)
     protected, keep_seqs, retained = epochs_io.retention_window(
         path, fs, retain_last, head_seq=manifest.get("commit_seq")

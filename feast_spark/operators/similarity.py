@@ -1004,25 +1004,26 @@ def ivf_index_vacuum(
     Never removes anything the current manifest lists, so it is always
     safe with respect to NEW readers."""
     fs = fs or LocalFS()
-    manifest = _ivf_manifest(path, fs)
-    protected, keep_seqs, retained = epochs_io.retention_window(
-        path, fs, retain_last, head_seq=manifest.get("commit_seq")
-    )
-    removed_e = epochs_io.vacuum_epochs(
-        path, fs, manifest["epochs"], _IVF_SUBDIRS,
-        protect_epochs=protected,
-    )["vectors"]
-    live_gens = {
-        posixpath.basename(m.get("centroids", "centroids"))
-        for m in [manifest, *retained]
-    }
-    removed_g = []
-    cbase = posixpath.join(path, "centroids")
-    for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
-        if d.startswith("gen=") and d not in live_gens:
-            fs.delete(posixpath.join(cbase, d))
-            removed_g.append(d)
-    expired = epochs_io.expire_history(path, fs, keep_seqs)
+    with epochs_io.retention_lock(path, fs):  # vs concurrent tag_commit
+        manifest = _ivf_manifest(path, fs)
+        protected, keep_seqs, retained = epochs_io.retention_window(
+            path, fs, retain_last, head_seq=manifest.get("commit_seq")
+        )
+        removed_e = epochs_io.vacuum_epochs(
+            path, fs, manifest["epochs"], _IVF_SUBDIRS,
+            protect_epochs=protected,
+        )["vectors"]
+        live_gens = {
+            posixpath.basename(m.get("centroids", "centroids"))
+            for m in [manifest, *retained]
+        }
+        removed_g = []
+        cbase = posixpath.join(path, "centroids")
+        for d in fs.list_subdirs(cbase) if fs.exists(cbase) else []:
+            if d.startswith("gen=") and d not in live_gens:
+                fs.delete(posixpath.join(cbase, d))
+                removed_g.append(d)
+        expired = epochs_io.expire_history(path, fs, keep_seqs)
     return {
         "epochs_removed": removed_e,
         "centroid_gens_removed": sorted(removed_g),

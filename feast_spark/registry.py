@@ -122,30 +122,44 @@ class Registry:
         "which feature definitions were live when model X trained"
         (the reference keeps no registry history; this is the index /
         online-store time-travel discipline applied to the control
-        plane).  The newest :attr:`keep_history` versions are kept."""
-        prev_seq = 0
-        if self.fs.exists(self.path):
-            prev_seq = json.loads(self.fs.read_bytes(self.path)).get(
-                "seq", 0
+        plane).  The newest :attr:`keep_history` versions are kept.
+        The seq derivation + archive + head flip run under the
+        registry lock: head was last-writer-wins before (reference
+        semantics), but two concurrent appliers minting the SAME seq
+        would silently cross-clobber the archive — corrupting exactly
+        the provenance record the history exists for."""
+        with self.fs.lock(self.path):
+            prev_seq = 0
+            if self.fs.exists(self.path):
+                prev_seq = json.loads(self.fs.read_bytes(self.path)).get(
+                    "seq", 0
+                )
+            payload = {
+                "seq": prev_seq + 1,
+                "committed_at": time.time(),
+                "entities": [e.to_dict() for e in self.entities.values()],
+                "feature_views": [
+                    v.to_dict() for v in self.feature_views.values()
+                ],
+                "feature_services": [
+                    s.to_dict() for s in self.feature_services.values()
+                ],
+                "on_demand_views": [
+                    v.to_dict() for v in self.on_demand_views.values()
+                ],
+            }
+            data = json.dumps(payload, indent=1).encode()
+            self.fs.write_bytes_atomic(
+                posixpath.join(
+                    self._history_dir(), f"seq={prev_seq + 1}.json"
+                ),
+                data,
             )
-        payload = {
-            "seq": prev_seq + 1,
-            "committed_at": time.time(),
-            "entities": [e.to_dict() for e in self.entities.values()],
-            "feature_views": [v.to_dict() for v in self.feature_views.values()],
-            "feature_services": [s.to_dict() for s in self.feature_services.values()],
-            "on_demand_views": [v.to_dict() for v in self.on_demand_views.values()],
-        }
-        data = json.dumps(payload, indent=1).encode()
-        self.fs.write_bytes_atomic(
-            posixpath.join(self._history_dir(), f"seq={prev_seq + 1}.json"),
-            data,
-        )
-        self.fs.write_bytes_atomic(self.path, data)
-        for s in self.history_seqs()[: -self.keep_history]:
-            self.fs.delete(
-                posixpath.join(self._history_dir(), f"seq={s}.json")
-            )
+            self.fs.write_bytes_atomic(self.path, data)
+            for s in self.history_seqs()[: -self.keep_history]:
+                self.fs.delete(
+                    posixpath.join(self._history_dir(), f"seq={s}.json")
+                )
 
     def history_seqs(self) -> list[int]:
         """Sorted archived registry versions (the load_as_of targets)."""

@@ -273,3 +273,59 @@ def test_doctor_history_detects_all_three_layers(
     assert "entities=1" in out and "views=1" in out
 
     assert main(["doctor", "--history", str(tmp_path / "nope")]) == 2
+
+
+def test_as_of_degrades_like_head(spark, store, tmp_path):
+    """Review regressions: a never-materialized view serves NOT_FOUND
+    at as_of (it would have then, too); a feature column added AFTER
+    the replayed instant serves NULL; a tz-aware as_of resolves AND
+    classifies ttl statuses without a naive/aware comparison crash."""
+    now = _utcnow()
+    between = _utcnow()
+
+    # (b) add a second feature column in a later write
+    newer = spark.createDataFrame(
+        [Row(driver_id=1, value=1.1, value2=7.7,
+             ts=now - timedelta(minutes=5), created_ts=now)]
+    )
+    store.online_store.online_write_batch(
+        spark, "tt", "fv", newer, ["driver_id"], "ts", "created_ts",
+        ["value", "value2"],
+    )
+    got = store.online_store.online_read(
+        spark, "tt", "fv",
+        spark.createDataFrame([Row(driver_id=1, __req_id=0)]),
+        ["driver_id"], ["value", "value2"], as_of=between,
+    ).collect()[0]
+    assert got["value"] == pytest.approx(0.3)
+    assert got["value2"] is None  # serving then had no value2
+
+    # (a) a view that was never materialized: NOT_FOUND, not a crash
+    from feast_spark import FeatureView, FileSource
+
+    store.apply([
+        FeatureView(
+            name="ghost", entities=["driver"], ttl=timedelta(days=1),
+            batch_source=FileSource(
+                path=str(tmp_path / "src.parquet"),
+                event_timestamp_column="ts",
+                created_timestamp_column="created_ts",
+                field_mapping={"ts_1": "ts", "id": "driver_id",
+                               "value": "gvalue"},
+            ),
+        )
+    ])
+    res = store.get_online_features(
+        ["ghost:gvalue"], [{"driver_id": 1}], as_of=between
+    )
+    assert res["gvalue"] == [None]
+    assert res["__statuses"]["gvalue"] == ["NOT_FOUND"]
+
+    # (c) tz-aware as_of with full statuses: no naive/aware TypeError
+    aware = between.replace(tzinfo=timezone.utc)
+    res = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], full_field_statuses=True,
+        as_of=aware,
+    )
+    assert res["value"] == [pytest.approx(0.3)]
+    assert res["__statuses"]["value"] == ["PRESENT"]
