@@ -438,16 +438,27 @@ def test_ivf_driver_probe_identical_and_single_job(spark, tmp_path):
 
     want = ivf_index_topk(spark, path, queries, n_probe=3, k=5).collect()
 
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    ivf_index_topk(spark, path, queries, n_probe=3, k=5)
-    jobs_default = len(tracker.getJobIdsForGroup(None) or []) - before
+    # count jobs in DEDICATED job groups: len(getJobIdsForGroup(None))
+    # deltas go negative in long sessions because the status tracker
+    # retains a bounded job-id window (spark.ui.retainedJobs) and
+    # evicts old ids between the two snapshots
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("probe_default", "job-count probe")
+    try:
+        ivf_index_topk(spark, path, queries, n_probe=3, k=5)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs_default = len(tracker.getJobIdsForGroup("probe_default") or [])
 
-    before = len(tracker.getJobIdsForGroup(None) or [])
-    got_df = ivf_index_topk(
-        spark, path, queries, n_probe=3, k=5, driver_probe=True
-    )
-    jobs_driver = len(tracker.getJobIdsForGroup(None) or []) - before
+    sc.setJobGroup("probe_driver", "job-count probe")
+    try:
+        got_df = ivf_index_topk(
+            spark, path, queries, n_probe=3, k=5, driver_probe=True
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    jobs_driver = len(tracker.getJobIdsForGroup("probe_driver") or [])
     got = got_df.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     # plan construction swaps (probe job + distinct-cells job) for one
