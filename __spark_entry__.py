@@ -1387,20 +1387,36 @@ def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end online serving under the hash gate
+    """End-to-end online serving under the hash gate, TWO legs
     (feature_store.py materialize -> online snapshot ->
-    get_online_features with full field statuses): latest value per
-    user materialized to 2024-01-25, served at 2024-01-26 with a 36h
-    ttl, so users idle since 01-24 12:00 report OUTSIDE_MAX_AGE with
-    the stale value withheld, unknown users report NOT_FOUND, and the
-    rest serve PRESENT — the reference's FieldStatus contract
-    (ServingService.proto:96-115) replayed against a DuckDB
-    latest-per-key + ttl-cutoff oracle.  An on-demand feature view
-    (value_scaled = value*10+1, spark-mode transform) is served in the
-    same request, putting the ODFV serving half under the hash gate
-    too: its input is the post-status value, so withheld/absent values
-    yield NULL.  The request batch (152 rows) is driver-side by
-    design — serving requests are request-sized."""
+    get_online_features with full field statuses).
+
+    leg='head': latest value per user materialized to 2024-01-25,
+    served at 2024-01-26 with a 36h ttl, so users idle since
+    01-24 12:00 report OUTSIDE_MAX_AGE with the stale value withheld,
+    unknown users report NOT_FOUND, and the rest serve PRESENT — the
+    reference's FieldStatus contract (ServingService.proto:96-115)
+    replayed against a DuckDB latest-per-key + ttl-cutoff oracle.
+
+    leg='asof' (r14): the store is materialized TWICE — first to
+    2024-01-20 (snapshot commit seq 1), then to 2024-01-25 (seq 2, the
+    head state above, an upsert over seq 1) — and the second call
+    serves ``get_online_features(as_of=1, now=2024-01-21)``: the
+    manifest commit log (io/manifest.py path_as_of) must resolve the
+    FIRST materialization's snapshot, and ttl statuses classify
+    against the replayed clock (cutoff 2024-01-19 12:00), so a value
+    fresh THEN is PRESENT even though it is stale at head.  The oracle
+    leg replays latest-per-key below the 01-20 cutoff.  Mirrors the
+    reference's same-value-at-same-timestamp consistency discipline
+    (sdk/python/tests/test_offline_online_store_consistency.py:
+    318-363), here replayed at a past instant.
+
+    An on-demand feature view (value_scaled = value*10+1, spark-mode
+    transform) is served in BOTH requests, putting the ODFV serving
+    half under the hash gate too: its input is the post-status value,
+    so withheld/absent values yield NULL.  The request batches
+    (152 rows each) are driver-side by design — serving requests are
+    request-sized."""
     import tempfile
     from datetime import datetime
 
@@ -1451,26 +1467,35 @@ def q_online_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+    # two snapshot commits: seq 1 = state as of the 01-20 cutoff,
+    # seq 2 = head (an upsert over seq 1 — latest event_ts wins, so
+    # the merged snapshot equals a single materialize to 01-25)
+    st.materialize(datetime(2024, 1, 1), datetime(2024, 1, 20))
     st.materialize(datetime(2024, 1, 1), datetime(2024, 1, 25, 0, 0, 0, 500000))
     entity_rows = [{"user_id": i} for i in range(152)]
-    resp = st.get_online_features(
-        ["user_latest:value", "value_scaled_view:value_scaled"],
-        entity_rows,
-        full_field_statuses=True,
-        now=datetime(2024, 1, 26),
-    )
-    rows = [
-        (
-            i,
-            resp["value"][i],
-            resp["__statuses"]["value"][i],
-            resp["value_scaled"][i],
+    refs = ["user_latest:value", "value_scaled_view:value_scaled"]
+    legs = []
+    for leg, kw in (
+        ("head", {"now": datetime(2024, 1, 26)}),
+        ("asof", {"now": datetime(2024, 1, 21), "as_of": 1}),
+    ):
+        resp = st.get_online_features(
+            refs, entity_rows, full_field_statuses=True, **kw
         )
-        for i in range(152)
-    ]
+        legs.extend(
+            (
+                leg,
+                i,
+                resp["value"][i],
+                resp["__statuses"]["value"][i],
+                resp["value_scaled"][i],
+            )
+            for i in range(152)
+        )
     return spark.createDataFrame(
-        rows,
-        "user_id BIGINT, value DOUBLE, status STRING, value_scaled DOUBLE",
+        legs,
+        "leg STRING, user_id BIGINT, value DOUBLE, status STRING, "
+        "value_scaled DOUBLE",
     )
 
 
@@ -1602,9 +1627,21 @@ def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/paired_index.py hybrid_index_append), so the shared
     corpus_epoch stamp — and the per-query alignment check
     hybrid_index_topk now runs (on_corpus_mismatch default "fail") —
-    are themselves under the hash gate."""
+    are themselves under the hash gate.
+
+    r14 second leg: the remaining third is appended in TWO paired
+    appends, the pair seqs are captured after the FIRST, and the same
+    stack is queried ``as_of=(b1, v1)`` — both channels must replay
+    the corpus as of that paired commit (everything except the
+    doc_id % 6 == 3 slice), and the per-query alignment check must
+    validate the ARCHIVED pair stamps (paired_index.py), not head's.
+    The oracle leg is the same full hybrid SQL over that sub-corpus,
+    so historical epoch resolution + historical stamp alignment on
+    BOTH channels are under the hash gate."""
     import tempfile
 
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
     from feast_spark.operators.bm25 import (
         build_bm25_index,
         hybrid_index_topk,
@@ -1628,14 +1665,32 @@ def q_hybrid_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(
         emb.filter(F.col("vec_id") % 3 != 0), vpath, n_centroids=8, iters=2
     )
+    # %3==0 splits into %6==0 (first paired append) and %6==3 (second)
     hybrid_index_append(
         spark, bpath, vpath,
-        docs.filter(F.col("doc_id") % 3 == 0),
-        emb.filter(F.col("vec_id") % 3 == 0),
+        docs.filter(F.col("doc_id") % 6 == 0),
+        emb.filter(F.col("vec_id") % 6 == 0),
     )
-    return hybrid_index_topk(
+    fs = LocalFS()
+    b1 = epochs_io.read_manifest(bpath, fs)["commit_seq"]
+    v1 = epochs_io.read_manifest(vpath, fs)["commit_seq"]
+    hybrid_index_append(
+        spark, bpath, vpath,
+        docs.filter(F.col("doc_id") % 6 == 3),
+        emb.filter(F.col("vec_id") % 6 == 3),
+    )
+    head = hybrid_index_topk(
         spark, bpath, None, ["spark", "merge"], _HYBRID_QVEC,
         k=10, fetch_k=50, vec_index_path=vpath, n_probe=8,
+    )
+    asof = hybrid_index_topk(
+        spark, bpath, None, ["spark", "merge"], _HYBRID_QVEC,
+        k=10, fetch_k=50, vec_index_path=vpath, n_probe=8,
+        as_of=(b1, v1),
+    )
+    cols = ["id", "lex_rank", "vec_rank", "rrf"]
+    return head.select(F.lit("head").alias("leg"), *cols).unionAll(
+        asof.select(F.lit("asof_append").alias("leg"), *cols)
     )
 
 
@@ -3395,8 +3450,15 @@ l AS (
   FROM events
   WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00.5'
 ),
-last AS (SELECT user_id, ts, value FROM l WHERE rn = 1)
-SELECT u.user_id,
+last AS (SELECT user_id, ts, value FROM l WHERE rn = 1),
+l1 AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+),
+last1 AS (SELECT user_id, ts, value FROM l1 WHERE rn = 1)
+SELECT 'head' AS leg, u.user_id,
        CASE WHEN last.user_id IS NOT NULL
                  AND last.ts >= TIMESTAMP '2024-01-24 12:00:00'
             THEN last.value END AS value,
@@ -3408,5 +3470,18 @@ SELECT u.user_id,
                  AND last.ts >= TIMESTAMP '2024-01-24 12:00:00'
             THEN last.value * 10.0 + 1.0 END AS value_scaled
 FROM u LEFT JOIN last ON u.user_id = last.user_id
+UNION ALL
+SELECT 'asof' AS leg, u.user_id,
+       CASE WHEN last1.user_id IS NOT NULL
+                 AND last1.ts >= TIMESTAMP '2024-01-19 12:00:00'
+            THEN last1.value END AS value,
+       CASE WHEN last1.user_id IS NULL THEN 'NOT_FOUND'
+            WHEN last1.ts < TIMESTAMP '2024-01-19 12:00:00'
+              THEN 'OUTSIDE_MAX_AGE'
+            ELSE 'PRESENT' END AS status,
+       CASE WHEN last1.user_id IS NOT NULL
+                 AND last1.ts >= TIMESTAMP '2024-01-19 12:00:00'
+            THEN last1.value * 10.0 + 1.0 END AS value_scaled
+FROM u LEFT JOIN last1 ON u.user_id = last1.user_id
 """,
     }

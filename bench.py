@@ -114,6 +114,13 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    # Per-query dispersion alongside the median: BENCH_r13's headline
+    # came out 43% above r12 purely from host noise, and the artifact
+    # gave a reader no way to see that.  min is the best proxy for
+    # "what the code costs on a quiet host"; spread = max/min flags a
+    # noisy-neighbor run (the documented signature is spread >~1.5x).
+    dispersion: dict[str, dict[str, float]] = {}
+
     def _time(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
@@ -126,6 +133,11 @@ def main() -> None:
                 df.count()
                 samples.append(time.monotonic() - t0)
             out[name] = round(statistics.median(samples), 3)
+            lo, hi = min(samples), max(samples)
+            dispersion[name] = {
+                "min": round(lo, 3),
+                "spread": round(hi / lo, 2) if lo > 0 else 0.0,
+            }
         return out
 
     queries["bpe_tokenize"] = q_bpe_tokenize
@@ -396,6 +408,23 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # min-of-runs total: the quiet-host floor a reader should compare
+    # across rounds when the spread flags ambient noise
+    total_min = round(
+        sum(dispersion[n]["min"] for n in timings), 3
+    )
+    noisy = sorted(
+        n for n, d in dispersion.items() if d["spread"] > 1.5
+    )
+    if noisy:
+        print(
+            "WARNING: run-to-run spread >1.5x on "
+            f"{len(noisy)} queries ({', '.join(noisy[:8])}"
+            f"{', ...' if len(noisy) > 8 else ''}) — "
+            "noisy-neighbor signature; prefer headline_total_min and "
+            "rerun solo before reading this as a regression.",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -404,6 +433,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra,
+                "headline_total_min": total_min,
+                "dispersion": dispersion,
+                "noisy_queries": noisy,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

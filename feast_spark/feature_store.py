@@ -754,7 +754,7 @@ class FeatureStore:
         entity_rows: list[dict],
         full_field_statuses: bool = False,
         now: datetime | None = None,
-        as_of: datetime | None = None,
+        as_of: datetime | int | None = None,
     ) -> dict:
         """Multiget with per-feature field statuses
         (feature_store.py:504-617, ServingService FieldStatus).
@@ -781,6 +781,14 @@ class FeatureStore:
         ``as_of`` for the cutoff — the caller asked for that clock).  Requires the snapshot-retaining parquet store
         (``keep_versions`` bounds the window); KV backends overwrite in
         place and raise.
+
+        ``as_of`` may also be an **int commit seq** — the deterministic
+        coordinate a provenance manifest records.  A seq addresses each
+        view's OWN commit log (seq N of two views are unrelated
+        commits), so it is the single-view / provenance-replay form;
+        use a datetime for a cross-view-consistent instant.  A seq
+        names a snapshot, not an instant, so ttl statuses under
+        ``full_field_statuses`` require an explicit ``now=`` clock.
         """
         if as_of is not None and not getattr(
             self.online_store, "supports_time_travel", False
@@ -790,7 +798,13 @@ class FeatureStore:
                 f"store; {type(self.online_store).__name__} overwrites "
                 "values in place and keeps no history"
             )
-        if as_of is not None and as_of.tzinfo is not None:
+        if isinstance(as_of, int) and full_field_statuses and now is None:
+            raise ValueError(
+                "as_of=<commit seq> names a snapshot, not an instant: "
+                "pass now= to pin the ttl-status classification clock "
+                "(or pass as_of as a datetime)"
+            )
+        if isinstance(as_of, datetime) and as_of.tzinfo is not None:
             # normalize once: snapshot resolution accepts aware
             # datetimes, but the ttl cutoff compares against the
             # store's NAIVE-UTC event timestamps — an aware cutoff
@@ -836,9 +850,13 @@ class FeatureStore:
                 if view.ttl is not None:
                     # a time-travel read classifies freshness against
                     # the instant it replays, not today's wall clock
-                    ref_now = now or as_of or datetime.now(
-                        timezone.utc
-                    ).replace(tzinfo=None)
+                    # (an int seq is not an instant — the guard above
+                    # already forced an explicit now= for that form)
+                    ref_now = (
+                        now
+                        or (as_of if isinstance(as_of, datetime) else None)
+                        or datetime.now(timezone.utc).replace(tzinfo=None)
+                    )
                     cutoff = ref_now - view.ttl
 
                 def classify(r, f):

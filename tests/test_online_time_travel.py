@@ -147,6 +147,46 @@ def test_get_online_features_as_of_replays_the_snapshot(
         )
 
 
+def test_get_online_features_as_of_commit_seq(spark, store):
+    """as_of may be an int commit seq — the deterministic coordinate a
+    provenance manifest records (r14).  Seq 1 is the fixture's first
+    materialize; a later upsert becomes seq 2 = head."""
+    now = _utcnow()
+    newer = spark.createDataFrame(
+        [Row(driver_id=1, value=9.9, ts=now - timedelta(minutes=5),
+             created_ts=now)]
+    )
+    store.online_store.online_write_batch(
+        spark, "tt", "fv", newer, ["driver_id"], "ts", "created_ts",
+        ["value"],
+    )
+    past = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of=1
+    )
+    assert past["value"] == [pytest.approx(0.3)]
+    head = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of=2
+    )
+    assert head["value"] == [pytest.approx(9.9)]
+    # a seq names a snapshot, not an instant: ttl classification under
+    # full_field_statuses demands an explicit clock
+    with pytest.raises(ValueError, match="pass now="):
+        store.get_online_features(
+            ["fv:value"], [{"driver_id": 1}],
+            full_field_statuses=True, as_of=1,
+        )
+    full = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}],
+        full_field_statuses=True, as_of=1, now=now,
+    )
+    assert full["__statuses"]["value"] == ["PRESENT"]
+    # unknown seq: the manifest's honest window error surfaces
+    with pytest.raises(ValueError, match="retained seqs"):
+        store.get_online_features(
+            ["fv:value"], [{"driver_id": 1}], as_of=99
+        )
+
+
 def test_kv_backends_reject_as_of(spark, tmp_path):
     st = FeatureStore(
         spark,
