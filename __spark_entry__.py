@@ -1577,7 +1577,16 @@ def q_dedup_against_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", portable=True,
     )
     minhash_index_append(spark, path, corpus.filter(F.col("doc_id") % 3 == 1))
-    return dedup_against_index(spark, path, new, threshold=0.5)
+    head = dedup_against_index(spark, path, new, threshold=0.5)
+    # r14 second leg: as_of=1 (the archived BUILD commit) must flag
+    # exactly what a past ingestion run checking against the
+    # build-only corpus flagged — historical params + epoch list on
+    # the index read are under the hash gate (minhash_index.py:252)
+    asof = dedup_against_index(spark, path, new, threshold=0.5, as_of=1)
+    cols = ["id_a", "id_b", "jaccard"]
+    return head.select(F.lit("head").alias("leg"), *cols).unionAll(
+        asof.select(F.lit("asof_build").alias("leg"), *cols)
+    )
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1995,12 +2004,16 @@ FROM ranked WHERE rn = 1
 
 
 def _minhash_portable_oracle(
-    num_hashes: int = 32, bands: int = 8, max_bucket_size: int = 1000
+    num_hashes: int = 32, bands: int = 8, max_bucket_size: int = 1000,
+    doc_filter: str = "TRUE",
 ) -> str:
     """SQL twin of minhash_dedup_pairs(portable=True): same (a, b)
     params, same 32-bit md5 base, same band strings, same hot-bucket
     cap — so the candidate set (not just the verified output) agrees
-    cross-engine."""
+    cross-engine.  ``doc_filter`` restricts the corpus (the r14
+    dedup_against_index as_of leg replays a historical sub-corpus;
+    signatures are per-doc, so sub-corpus pairs equal full-corpus
+    pairs among those docs while the bucket cap stays untriggered)."""
     from feast_spark.operators.docdedup import minhash_params
 
     rpb = num_hashes // bands
@@ -2010,7 +2023,7 @@ def _minhash_portable_oracle(
     return f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
-  FROM documents
+  FROM documents WHERE ({doc_filter})
 ), sh AS (
   SELECT doc_id,
     list_distinct(
@@ -2348,25 +2361,34 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _hybrid_oracle() -> str:
+def _hybrid_oracle(
+    doc_filter: str = "TRUE", vec_filter: str = "TRUE",
+    leg: str | None = None,
+) -> str:
     """SQL twin of the hybrid lexical+vector retrieval: full-corpus
     BM25 top-50 (the _bm25_oracle math), exact cosine top-50 against
     the _QVEC_SQL double literal, RRF fusion at rrf_k=60.  One oracle,
     two Spark counterparts: the inline hybrid_topk (rotated, pinned in
     tests/test_rotated_relational.py) and the driver-gated
     hybrid_index_topk at n_probe=all, whose persisted-index channels
-    must land exactly where this corpus scan does."""
+    must land exactly where this corpus scan does.
+
+    ``doc_filter``/``vec_filter`` restrict the corpus (the r14 as_of
+    leg replays a historical sub-corpus — corpus stats included, so
+    the filter sits inside the stats CTEs); ``leg`` prepends a literal
+    leg column for two-leg UNION gates."""
+    leg_col = f"'{leg}' AS leg, " if leg else ""
     return f"""
 WITH tk AS (
   SELECT doc_id, unnest(regexp_split_to_array({_NORM_TEXT}, '\\s+')) AS term
-  FROM documents WHERE length(trim(text)) > 0
+  FROM documents WHERE length(trim(text)) > 0 AND ({doc_filter})
 ),
 lens AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array({_NORM_TEXT}, '\\s+')) END
            AS len_d
-  FROM documents
+  FROM documents WHERE ({doc_filter})
 ),
 stats AS (SELECT count(*) AS n_docs, avg(len_d) AS avg_len FROM lens),
 tf AS (
@@ -2396,7 +2418,7 @@ lexk AS (
 ),
 ac AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
+  FROM embeddings WHERE ({vec_filter})
 ),
 qv AS (SELECT {_QVEC_SQL} AS e),
 pairs AS (
@@ -2418,7 +2440,8 @@ fused AS (
          + COALESCE(1.0 / (60 + v.vec_rank), 0.0) AS rrf
   FROM lexk l FULL JOIN veck v ON l.id = v.id
 )
-SELECT id, lex_rank, vec_rank, rrf FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
+SELECT {leg_col}id, lex_rank, vec_rank, rrf
+FROM fused ORDER BY rrf DESC, id ASC LIMIT 10
 """
 
 
@@ -3291,7 +3314,13 @@ FROM fv JOIN fc USING (user_id) JOIN fp USING (user_id)
         "minhash_lsh_dedup": _minhash_portable_oracle(),
         "pagerank": _pagerank_oracle(),
         "dedup_against_index": f"""
-SELECT id_a, id_b, jaccard FROM ({_minhash_portable_oracle()})
+SELECT 'head' AS leg, id_a, id_b, jaccard
+FROM ({_minhash_portable_oracle()})
+WHERE id_a % 10 = 0 OR id_b % 10 = 0
+UNION ALL
+SELECT 'asof_build' AS leg, id_a, id_b, jaccard
+FROM ({_minhash_portable_oracle(
+    doc_filter="doc_id % 10 = 0 OR doc_id % 3 <> 1")})
 WHERE id_a % 10 = 0 OR id_b % 10 = 0
 """,
         "drift_psi": """
@@ -3428,7 +3457,17 @@ SELECT 'asof_build' AS leg, query_id, neighbor_id, adc_dist, rank FROM (
 {_ivfpq_oracle(corpus_filter="WHERE c.vec_id % 3 != 0")}
 )
 """,
-        "hybrid_index_topk": _hybrid_oracle(),
+        "hybrid_index_topk": (
+            "SELECT * FROM (\n"
+            + _hybrid_oracle(leg="head")
+            + "\n) UNION ALL SELECT * FROM (\n"
+            + _hybrid_oracle(
+                doc_filter="doc_id % 6 <> 3",
+                vec_filter="vec_id % 6 <> 3",
+                leg="asof_append",
+            )
+            + "\n)"
+        ),
         # two legs: head (full corpus after build->append->compact) and
         # the as_of time-travel read of the BUILD commit (2/3 corpus) —
         # the archived-manifest resolution itself is under the hash gate

@@ -476,6 +476,13 @@ class QueryCoalescer:
         self._spark = spark
         self._max_batch = max_batch
         self._max_wait = max_wait_ms / 1000.0
+        # pinned-serving identity: subclasses set _as_of (seq, tag, or
+        # pair) before super().__init__ when the ctor pins the tier to
+        # an archived commit; surfaced in stats()/GET /metrics so an
+        # ops reader diagnosing an A/B rollback sees WHICH commit this
+        # coalescer serves, not just its amortization counters
+        if not hasattr(self, "_as_of"):
+            self._as_of = None
         self._lock = threading.Lock()
         self._arrived = threading.Condition(self._lock)
         self._pending: list[dict] = []
@@ -589,6 +596,10 @@ class QueryCoalescer:
         with self._lock:
             s = dict(self._stats)
             s["pending"] = len(self._pending)
+        # None = serving head; a seq/tag (or [bm25, vec] pair) = the
+        # archived commit(s) this tier is pinned to
+        a = getattr(self, "_as_of", None)
+        s["as_of"] = list(a) if isinstance(a, tuple) else a
         s["batch_size_avg"] = (
             s["requests"] / s["batches"] if s["batches"] else 0.0
         )
@@ -704,6 +715,7 @@ class HybridQueryCoalescer(QueryCoalescer):
         )
         self._index_path = index_path
         self._vec_index_path = vec_index_path
+        self._as_of = as_of
         self._dim = _index_dim(
             vec_index_path, fs, as_of=as_of[1] if as_of else None
         )
@@ -781,6 +793,7 @@ class BM25QueryCoalescer(QueryCoalescer):
         # tag name) — the id column below resolves from the SAME
         # pinned manifest the queries will read
         self._kw = dict(k=k, k1=k1, b=b, fs=fs, as_of=as_of)
+        self._as_of = as_of
         #: row layout of each query() tuple (the index's committed id
         #: column + the score) — what the HTTP edge keys results by
         self.columns = (
@@ -854,6 +867,7 @@ class VectorQueryCoalescer(QueryCoalescer):
         # tag name); kind, dimensionality and row layout all resolve
         # from the SAME pinned manifest the queries will read
         self._kw = dict(k=k, n_probe=n_probe, fs=fs, as_of=as_of)
+        self._as_of = as_of
         kind = vector_index_kind(index_path, fs, as_of=as_of)
         self._dim = vector_index_dim(index_path, fs, kind=kind, as_of=as_of)
         #: row layout of each query() tuple — the kind's native

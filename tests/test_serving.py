@@ -695,6 +695,7 @@ def test_metrics_endpoint_and_coalescer_stats(spark, store, tmp_path):
         co_stats["requests"] / co_stats["batches"]
     )
     assert co_stats["serve_ms_avg_per_batch"] > 0
+    assert co_stats["as_of"] is None  # unpinned tier serves head
     assert "vector" not in snap["coalescers"]  # unconfigured channel
 
 

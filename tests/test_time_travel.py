@@ -749,6 +749,10 @@ def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
         spark, bp, k=5, max_batch=1, max_wait_ms=10.0, as_of="prod"
     ) as lex_co:
         assert lex_co.query(["alpha", "scan"]) == lex_then
+        # the pinned identity is in the stats payload (and therefore
+        # GET /metrics): an ops reader diagnosing an A/B rollback sees
+        # which commit this tier serves, not just its counters
+        assert lex_co.stats()["as_of"] == "prod"
         # head serves the appended docs; the pin does not
         head_ids = {r[0] for r in bm25_index_topk(
             spark, bp, ["alpha", "scan"], k=5).collect()}
@@ -760,6 +764,7 @@ def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
     ) as vec_co:
         got = vec_co.query(qvec)
         assert [g[0] for g in got] == [r[1] for r in vec_then]
+        assert vec_co.stats()["as_of"] == "prod"
 
 
 def test_hybrid_batch_as_of(spark, tmp_path):
