@@ -33,6 +33,11 @@ from feast_spark.feature_view import (
 from feast_spark.registry import Registry
 from feast_spark.feature_store import FeatureStore, RepoConfig
 from feast_spark.pipelines import CorpusConfig, build_corpus
+from feast_spark.provenance import (
+    RunReplay,
+    load_provenance,
+    snapshot_provenance,
+)
 from feast_spark.serving import OnlineServingServer, serve_online
 
 __all__ = [
@@ -54,6 +59,9 @@ __all__ = [
     "Registry",
     "FeatureStore",
     "RepoConfig",
+    "RunReplay",
+    "load_provenance",
+    "snapshot_provenance",
 ]
 
 __version__ = "0.1.0"

@@ -754,7 +754,7 @@ class FeatureStore:
         entity_rows: list[dict],
         full_field_statuses: bool = False,
         now: datetime | None = None,
-        as_of: datetime | int | None = None,
+        as_of: datetime | int | dict | None = None,
     ) -> dict:
         """Multiget with per-feature field statuses
         (feature_store.py:504-617, ServingService FieldStatus).
@@ -789,6 +789,16 @@ class FeatureStore:
         use a datetime for a cross-view-consistent instant.  A seq
         names a snapshot, not an instant, so ttl statuses under
         ``full_field_statuses`` require an explicit ``now=`` clock.
+
+        ``as_of`` may finally be a **per-view pin map** ``{view_name:
+        seq}`` — what :meth:`describe_run` returns as
+        ``run.online_as_of`` (provenance.py): each view replays its
+        OWN recorded commit, with seq 0 meaning "before the first
+        materialization" (NOT_FOUND rows, exactly what serving
+        returned then).  A requested view missing from the map raises
+        — the provenance record did not cover it, and silently serving
+        head would fake reproducibility.  Same explicit-``now``
+        requirement as the single-seq form.
         """
         if as_of is not None and not getattr(
             self.online_store, "supports_time_travel", False
@@ -798,7 +808,11 @@ class FeatureStore:
                 f"store; {type(self.online_store).__name__} overwrites "
                 "values in place and keeps no history"
             )
-        if isinstance(as_of, int) and full_field_statuses and now is None:
+        if (
+            isinstance(as_of, (int, dict))
+            and full_field_statuses
+            and now is None
+        ):
             raise ValueError(
                 "as_of=<commit seq> names a snapshot, not an instant: "
                 "pass now= to pin the ttl-status classification clock "
@@ -838,7 +852,17 @@ class FeatureStore:
         statuses: dict[str, list[str]] = {}
         for view, feats in grouped:
             join_keys = self._join_keys_for_view(view)
-            kw = {} if as_of is None else {"as_of": as_of}
+            if isinstance(as_of, dict):
+                if view.name not in as_of:
+                    raise ValueError(
+                        f"as_of pin map has no entry for view "
+                        f"{view.name!r} — the provenance record does "
+                        "not cover it, and silently serving head would "
+                        "fake reproducibility"
+                    )
+                kw = {"as_of": as_of[view.name]}
+            else:
+                kw = {} if as_of is None else {"as_of": as_of}
             got = self.online_store.online_read(
                 self.spark, self.config.project, view.name, req, join_keys,
                 feats, **kw,
@@ -904,3 +928,35 @@ class FeatureStore:
                     ]
         result["__statuses"] = statuses
         return result
+
+    # -- training-run provenance ----------------------------------------
+    def snapshot_provenance(
+        self,
+        index_paths: dict[str, str] | None = None,
+        note: str | None = None,
+        path: str | None = None,
+    ) -> dict:
+        """Record the committed head coordinate of every layer —
+        registry seq, per-view online snapshot seq, per-index manifest
+        commit_seq + tags for the named ``index_paths`` — as one JSON
+        (provenance.py).  Stamp this at training time; pass the file
+        to :meth:`describe_run` later to re-pin all layers exactly.
+        Control-plane cheap: a few JSON reads, no Spark job."""
+        from feast_spark.provenance import snapshot_provenance
+
+        return snapshot_provenance(
+            self, index_paths=index_paths, note=note, path=path
+        )
+
+    def describe_run(self, path: str) -> "RunReplay":
+        """Load a provenance record and return the re-pinned
+        :class:`~feast_spark.provenance.RunReplay`: ``run.registry``
+        (the archived definitions), ``run.online_as_of`` (pass to
+        :meth:`get_online_features` ``as_of=``), ``run.index_as_of``
+        (pass to any index read verb's ``as_of=``)."""
+        from feast_spark.provenance import RunReplay, load_provenance
+
+        return RunReplay(
+            load_provenance(path, fs=self.registry.fs),
+            registry_fs=self.registry.fs,
+        )

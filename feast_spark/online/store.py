@@ -103,6 +103,16 @@ class OnlineStore:
     def _current_data_path(self, project: str, view_name: str) -> str | None:
         return self._mtable(self._table_dir(project, view_name)).current_path()
 
+    def snapshot_seq(self, project: str, view_name: str) -> int | None:
+        """The view's head snapshot commit seq, or None before its
+        first materialization — the coordinate a provenance record
+        (provenance.py) stores for later ``as_of=`` replay."""
+        table_dir = self._table_dir(project, view_name)
+        if not self.fs.exists(posixpath.join(table_dir, MANIFEST)):
+            return None
+        hist = self._mtable(table_dir).history()
+        return hist[-1]["seq"] if hist else None
+
     # -- write / read ------------------------------------------------------
 
     def online_write_batch(
@@ -249,7 +259,14 @@ class OnlineStore:
         actually-expired snapshot errors."""
         if as_of is not None:
             table_dir = self._table_dir(project, view_name)
-            if not self.fs.exists(posixpath.join(table_dir, MANIFEST)):
+            if as_of == 0:
+                # seq 0 = "before the first commit" (numbering starts
+                # at 1): the pre-history replay a provenance record
+                # pins for a view that was never materialized when the
+                # snapshot was taken (provenance.NEVER_MATERIALIZED) —
+                # serving then returned NOT_FOUND rows, so replay does
+                path = None
+            elif not self.fs.exists(posixpath.join(table_dir, MANIFEST)):
                 # never committed: the head path serves NOT_FOUND rows
                 # for this state, and so did serving at the instant
                 path = None

@@ -1,0 +1,185 @@
+"""Training-run provenance: one JSON recording the exact committed
+coordinates of every layer at training time, and the verb that re-pins
+all of them for a faithful replay.
+
+The three time-travel mechanisms (registry version archiving,
+``registry.py load_as_of``; index manifest history, ``io/epochs.py``
+``as_of=``; online snapshot commit log, ``io/manifest.py path_as_of``)
+answer "what was live when model X trained" only if someone recorded
+the coordinates AT training time.  :func:`snapshot_provenance` is that
+record — the MLflow-run-tag / Delta-commit-pin discipline applied
+across all three layers at once:
+
+    prov = store.snapshot_provenance(
+        index_paths={"bm25": bm25_path}, path=run_dir + "/provenance.json"
+    )
+    # ... later, regardless of what was applied/materialized/appended:
+    run = store.describe_run(run_dir + "/provenance.json")
+    run.registry                         # definitions live at training
+    store.get_online_features(..., as_of=run.online_as_of, now=...)
+    bm25_index_topk(..., as_of=run.index_as_of["bm25"])
+
+The snapshot reads ONLY committed heads (registry seq, per-view online
+manifest seq, per-index manifest commit_seq + tags) — no Spark job, a
+few JSON reads — so stamping every training run is control-plane cheap.
+Replay durability is the layers' own retention windows
+(``keep_history`` / ``keep_versions`` / ``*_index_vacuum retain_last``);
+tag an index commit to make its pin vacuum-immune.
+
+The reference keeps no cross-layer run record (its registry is a
+single mutable proto, sdk/python/feast/registry.py); this extends its
+``feast registry-dump`` operational surface with the reproducible-run
+story a 100 TB training pipeline audits against.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from datetime import datetime, timezone
+
+from feast_spark.io import epochs as epochs_io
+from feast_spark.io.fs import LocalFS, StoreFS
+
+#: bumped when the JSON layout changes incompatibly
+PROVENANCE_FORMAT = 1
+
+#: online commit seq recorded for a view that had never been
+#: materialized when the snapshot was taken: "before the first commit"
+#: (seq numbering starts at 1).  ``get_online_features(as_of=0)``
+#: replays the empty pre-history state (NOT_FOUND rows) — exactly what
+#: serving returned then.
+NEVER_MATERIALIZED = 0
+
+
+def snapshot_provenance(
+    store,
+    index_paths: dict[str, str] | None = None,
+    note: str | None = None,
+    path: str | None = None,
+    index_fs: StoreFS | None = None,
+) -> dict:
+    """Record the committed head coordinates of every layer of
+    ``store`` (a :class:`~feast_spark.feature_store.FeatureStore`),
+    plus the named indexes in ``index_paths`` ({name: index_root}).
+
+    Returns the provenance dict; ``path`` additionally writes it as
+    JSON (atomic write through the registry's filesystem).  ``note``
+    is a free-form caller tag (model name, run id).
+    """
+    reg = store.registry
+    registry_seq = None
+    if reg.fs.exists(reg.path):
+        registry_seq = json.loads(reg.fs.read_bytes(reg.path)).get("seq")
+
+    online: dict = {"type": type(store.online_store).__name__}
+    if getattr(store.online_store, "supports_time_travel", False):
+        views = {}
+        for view in reg.list_feature_views():
+            seq = store.online_store.snapshot_seq(
+                store.config.project, view.name
+            )
+            views[view.name] = (
+                NEVER_MATERIALIZED if seq is None else seq
+            )
+        online["views"] = views
+    else:
+        # KV backends overwrite in place — recorded honestly so replay
+        # raises instead of silently serving head
+        online["supports_time_travel"] = False
+
+    ifs = index_fs or LocalFS()
+    indexes = {}
+    for name, ipath in (index_paths or {}).items():
+        manifest = epochs_io.read_manifest(ipath, ifs)
+        indexes[name] = {
+            "path": ipath,
+            "commit_seq": manifest["commit_seq"],
+            "kind": manifest.get("kind"),
+            "tags": epochs_io.read_tags(ipath, ifs),
+        }
+
+    doc = {
+        "format": PROVENANCE_FORMAT,
+        "created_at": datetime.now(timezone.utc).isoformat(),
+        "created_at_epoch_s": time.time(),
+        "note": note,
+        "project": store.config.project,
+        "registry": {"path": reg.path, "seq": registry_seq},
+        "online": online,
+        "indexes": indexes,
+    }
+    if path is not None:
+        reg.fs.write_bytes_atomic(
+            path, json.dumps(doc, indent=1).encode()
+        )
+    return doc
+
+
+def load_provenance(path: str, fs: StoreFS | None = None) -> dict:
+    """Read a provenance JSON written by :func:`snapshot_provenance`.
+    Rejects unknown ``format`` versions loudly rather than mis-pinning
+    a replay."""
+    fs = fs or LocalFS()
+    doc = json.loads(fs.read_bytes(path))
+    if doc.get("format") != PROVENANCE_FORMAT:
+        raise ValueError(
+            f"unsupported provenance format {doc.get('format')!r} at "
+            f"{path} (this build reads format {PROVENANCE_FORMAT})"
+        )
+    return doc
+
+
+class RunReplay:
+    """The re-pinned view of one recorded training run — every layer
+    resolved to the coordinate the provenance recorded.
+
+    ``registry`` lazily loads the archived registry version
+    (:meth:`feast_spark.registry.Registry.load_as_of` — read-only).
+    ``online_as_of`` is the per-view pin map to pass straight to
+    ``get_online_features(as_of=...)``.  ``index_as_of`` maps index
+    name -> archived commit_seq for the ``as_of=`` arg of any index
+    read verb.  Accessors raise the layers' own honest
+    retention-window errors when a pin has been GC'd.
+    """
+
+    def __init__(self, doc: dict, registry_fs: StoreFS | None = None):
+        self.doc = doc
+        self._registry_fs = registry_fs
+        self._registry = None
+
+    @property
+    def registry(self):
+        from feast_spark.registry import Registry
+
+        if self._registry is None:
+            info = self.doc["registry"]
+            if info["seq"] is None:
+                raise ValueError(
+                    "the provenance snapshot predates the registry's "
+                    "first commit — there is no version to replay"
+                )
+            self._registry = Registry.load_as_of(
+                info["path"], info["seq"], fs=self._registry_fs
+            )
+        return self._registry
+
+    @property
+    def online_as_of(self) -> dict[str, int]:
+        online = self.doc["online"]
+        if "views" not in online:
+            raise ValueError(
+                f"the recorded online store ({online['type']}) keeps no "
+                "history — the run's online state cannot be replayed"
+            )
+        return dict(online["views"])
+
+    @property
+    def index_as_of(self) -> dict[str, int]:
+        return {
+            name: info["commit_seq"]
+            for name, info in self.doc["indexes"].items()
+        }
+
+    def index_path(self, name: str) -> str:
+        return self.doc["indexes"][name]["path"]

@@ -1,0 +1,215 @@
+"""Training-run provenance (provenance.py): snapshot_provenance records
+the committed coordinate of every layer (registry seq, per-view online
+snapshot seq, per-index commit_seq + tags), and describe_run re-pins
+all of them — mutate every layer after the snapshot and the replay
+still returns the pre-mutation state end-to-end."""
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import Row
+
+from feast_spark import (
+    Entity,
+    FeatureStore,
+    FeatureView,
+    FileSource,
+    RepoConfig,
+    ValueType,
+    load_provenance,
+)
+from feast_spark.provenance import NEVER_MATERIALIZED
+
+
+def _utcnow():
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+def _docs(spark, ids, extra=""):
+    return spark.createDataFrame(
+        [(i, f"alpha scan doc{i} {extra}".strip()) for i in ids],
+        "doc_id LONG, text STRING",
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    now = _utcnow()
+    rows = [
+        Row(driver_id=1, value=0.3, ts=now - timedelta(hours=3),
+            created_ts=now),
+        Row(driver_id=2, value=7.0, ts=now - timedelta(hours=2),
+            created_ts=now),
+    ]
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(rows).write.parquet(src)
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="prov",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="fv",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=src,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                ),
+            ),
+            # applied but NOT materialized before the snapshot: the
+            # record must pin it at the pre-history state (seq 0)
+            FeatureView(
+                name="fv_unmaterialized",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=src,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                ),
+            ),
+        ]
+    )
+    st.materialize(now - timedelta(hours=5), now, ["fv"])
+    return st
+
+
+def test_snapshot_then_mutate_every_layer_then_replay(
+    spark, store, tmp_path
+):
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_topk,
+        build_bm25_index,
+    )
+
+    idx = str(tmp_path / "bm25_idx")
+    build_bm25_index(_docs(spark, range(8)), idx, "doc_id", "text")
+    then_rows = [
+        tuple(r) for r in bm25_index_topk(
+            spark, idx, ["alpha", "scan"], k=5
+        ).collect()
+    ]
+
+    prov_path = str(tmp_path / "provenance.json")
+    doc = store.snapshot_provenance(
+        index_paths={"bm25": idx}, note="run-1", path=prov_path
+    )
+    assert doc["registry"]["seq"] >= 1
+    assert doc["online"]["views"]["fv"] >= 1
+    assert doc["online"]["views"]["fv_unmaterialized"] == NEVER_MATERIALIZED
+    assert doc["indexes"]["bm25"]["commit_seq"] >= 1
+    assert load_provenance(prov_path)["note"] == "run-1"
+
+    # -- mutate EVERY layer -------------------------------------------
+    now = _utcnow()
+    # registry: a new view lands (seq++)
+    src2 = str(tmp_path / "src2.parquet")
+    spark.createDataFrame(
+        [Row(driver_id=1, value=99.0, ts=now - timedelta(minutes=10),
+             created_ts=now)]
+    ).write.parquet(src2)
+    store.apply(
+        [
+            FeatureView(
+                name="fv_after",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=src2,
+                    event_timestamp_column="ts",
+                    created_timestamp_column="created_ts",
+                ),
+            )
+        ]
+    )
+    # online: fresher values overwrite driver 1 on every view
+    store.online_store.online_write_batch(
+        spark, "prov", "fv",
+        spark.createDataFrame(
+            [Row(driver_id=1, value=9.9,
+                 ts=now - timedelta(minutes=5), created_ts=now)]
+        ),
+        ["driver_id"], "ts", "created_ts", ["value"],
+    )
+    store.materialize(now - timedelta(hours=6), now,
+                      ["fv_unmaterialized"])
+    # index: new docs appended (commit_seq++)
+    bm25_index_append(spark, idx, _docs(spark, range(50, 60), "alpha"))
+
+    # -- replay ---------------------------------------------------------
+    run = store.describe_run(prov_path)
+    assert run.doc["note"] == "run-1"
+    # registry: the archived version has no fv_after, and is read-only
+    assert "fv_after" not in run.registry.feature_views
+    assert "fv" in run.registry.feature_views
+    # online: the pin map replays pre-mutation values per view
+    head = store.get_online_features(["fv:value"], [{"driver_id": 1}])
+    assert head["value"] == [pytest.approx(9.9)]
+    past = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of=run.online_as_of
+    )
+    assert past["value"] == [pytest.approx(0.3)]
+    # the then-unmaterialized view replays its pre-history NOT_FOUND
+    # (seq 0) even though it has been materialized since
+    head_u = store.get_online_features(
+        ["fv_unmaterialized:value"], [{"driver_id": 1}]
+    )
+    assert head_u["value"] == [pytest.approx(0.3)]  # materialized after
+    past_u = store.get_online_features(
+        ["fv_unmaterialized:value"], [{"driver_id": 1}],
+        as_of=run.online_as_of,
+    )
+    assert past_u["value"] == [None]
+    assert past_u["__statuses"]["value"] == ["NOT_FOUND"]
+    # index: the pinned commit ranks against the pre-append corpus
+    replayed = [
+        tuple(r) for r in bm25_index_topk(
+            spark, idx, ["alpha", "scan"], k=5,
+            as_of=run.index_as_of["bm25"],
+        ).collect()
+    ]
+    assert replayed == then_rows
+    assert run.index_path("bm25") == idx
+
+
+def test_pin_map_missing_view_raises(spark, store, tmp_path):
+    prov_path = str(tmp_path / "p.json")
+    store.snapshot_provenance(path=prov_path)
+    run = store.describe_run(prov_path)
+    pins = run.online_as_of
+    del pins["fv"]
+    with pytest.raises(ValueError, match="no entry for view"):
+        store.get_online_features(
+            ["fv:value"], [{"driver_id": 1}], as_of=pins
+        )
+
+
+def test_unknown_format_is_rejected(store, tmp_path):
+    import json
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"format": 99}))
+    with pytest.raises(ValueError, match="unsupported provenance format"):
+        load_provenance(str(p))
+
+
+def test_kv_backend_recorded_as_non_replayable(spark, tmp_path, store):
+    """A KV online store is recorded honestly; online_as_of raises."""
+    from feast_spark.provenance import RunReplay
+
+    doc = store.snapshot_provenance()
+    doc["online"] = {"type": "SqliteOnlineStore",
+                     "supports_time_travel": False}
+    run = RunReplay(doc)
+    with pytest.raises(ValueError, match="keeps no history"):
+        run.online_as_of
