@@ -463,6 +463,111 @@ def _doctor_history(args) -> int:
     return 0
 
 
+def _cmd_provenance(args) -> int:
+    """``provenance snapshot OUT.json [--index NAME=PATH ...] [--note]``
+    stamps every layer's committed coordinate (provenance.py) —
+    registry seq, per-view online snapshot seq, per-index commit_seq +
+    tags — a few JSON reads, NO Spark session.  ``provenance describe
+    RUN.json`` prints a stamped record and verifies every pin is still
+    a replayable target (registry archive present, index as_of
+    readable, online seq retained); exit 1 when any pin has been GC'd
+    past its layer's retention window, exit 2 on a bad path/argument."""
+    import json as _json
+    from types import SimpleNamespace
+
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.online.store import OnlineStore
+    from feast_spark.registry import Registry
+
+    fs = LocalFS()
+    if args.action == "snapshot":
+        index_paths = {}
+        for spec in args.index:
+            name, sep, ipath = spec.partition("=")
+            if not sep or not name or not ipath:
+                print(f"error    --index expects NAME=PATH, got {spec!r}")
+                return 2
+            index_paths[name] = ipath
+        # snapshot_provenance only reads committed JSON heads, so the
+        # CLI feeds it a Spark-free store shim
+        store = SimpleNamespace(
+            registry=Registry(args.registry),
+            online_store=OnlineStore(args.online_path),
+            config=SimpleNamespace(project=args.project),
+        )
+        from feast_spark.provenance import snapshot_provenance
+
+        try:
+            doc = snapshot_provenance(
+                store, index_paths=index_paths, note=args.note,
+                path=args.path,
+            )
+        except ValueError as e:
+            print(f"error    {e}")
+            return 2
+        print(
+            f"wrote {args.path}: registry seq={doc['registry']['seq']}, "
+            f"{len(doc['online'].get('views', {}))} online views, "
+            f"{len(doc['indexes'])} indexes"
+        )
+        return 0
+
+    # describe: print + verify replayability of every pin
+    from feast_spark.provenance import load_provenance
+
+    try:
+        doc = load_provenance(args.path, fs=fs)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error    {e}")
+        return 2
+    print(_json.dumps(doc, indent=1))
+    expired = 0
+    seq = doc["registry"]["seq"]
+    if seq is not None:
+        try:
+            Registry.load_as_of(doc["registry"]["path"], seq, fs=fs)
+            print(f"ok       registry seq={seq} replayable")
+        except ValueError as e:
+            expired += 1
+            print(f"expired  registry seq={seq}: {e}")
+    online = doc["online"]
+    if "views" in online:
+        store = OnlineStore(args.online_path)
+        for view, vseq in sorted(online["views"].items()):
+            if vseq == 0:
+                print(f"ok       online {view}: pre-history (seq 0)")
+                continue
+            try:
+                store._mtable(
+                    store._table_dir(doc["project"], view)
+                ).path_as_of(vseq)
+                print(f"ok       online {view} seq={vseq} replayable")
+            except ValueError as e:
+                expired += 1
+                print(f"expired  online {view} seq={vseq}: {e}")
+    else:
+        print(
+            f"warn     online store ({online['type']}) keeps no "
+            "history — not replayable"
+        )
+    for name, info in sorted(doc["indexes"].items()):
+        try:
+            epochs_io.read_manifest(
+                info["path"], fs, as_of_seq=info["commit_seq"]
+            )
+            print(
+                f"ok       index {name} commit_seq={info['commit_seq']} "
+                "replayable"
+            )
+        except ValueError as e:
+            expired += 1
+            print(
+                f"expired  index {name} commit_seq={info['commit_seq']}: {e}"
+            )
+    return 1 if expired else 0
+
+
 def _cmd_tag(args) -> int:
     """``tag PATH [NAME] [--seq N] [--delete] [--list]``: pin / unpin /
     list named commits (io/epochs.py tag table).  A tagged commit is
@@ -618,6 +723,27 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--list", action="store_true",
                     help="list the committed tags")
     sp = sub.add_parser(
+        "provenance",
+        help="training-run provenance (provenance.py): 'snapshot "
+        "OUT.json' stamps every layer's committed coordinate "
+        "(registry seq, per-view online snapshot seq, per-index "
+        "commit_seq + tags; no Spark session); 'describe RUN.json' "
+        "prints a record and verifies every pin is still replayable "
+        "(exit 1 when any pin was GC'd past its retention window)",
+    )
+    sp.add_argument("action", choices=["snapshot", "describe"])
+    sp.add_argument(
+        "path", help="provenance JSON to write (snapshot) or read "
+        "(describe)",
+    )
+    sp.add_argument(
+        "--index", action="append", default=[], metavar="NAME=PATH",
+        help="persisted index to record (repeatable; snapshot only)",
+    )
+    sp.add_argument("--note", default=None,
+                    help="free-form run tag (model name, run id)")
+
+    sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
         "(cli.py init / repo_operations.init_repo)",
@@ -637,6 +763,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.cmd == "tag":
         return _cmd_tag(args)
+    if args.cmd == "provenance":
+        return _cmd_provenance(args)
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
     if args.cmd == "doctor":

@@ -203,6 +203,47 @@ def test_unknown_format_is_rejected(store, tmp_path):
         load_provenance(str(p))
 
 
+def test_cli_snapshot_and_describe(spark, store, tmp_path, capsys):
+    """``provenance snapshot`` stamps without a Spark session;
+    ``describe`` verifies every pin and exits 1 once one expires."""
+    from feast_spark.cli import main
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_vacuum,
+        build_bm25_index,
+    )
+
+    idx = str(tmp_path / "cli_idx")
+    build_bm25_index(_docs(spark, range(6)), idx, "doc_id", "text")
+    prov = str(tmp_path / "run.json")
+    base = [
+        "--registry", store.config.registry_path,
+        "--online-path", store.config.online_store_path,
+        "--project", "prov",
+    ]
+    assert main(base + [
+        "provenance", "snapshot", prov, "--index", f"bm25={idx}",
+        "--note", "cli-run",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "registry seq=" in out and "1 indexes" in out
+    assert main(base + ["provenance", "describe", prov]) == 0
+    out = capsys.readouterr().out
+    assert "ok       index bm25 commit_seq=1 replayable" in out
+    assert "expired" not in out
+    # malformed --index spec
+    assert main(base + [
+        "provenance", "snapshot", prov, "--index", "nopath"
+    ]) == 2
+    capsys.readouterr()
+    # expire the index pin: append then vacuum with default retention
+    bm25_index_append(spark, idx, _docs(spark, range(20, 26)))
+    bm25_index_vacuum(idx)
+    assert main(base + ["provenance", "describe", prov]) == 1
+    out = capsys.readouterr().out
+    assert "expired  index bm25" in out
+
+
 def test_kv_backend_recorded_as_non_replayable(spark, tmp_path, store):
     """A KV online store is recorded honestly; online_as_of raises."""
     from feast_spark.provenance import RunReplay
