@@ -501,15 +501,16 @@ def _cmd_provenance(args) -> int:
         try:
             doc = snapshot_provenance(
                 store, index_paths=index_paths, note=args.note,
-                path=args.path,
+                path=args.path, pin_tag=args.pin,
             )
         except ValueError as e:
             print(f"error    {e}")
             return 2
+        pinned = f", pinned as {args.pin!r}" if args.pin else ""
         print(
             f"wrote {args.path}: registry seq={doc['registry']['seq']}, "
             f"{len(doc['online'].get('views', {}))} online views, "
-            f"{len(doc['indexes'])} indexes"
+            f"{len(doc['indexes'])} indexes{pinned}"
         )
         return 0
 
@@ -742,6 +743,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp.add_argument("--note", default=None,
                     help="free-form run tag (model name, run id)")
+    sp.add_argument(
+        "--pin", default=None, metavar="TAG",
+        help="snapshot only: tag every recorded index commit and "
+        "online snapshot with TAG, making the run's pins vacuum-"
+        "immune until the tags are deleted",
+    )
 
     sp = sub.add_parser(
         "init",

@@ -754,7 +754,7 @@ class FeatureStore:
         entity_rows: list[dict],
         full_field_statuses: bool = False,
         now: datetime | None = None,
-        as_of: datetime | int | dict | None = None,
+        as_of: datetime | int | str | dict | None = None,
     ) -> dict:
         """Multiget with per-feature field statuses
         (feature_store.py:504-617, ServingService FieldStatus).
@@ -790,15 +790,17 @@ class FeatureStore:
         names a snapshot, not an instant, so ttl statuses under
         ``full_field_statuses`` require an explicit ``now=`` clock.
 
-        ``as_of`` may finally be a **per-view pin map** ``{view_name:
-        seq}`` — what :meth:`describe_run` returns as
-        ``run.online_as_of`` (provenance.py): each view replays its
-        OWN recorded commit, with seq 0 meaning "before the first
-        materialization" (NOT_FOUND rows, exactly what serving
-        returned then).  A requested view missing from the map raises
-        — the provenance record did not cover it, and silently serving
-        head would fake reproducibility.  Same explicit-``now``
-        requirement as the single-seq form.
+        ``as_of`` may also be a **tag name** (str) — a snapshot pinned
+        with ``tag_snapshot`` (io/manifest.py tags, GC-exempt until
+        deleted), or a **per-view pin map** ``{view_name: seq_or_tag}``
+        — what :meth:`describe_run` returns as ``run.online_as_of``
+        (provenance.py): each view replays its OWN recorded commit,
+        with seq 0 meaning "before the first materialization"
+        (NOT_FOUND rows, exactly what serving returned then).  A
+        requested view missing from the map raises — the provenance
+        record did not cover it, and silently serving head would fake
+        reproducibility.  Tags and seqs name snapshots, not instants,
+        so both forms share the explicit-``now`` requirement.
         """
         if as_of is not None and not getattr(
             self.online_store, "supports_time_travel", False
@@ -809,7 +811,7 @@ class FeatureStore:
                 "values in place and keeps no history"
             )
         if (
-            isinstance(as_of, (int, dict))
+            isinstance(as_of, (int, str, dict))
             and full_field_statuses
             and now is None
         ):
@@ -935,17 +937,24 @@ class FeatureStore:
         index_paths: dict[str, str] | None = None,
         note: str | None = None,
         path: str | None = None,
+        pin_tag: str | None = None,
+        embed_registry: bool = True,
     ) -> dict:
         """Record the committed head coordinate of every layer —
-        registry seq, per-view online snapshot seq, per-index manifest
-        commit_seq + tags for the named ``index_paths`` — as one JSON
-        (provenance.py).  Stamp this at training time; pass the file
-        to :meth:`describe_run` later to re-pin all layers exactly.
+        registry seq (payload embedded by default, so ``keep_history``
+        pruning cannot expire the pin), per-view online snapshot seq,
+        per-index manifest commit_seq + tags for the named
+        ``index_paths`` — as one JSON (provenance.py).  ``pin_tag``
+        additionally tags every recorded index commit and online
+        snapshot, making the run vacuum-immune until the tags are
+        deleted.  Stamp this at training time; pass the file to
+        :meth:`describe_run` later to re-pin all layers exactly.
         Control-plane cheap: a few JSON reads, no Spark job."""
         from feast_spark.provenance import snapshot_provenance
 
         return snapshot_provenance(
-            self, index_paths=index_paths, note=note, path=path
+            self, index_paths=index_paths, note=note, path=path,
+            pin_tag=pin_tag, embed_registry=embed_registry,
         )
 
     def describe_run(self, path: str) -> "RunReplay":

@@ -67,7 +67,7 @@ class ManifestedParquetTable:
         return f"v_{(max(versions) + 1 if versions else 1):08d}"
 
     def read(
-        self, spark: SparkSession, as_of: int | datetime | None = None
+        self, spark: SparkSession, as_of: int | str | datetime | None = None
     ) -> DataFrame | None:
         if as_of is not None:
             return spark.read.parquet(self.path_as_of(as_of))
@@ -139,20 +139,95 @@ class ManifestedParquetTable:
         """The retained commit log, oldest first: one
         ``{"seq", "version", "committed_at"}`` entry per commit whose
         snapshot directory GC still keeps (the ``keep_versions``
-        window) — the resolvable time-travel targets."""
+        window, plus every tagged commit) — the resolvable time-travel
+        targets."""
         return list(self._read_manifest().get("history", []))
 
-    def path_as_of(self, as_of: int | datetime) -> str:
+    def tags(self) -> dict[str, int]:
+        """Named commit pins ``{name: seq}``.  A tagged snapshot is
+        exempt from ``keep_versions`` GC until its tag is deleted — the
+        io/epochs.py tag discipline applied to the snapshot store, so a
+        provenance-pinned online state ("the snapshots the June model
+        served from") survives daily materializations."""
+        return dict(self._read_manifest().get("tags", {}))
+
+    def tag(self, name: str, seq: int | None = None) -> int:
+        """Pin commit ``seq`` (default: head) under ``name``; returns
+        the pinned seq.  Names must be non-numeric so they can never
+        shadow a literal seq in :meth:`path_as_of`.  Runs under the
+        manifest lock — a tag committed while a concurrent commit's GC
+        computes its keep set cannot end up pinned to a snapshot that
+        GC then deletes (the epochs.py tag-vs-vacuum discipline)."""
+        if not name or name.isdigit():
+            raise ValueError(
+                f"tag name {name!r} is empty or numeric — numeric names "
+                "would shadow literal commit seqs in as_of resolution"
+            )
+        with self.fs.lock(self._manifest_path()):
+            manifest = self._read_manifest()
+            hist = manifest.get("history", [])
+            if not hist:
+                raise ValueError(
+                    f"no commit history at {self.root} — commit once to "
+                    "start the log, then tag"
+                )
+            if seq is None:
+                seq = hist[-1]["seq"]
+            if seq not in {e["seq"] for e in hist}:
+                raise ValueError(
+                    f"no retained snapshot for commit seq={seq} at "
+                    f"{self.root}: retained seqs "
+                    f"{hist[0]['seq']}..{hist[-1]['seq']} (GC'd snapshots "
+                    "cannot be pinned after the fact)"
+                )
+            tags = dict(manifest.get("tags", {}))
+            tags[name] = int(seq)
+            manifest["tags"] = tags
+            self.fs.write_bytes_atomic(
+                self._manifest_path(), json.dumps(manifest).encode()
+            )
+        return int(seq)
+
+    def delete_tag(self, name: str) -> None:
+        """Unpin ``name``; its snapshot rejoins the normal GC window at
+        the next commit."""
+        with self.fs.lock(self._manifest_path()):
+            manifest = self._read_manifest()
+            tags = dict(manifest.get("tags", {}))
+            if name not in tags:
+                raise ValueError(
+                    f"no tag {name!r} at {self.root}; committed tags: "
+                    f"{sorted(tags)}"
+                )
+            del tags[name]
+            if tags:
+                manifest["tags"] = tags
+            else:
+                manifest.pop("tags", None)
+            self.fs.write_bytes_atomic(
+                self._manifest_path(), json.dumps(manifest).encode()
+            )
+
+    def path_as_of(self, as_of: int | str | datetime) -> str:
         """The snapshot directory serving reads resolved at commit seq
-        ``as_of`` (int) or at wall-clock instant ``as_of`` (datetime,
-        naive = UTC): the latest commit at-or-before that instant —
-        Delta's ``TIMESTAMP AS OF``, possible because snapshots are
-        immutable and GC keeps ``keep_versions`` of them.  Raises with
-        the surviving window when the target is older than retention
-        (GC'd snapshots are gone; the error is honest).  An instant at
-        or past the last commit resolves to HEAD — head is what
-        serving returned at every instant since that commit (pinned by
-        tests; int seqs, by contrast, raise when unknown)."""
+        ``as_of`` (int), tag name ``as_of`` (str — a :meth:`tag` pin),
+        or at wall-clock instant ``as_of`` (datetime, naive = UTC): the
+        latest commit at-or-before that instant — Delta's ``TIMESTAMP
+        AS OF``, possible because snapshots are immutable and GC keeps
+        ``keep_versions`` of them (plus every tagged commit).  Raises
+        with the surviving window when the target is older than
+        retention (GC'd snapshots are gone; the error is honest).  An
+        instant at or past the last commit resolves to HEAD — head is
+        what serving returned at every instant since that commit
+        (pinned by tests; int seqs, by contrast, raise when unknown)."""
+        if isinstance(as_of, str):
+            tags = self.tags()
+            if as_of not in tags:
+                raise ValueError(
+                    f"no tag {as_of!r} at {self.root}; committed tags: "
+                    f"{sorted(tags)}"
+                )
+            as_of = tags[as_of]
         hist = self.history()
         if not hist:
             raise ValueError(
@@ -221,7 +296,21 @@ class ManifestedParquetTable:
             for d in self.fs.list_subdirs(self.root)
             if d.startswith("v_") and d[2:].isdigit()
         )
-        keep = set(versions[-self.keep_versions :]) | {version}
+        # tagged snapshots are GC-exempt: their versions join the keep
+        # set (and therefore stay in the history log, so path_as_of can
+        # still resolve them) until the tag is deleted
+        tags = dict(prev.get("tags", {}))
+        pinned_seqs = set(tags.values())
+        pinned_versions = {
+            e["version"]
+            for e in prev.get("history", [])
+            if e["seq"] in pinned_seqs
+        }
+        keep = (
+            set(versions[-self.keep_versions :])
+            | {version}
+            | pinned_versions
+        )
         # commit log: seq + wall-clock per commit, truncated to the
         # kept snapshot dirs so every listed entry is resolvable
         # (path_as_of / time travel); recorded in the SAME atomic
@@ -235,6 +324,8 @@ class ManifestedParquetTable:
         )
         manifest["seq"] = seq
         manifest["history"] = history
+        if tags:
+            manifest["tags"] = tags
         self.fs.write_bytes_atomic(
             self._manifest_path(),
             json.dumps(manifest).encode(),

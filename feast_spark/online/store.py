@@ -113,6 +113,26 @@ class OnlineStore:
         hist = self._mtable(table_dir).history()
         return hist[-1]["seq"] if hist else None
 
+    def tag_snapshot(
+        self, project: str, view_name: str, name: str,
+        seq: int | None = None,
+    ) -> int:
+        """Pin the view's snapshot commit ``seq`` (default head) under
+        ``name`` — GC-exempt until :meth:`delete_snapshot_tag`, so a
+        provenance-pinned serving state survives every later
+        materialization regardless of ``keep_versions``.  Returns the
+        pinned seq; readable via ``online_read(as_of=name)``."""
+        return self._mtable(
+            self._table_dir(project, view_name)
+        ).tag(name, seq)
+
+    def delete_snapshot_tag(
+        self, project: str, view_name: str, name: str
+    ) -> None:
+        """Unpin ``name``; the snapshot rejoins the GC window at the
+        next materialization."""
+        self._mtable(self._table_dir(project, view_name)).delete_tag(name)
+
     # -- write / read ------------------------------------------------------
 
     def online_write_batch(

@@ -23,8 +23,12 @@ The snapshot reads ONLY committed heads (registry seq, per-view online
 manifest seq, per-index manifest commit_seq + tags) — no Spark job, a
 few JSON reads — so stamping every training run is control-plane cheap.
 Replay durability is the layers' own retention windows
-(``keep_history`` / ``keep_versions`` / ``*_index_vacuum retain_last``);
-tag an index commit to make its pin vacuum-immune.
+(``keep_history`` / ``keep_versions`` / ``*_index_vacuum retain_last``)
+— unless the run is PINNED: ``pin_tag="june-run"`` tags every recorded
+index commit and online snapshot (both tag tables are GC/vacuum-exempt
+until deleted), and ``embed_registry`` (default) copies the small
+registry payload into the JSON itself, so a pinned run replays for as
+long as someone keeps its provenance file and tags.
 
 The reference keeps no cross-layer run record (its registry is a
 single mutable proto, sdk/python/feast/registry.py); this extends its
@@ -58,6 +62,8 @@ def snapshot_provenance(
     note: str | None = None,
     path: str | None = None,
     index_fs: StoreFS | None = None,
+    pin_tag: str | None = None,
+    embed_registry: bool = True,
 ) -> dict:
     """Record the committed head coordinates of every layer of
     ``store`` (a :class:`~feast_spark.feature_store.FeatureStore`),
@@ -66,11 +72,27 @@ def snapshot_provenance(
     Returns the provenance dict; ``path`` additionally writes it as
     JSON (atomic write through the registry's filesystem).  ``note``
     is a free-form caller tag (model name, run id).
+
+    ``pin_tag`` makes the run's pins VACUUM-IMMUNE: every recorded
+    index commit is tagged (io/epochs.py tag table) and every
+    materialized view's snapshot is tagged (io/manifest.py tags), so
+    daily vacuums / ``keep_versions`` GC can never expire what this
+    run replays — delete the tags when the run is retired.
+
+    ``embed_registry`` (default on) copies the registry's archived
+    payload INTO the record: registry retention is count-based
+    (``keep_history`` newest versions), so a runaway apply loop could
+    otherwise prune a pinned run's version — the embedded copy makes
+    the registry pin durable for the lifetime of the JSON itself
+    (definitions are small; the layers that hold DATA pin by
+    reference + tag instead).
     """
     reg = store.registry
     registry_seq = None
+    registry_payload = None
     if reg.fs.exists(reg.path):
-        registry_seq = json.loads(reg.fs.read_bytes(reg.path)).get("seq")
+        registry_payload = json.loads(reg.fs.read_bytes(reg.path))
+        registry_seq = registry_payload.get("seq")
 
     online: dict = {"type": type(store.online_store).__name__}
     if getattr(store.online_store, "supports_time_travel", False):
@@ -82,6 +104,10 @@ def snapshot_provenance(
             views[view.name] = (
                 NEVER_MATERIALIZED if seq is None else seq
             )
+            if pin_tag is not None and seq is not None:
+                store.online_store.tag_snapshot(
+                    store.config.project, view.name, pin_tag, seq
+                )
         online["views"] = views
     else:
         # KV backends overwrite in place — recorded honestly so replay
@@ -92,6 +118,10 @@ def snapshot_provenance(
     indexes = {}
     for name, ipath in (index_paths or {}).items():
         manifest = epochs_io.read_manifest(ipath, ifs)
+        if pin_tag is not None:
+            epochs_io.tag_commit(
+                ipath, ifs, pin_tag, manifest["commit_seq"]
+            )
         indexes[name] = {
             "path": ipath,
             "commit_seq": manifest["commit_seq"],
@@ -104,11 +134,14 @@ def snapshot_provenance(
         "created_at": datetime.now(timezone.utc).isoformat(),
         "created_at_epoch_s": time.time(),
         "note": note,
+        "pin_tag": pin_tag,
         "project": store.config.project,
         "registry": {"path": reg.path, "seq": registry_seq},
         "online": online,
         "indexes": indexes,
     }
+    if embed_registry and registry_payload is not None:
+        doc["registry"]["payload"] = registry_payload
     if path is not None:
         reg.fs.write_bytes_atomic(
             path, json.dumps(doc, indent=1).encode()
@@ -159,9 +192,21 @@ class RunReplay:
                     "the provenance snapshot predates the registry's "
                     "first commit — there is no version to replay"
                 )
-            self._registry = Registry.load_as_of(
-                info["path"], info["seq"], fs=self._registry_fs
-            )
+            try:
+                self._registry = Registry.load_as_of(
+                    info["path"], info["seq"], fs=self._registry_fs
+                )
+            except ValueError:
+                # the archive was pruned past keep_history — fall back
+                # to the payload embedded at snapshot time (the whole
+                # point of embed_registry: the registry pin is durable
+                # for the lifetime of the provenance JSON)
+                if "payload" not in info:
+                    raise
+                self._registry = Registry.from_payload(
+                    info["payload"], path=info["path"],
+                    fs=self._registry_fs, seq=info["seq"],
+                )
         return self._registry
 
     @property

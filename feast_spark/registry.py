@@ -222,17 +222,38 @@ class Registry:
                 )
             seq = as_of
         hp = posixpath.join(f"{path}.history", f"seq={seq}.json")
+        return cls.from_payload(
+            json.loads(fs.read_bytes(hp)), path=path, fs=fs, seq=seq
+        )
+
+    @classmethod
+    def from_payload(
+        cls,
+        payload: dict,
+        path: str = "<embedded>",
+        fs: StoreFS | None = None,
+        seq: int | None = None,
+    ) -> "Registry":
+        """A read-only Registry built from an archived payload dict —
+        the deserialization half of :meth:`load_as_of`, also used to
+        resurrect the registry EMBEDDED in a provenance record
+        (provenance.py) after ``keep_history`` pruned the archive.
+        Commit is refused: republishing an old version as head must be
+        an explicit apply, not an accident."""
+        reg = cls.__new__(cls)
+        reg.path = path
+        reg.fs = fs or LocalFS()
         reg.entities = {}
         reg.feature_views = {}
         reg.feature_services = {}
         reg.on_demand_views = {}
-        reg._load_payload(json.loads(fs.read_bytes(hp)))
-        reg._frozen_seq = seq
+        reg._load_payload(payload)
+        reg._frozen_seq = seq if seq is not None else payload.get("seq")
 
         def _refuse_commit() -> None:
             raise RuntimeError(
-                f"this Registry is a read-only as_of={seq} snapshot; "
-                "load the live registry to apply changes"
+                f"this Registry is a read-only as_of={reg._frozen_seq} "
+                "snapshot; load the live registry to apply changes"
             )
 
         reg.commit = _refuse_commit  # type: ignore[method-assign]

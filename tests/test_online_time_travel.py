@@ -71,6 +71,69 @@ def test_manifest_without_history_is_friendly(spark, tmp_path):
         t.path_as_of(1)
 
 
+def test_manifest_tags_pin_snapshots_past_gc(spark, tmp_path):
+    """Tagged snapshots are keep_versions-GC-exempt (r14): the tag's
+    version survives every later commit, stays resolvable by name AND
+    by its seq, and rejoins the GC window once the tag is deleted —
+    the io/epochs.py tag discipline on the snapshot store."""
+    t = ManifestedParquetTable(str(tmp_path / "t"), keep_versions=2)
+    t.commit(spark.createDataFrame([(1,)], "x INT"))
+    assert t.tag("prod") == 1  # default: head seq
+    for i in (2, 3, 4, 5):
+        t.commit(spark.createDataFrame([(i,)], "x INT"))
+    # window is 2, but the pinned seq-1 snapshot is still readable
+    assert [e["seq"] for e in t.history()] == [1, 4, 5]
+    assert t.read(spark, as_of="prod").collect()[0]["x"] == 1
+    assert t.read(spark, as_of=1).collect()[0]["x"] == 1
+    with pytest.raises(ValueError, match="retained seqs"):
+        t.path_as_of(3)  # untagged mid-window seqs were GC'd
+    # unknown tag: honest error naming the committed tags
+    with pytest.raises(ValueError, match="committed tags"):
+        t.path_as_of("staging")
+    # numeric names would shadow literal seqs
+    with pytest.raises(ValueError, match="numeric"):
+        t.tag("7")
+    # tagging an already-GC'd seq is refused
+    with pytest.raises(ValueError, match="cannot be pinned"):
+        t.tag("late", seq=2)
+    # unpin: the snapshot rejoins the GC window at the next commit
+    t.delete_tag("prod")
+    with pytest.raises(ValueError, match="no tag"):
+        t.delete_tag("prod")
+    t.commit(spark.createDataFrame([(6,)], "x INT"))
+    assert [e["seq"] for e in t.history()] == [5, 6]
+    with pytest.raises(ValueError, match="retained seqs"):
+        t.path_as_of(1)
+
+
+def test_online_snapshot_tag_serves_by_name(spark, store):
+    """tag_snapshot -> get_online_features(as_of='name') replays the
+    pinned materialization through every later upsert."""
+    now = _utcnow()
+    store.online_store.tag_snapshot("tt", "fv", "june-run")
+    for v in (5.0, 6.0):
+        store.online_store.online_write_batch(
+            spark, "tt", "fv",
+            spark.createDataFrame(
+                [Row(driver_id=1, value=v,
+                     ts=now - timedelta(minutes=5), created_ts=now)]
+            ),
+            ["driver_id"], "ts", "created_ts", ["value"],
+        )
+    head = store.get_online_features(["fv:value"], [{"driver_id": 1}])
+    assert head["value"] == [pytest.approx(6.0)]
+    pinned = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of="june-run"
+    )
+    assert pinned["value"] == [pytest.approx(0.3)]
+    # a tag names a snapshot, not an instant: full statuses need now=
+    with pytest.raises(ValueError, match="pass now="):
+        store.get_online_features(
+            ["fv:value"], [{"driver_id": 1}],
+            full_field_statuses=True, as_of="june-run",
+        )
+
+
 @pytest.fixture()
 def store(spark, tmp_path):
     now = _utcnow()

@@ -182,6 +182,74 @@ def test_snapshot_then_mutate_every_layer_then_replay(
     assert run.index_path("bm25") == idx
 
 
+def test_pinned_run_survives_vacuum_and_registry_pruning(
+    spark, store, tmp_path
+):
+    """pin_tag makes the run vacuum-immune: the index pin survives an
+    append + vacuum(retain_last=0), the online pin survives enough
+    materializations to exhaust keep_versions, and the embedded
+    registry payload survives keep_history pruning."""
+    from feast_spark.operators.bm25 import (
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_index_vacuum,
+        build_bm25_index,
+    )
+
+    idx = str(tmp_path / "pin_idx")
+    build_bm25_index(_docs(spark, range(8)), idx, "doc_id", "text")
+    then_rows = [
+        tuple(r) for r in bm25_index_topk(
+            spark, idx, ["alpha", "scan"], k=5
+        ).collect()
+    ]
+    prov_path = str(tmp_path / "pinned.json")
+    doc = store.snapshot_provenance(
+        index_paths={"bm25": idx}, path=prov_path, pin_tag="june-run"
+    )
+    assert doc["pin_tag"] == "june-run"
+    assert doc["indexes"]["bm25"]["tags"]["june-run"] == 1
+    assert "payload" in doc["registry"]
+
+    # index layer: append + default vacuum would expire seq 1 — the
+    # tag keeps it readable
+    bm25_index_append(spark, idx, _docs(spark, range(50, 56)))
+    bm25_index_vacuum(idx)
+    # online layer: burn through keep_versions (2) with upserts
+    now = _utcnow()
+    for v in (1.0, 2.0, 3.0):
+        store.online_store.online_write_batch(
+            spark, "prov", "fv",
+            spark.createDataFrame(
+                [Row(driver_id=1, value=v,
+                     ts=now - timedelta(minutes=5), created_ts=now)]
+            ),
+            ["driver_id"], "ts", "created_ts", ["value"],
+        )
+    # registry layer: prune the archive past the recorded seq
+    store.registry.keep_history = 1
+    for i in range(3):
+        store.registry.commit()
+
+    run = store.describe_run(prov_path)
+    replayed = [
+        tuple(r) for r in bm25_index_topk(
+            spark, idx, ["alpha", "scan"], k=5,
+            as_of=run.index_as_of["bm25"],
+        ).collect()
+    ]
+    assert replayed == then_rows
+    past = store.get_online_features(
+        ["fv:value"], [{"driver_id": 1}], as_of=run.online_as_of
+    )
+    assert past["value"] == [pytest.approx(0.3)]
+    # archive is gone; the embedded payload resurrects the definitions
+    assert run.doc["registry"]["seq"] not in store.registry.history_seqs()
+    assert "fv" in run.registry.feature_views
+    with pytest.raises(RuntimeError, match="read-only"):
+        run.registry.commit()
+
+
 def test_pin_map_missing_view_raises(spark, store, tmp_path):
     prov_path = str(tmp_path / "p.json")
     store.snapshot_provenance(path=prov_path)
@@ -242,6 +310,20 @@ def test_cli_snapshot_and_describe(spark, store, tmp_path, capsys):
     assert main(base + ["provenance", "describe", prov]) == 1
     out = capsys.readouterr().out
     assert "expired  index bm25" in out
+    # --pin tags the recorded commits through the CLI too (separate
+    # index — a tag would have kept the expiry scenario above alive)
+    idx2 = str(tmp_path / "cli_idx2")
+    build_bm25_index(_docs(spark, range(6)), idx2, "doc_id", "text")
+    prov_pinned = str(tmp_path / "run_pinned.json")
+    assert main(base + [
+        "provenance", "snapshot", prov_pinned,
+        "--index", f"bm25={idx2}", "--pin", "cli-pin",
+    ]) == 0
+    assert "pinned as 'cli-pin'" in capsys.readouterr().out
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+
+    assert epochs_io.read_tags(idx2, LocalFS())["cli-pin"] == 1
 
 
 def test_kv_backend_recorded_as_non_replayable(spark, tmp_path, store):
