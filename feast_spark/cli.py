@@ -394,17 +394,26 @@ def _doctor_history(args) -> int:
             )
             return 0
         head_seq = hist[-1]["seq"]
+        snap_tags: dict[int, list[str]] = {}
+        for name, seq in t.tags().items():
+            snap_tags.setdefault(seq, []).append(name)
         for e in hist:
             mark = "*" if e["seq"] == head_seq else " "
             readable = fs.exists(posixpath.join(path, e["version"]))
             state = "readable" if readable else "expired "
+            pins = (
+                "  tags=" + ",".join(sorted(snap_tags[e["seq"]]))
+                if e["seq"] in snap_tags
+                else ""
+            )
             print(
                 f"{mark}seq={e['seq']:<4} {state} "
-                f"{_fmt_ts(e['committed_at'])}  {e['version']}"
+                f"{_fmt_ts(e['committed_at'])}  {e['version']}{pins}"
             )
         print(
             "*=head; 'readable' commits are valid as_of= targets "
-            "(keep_versions GC bounds the window)"
+            "(keep_versions GC bounds the window; tagged snapshots are "
+            "GC-exempt until untagged)"
         )
         return 0
 

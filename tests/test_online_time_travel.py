@@ -368,6 +368,12 @@ def test_doctor_history_detects_all_three_layers(
     out = capsys.readouterr().out
     assert "*seq=1" in out and "readable" in out and "v_00000001" in out
 
+    # snapshot tags (r14) show up as pins in the same log
+    store.online_store.tag_snapshot("tt", "fv", "june-run")
+    assert main(["doctor", "--history", table_dir]) == 0
+    out = capsys.readouterr().out
+    assert "tags=june-run" in out
+
     # registry file
     reg_path = str(tmp_path / "registry.json")
     assert main(["doctor", "--history", reg_path]) == 0
