@@ -491,13 +491,22 @@ def _cmd_provenance(args) -> int:
 
     fs = LocalFS()
     if args.action == "snapshot":
-        index_paths = {}
-        for spec in args.index:
-            name, sep, ipath = spec.partition("=")
-            if not sep or not name or not ipath:
-                print(f"error    --index expects NAME=PATH, got {spec!r}")
-                return 2
-            index_paths[name] = ipath
+        def _parse_specs(specs: list[str], flag: str) -> dict | None:
+            out = {}
+            for spec in specs:
+                name, sep, spath = spec.partition("=")
+                if not sep or not name or not spath:
+                    print(
+                        f"error    {flag} expects NAME=PATH, got {spec!r}"
+                    )
+                    return None
+                out[name] = spath
+            return out
+
+        index_paths = _parse_specs(args.index, "--index")
+        dataset_paths = _parse_specs(args.dataset, "--dataset")
+        if index_paths is None or dataset_paths is None:
+            return 2
         # snapshot_provenance only reads committed JSON heads, so the
         # CLI feeds it a Spark-free store shim
         store = SimpleNamespace(
@@ -511,6 +520,7 @@ def _cmd_provenance(args) -> int:
             doc = snapshot_provenance(
                 store, index_paths=index_paths, note=args.note,
                 path=args.path, pin_tag=args.pin,
+                dataset_paths=dataset_paths,
             )
         except ValueError as e:
             print(f"error    {e}")
@@ -519,7 +529,8 @@ def _cmd_provenance(args) -> int:
         print(
             f"wrote {args.path}: registry seq={doc['registry']['seq']}, "
             f"{len(doc['online'].get('views', {}))} online views, "
-            f"{len(doc['indexes'])} indexes{pinned}"
+            f"{len(doc['indexes'])} indexes, "
+            f"{len(doc['datasets'])} datasets{pinned}"
         )
         return 0
 
@@ -574,6 +585,23 @@ def _cmd_provenance(args) -> int:
             expired += 1
             print(
                 f"expired  index {name} commit_seq={info['commit_seq']}: {e}"
+            )
+    from feast_spark.io.manifest import ManifestedParquetTable
+
+    for name, info in sorted(doc.get("datasets", {}).items()):
+        try:
+            ManifestedParquetTable(info["path"], fs=fs).path_as_of(
+                info["commit_seq"]
+            )
+            print(
+                f"ok       dataset {name} commit_seq="
+                f"{info['commit_seq']} replayable"
+            )
+        except ValueError as e:
+            expired += 1
+            print(
+                f"expired  dataset {name} commit_seq="
+                f"{info['commit_seq']}: {e}"
             )
     return 1 if expired else 0
 
@@ -749,6 +777,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--index", action="append", default=[], metavar="NAME=PATH",
         help="persisted index to record (repeatable; snapshot only)",
+    )
+    sp.add_argument(
+        "--dataset", action="append", default=[], metavar="NAME=PATH",
+        help="versioned dataset (datasets.py commit root) to record "
+        "(repeatable; snapshot only)",
     )
     sp.add_argument("--note", default=None,
                     help="free-form run tag (model name, run id)")

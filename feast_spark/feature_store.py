@@ -131,6 +131,21 @@ class RetrievalJob:
     def to_parquet(self, path: str, mode: str = "overwrite") -> None:
         self._df.write.mode(mode).parquet(path)
 
+    def to_dataset(
+        self, root: str, meta: dict | None = None,
+        keep_versions: int = 3, fs=None,
+    ) -> int:
+        """Commit the result as the next VERSIONED dataset snapshot at
+        ``root`` (datasets.py — manifest-flip commit log, as_of reads,
+        GC-exempt tags); returns the commit seq to record in a
+        provenance snapshot.  Unlike :meth:`to_parquet`, a re-run
+        cannot silently overwrite what a model trained on."""
+        from feast_spark.datasets import commit_dataset
+
+        return commit_dataset(
+            self._df, root, fs=fs, keep_versions=keep_versions, meta=meta
+        )
+
     def to_table(self, name: str, mode: str = "overwrite") -> None:
         self._df.write.mode(mode).saveAsTable(name)
 
@@ -939,6 +954,7 @@ class FeatureStore:
         path: str | None = None,
         pin_tag: str | None = None,
         embed_registry: bool = True,
+        dataset_paths: dict[str, str] | None = None,
     ) -> dict:
         """Record the committed head coordinate of every layer —
         registry seq (payload embedded by default, so ``keep_history``
@@ -955,6 +971,7 @@ class FeatureStore:
         return snapshot_provenance(
             self, index_paths=index_paths, note=note, path=path,
             pin_tag=pin_tag, embed_registry=embed_registry,
+            dataset_paths=dataset_paths,
         )
 
     def describe_run(self, path: str) -> "RunReplay":

@@ -64,10 +64,13 @@ def snapshot_provenance(
     index_fs: StoreFS | None = None,
     pin_tag: str | None = None,
     embed_registry: bool = True,
+    dataset_paths: dict[str, str] | None = None,
 ) -> dict:
     """Record the committed head coordinates of every layer of
     ``store`` (a :class:`~feast_spark.feature_store.FeatureStore`),
-    plus the named indexes in ``index_paths`` ({name: index_root}).
+    plus the named indexes in ``index_paths`` ({name: index_root}) and
+    the named versioned datasets in ``dataset_paths`` ({name:
+    dataset_root}, datasets.py — the training DataFrames themselves).
 
     Returns the provenance dict; ``path`` additionally writes it as
     JSON (atomic write through the registry's filesystem).  ``note``
@@ -75,9 +78,10 @@ def snapshot_provenance(
 
     ``pin_tag`` makes the run's pins VACUUM-IMMUNE: every recorded
     index commit is tagged (io/epochs.py tag table) and every
-    materialized view's snapshot is tagged (io/manifest.py tags), so
-    daily vacuums / ``keep_versions`` GC can never expire what this
-    run replays — delete the tags when the run is retired.
+    materialized view's snapshot and dataset commit is tagged
+    (io/manifest.py tags), so daily vacuums / ``keep_versions`` GC can
+    never expire what this run replays — delete the tags when the run
+    is retired.
 
     ``embed_registry`` (default on) copies the registry's archived
     payload INTO the record: registry retention is count-based
@@ -129,6 +133,24 @@ def snapshot_provenance(
             "tags": epochs_io.read_tags(ipath, ifs),
         }
 
+    datasets = {}
+    for name, droot in (dataset_paths or {}).items():
+        from feast_spark.io.manifest import ManifestedParquetTable
+
+        t = ManifestedParquetTable(droot, fs=ifs)
+        hist = t.history()
+        if not hist:
+            raise ValueError(
+                f"no committed dataset at {droot} — commit it with "
+                "RetrievalJob.to_dataset / datasets.commit_dataset "
+                "before recording it"
+            )
+        seq = hist[-1]["seq"]
+        if pin_tag is not None:
+            t.tag(pin_tag, seq)
+        datasets[name] = {"path": droot, "commit_seq": seq,
+                          "tags": t.tags()}
+
     doc = {
         "format": PROVENANCE_FORMAT,
         "created_at": datetime.now(timezone.utc).isoformat(),
@@ -139,6 +161,7 @@ def snapshot_provenance(
         "registry": {"path": reg.path, "seq": registry_seq},
         "online": online,
         "indexes": indexes,
+        "datasets": datasets,
     }
     if embed_registry and registry_payload is not None:
         doc["registry"]["payload"] = registry_payload
@@ -228,3 +251,20 @@ class RunReplay:
 
     def index_path(self, name: str) -> str:
         return self.doc["indexes"][name]["path"]
+
+    @property
+    def dataset_as_of(self) -> dict[str, int]:
+        return {
+            name: info["commit_seq"]
+            for name, info in self.doc.get("datasets", {}).items()
+        }
+
+    def read_dataset(self, spark, name: str, fs=None):
+        """The exact training rows this run committed under ``name`` —
+        ``datasets.read_dataset`` at the recorded commit seq."""
+        from feast_spark.datasets import read_dataset
+
+        info = self.doc["datasets"][name]
+        return read_dataset(
+            spark, info["path"], as_of=info["commit_seq"], fs=fs
+        )

@@ -262,6 +262,93 @@ def test_pin_map_missing_view_raises(spark, store, tmp_path):
         )
 
 
+def test_versioned_datasets_commit_read_and_replay(
+    spark, store, tmp_path
+):
+    """RetrievalJob.to_dataset commits the training rows through the
+    manifest-flip store (datasets.py): a re-run cannot overwrite what
+    a model trained on — as_of/tag reads, provenance records the seq,
+    pin_tag makes it GC-exempt."""
+    from feast_spark.datasets import (
+        dataset_history,
+        dataset_meta,
+        read_dataset,
+        tag_dataset,
+    )
+    from feast_spark.feature_store import RetrievalJob
+
+    root = str(tmp_path / "train_ds")
+    run1 = spark.createDataFrame([(1, 0.3), (2, 7.0)], "id LONG, v DOUBLE")
+    seq1 = RetrievalJob(run1).to_dataset(
+        root, meta={"features": ["fv:value"], "run": "june"}
+    )
+    assert seq1 == 1
+    assert dataset_meta(root)["run"] == "june"
+    prov_path = str(tmp_path / "ds_run.json")
+    doc = store.snapshot_provenance(
+        dataset_paths={"train": root}, path=prov_path, pin_tag="june-ds"
+    )
+    assert doc["datasets"]["train"]["commit_seq"] == 1
+    assert doc["datasets"]["train"]["tags"]["june-ds"] == 1
+
+    # re-runs commit new snapshots; keep_versions=3 + the tag keep the
+    # pinned rows readable through all of them
+    run2 = spark.createDataFrame([(1, 9.9)], "id LONG, v DOUBLE")
+    for _ in range(4):
+        RetrievalJob(run2).to_dataset(root)
+    assert sorted(
+        tuple(r) for r in read_dataset(spark, root).collect()
+    ) == [(1, 9.9)]
+    run = store.describe_run(prov_path)
+    assert run.dataset_as_of == {"train": 1}
+    assert sorted(
+        tuple(r) for r in run.read_dataset(spark, "train").collect()
+    ) == [(1, 0.3), (2, 7.0)]
+    # tag reads work directly too
+    assert sorted(
+        tuple(r)
+        for r in read_dataset(spark, root, as_of="june-ds").collect()
+    ) == [(1, 0.3), (2, 7.0)]
+    assert [e["seq"] for e in dataset_history(root)][0] == 1
+    # a fresh tag on head
+    assert tag_dataset(root, "latest") == 5
+    # recording an uncommitted dataset fails loudly
+    with pytest.raises(ValueError, match="no committed dataset"):
+        store.snapshot_provenance(
+            dataset_paths={"x": str(tmp_path / "missing_ds")}
+        )
+
+
+def test_cli_dataset_pins(spark, store, tmp_path, capsys):
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset
+
+    root = str(tmp_path / "cli_ds")
+    commit_dataset(
+        spark.createDataFrame([(1, 2.0)], "id LONG, v DOUBLE"), root
+    )
+    prov = str(tmp_path / "cli_ds_run.json")
+    base = [
+        "--registry", store.config.registry_path,
+        "--online-path", store.config.online_store_path,
+        "--project", "prov",
+    ]
+    assert main(base + [
+        "provenance", "snapshot", prov, "--dataset", f"train={root}",
+    ]) == 0
+    assert "1 datasets" in capsys.readouterr().out
+    assert main(base + ["provenance", "describe", prov]) == 0
+    out = capsys.readouterr().out
+    assert "ok       dataset train commit_seq=1 replayable" in out
+    # expire it: keep_versions=3 default in commit_dataset — burn through
+    for _ in range(4):
+        commit_dataset(
+            spark.createDataFrame([(9, 9.0)], "id LONG, v DOUBLE"), root
+        )
+    assert main(base + ["provenance", "describe", prov]) == 1
+    assert "expired  dataset train" in capsys.readouterr().out
+
+
 def test_unknown_format_is_rejected(store, tmp_path):
     import json
 
