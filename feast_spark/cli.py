@@ -554,7 +554,10 @@ def _cmd_provenance(args) -> int:
             print(f"expired  registry seq={seq}: {e}")
     online = doc["online"]
     if "views" in online:
-        store = OnlineStore(args.online_path)
+        # the doc records the online root (like the registry path), so
+        # verification does not depend on the --online-path flag
+        # matching what the snapshot used; old records fall back
+        store = OnlineStore(online.get("path") or args.online_path)
         for view, vseq in sorted(online["views"].items()):
             if vseq == 0:
                 print(f"ok       online {view}: pre-history (seq 0)")

@@ -42,8 +42,10 @@ def commit_dataset(
     snapshot).  ``meta`` (feature refs, entity-df description, code
     version) merges into the manifest for ``dataset_meta`` readers."""
     t = ManifestedParquetTable(root, fs=fs, keep_versions=keep_versions)
-    t.commit(df, meta=meta)
-    return t.history()[-1]["seq"]
+    # commit() returns the seq it minted under the manifest lock —
+    # re-reading history()[-1] here could hand back a CONCURRENT
+    # committer's seq, recording the wrong rows in a provenance pin
+    return t.commit(df, meta=meta)
 
 
 def read_dataset(

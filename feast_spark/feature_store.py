@@ -955,6 +955,7 @@ class FeatureStore:
         pin_tag: str | None = None,
         embed_registry: bool = True,
         dataset_paths: dict[str, str] | None = None,
+        fs=None,
     ) -> dict:
         """Record the committed head coordinate of every layer —
         registry seq (payload embedded by default, so ``keep_history``
@@ -972,6 +973,10 @@ class FeatureStore:
             self, index_paths=index_paths, note=note, path=path,
             pin_tag=pin_tag, embed_registry=embed_registry,
             dataset_paths=dataset_paths,
+            # index/dataset roots on a remote scheme (s3a://, gs://)
+            # need the matching StoreFS — default LocalFS reads only
+            # plain paths
+            index_fs=fs,
         )
 
     def describe_run(self, path: str) -> "RunReplay":

@@ -96,14 +96,15 @@ class ManifestedParquetTable:
         tables: dict[str, DataFrame],
         partition_by: dict[str, list[str]] | None = None,
         meta: dict | None = None,
-    ) -> None:
+    ) -> int:
         """Atomically commit SEVERAL named tables as ONE snapshot (one
         manifest flip): each DataFrame lands under
         ``{root}/v_<n>/<name>``, optionally ``partitionBy`` its listed
         columns, and readers resolving the manifest always see a
         CONSISTENT set (e.g. a postings table and the corpus stats it
         was computed with — two separate manifests could flip between a
-        reader's two resolves).  Meta merges like :meth:`commit`."""
+        reader's two resolves).  Meta merges like :meth:`commit`.
+        Returns the commit seq."""
         version = self._next_version()
         for name, tdf in tables.items():
             w = tdf.write.mode("errorifexists")
@@ -111,10 +112,13 @@ class ManifestedParquetTable:
             if cols:
                 w = w.partitionBy(*cols)
             w.parquet(posixpath.join(self.root, version, name))
-        self._flip(version, meta, tables=sorted(tables))
+        return self._flip(version, meta, tables=sorted(tables))
 
-    def commit(self, df: DataFrame, meta: dict | None = None) -> None:
-        """Write a new snapshot and flip the manifest to it.
+    def commit(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Write a new snapshot and flip the manifest to it; returns
+        the commit seq (minted UNDER the manifest lock — re-reading
+        ``history()[-1]`` after the fact could return a concurrent
+        committer's seq, a wrong provenance coordinate).
 
         ``meta`` MERGES over the previous commit's meta (it does not
         replace it): a manual ``update()`` between streaming
@@ -127,7 +131,7 @@ class ManifestedParquetTable:
         df.write.mode("errorifexists").parquet(
             posixpath.join(self.root, version)
         )
-        self._flip(version, meta)
+        return self._flip(version, meta)
 
     def _read_manifest(self) -> dict:
         mp = self._manifest_path()
@@ -158,10 +162,13 @@ class ManifestedParquetTable:
         manifest lock — a tag committed while a concurrent commit's GC
         computes its keep set cannot end up pinned to a snapshot that
         GC then deletes (the epochs.py tag-vs-vacuum discipline)."""
-        if not name or name.isdigit():
+        if not name or name.isdigit() or "=" in name or "," in name:
+            # the same rule io/epochs.py enforces: numeric names would
+            # shadow literal seqs in as_of resolution; '='/',' break
+            # the doctor --history tags=a,b rendering contract
             raise ValueError(
-                f"tag name {name!r} is empty or numeric — numeric names "
-                "would shadow literal commit seqs in as_of resolution"
+                f"tag name {name!r} must be non-empty, non-numeric and "
+                "free of '='/','"
             )
         with self.fs.lock(self._manifest_path()):
             manifest = self._read_manifest()
@@ -174,11 +181,11 @@ class ManifestedParquetTable:
             if seq is None:
                 seq = hist[-1]["seq"]
             if seq not in {e["seq"] for e in hist}:
+                retained = ", ".join(str(e["seq"]) for e in hist)
                 raise ValueError(
                     f"no retained snapshot for commit seq={seq} at "
-                    f"{self.root}: retained seqs "
-                    f"{hist[0]['seq']}..{hist[-1]['seq']} (GC'd snapshots "
-                    "cannot be pinned after the fact)"
+                    f"{self.root}: retained seqs {retained} (GC'd "
+                    "snapshots cannot be pinned after the fact)"
                 )
             tags = dict(manifest.get("tags", {}))
             tags[name] = int(seq)
@@ -235,6 +242,7 @@ class ManifestedParquetTable:
                 "commit logging (its next commit starts the log) or was "
                 "never committed"
             )
+        retained = ", ".join(str(e["seq"]) for e in hist)
         if isinstance(as_of, datetime):
             ts = _to_epoch_s(as_of)
             live = [e for e in hist if e["committed_at"] <= ts]
@@ -250,13 +258,34 @@ class ManifestedParquetTable:
                     "to widen the window)"
                 )
             entry = live[-1]
+            # tag pins make the retained log GAPPED: if the commit
+            # AFTER the resolved one was GC'd, the snapshot actually
+            # serving at the requested instant may be among the
+            # expired seqs (their committed_at fell somewhere in the
+            # gap) — silently returning the pinned-but-stale snapshot
+            # would be exactly the wrong-answer time travel promises
+            # never to give.  Raise honestly; seq/tag targets stay
+            # exact.
+            idx = hist.index(entry)
+            if (
+                idx + 1 < len(hist)
+                and hist[idx + 1]["seq"] > entry["seq"] + 1
+            ):
+                raise ValueError(
+                    f"ambiguous instant at {self.root}: commits "
+                    f"{entry['seq'] + 1}..{hist[idx + 1]['seq'] - 1} "
+                    "were reclaimed by keep_versions GC, and the "
+                    f"snapshot serving at {as_of} may be among them "
+                    f"(retained seqs: {retained}) — resolve by commit "
+                    "seq or tag name instead"
+                )
         else:
             by_seq = {e["seq"]: e for e in hist}
             if as_of not in by_seq:
                 raise ValueError(
                     f"no snapshot at {self.root} for commit seq={as_of}: "
-                    f"retained seqs {hist[0]['seq']}..{hist[-1]['seq']} "
-                    "(keep_versions GC reclaims older snapshots)"
+                    f"retained seqs {retained} "
+                    "(keep_versions GC reclaims untagged snapshots)"
                 )
             entry = by_seq[as_of]
         return posixpath.join(self.root, entry["version"])
@@ -266,7 +295,7 @@ class ManifestedParquetTable:
         version: str,
         meta: dict | None,
         tables: list[str] | None = None,
-    ) -> None:
+    ) -> int:
         # read-modify-write of seq/meta/history under the manifest
         # lock: the documented manual-commit-beside-streaming flow
         # means two writers CAN interleave, and an unlocked seq
@@ -274,14 +303,14 @@ class ManifestedParquetTable:
         # path_as_of silently mis-resolves (same hazard io/epochs.py
         # commit_manifest locks against)
         with self.fs.lock(self._manifest_path()):
-            self._flip_locked(version, meta, tables)
+            return self._flip_locked(version, meta, tables)
 
     def _flip_locked(
         self,
         version: str,
         meta: dict | None,
         tables: list[str] | None = None,
-    ) -> None:
+    ) -> int:
         prev = self._read_manifest()
         manifest = {"current": version, "format": "parquet"}
         if tables:
@@ -336,3 +365,4 @@ class ManifestedParquetTable:
                     self.fs.delete(posixpath.join(self.root, v))
                 except Exception:
                     pass  # GC is best-effort; next commit retries
+        return seq

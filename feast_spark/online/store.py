@@ -106,12 +106,25 @@ class OnlineStore:
     def snapshot_seq(self, project: str, view_name: str) -> int | None:
         """The view's head snapshot commit seq, or None before its
         first materialization — the coordinate a provenance record
-        (provenance.py) stores for later ``as_of=`` replay."""
+        (provenance.py) stores for later ``as_of=`` replay.
+
+        A manifest WITHOUT a commit log (written before commit logging
+        existed) raises instead of returning None: the view WAS
+        serving real values, and recording it as never-materialized
+        would make a later replay silently serve NOT_FOUND — fake
+        reproducibility.  Its next materialization starts the log."""
         table_dir = self._table_dir(project, view_name)
         if not self.fs.exists(posixpath.join(table_dir, MANIFEST)):
             return None
         hist = self._mtable(table_dir).history()
-        return hist[-1]["seq"] if hist else None
+        if not hist:
+            raise ValueError(
+                f"online table {project}/{view_name} has a manifest but "
+                "no commit log — it predates commit logging, so its "
+                "serving state has no replayable coordinate; "
+                "materialize once to start the log"
+            )
+        return hist[-1]["seq"]
 
     def tag_snapshot(
         self, project: str, view_name: str, name: str,

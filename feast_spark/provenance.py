@@ -91,6 +91,19 @@ def snapshot_provenance(
     (definitions are small; the layers that hold DATA pin by
     reference + tag instead).
     """
+    if pin_tag is not None and (
+        not pin_tag or pin_tag.isdigit() or "=" in pin_tag
+        or "," in pin_tag
+    ):
+        # the strictest layer's naming rule, checked BEFORE any layer
+        # is touched: a name one layer accepts and another rejects
+        # would otherwise leave orphaned vacuum-immune tags behind a
+        # mid-loop failure, with no provenance file referencing them
+        raise ValueError(
+            f"pin_tag {pin_tag!r} must be non-empty, non-numeric and "
+            "free of '='/','"
+        )
+
     reg = store.registry
     registry_seq = None
     registry_payload = None
@@ -100,6 +113,9 @@ def snapshot_provenance(
 
     online: dict = {"type": type(store.online_store).__name__}
     if getattr(store.online_store, "supports_time_travel", False):
+        # the root is recorded so `provenance describe` can verify the
+        # online pins from the document alone, like the registry path
+        online["path"] = getattr(store.online_store, "root", None)
         views = {}
         for view in reg.list_feature_views():
             seq = store.online_store.snapshot_seq(
@@ -108,24 +124,18 @@ def snapshot_provenance(
             views[view.name] = (
                 NEVER_MATERIALIZED if seq is None else seq
             )
-            if pin_tag is not None and seq is not None:
-                store.online_store.tag_snapshot(
-                    store.config.project, view.name, pin_tag, seq
-                )
         online["views"] = views
     else:
         # KV backends overwrite in place — recorded honestly so replay
         # raises instead of silently serving head
         online["supports_time_travel"] = False
 
+    from feast_spark.io.manifest import ManifestedParquetTable
+
     ifs = index_fs or LocalFS()
     indexes = {}
     for name, ipath in (index_paths or {}).items():
         manifest = epochs_io.read_manifest(ipath, ifs)
-        if pin_tag is not None:
-            epochs_io.tag_commit(
-                ipath, ifs, pin_tag, manifest["commit_seq"]
-            )
         indexes[name] = {
             "path": ipath,
             "commit_seq": manifest["commit_seq"],
@@ -135,8 +145,6 @@ def snapshot_provenance(
 
     datasets = {}
     for name, droot in (dataset_paths or {}).items():
-        from feast_spark.io.manifest import ManifestedParquetTable
-
         t = ManifestedParquetTable(droot, fs=ifs)
         hist = t.history()
         if not hist:
@@ -145,11 +153,28 @@ def snapshot_provenance(
                 "RetrievalJob.to_dataset / datasets.commit_dataset "
                 "before recording it"
             )
-        seq = hist[-1]["seq"]
-        if pin_tag is not None:
-            t.tag(pin_tag, seq)
-        datasets[name] = {"path": droot, "commit_seq": seq,
+        datasets[name] = {"path": droot, "commit_seq": hist[-1]["seq"],
                           "tags": t.tags()}
+
+    # pins are applied only after EVERY coordinate was read and
+    # validated above — a failure before this point leaves no orphaned
+    # vacuum-immune tags behind
+    if pin_tag is not None:
+        if "views" in online:
+            for view_name, seq in online["views"].items():
+                if seq != NEVER_MATERIALIZED:
+                    store.online_store.tag_snapshot(
+                        store.config.project, view_name, pin_tag, seq
+                    )
+        for info in indexes.values():
+            epochs_io.tag_commit(
+                info["path"], ifs, pin_tag, info["commit_seq"]
+            )
+            info["tags"] = epochs_io.read_tags(info["path"], ifs)
+        for info in datasets.values():
+            t = ManifestedParquetTable(info["path"], fs=ifs)
+            t.tag(pin_tag, info["commit_seq"])
+            info["tags"] = t.tags()
 
     doc = {
         "format": PROVENANCE_FORMAT,

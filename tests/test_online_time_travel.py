@@ -60,7 +60,7 @@ def test_manifest_gc_truncates_the_window(spark, tmp_path):
         t.commit(spark.createDataFrame([(i,)], "x INT"))
     hist = t.history()
     assert [e["seq"] for e in hist] == [2, 3]  # seq 1's dir was GC'd
-    with pytest.raises(ValueError, match="retained seqs 2..3"):
+    with pytest.raises(ValueError, match="retained seqs 2, 3"):
         t.path_as_of(1)
     assert t.read(spark, as_of=2).collect()[0]["x"] == 2
 
@@ -87,6 +87,20 @@ def test_manifest_tags_pin_snapshots_past_gc(spark, tmp_path):
     assert t.read(spark, as_of=1).collect()[0]["x"] == 1
     with pytest.raises(ValueError, match="retained seqs"):
         t.path_as_of(3)  # untagged mid-window seqs were GC'd
+    # a datetime inside the GC GAP must not silently resolve to the
+    # pinned-but-stale seq-1 snapshot: serving at that instant was on
+    # seq 2 or 3, which are gone — the error is honest
+    hist = t.history()
+    mid_gap = datetime.fromtimestamp(
+        (hist[0]["committed_at"] + hist[1]["committed_at"]) / 2,
+        tz=timezone.utc,
+    ).replace(tzinfo=None)
+    with pytest.raises(ValueError, match="ambiguous instant"):
+        t.path_as_of(mid_gap)
+    # at-or-after the newest retained commits, instants resolve fine
+    assert t.read(
+        spark, as_of=_utcnow() + timedelta(days=1)
+    ).collect()[0]["x"] == 5
     # unknown tag: honest error naming the committed tags
     with pytest.raises(ValueError, match="committed tags"):
         t.path_as_of("staging")

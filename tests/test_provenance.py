@@ -349,6 +349,47 @@ def test_cli_dataset_pins(spark, store, tmp_path, capsys):
     assert "expired  dataset train" in capsys.readouterr().out
 
 
+def test_pin_tag_validated_before_any_layer_is_tagged(
+    spark, store, tmp_path
+):
+    """A name one layer would accept and another reject must fail
+    UPFRONT — a mid-loop failure would leave orphaned vacuum-immune
+    tags no provenance file references."""
+    from feast_spark.operators.bm25 import build_bm25_index
+
+    idx = str(tmp_path / "vidx")
+    build_bm25_index(_docs(spark, range(6)), idx, "doc_id", "text")
+    for bad in ("june=run", "7", "", "a,b"):
+        with pytest.raises(ValueError, match="pin_tag"):
+            store.snapshot_provenance(
+                index_paths={"bm25": idx}, pin_tag=bad
+            )
+    # nothing was tagged anywhere
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+
+    assert epochs_io.read_tags(idx, LocalFS()) == {}
+    assert store.online_store._mtable(
+        store.online_store._table_dir("prov", "fv")
+    ).tags() == {}
+
+
+def test_snapshot_seq_refuses_prehistoric_manifest(store, tmp_path):
+    """A manifest WITHOUT a commit log means the view WAS serving —
+    recording it as never-materialized would fake reproducibility."""
+    import json as _json
+    import os
+
+    table_dir = os.path.join(
+        store.config.online_store_path, "prov", "legacy_view"
+    )
+    os.makedirs(os.path.join(table_dir, "v_00000001"))
+    with open(os.path.join(table_dir, "_MANIFEST.json"), "w") as f:
+        _json.dump({"current": "v_00000001", "format": "parquet"}, f)
+    with pytest.raises(ValueError, match="predates commit logging"):
+        store.online_store.snapshot_seq("prov", "legacy_view")
+
+
 def test_unknown_format_is_rejected(store, tmp_path):
     import json
 
