@@ -611,17 +611,52 @@ def _cmd_provenance(args) -> int:
 
 def _cmd_tag(args) -> int:
     """``tag PATH [NAME] [--seq N] [--delete] [--list]``: pin / unpin /
-    list named commits (io/epochs.py tag table).  A tagged commit is
-    exempt from every vacuum retention window until its tag is deleted
-    — 'the corpus the June model trained on' stays an ``as_of="name"``
-    target while daily vacuums reclaim everything else.  Defaults to
-    pinning the CURRENT head commit.  Exit 2 on a missing path, an
-    unarchived seq, or an unknown tag name."""
+    list named commits.  Layer-agnostic like ``doctor --history``: a
+    persisted INDEX uses the io/epochs.py tag table; an ONLINE snapshot
+    table or a versioned DATASET root (io/manifest.py ``_MANIFEST.json``)
+    uses the manifest tag table (r14) — both make the tagged commit
+    exempt from every vacuum/GC retention window until the tag is
+    deleted, so 'the corpus the June model trained on' stays an
+    ``as_of="name"`` target while daily vacuums reclaim everything
+    else.  Defaults to pinning the CURRENT head commit.  Exit 2 on a
+    missing path, an unarchived seq, or an unknown tag name."""
+    import json as _json
+    import posixpath
+
     from feast_spark.io import epochs as epochs_io
     from feast_spark.io.fs import LocalFS
 
     fs = LocalFS()
     path = args.index_path
+
+    # manifest-table layer (online snapshot table / dataset root)
+    mp = posixpath.join(path, "_MANIFEST.json")
+    if fs.exists(mp) and "current" in _json.loads(fs.read_bytes(mp)):
+        from feast_spark.io.manifest import ManifestedParquetTable
+
+        t = ManifestedParquetTable(path, fs=fs)
+        if args.list:
+            tags = t.tags()
+            if not tags:
+                print("no tags")
+            for name in sorted(tags):
+                print(f"{name} -> commit_seq={tags[name]}")
+            return 0
+        if not args.name:
+            print("error    NAME is required unless --list")
+            return 2
+        try:
+            if args.delete:
+                t.delete_tag(args.name)
+                print(f"deleted  {args.name}")
+            else:
+                seq = t.tag(args.name, args.seq)
+                print(f"tagged   {args.name} -> commit_seq={seq}")
+        except ValueError as e:
+            print(f"error    {e}")
+            return 2
+        return 0
+
     try:
         head = epochs_io.read_manifest(path, fs)
     except ValueError as e:
@@ -749,9 +784,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     sp = sub.add_parser(
         "tag",
-        help="pin/unpin/list named index commits (io/epochs.py tag "
-        "table): a tagged commit stays a readable as_of= target "
-        "through every vacuum until the tag is deleted",
+        help="pin/unpin/list named commits, layer-agnostic: a "
+        "persisted index (io/epochs.py tag table) or an online "
+        "snapshot table / versioned dataset root (io/manifest.py "
+        "tags); a tagged commit stays a readable as_of= target "
+        "through every vacuum/GC until the tag is deleted",
     )
     sp.add_argument("index_path")
     sp.add_argument("name", nargs="?", default=None)

@@ -390,6 +390,40 @@ def test_snapshot_seq_refuses_prehistoric_manifest(store, tmp_path):
         store.online_store.snapshot_seq("prov", "legacy_view")
 
 
+def test_cli_tag_verb_is_layer_agnostic(spark, store, tmp_path, capsys):
+    """``tag PATH`` pins/unpins/lists on manifest tables (online
+    snapshot tables, dataset roots) through the same verb indexes use."""
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset, read_dataset
+
+    root = str(tmp_path / "tag_ds")
+    commit_dataset(
+        spark.createDataFrame([(1, 2.0)], "id LONG, v DOUBLE"), root,
+        keep_versions=1,
+    )
+    assert main(["tag", root, "june-run"]) == 0
+    assert "tagged   june-run -> commit_seq=1" in capsys.readouterr().out
+    for _ in range(2):
+        commit_dataset(
+            spark.createDataFrame([(9, 9.0)], "id LONG, v DOUBLE"),
+            root, keep_versions=1,
+        )
+    # keep_versions=1, yet the pinned commit still reads
+    assert [tuple(r) for r in read_dataset(
+        spark, root, as_of="june-run"
+    ).collect()] == [(1, 2.0)]
+    assert main(["tag", root, "--list"]) == 0
+    assert "june-run -> commit_seq=1" in capsys.readouterr().out
+    assert main(["tag", root, "june-run", "--delete"]) == 0
+    capsys.readouterr()
+    assert main(["tag", root, "nope", "--delete"]) == 2
+    capsys.readouterr()
+    # online snapshot tables take the same verb
+    table_dir = f"{store.config.online_store_path}/prov/fv"
+    assert main(["tag", table_dir, "prod"]) == 0
+    assert "tagged   prod -> commit_seq=1" in capsys.readouterr().out
+
+
 def test_unknown_format_is_rejected(store, tmp_path):
     import json
 
