@@ -88,5 +88,17 @@ def delete_dataset_tag(
     root: str, name: str, fs: StoreFS | None = None
 ) -> None:
     """Unpin ``name``; its snapshot rejoins the GC window at the next
-    commit."""
+    commit (or :func:`vacuum_dataset`)."""
     ManifestedParquetTable(root, fs=fs).delete_tag(name)
+
+
+def vacuum_dataset(
+    root: str, fs: StoreFS | None = None, keep_versions: int = 3
+) -> list[str]:
+    """Reclaim dataset versions outside the keep window NOW — e.g.
+    after a retired run's tag was deleted on a dataset nobody re-runs
+    (commit-path GC would otherwise never fire again).  Returns the
+    deleted version dirs."""
+    return ManifestedParquetTable(
+        root, fs=fs, keep_versions=keep_versions
+    ).vacuum()

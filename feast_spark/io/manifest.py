@@ -195,9 +195,58 @@ class ManifestedParquetTable:
             )
         return int(seq)
 
+    def vacuum(self) -> list[str]:
+        """Re-run GC against the CURRENT manifest without committing a
+        new snapshot: reclaim versions a deleted tag left behind (GC
+        otherwise only runs inside a commit, so an unpinned snapshot on
+        a cold table would linger until someone writes).  Same keep
+        rules as the commit path — last ``keep_versions``, the current
+        version, every tagged version — with the history log truncated
+        to survivors BEFORE the deletes (readers resolve the manifest
+        first, so a concurrent as_of read never holds a path the
+        manifest still lists).  Returns the deleted version dirs."""
+        with self.fs.lock(self._manifest_path()):
+            manifest = self._read_manifest()
+            if not manifest:
+                return []
+            versions = sorted(
+                d
+                for d in self.fs.list_subdirs(self.root)
+                if d.startswith("v_") and d[2:].isdigit()
+            )
+            tags = manifest.get("tags", {})
+            pinned_seqs = set(tags.values())
+            pinned = {
+                e["version"]
+                for e in manifest.get("history", [])
+                if e["seq"] in pinned_seqs
+            }
+            keep = (
+                set(versions[-self.keep_versions:])
+                | {manifest["current"]}
+                | pinned
+            )
+            manifest["history"] = [
+                e
+                for e in manifest.get("history", [])
+                if e["version"] in keep
+            ]
+            self.fs.write_bytes_atomic(
+                self._manifest_path(), json.dumps(manifest).encode()
+            )
+            deleted = []
+            for v in versions:
+                if v not in keep:
+                    try:
+                        self.fs.delete(posixpath.join(self.root, v))
+                        deleted.append(v)
+                    except Exception:
+                        pass  # best-effort, like commit-path GC
+            return deleted
+
     def delete_tag(self, name: str) -> None:
         """Unpin ``name``; its snapshot rejoins the normal GC window at
-        the next commit."""
+        the next commit (or an explicit :meth:`vacuum`)."""
         with self.fs.lock(self._manifest_path()):
             manifest = self._read_manifest()
             tags = dict(manifest.get("tags", {}))

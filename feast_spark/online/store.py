@@ -143,8 +143,15 @@ class OnlineStore:
         self, project: str, view_name: str, name: str
     ) -> None:
         """Unpin ``name``; the snapshot rejoins the GC window at the
-        next materialization."""
+        next materialization (or :meth:`vacuum_snapshots`)."""
         self._mtable(self._table_dir(project, view_name)).delete_tag(name)
+
+    def vacuum_snapshots(self, project: str, view_name: str) -> list[str]:
+        """Reclaim snapshot versions outside the keep window NOW —
+        e.g. after a retired run's tag was deleted on a view that is
+        no longer materialized (commit-path GC would otherwise never
+        run again).  Returns the deleted version dirs."""
+        return self._mtable(self._table_dir(project, view_name)).vacuum()
 
     # -- write / read ------------------------------------------------------
 

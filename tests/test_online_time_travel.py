@@ -120,6 +120,35 @@ def test_manifest_tags_pin_snapshots_past_gc(spark, tmp_path):
         t.path_as_of(1)
 
 
+def test_manifest_vacuum_reclaims_unpinned_without_a_commit(
+    spark, tmp_path
+):
+    """vacuum() reruns GC against the current manifest: a deleted
+    tag's snapshot is reclaimed NOW, pinned/window versions survive,
+    and the history log is truncated to survivors."""
+    t = ManifestedParquetTable(str(tmp_path / "t"), keep_versions=2)
+    for i in (1, 2, 3, 4):
+        t.commit(spark.createDataFrame([(i,)], "x INT"))
+        if i == 1:
+            t.tag("old-run")
+        if i == 2:
+            t.tag("keeper")
+    assert [e["seq"] for e in t.history()] == [1, 2, 3, 4]
+    # nothing outside the keep rules: vacuum is a no-op
+    assert t.vacuum() == []
+    t.delete_tag("old-run")
+    deleted = t.vacuum()
+    assert deleted == ["v_00000001"]
+    assert [e["seq"] for e in t.history()] == [2, 3, 4]
+    # the still-pinned and in-window snapshots all read
+    assert t.read(spark, as_of="keeper").collect()[0]["x"] == 2
+    assert t.read(spark, as_of=4).collect()[0]["x"] == 4
+    with pytest.raises(ValueError, match="retained seqs"):
+        t.path_as_of(1)
+    # empty table: no-op, no error
+    assert ManifestedParquetTable(str(tmp_path / "empty")).vacuum() == []
+
+
 def test_online_snapshot_tag_serves_by_name(spark, store):
     """tag_snapshot -> get_online_features(as_of='name') replays the
     pinned materialization through every later upsert."""
