@@ -765,6 +765,15 @@ def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
         got = vec_co.query(qvec)
         assert [g[0] for g in got] == [r[1] for r in vec_then]
         assert vec_co.stats()["as_of"] == "prod"
+    # the hybrid pair pin serializes as a JSON list in stats/metrics
+    from feast_spark.serving import HybridQueryCoalescer
+
+    with HybridQueryCoalescer(
+        spark, bp, vp, k=3, n_probe=2, max_batch=1, max_wait_ms=10.0,
+        as_of=(b_seq, v_seq),
+    ) as hy_co:
+        assert hy_co.stats()["as_of"] == [b_seq, v_seq]
+        json.dumps(hy_co.stats())  # the whole payload stays wire-safe
 
 
 def test_hybrid_batch_as_of(spark, tmp_path):
