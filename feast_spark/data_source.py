@@ -61,12 +61,57 @@ class FileSource(DataSource):
     ``path`` may be a single file, a directory, or a glob; ``file_format``
     one of parquet/csv/json/orc.  At scale, write sources partitioned by
     ``date_partition_column`` so Catalyst partition-prunes time filters.
-    """
+
+    A ``path`` that is a MANIFEST TABLE root (io/manifest.py —
+    ``_MANIFEST.json`` with a ``current`` pointer, e.g. a versioned
+    dataset committed by ``datasets.commit_dataset`` or an
+    incrementally-maintained rollup) is detected at load time and
+    resolved THROUGH the manifest: the scan reads one immutable
+    committed snapshot, so a concurrent re-run's half-written version
+    directory is structurally invisible, and a feature view can be fed
+    by a pipeline that re-commits under it without torn reads.
+    ``as_of`` (commit seq or tag name) pins the source to an archived
+    snapshot — a feature view over "the corpus the June model trained
+    on" — and requires parquet format (manifest tables are parquet)."""
 
     path: str = ""
     file_format: str = "parquet"
+    as_of: "int | str | None" = None
+
+    def _manifest_table(self):
+        """The ManifestedParquetTable at ``path``, or None when path is
+        a plain file/dir/glob.  Local-path check only — remote-scheme
+        manifest roots should be read via datasets.read_dataset with
+        the matching StoreFS."""
+        import os
+        import posixpath
+
+        if "*" in self.path or not os.path.isdir(self.path):
+            return None
+        if not os.path.exists(posixpath.join(self.path, "_MANIFEST.json")):
+            return None
+        from feast_spark.io.manifest import ManifestedParquetTable
+
+        return ManifestedParquetTable(self.path)
 
     def load(self, spark: SparkSession) -> DataFrame:
+        t = self._manifest_table()
+        if t is not None:
+            if self.file_format != "parquet":
+                raise ValueError(
+                    "manifest-table sources are parquet; got "
+                    f"file_format={self.file_format!r}"
+                )
+            df = t.read(spark, as_of=self.as_of)
+            if df is None:
+                raise ValueError(f"no committed snapshot at {self.path}")
+            return self.apply_field_mapping(df)
+        if self.as_of is not None:
+            raise ValueError(
+                f"as_of={self.as_of!r} needs a manifest-table source "
+                f"(io/manifest.py), but {self.path} is a plain "
+                "file/dir/glob with no commit history"
+            )
         reader = spark.read
         if self.file_format == "parquet":
             df = reader.parquet(self.path)
@@ -83,6 +128,8 @@ class FileSource(DataSource):
     def to_dict(self) -> dict:
         d = super().to_dict()
         d.update({"path": self.path, "file_format": self.file_format})
+        if self.as_of is not None:
+            d["as_of"] = self.as_of
         return d
 
 

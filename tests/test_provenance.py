@@ -424,6 +424,102 @@ def test_cli_tag_verb_is_layer_agnostic(spark, store, tmp_path, capsys):
     assert "tagged   prod -> commit_seq=1" in capsys.readouterr().out
 
 
+def test_filesource_over_manifest_table(spark, tmp_path):
+    """A FileSource whose path is a versioned-dataset root resolves
+    through the manifest: reads see one committed snapshot (a re-run's
+    half-written version dir is structurally invisible), and as_of
+    pins a feature view to an archived commit — 'features from the
+    corpus the June model trained on'."""
+    from feast_spark import (
+        Entity,
+        FeatureStore,
+        FeatureView,
+        FileSource,
+        RepoConfig,
+        ValueType,
+        commit_dataset,
+    )
+    from feast_spark.datasets import tag_dataset
+
+    now = _utcnow()
+    root = str(tmp_path / "src_ds")
+    commit_dataset(
+        spark.createDataFrame(
+            [Row(driver_id=1, value=0.3, ts=now - timedelta(hours=3))]
+        ),
+        root,
+    )
+    tag_dataset(root, "june-run")
+    st = FeatureStore(
+        spark,
+        RepoConfig(
+            project="mf",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    st.apply(
+        [
+            Entity(name="driver", join_key="driver_id",
+                   value_type=ValueType.INT64),
+            FeatureView(
+                name="fv_head",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=root, event_timestamp_column="ts"
+                ),
+            ),
+            FeatureView(
+                name="fv_pinned",
+                entities=["driver"],
+                ttl=timedelta(days=1),
+                batch_source=FileSource(
+                    path=root, event_timestamp_column="ts",
+                    as_of="june-run",
+                ),
+            ),
+        ]
+    )
+    # a re-run commits fresher values under the same root
+    commit_dataset(
+        spark.createDataFrame(
+            [Row(driver_id=1, value=9.9, ts=now - timedelta(hours=2))]
+        ),
+        root,
+    )
+    entity_df = spark.createDataFrame(
+        [Row(driver_id=1, event_timestamp=now)]
+    )
+    head = st.get_historical_features(
+        entity_df, ["fv_head:value"]
+    ).to_spark_df().collect()
+    assert head[0]["value"] == pytest.approx(9.9)
+    pinned = st.get_historical_features(
+        entity_df, ["fv_pinned:value"]
+    ).to_spark_df().collect()
+    assert pinned[0]["value"] == pytest.approx(0.3)
+    # the pin survives a registry round-trip
+    st2 = FeatureStore(
+        spark,
+        RepoConfig(
+            project="mf",
+            registry_path=str(tmp_path / "registry.json"),
+            online_store_path=str(tmp_path / "online"),
+        ),
+    )
+    src = st2.registry.get_feature_view("fv_pinned").batch_source
+    assert src.as_of == "june-run"
+    # as_of on a plain path (no commit history) fails loudly
+    plain = str(tmp_path / "plain.parquet")
+    spark.createDataFrame([Row(driver_id=1)]).write.parquet(plain)
+    with pytest.raises(ValueError, match="no commit history"):
+        FileSource(path=plain, as_of=1).load(spark)
+    # manifest sources are parquet; other formats refuse
+    with pytest.raises(ValueError, match="parquet"):
+        FileSource(path=root, file_format="csv").load(spark)
+
+
 def test_unknown_format_is_rejected(store, tmp_path):
     import json
 
