@@ -78,24 +78,40 @@ class FileSource(DataSource):
     file_format: str = "parquet"
     as_of: "int | str | None" = None
 
-    def _manifest_table(self):
+    def _manifest_table(self, spark: SparkSession | None = None):
         """The ManifestedParquetTable at ``path``, or None when path is
-        a plain file/dir/glob.  Local-path check only — remote-scheme
-        manifest roots should be read via datasets.read_dataset with
-        the matching StoreFS."""
+        a plain file/dir/glob.  Local paths are probed with os.path
+        (no Spark needed); a path carrying a URI scheme (``s3a://``,
+        ``gs://``, ``hdfs://``, ``file://``...) is probed through the
+        SAME Hadoop connectors Spark reads the data with (io/fs.py
+        HadoopFS) — os.path can't see remote stores, and silently
+        falling through to ``spark.read.parquet(root)`` would
+        recursively scan EVERY retained ``v_*`` snapshot, serving
+        duplicated rows across versions as feature data."""
         import os
         import posixpath
 
-        if "*" in self.path or not os.path.isdir(self.path):
+        if "*" in self.path:
             return None
-        if not os.path.exists(posixpath.join(self.path, "_MANIFEST.json")):
-            return None
-        from feast_spark.io.manifest import ManifestedParquetTable
+        from feast_spark.io.manifest import MANIFEST, ManifestedParquetTable
 
+        if "://" in self.path:
+            if spark is None:
+                return None
+            from feast_spark.io.fs import HadoopFS
+
+            fs = HadoopFS(spark)
+            if not fs.exists(posixpath.join(self.path, MANIFEST)):
+                return None
+            return ManifestedParquetTable(self.path, fs=fs)
+        if not os.path.isdir(self.path):
+            return None
+        if not os.path.exists(posixpath.join(self.path, MANIFEST)):
+            return None
         return ManifestedParquetTable(self.path)
 
     def load(self, spark: SparkSession) -> DataFrame:
-        t = self._manifest_table()
+        t = self._manifest_table(spark)
         if t is not None:
             if self.file_format != "parquet":
                 raise ValueError(

@@ -520,6 +520,34 @@ def test_filesource_over_manifest_table(spark, tmp_path):
         FileSource(path=root, file_format="csv").load(spark)
 
 
+def test_filesource_manifest_root_with_uri_scheme(spark, tmp_path):
+    """A manifest root addressed through a URI scheme is probed via the
+    Hadoop connectors Spark itself reads with (io/fs.py HadoopFS), not
+    os.path: before r15 an s3a://-style root silently fell through to
+    spark.read.parquet(root), recursively scanning every retained v_*
+    snapshot — duplicated rows across versions served as features with
+    no error.  file:// exercises the same code path locally."""
+    from feast_spark import FileSource, commit_dataset
+
+    root = str(tmp_path / "remote_ds")
+    commit_dataset(
+        spark.createDataFrame([Row(doc_id=1, v=1.0)]), root
+    )
+    commit_dataset(
+        spark.createDataFrame([Row(doc_id=1, v=2.0)]), root
+    )
+    uri = "file://" + root
+    head = FileSource(path=uri).load(spark).collect()
+    # manifest-resolved: ONE committed snapshot, not both v_* dirs
+    assert len(head) == 1 and head[0]["v"] == pytest.approx(2.0)
+    pinned = FileSource(path=uri, as_of=1).load(spark).collect()
+    assert len(pinned) == 1 and pinned[0]["v"] == pytest.approx(1.0)
+    # a scheme-carrying PLAIN parquet dir still loads as a plain scan
+    plain = str(tmp_path / "plain_remote.parquet")
+    spark.createDataFrame([Row(doc_id=7)]).write.parquet(plain)
+    assert FileSource(path="file://" + plain).load(spark).count() == 1
+
+
 def test_unknown_format_is_rejected(store, tmp_path):
     import json
 
