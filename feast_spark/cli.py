@@ -570,6 +570,22 @@ def _cmd_provenance(args) -> int:
             except ValueError as e:
                 expired += 1
                 print(f"expired  online {view} seq={vseq}: {e}")
+                continue
+            # the doc records the per-view tag map (r15), so the
+            # online pin is verifiable like the index/dataset pins
+            pin = doc.get("pin_tag")
+            if pin and online.get("tags", {}).get(view, {}).get(pin) == vseq:
+                live = store.snapshot_tags(doc["project"], view)
+                if live.get(pin) == vseq:
+                    print(
+                        f"ok       online {view} pin {pin!r} -> seq={vseq}"
+                    )
+                else:
+                    expired += 1
+                    print(
+                        f"missing  online {view} pin {pin!r}: live tag "
+                        f"is {live.get(pin)!r} (deleted or re-pointed)"
+                    )
     else:
         print(
             f"warn     online store ({online['type']}) keeps no "
@@ -606,6 +622,26 @@ def _cmd_provenance(args) -> int:
                 f"expired  dataset {name} commit_seq="
                 f"{info['commit_seq']}: {e}"
             )
+    # streaming watermarks recorded at snapshot time: "this run
+    # trained on data ingested through epoch E" per layer (r15)
+    layers = [("online", online.get("meta", {}))]
+    layers.append(
+        ("index", {n: i["meta"] for n, i in doc["indexes"].items()
+                   if "meta" in i})
+    )
+    layers.append(
+        ("dataset", {n: i["meta"]
+                     for n, i in doc.get("datasets", {}).items()
+                     if "meta" in i})
+    )
+    for scope, entries in layers:
+        for name, m in sorted(entries.items()):
+            stamps = " ".join(
+                f"{k}={m[k]}" for k in ("stream_epoch", "corpus_epoch")
+                if k in m
+            )
+            if stamps:
+                print(f"ingested {scope} {name} through {stamps}")
     return 1 if expired else 0
 
 

@@ -117,6 +117,7 @@ class DynamoDBOnlineStore:
         ts_col: str,
         created_col: str | None,
         feature_cols: list[str],
+        meta: dict | None = None,  # KV stores overwrite in place: no manifest to stamp
     ) -> None:
         rows, schema_json = _snapshot_rows(
             df, join_keys, ts_col, created_col, feature_cols
@@ -271,6 +272,7 @@ class DatastoreOnlineStore:
         ts_col: str,
         created_col: str | None,
         feature_cols: list[str],
+        meta: dict | None = None,  # KV stores overwrite in place: no manifest to stamp
     ) -> None:
         rows, schema_json = _snapshot_rows(
             df, join_keys, ts_col, created_col, feature_cols

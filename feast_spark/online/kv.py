@@ -191,6 +191,7 @@ class SqliteOnlineStore:
         ts_col: str,
         created_col: str | None,
         feature_cols: list[str],
+        meta: dict | None = None,  # KV stores overwrite in place: no manifest to stamp
     ) -> None:
         rows, schema_json = _snapshot_rows(
             df, join_keys, ts_col, created_col, feature_cols
@@ -312,6 +313,7 @@ class RedisOnlineStore:
         ts_col: str,
         created_col: str | None,
         feature_cols: list[str],
+        meta: dict | None = None,  # KV stores overwrite in place: no manifest to stamp
     ) -> None:
         rows, schema_json = _snapshot_rows(
             df, join_keys, ts_col, created_col, feature_cols

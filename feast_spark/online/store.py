@@ -139,6 +139,20 @@ class OnlineStore:
             self._table_dir(project, view_name)
         ).tag(name, seq)
 
+    def snapshot_tags(self, project: str, view_name: str) -> dict[str, int]:
+        """The view's named snapshot pins ``{name: seq}`` — what a
+        provenance record stores so ``describe`` can verify the online
+        pin, not just the seq."""
+        return self._mtable(self._table_dir(project, view_name)).tags()
+
+    def snapshot_meta(self, project: str, view_name: str) -> dict:
+        """The view's last-commit manifest meta — e.g. the streaming
+        sink's ``stream_epoch`` watermark, the missing coordinate for
+        a view fed by a pipeline that never stops writing."""
+        return self._mtable(
+            self._table_dir(project, view_name)
+        ).current_meta()
+
     def delete_snapshot_tag(
         self, project: str, view_name: str, name: str
     ) -> None:
@@ -165,9 +179,15 @@ class OnlineStore:
         ts_col: str,
         created_col: str | None,
         feature_cols: list[str],
+        meta: dict | None = None,
     ) -> None:
         """Per-key upsert: newest (event_ts, created_ts) wins, matching
-        the sqlite UPDATE + INSERT-OR-IGNORE semantics (sqlite.py:76-128)."""
+        the sqlite UPDATE + INSERT-OR-IGNORE semantics (sqlite.py:76-128).
+
+        ``meta`` merges into the snapshot manifest (io/manifest.py
+        commit) — the streaming sink stamps its ``stream_epoch``
+        watermark here so a provenance snapshot can record how far a
+        never-stopping ingestion had gotten."""
         table_dir = self._table_dir(project, view_name)
         incoming = project_incoming(df, join_keys, ts_col, created_col, feature_cols)
         current = self._current_data_path(project, view_name)
@@ -183,7 +203,7 @@ class OnlineStore:
         merged = latest_per_key(
             incoming, [_KEY], _EVENT_TS, created_col=_CREATED_TS
         )
-        self._mtable(table_dir).commit(merged)
+        self._mtable(table_dir).commit(merged, meta=meta)
 
     def expire(
         self,

@@ -117,6 +117,8 @@ def snapshot_provenance(
         # online pins from the document alone, like the registry path
         online["path"] = getattr(store.online_store, "root", None)
         views = {}
+        views_tags: dict[str, dict] = {}
+        views_meta: dict[str, dict] = {}
         for view in reg.list_feature_views():
             seq = store.online_store.snapshot_seq(
                 store.config.project, view.name
@@ -124,7 +126,26 @@ def snapshot_provenance(
             views[view.name] = (
                 NEVER_MATERIALIZED if seq is None else seq
             )
+            if seq is not None:
+                tags = store.online_store.snapshot_tags(
+                    store.config.project, view.name
+                )
+                if tags:
+                    views_tags[view.name] = tags
+                # last-commit manifest meta: the streaming sink's
+                # stream_epoch watermark — "ingested through epoch E",
+                # the missing coordinate for a view fed by a query
+                # that never stops writing
+                m = store.online_store.snapshot_meta(
+                    store.config.project, view.name
+                )
+                if m:
+                    views_meta[view.name] = m
         online["views"] = views
+        if views_tags:
+            online["tags"] = views_tags
+        if views_meta:
+            online["meta"] = views_meta
     else:
         # KV backends overwrite in place — recorded honestly so replay
         # raises instead of silently serving head
@@ -142,6 +163,15 @@ def snapshot_provenance(
             "kind": manifest.get("kind"),
             "tags": epochs_io.read_tags(ipath, ifs),
         }
+        # streaming sidecar watermarks (index co-sinks stamp
+        # stream_epoch; paired sinks add the corpus_epoch pair token)
+        meta = {
+            k: manifest[k]
+            for k in ("stream_epoch", "corpus_epoch")
+            if k in manifest
+        }
+        if meta:
+            indexes[name]["meta"] = meta
 
     datasets = {}
     for name, droot in (dataset_paths or {}).items():
@@ -155,26 +185,86 @@ def snapshot_provenance(
             )
         datasets[name] = {"path": droot, "commit_seq": hist[-1]["seq"],
                           "tags": t.tags()}
+        meta = t.current_meta()
+        if meta:
+            datasets[name]["meta"] = meta
 
     # pins are applied only after EVERY coordinate was read and
     # validated above — a failure before this point leaves no orphaned
-    # vacuum-immune tags behind
+    # vacuum-immune tags behind.  The loop itself is rollback-protected:
+    # a failure pinning layer N (e.g. a concurrent vacuum GC'd a
+    # recorded seq between the coordinate read and the tag call) undoes
+    # the tags already applied to layers 1..N-1 — otherwise they would
+    # sit vacuum-immune forever with NO provenance file referencing
+    # them (the JSON is only written after this block).  Each undo
+    # restores the tag's PRIOR state: deleted if it did not exist,
+    # re-pointed if this call overwrote an existing pin.
     if pin_tag is not None:
-        if "views" in online:
-            for view_name, seq in online["views"].items():
-                if seq != NEVER_MATERIALIZED:
+        undo: list = []
+
+        def _undo_all() -> None:
+            for fn in reversed(undo):
+                try:
+                    fn()
+                except Exception:
+                    pass  # best-effort: never mask the original error
+
+        try:
+            if "views" in online:
+                for view_name, seq in online["views"].items():
+                    if seq == NEVER_MATERIALIZED:
+                        continue
+                    prior = online.get("tags", {}).get(
+                        view_name, {}
+                    ).get(pin_tag)
                     store.online_store.tag_snapshot(
                         store.config.project, view_name, pin_tag, seq
                     )
-        for info in indexes.values():
-            epochs_io.tag_commit(
-                info["path"], ifs, pin_tag, info["commit_seq"]
-            )
-            info["tags"] = epochs_io.read_tags(info["path"], ifs)
-        for info in datasets.values():
-            t = ManifestedParquetTable(info["path"], fs=ifs)
-            t.tag(pin_tag, info["commit_seq"])
-            info["tags"] = t.tags()
+                    undo.append(
+                        (lambda v=view_name, p=prior:
+                         store.online_store.delete_snapshot_tag(
+                             store.config.project, v, pin_tag)
+                         if p is None else
+                         store.online_store.tag_snapshot(
+                             store.config.project, v, pin_tag, p))
+                    )
+            for info in indexes.values():
+                prior = info["tags"].get(pin_tag)
+                epochs_io.tag_commit(
+                    info["path"], ifs, pin_tag, info["commit_seq"]
+                )
+                undo.append(
+                    (lambda ip=info["path"], p=prior:
+                     epochs_io.delete_tag(ip, ifs, pin_tag)
+                     if p is None else
+                     epochs_io.tag_commit(ip, ifs, pin_tag, p))
+                )
+                info["tags"] = epochs_io.read_tags(info["path"], ifs)
+            for info in datasets.values():
+                t = ManifestedParquetTable(info["path"], fs=ifs)
+                prior = info["tags"].get(pin_tag)
+                t.tag(pin_tag, info["commit_seq"])
+                undo.append(
+                    (lambda tt=t, p=prior:
+                     tt.delete_tag(pin_tag) if p is None
+                     else tt.tag(pin_tag, p))
+                )
+                info["tags"] = t.tags()
+        except BaseException:
+            _undo_all()
+            raise
+        # the doc records the online pin state too (mirroring the
+        # index/dataset entries), so `provenance describe` can show
+        # and verify the online pin_tag, not just the seq
+        if "views" in online:
+            vt = dict(online.get("tags", {}))
+            for view_name, seq in online["views"].items():
+                if seq != NEVER_MATERIALIZED:
+                    vt[view_name] = store.online_store.snapshot_tags(
+                        store.config.project, view_name
+                    )
+            if vt:
+                online["tags"] = vt
 
     doc = {
         "format": PROVENANCE_FORMAT,
@@ -276,6 +366,31 @@ class RunReplay:
 
     def index_path(self, name: str) -> str:
         return self.doc["indexes"][name]["path"]
+
+    @property
+    def ingest_meta(self) -> dict:
+        """Per-layer streaming watermarks recorded at snapshot time —
+        ``{"online": {view: meta}, "indexes": {name: meta},
+        "datasets": {name: meta}}``, where meta carries the sink's
+        ``stream_epoch`` (and for paired index sinks ``corpus_epoch``).
+        For a run fed by continuous ingestion this states "this run
+        trained on data ingested through epoch E" per layer — the
+        coordinate a snapshot seq alone cannot express when the head
+        advances every micro-batch."""
+        doc = self.doc
+        return {
+            "online": dict(doc["online"].get("meta", {})),
+            "indexes": {
+                n: i["meta"]
+                for n, i in doc["indexes"].items()
+                if "meta" in i
+            },
+            "datasets": {
+                n: i["meta"]
+                for n, i in doc.get("datasets", {}).items()
+                if "meta" in i
+            },
+        }
 
     @property
     def dataset_as_of(self) -> dict[str, int]:

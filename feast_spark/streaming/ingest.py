@@ -125,6 +125,11 @@ def stream_to_online(
             ts_col,
             created_col,
             feature_cols,
+            # watermark stamp, like the index co-sinks: a provenance
+            # snapshot can then record "ingested through epoch E" for a
+            # view fed by a query that never stops (the upsert itself
+            # is idempotent, so this is a coordinate, not a dedup gate)
+            meta={"stream_epoch": batch_id},
         )
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")

@@ -250,6 +250,157 @@ def test_pinned_run_survives_vacuum_and_registry_pruning(
         run.registry.commit()
 
 
+def test_pin_failure_rolls_back_applied_tags(
+    spark, store, tmp_path, monkeypatch
+):
+    """A failure pinning layer N must not leave layers 1..N-1 tagged
+    vacuum-immune with no provenance file referencing them: the pin
+    loop rolls back already-applied tags (deleting fresh ones,
+    restoring a pre-existing pin it overwrote) and the JSON is never
+    written."""
+    from feast_spark.datasets import commit_dataset
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.manifest import ManifestedParquetTable
+    from feast_spark.operators.bm25 import (
+        bm25_index_append, build_bm25_index,
+    )
+
+    store.materialize(datetime(2000, 1, 1), _utcnow())
+    idx = str(tmp_path / "rb_idx")
+    build_bm25_index(_docs(spark, range(6)), idx, "doc_id", "text")
+    # a PRE-EXISTING pin under the same name, pointing at seq 1: the
+    # rollback must restore it, not delete it
+    epochs_io.tag_commit(idx, None, "june-run", 1)
+    bm25_index_append(spark, idx, _docs(spark, range(50, 53)))
+    ds = str(tmp_path / "rb_ds")
+    commit_dataset(_docs(spark, range(3)), ds)
+
+    # datasets are pinned LAST — failing there (and ONLY there: the
+    # online pin shares ManifestedParquetTable.tag, so the injection
+    # is scoped to the dataset root) exercises rollback of both
+    # earlier layers (online views, then indexes)
+    orig_tag = ManifestedParquetTable.tag
+
+    def _boom(self, name, seq=None):
+        if self.root == ds:
+            raise OSError("injected: dataset tag I/O failure")
+        return orig_tag(self, name, seq)
+
+    monkeypatch.setattr(ManifestedParquetTable, "tag", _boom)
+    prov_path = str(tmp_path / "rb.json")
+    with pytest.raises(OSError, match="injected"):
+        store.snapshot_provenance(
+            index_paths={"bm25": idx}, dataset_paths={"train": ds},
+            path=prov_path, pin_tag="june-run",
+        )
+    monkeypatch.undo()
+    import os
+
+    assert not os.path.exists(prov_path)
+    # online: the fresh tag was rolled back
+    assert "june-run" not in store.online_store.snapshot_tags(
+        "prov", "fv"
+    )
+    # index: restored to the PRIOR pin (seq 1), not the head (seq 2)
+    assert epochs_io.read_tags(idx, epochs_io.LocalFS()) == {
+        "june-run": 1
+    }
+    # dataset: never tagged
+    assert ManifestedParquetTable(ds).tags() == {}
+    # and a clean retry still works end-to-end
+    doc = store.snapshot_provenance(
+        index_paths={"bm25": idx}, dataset_paths={"train": ds},
+        path=prov_path, pin_tag="june-run",
+    )
+    assert doc["indexes"]["bm25"]["tags"]["june-run"] == 2
+    assert doc["online"]["tags"]["fv"]["june-run"] == doc[
+        "online"]["views"]["fv"]
+
+
+def test_online_pin_recorded_and_verified_by_describe(
+    spark, store, tmp_path, capsys
+):
+    """The doc records the per-view online tag map, so `provenance
+    describe` shows AND verifies the online pin — and flags a deleted
+    pin instead of silently reporting only the seq."""
+    from feast_spark.cli import main
+
+    store.materialize(datetime(2000, 1, 1), _utcnow())
+    prov_path = str(tmp_path / "op.json")
+    doc = store.snapshot_provenance(path=prov_path, pin_tag="june-run")
+    seq = doc["online"]["views"]["fv"]
+    assert doc["online"]["tags"]["fv"]["june-run"] == seq
+    base = [
+        "--registry", store.config.registry_path,
+        "--online-path", store.config.online_store_path,
+        "--project", "prov",
+    ]
+    assert main(base + ["provenance", "describe", prov_path]) == 0
+    out = capsys.readouterr().out
+    assert f"ok       online fv pin 'june-run' -> seq={seq}" in out
+    store.online_store.delete_snapshot_tag("prov", "fv", "june-run")
+    assert main(base + ["provenance", "describe", prov_path]) == 1
+    assert "missing  online fv pin 'june-run'" in capsys.readouterr().out
+
+
+def test_streaming_watermarks_recorded_in_provenance(
+    spark, store, tmp_path, capsys
+):
+    """A run fed by continuous ingestion records how far each layer had
+    ingested: the online snapshot's stream_epoch, the index sidecar
+    watermark, and the dataset commit meta all land in the doc, and a
+    snapshot taken BEFORE further sinks keeps the earlier watermark."""
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset
+    from feast_spark.operators.bm25 import (
+        bm25_index_append, build_bm25_index,
+    )
+
+    now = _utcnow()
+
+    def _sink_online(epoch, v):
+        store.online_store.online_write_batch(
+            spark, "prov", "fv",
+            spark.createDataFrame(
+                [Row(driver_id=1, value=v,
+                     ts=now - timedelta(minutes=5), created_ts=now)]
+            ),
+            ["driver_id"], "ts", "created_ts", ["value"],
+            meta={"stream_epoch": epoch},
+        )
+
+    idx = str(tmp_path / "wm_idx")
+    build_bm25_index(_docs(spark, range(4)), idx, "doc_id", "text")
+    bm25_index_append(
+        spark, idx, _docs(spark, range(10, 13)),
+        meta={"stream_epoch": 3},
+    )
+    ds = str(tmp_path / "wm_ds")
+    commit_dataset(_docs(spark, range(3)), ds, meta={"stream_epoch": 5})
+    _sink_online(7, 1.0)
+    prov_path = str(tmp_path / "wm.json")
+    store.snapshot_provenance(
+        index_paths={"bm25": idx}, dataset_paths={"train": ds},
+        path=prov_path,
+    )
+    # the pipeline keeps ingesting AFTER the snapshot
+    _sink_online(8, 2.0)
+    run = store.describe_run(prov_path)
+    assert run.ingest_meta["online"]["fv"]["stream_epoch"] == 7
+    assert run.ingest_meta["indexes"]["bm25"]["stream_epoch"] == 3
+    assert run.ingest_meta["datasets"]["train"]["stream_epoch"] == 5
+    base = [
+        "--registry", store.config.registry_path,
+        "--online-path", store.config.online_store_path,
+        "--project", "prov",
+    ]
+    assert main(base + ["provenance", "describe", prov_path]) == 0
+    out = capsys.readouterr().out
+    assert "ingested online fv through stream_epoch=7" in out
+    assert "ingested index bm25 through stream_epoch=3" in out
+    assert "ingested dataset train through stream_epoch=5" in out
+
+
 def test_pin_map_missing_view_raises(spark, store, tmp_path):
     prov_path = str(tmp_path / "p.json")
     store.snapshot_provenance(path=prov_path)

@@ -91,6 +91,11 @@ def test_stream_to_online_upsert_and_late_data(spark, tmp_path):
     got = store.online_read(spark, "t", "driver_stream", req, ["driver_id"], ["conv_rate"])
     vals = {r["driver_id"]: r["conv_rate"] for r in got.collect()}
     assert vals == {1: 0.9, 2: 0.6}, "late event must not overwrite newer value"
+    # the sink stamps its micro-batch watermark into the snapshot
+    # manifest, so a provenance snapshot can record "ingested through
+    # epoch E" for a view fed by a query that never stops (r15)
+    wm = store.snapshot_meta("t", "driver_stream").get("stream_epoch")
+    assert isinstance(wm, int) and wm >= 0
 
 
 def test_parse_kafka_json_payload(spark):
