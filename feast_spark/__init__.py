@@ -31,7 +31,7 @@ from feast_spark.feature_view import (
     OnDemandFeatureView,
 )
 from feast_spark.registry import Registry
-from feast_spark.datasets import commit_dataset, read_dataset
+from feast_spark.datasets import commit_dataset, diff_dataset, read_dataset
 from feast_spark.feature_store import FeatureStore, RepoConfig
 from feast_spark.pipelines import CorpusConfig, build_corpus
 from feast_spark.provenance import (
@@ -64,6 +64,7 @@ __all__ = [
     "load_provenance",
     "snapshot_provenance",
     "commit_dataset",
+    "diff_dataset",
     "read_dataset",
 ]
 

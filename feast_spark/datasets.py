@@ -25,6 +25,7 @@ from __future__ import annotations
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from feast_spark.io.fs import StoreFS
 from feast_spark.io.manifest import ManifestedParquetTable
@@ -34,14 +35,23 @@ def commit_dataset(
     df: DataFrame,
     root: str,
     fs: StoreFS | None = None,
-    keep_versions: int = 3,
+    keep_versions: int | None = None,
     meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next snapshot of the dataset at ``root``;
     returns the commit seq (the coordinate to record in a provenance
     snapshot).  ``meta`` (feature refs, entity-df description, code
-    version) merges into the manifest for ``dataset_meta`` readers."""
+    version) merges into the manifest for ``dataset_meta`` readers.
+
+    ``keep_versions=None`` (default) honors the window the dataset was
+    committed with (persisted in the manifest; 3 for a brand-new
+    dataset) — a re-committing pipeline whose config drifted from the
+    original committer's must not silently shrink retention.  An
+    explicit int overrides and becomes the new stored window."""
     t = ManifestedParquetTable(root, fs=fs, keep_versions=keep_versions)
+    if keep_versions is None and not t.history():
+        # first commit of a new dataset: the datasets-layer default
+        t = ManifestedParquetTable(root, fs=fs, keep_versions=3)
     # commit() returns the seq it minted under the manifest lock —
     # re-reading history()[-1] here could hand back a CONCURRENT
     # committer's seq, recording the wrong rows in a provenance pin
@@ -92,13 +102,134 @@ def delete_dataset_tag(
     ManifestedParquetTable(root, fs=fs).delete_tag(name)
 
 
+def diff_dataset(
+    spark: SparkSession,
+    root: str,
+    a: int | str,
+    b: int | str,
+    key_cols: list[str] | None = None,
+    fs: StoreFS | None = None,
+    sample: int = 5,
+) -> dict:
+    """What changed between dataset commits ``a`` and ``b`` (seq or
+    tag) — the audit question versioned training sets exist to answer
+    ("what moved between the June and July training runs?").
+
+    Returns a driver-side dict of COUNTS plus up to ``sample`` example
+    keys per bucket — never the rows themselves:
+
+    * without ``key_cols``: multiset row diff — ``{"added": n,
+      "removed": n}``, where a row duplicated k times in ``b`` and
+      j times in ``a`` contributes ``max(0, k-j)`` to added (the
+      EXCEPT ALL semantics).
+    * with ``key_cols``: ``{"added", "removed", "changed",
+      "sample_added", "sample_removed", "sample_changed"}`` — keys
+      only in ``b``, only in ``a``, and in both with different
+      non-identical row content.
+
+    Scale shape (100 TB dataset versions): each side collapses to its
+    16-byte md5 row fingerprint (the ``dedup_exact`` identity) in a
+    narrow map, so the one shuffle moves (key, hash) — never feature
+    columns; the keyed variant folds duplicate-key groups into one
+    order-insensitive group fingerprint (sorted hash concat) so the
+    comparison stays exact under duplicated keys.  Counts aggregate
+    map-side; samples are ``LIMIT sample`` collects."""
+    t = ManifestedParquetTable(root, fs=fs)
+    df_a, df_b = t.read(spark, as_of=a), t.read(spark, as_of=b)
+    if sorted(df_a.columns) != sorted(df_b.columns):
+        raise ValueError(
+            f"dataset commits {a} and {b} at {root} have different "
+            f"columns: {sorted(df_a.columns)} vs {sorted(df_b.columns)}"
+        )
+    cols = sorted(df_a.columns)
+
+    def _hashed(df):
+        # to_json canonicalizes every type (timestamps, arrays,
+        # structs) into one string to fingerprint; column order fixed
+        # by the sorted projection so both sides agree
+        return df.select(
+            *key_cols or [],
+            F.md5(
+                F.to_json(F.struct(*[F.col(c) for c in cols]))
+            ).alias("__h"),
+        )
+
+    if not key_cols:
+        ca = _hashed(df_a).groupBy("__h").agg(F.count(F.lit(1)).alias("__na"))
+        cb = _hashed(df_b).groupBy("__h").agg(F.count(F.lit(1)).alias("__nb"))
+        joined = ca.join(cb, "__h", "full_outer").select(
+            F.coalesce("__na", F.lit(0)).alias("na"),
+            F.coalesce("__nb", F.lit(0)).alias("nb"),
+        )
+        row = joined.agg(
+            F.sum(F.greatest(F.col("nb") - F.col("na"), F.lit(0))).alias("added"),
+            F.sum(F.greatest(F.col("na") - F.col("nb"), F.lit(0))).alias("removed"),
+        ).collect()[0]
+        return {"added": int(row["added"] or 0),
+                "removed": int(row["removed"] or 0)}
+
+    # keyed: duplicate-key groups fold into ONE order-insensitive
+    # fingerprint per key, so the comparison is exact even when a key
+    # appears several times in a version
+    def _per_key(df):
+        return _hashed(df).groupBy(*key_cols).agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("__h")))
+            ).alias("__h")
+        )
+
+    pa = _per_key(df_a).withColumnsRenamed({"__h": "__ha"})
+    pb = _per_key(df_b).withColumnsRenamed({"__h": "__hb"})
+    full = pa.join(pb, key_cols, "full_outer").select(
+        *key_cols,
+        F.when(F.col("__ha").isNull(), F.lit("added"))
+        .when(F.col("__hb").isNull(), F.lit("removed"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("__status"),
+    ).where(F.col("__status") != "same")
+    full = full.persist()
+    try:
+        counts = {
+            r["__status"]: r["n"]
+            for r in full.groupBy("__status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        out: dict = {
+            "added": int(counts.get("added", 0)),
+            "removed": int(counts.get("removed", 0)),
+            "changed": int(counts.get("changed", 0)),
+        }
+        for status in ("added", "removed", "changed"):
+            out[f"sample_{status}"] = [
+                tuple(r[c] for c in key_cols) if len(key_cols) > 1
+                else r[key_cols[0]]
+                for r in full.where(F.col("__status") == status)
+                .select(*key_cols)
+                .orderBy(*key_cols)
+                .limit(sample)
+                .collect()
+            ]
+        return out
+    finally:
+        full.unpersist()
+
+
 def vacuum_dataset(
-    root: str, fs: StoreFS | None = None, keep_versions: int = 3
+    root: str, fs: StoreFS | None = None,
+    keep_versions: int | None = None,
 ) -> list[str]:
     """Reclaim dataset versions outside the keep window NOW — e.g.
     after a retired run's tag was deleted on a dataset nobody re-runs
     (commit-path GC would otherwise never fire again).  Returns the
-    deleted version dirs."""
+    deleted version dirs.
+
+    The window defaults to the one the dataset was COMMITTED with
+    (persisted in the manifest) — a vacuum run from a process with a
+    smaller default must not delete snapshots the committer's
+    retention meant to keep.  An explicit ``keep_versions`` overrides,
+    deliberately."""
     return ManifestedParquetTable(
         root, fs=fs, keep_versions=keep_versions
     ).vacuum()

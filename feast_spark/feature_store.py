@@ -133,7 +133,7 @@ class RetrievalJob:
 
     def to_dataset(
         self, root: str, meta: dict | None = None,
-        keep_versions: int = 3, fs=None,
+        keep_versions: int | None = None, fs=None,
     ) -> int:
         """Commit the result as the next VERSIONED dataset snapshot at
         ``root`` (datasets.py — manifest-flip commit log, as_of reads,

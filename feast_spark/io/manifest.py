@@ -27,6 +27,9 @@ from feast_spark.io.fs import LocalFS, StoreFS
 
 MANIFEST = "_MANIFEST.json"
 
+#: GC window when neither the caller nor the manifest names one
+DEFAULT_KEEP_VERSIONS = 2
+
 
 def _to_epoch_s(dt: datetime) -> float:
     """Naive datetimes are UTC (the store's timestamp convention)."""
@@ -42,11 +45,30 @@ class ManifestedParquetTable:
         self,
         root: str,
         fs: StoreFS | None = None,
-        keep_versions: int = 2,
+        keep_versions: int | None = None,
     ):
+        """``keep_versions=None`` (default) defers to the window the
+        table was COMMITTED with — each commit persists its effective
+        ``keep_versions`` in the manifest, so a later ``vacuum()`` (or
+        a commit from a differently-configured process) honors the
+        committer's retention instead of silently shrinking it to a
+        caller-side default and deleting snapshots the original
+        retention meant to keep.  An explicit int overrides."""
         self.root = root
         self.fs = fs or LocalFS()
-        self.keep_versions = max(1, keep_versions)
+        self._keep_arg = None if keep_versions is None else max(1, keep_versions)
+
+    @property
+    def keep_versions(self) -> int:
+        """The effective GC window: the explicit constructor arg, else
+        the manifest's stored window, else the default."""
+        return self._effective_keep(self._read_manifest())
+
+    def _effective_keep(self, manifest: dict) -> int:
+        if self._keep_arg is not None:
+            return self._keep_arg
+        stored = manifest.get("keep_versions")
+        return max(1, stored) if stored else DEFAULT_KEEP_VERSIONS
 
     def _manifest_path(self) -> str:
         return posixpath.join(self.root, MANIFEST)
@@ -222,7 +244,7 @@ class ManifestedParquetTable:
                 if e["seq"] in pinned_seqs
             }
             keep = (
-                set(versions[-self.keep_versions:])
+                set(versions[-self._effective_keep(manifest):])
                 | {manifest["current"]}
                 | pinned
             )
@@ -361,6 +383,7 @@ class ManifestedParquetTable:
         tables: list[str] | None = None,
     ) -> int:
         prev = self._read_manifest()
+        keep_n = self._effective_keep(prev)
         manifest = {"current": version, "format": "parquet"}
         if tables:
             manifest["tables"] = tables
@@ -385,7 +408,7 @@ class ManifestedParquetTable:
             if e["seq"] in pinned_seqs
         }
         keep = (
-            set(versions[-self.keep_versions :])
+            set(versions[-keep_n:])
             | {version}
             | pinned_versions
         )
@@ -402,6 +425,9 @@ class ManifestedParquetTable:
         )
         manifest["seq"] = seq
         manifest["history"] = history
+        # the committer's retention is part of the table's contract:
+        # persisted so vacuum() and other processes honor it by default
+        manifest["keep_versions"] = keep_n
         if tags:
             manifest["tags"] = tags
         self.fs.write_bytes_atomic(

@@ -84,11 +84,18 @@ class OnlineStore:
         self,
         root: str,
         fs: StoreFS | None = None,
-        keep_versions: int = 2,
+        keep_versions: int | None = None,
     ):
+        """``keep_versions=None`` defers to each view table's
+        manifest-stored window (io/manifest.py) — so a vacuum from a
+        process configured differently than the materializer honors
+        the committer's retention.  An explicit int overrides (and is
+        persisted by the next materialization)."""
         self.root = root
         self.fs = fs or LocalFS()
-        self.keep_versions = max(1, keep_versions)
+        self.keep_versions = (
+            None if keep_versions is None else max(1, keep_versions)
+        )
 
     def _table_dir(self, project: str, view_name: str) -> str:
         return posixpath.join(self.root, project, view_name)

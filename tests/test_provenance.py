@@ -470,6 +470,137 @@ def test_versioned_datasets_commit_read_and_replay(
         )
 
 
+def test_dataset_diff_counts_and_samples(spark, tmp_path):
+    """diff_dataset answers 'what moved between v1 and v2' with counts
+    + sample keys only (driver never holds rows); both the keyed and
+    the multiset variants match a DuckDB EXCEPT ALL / FULL OUTER JOIN
+    twin over the same committed snapshots."""
+    import duckdb
+
+    from feast_spark.datasets import commit_dataset, diff_dataset
+    from feast_spark.io.manifest import ManifestedParquetTable
+
+    root = str(tmp_path / "diff_ds")
+    v1 = [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e"), (5, "e")]
+    v2 = [(1, "a"), (3, "CHANGED"), (4, "d"), (5, "e"), (5, "e"),
+          (5, "e"), (7, "g")]
+    schema = "doc_id LONG, text STRING"
+    commit_dataset(spark.createDataFrame(v1, schema), root)
+    commit_dataset(spark.createDataFrame(v2, schema), root)
+
+    t = ManifestedParquetTable(root)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW a AS SELECT * FROM read_parquet('{t.path_as_of(1)}/*.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW b AS SELECT * FROM read_parquet('{t.path_as_of(2)}/*.parquet')"
+    )
+
+    # multiset row diff == EXCEPT ALL both ways (the duplicated (5,e)
+    # row goes 2 -> 3 copies: +1 added)
+    got = diff_dataset(spark, root, 1, 2)
+    added = con.execute(
+        "SELECT count(*) FROM (SELECT * FROM b EXCEPT ALL SELECT * FROM a)"
+    ).fetchone()[0]
+    removed = con.execute(
+        "SELECT count(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)"
+    ).fetchone()[0]
+    assert got == {"added": added, "removed": removed} == {
+        "added": 3, "removed": 2,
+    }
+
+    # keyed diff == FULL OUTER JOIN twin
+    got = diff_dataset(spark, root, 1, 2, key_cols=["doc_id"])
+    oracle = con.execute("""
+        WITH pa AS (SELECT doc_id,
+                           md5(string_agg(text, ',' ORDER BY text)) h
+                    FROM a GROUP BY doc_id),
+             pb AS (SELECT doc_id,
+                           md5(string_agg(text, ',' ORDER BY text)) h
+                    FROM b GROUP BY doc_id)
+        SELECT
+          sum(CASE WHEN pa.doc_id IS NULL THEN 1 ELSE 0 END) added,
+          sum(CASE WHEN pb.doc_id IS NULL THEN 1 ELSE 0 END) removed,
+          sum(CASE WHEN pa.doc_id IS NOT NULL AND pb.doc_id IS NOT NULL
+                   AND pa.h <> pb.h THEN 1 ELSE 0 END) changed
+        FROM pa FULL OUTER JOIN pb USING (doc_id)
+    """).fetchone()
+    assert (got["added"], got["removed"], got["changed"]) == tuple(oracle)
+    assert got["sample_added"] == [7]
+    assert got["sample_removed"] == [2]
+    # the duplicated-key group (5,e)x2 -> x3 counts as CHANGED content:
+    # doc 3 (value) + doc 5 (multiplicity)
+    assert got["sample_changed"] == [3, 5]
+    assert got["changed"] == 2
+
+    # mismatched schemas refuse loudly
+    commit_dataset(
+        spark.createDataFrame([(1, "a", 0.5)],
+                              "doc_id LONG, text STRING, w DOUBLE"),
+        root,
+    )
+    with pytest.raises(ValueError, match="different columns"):
+        diff_dataset(spark, root, 2, 3)
+    # tags resolve like seqs
+    from feast_spark.datasets import tag_dataset
+
+    tag_dataset(root, "june", 1)
+    assert diff_dataset(spark, root, "june", 2)["added"] == 3
+
+
+def test_vacuum_honors_committed_keep_versions(spark, tmp_path):
+    """keep_versions is persisted in the manifest at commit time:
+    vacuum (and re-commits) from a process with a smaller default must
+    not delete snapshots the committer's retention meant to keep; an
+    explicit override is deliberate and becomes the stored window."""
+    from feast_spark.datasets import (
+        commit_dataset,
+        dataset_history,
+        vacuum_dataset,
+    )
+
+    root = str(tmp_path / "kv_ds")
+    for i in range(5):
+        commit_dataset(
+            _docs(spark, range(i + 1)), root, keep_versions=5
+        )
+    assert [e["seq"] for e in dataset_history(root)] == [1, 2, 3, 4, 5]
+    # default vacuum: the STORED window (5) — nothing reclaimed
+    # (before r15 this used the caller-side default of 3 and deleted
+    # snapshots 1-2 immediately)
+    assert vacuum_dataset(root) == []
+    assert [e["seq"] for e in dataset_history(root)] == [1, 2, 3, 4, 5]
+    # a default-configured re-commit honors the stored window too
+    commit_dataset(_docs(spark, range(9)), root)
+    assert [e["seq"] for e in dataset_history(root)] == [2, 3, 4, 5, 6]
+    # an explicit override wins, deliberately
+    deleted = vacuum_dataset(root, keep_versions=2)
+    assert len(deleted) == 3
+    assert [e["seq"] for e in dataset_history(root)] == [5, 6]
+    # online snapshot tables share the mechanism: a store constructed
+    # with an explicit window persists it; a DEFAULT-configured store's
+    # next write honors it instead of shrinking to 2
+    from feast_spark.online.store import OnlineStore
+
+    def _write(st, v):
+        st.online_write_batch(
+            spark, "p", "fv",
+            spark.createDataFrame([Row(driver_id=1, value=float(v),
+                                       ts=_utcnow(), created_ts=_utcnow())]),
+            ["driver_id"], "ts", "created_ts", ["value"],
+        )
+
+    online_root = str(tmp_path / "kv_online")
+    wide = OnlineStore(online_root, keep_versions=4)
+    for v in range(4):
+        _write(wide, v)
+    narrow = OnlineStore(online_root)  # default config
+    _write(narrow, 9)
+    hist = narrow._mtable(narrow._table_dir("p", "fv")).history()
+    assert [e["seq"] for e in hist] == [2, 3, 4, 5]
+
+
 def test_cli_dataset_pins(spark, store, tmp_path, capsys):
     from feast_spark.cli import main
     from feast_spark.datasets import commit_dataset
