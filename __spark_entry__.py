@@ -66,6 +66,59 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", F.col("value").alias("view_value"))
 
 
+def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + S7/S1 — the versioned-dataset read path under the hash
+    gate (r15).  Two legs over a twice-committed training dataset:
+
+    * commit 1: the full PIT join output, committed through
+      ``RetrievalJob.to_dataset`` (datasets.py manifest-flip store —
+      the rows a June model trained on);
+    * commit 2: a RE-RUN with a perturbed entity frame (user_id % 5
+      != 2) committed under the same root — the pipeline re-run that
+      must not clobber what the first model read.
+
+    Leg ``head_v2`` reads the manifest-resolved HEAD through a plain
+    ``FileSource(path=root)`` (one committed snapshot, never a
+    recursive v_* scan); leg ``asof_v1`` reads ``FileSource(path=root,
+    as_of=1)`` — ``ManifestedParquetTable.path_as_of`` + the
+    FileSource manifest resolution (data_source.py) replaying the
+    archived first training set.  The oracle recomputes both PIT
+    joins from the raw events.  Reference anchor: the golden
+    retrieval snapshots of sdk/python/tests/test_historical_retrieval
+    .py:270-345, with the commit discipline this repo adds."""
+    import tempfile
+
+    from feast_spark.data_source import FileSource
+    from feast_spark.feature_store import RetrievalJob
+
+    v1 = q_pit_join(spark, sf_dir)
+    entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
+    v2 = as_of_join(
+        entity.filter(F.col("user_id") % 5 != 2),
+        "ts",
+        [
+            AsOfJoinSpec(
+                feature_df=views,
+                join_keys=["user_id"],
+                timestamp_col="ts",
+                features=["value"],
+                ttl=timedelta(days=2),
+            )
+        ],
+    ).select(
+        "event_id", "user_id", "ts", F.col("value").alias("view_value")
+    )
+    root = tempfile.mkdtemp(prefix="fs_gate_ds_") + "/trainset"
+    RetrievalJob(v1).to_dataset(root)
+    RetrievalJob(v2).to_dataset(root)
+    head = FileSource(path=root).load(spark)
+    pinned = FileSource(path=root, as_of=1).load(spark)
+    cols = ["event_id", "user_id", "ts", "view_value"]
+    return head.select(F.lit("head_v2").alias("leg"), *cols).unionAll(
+        pinned.select(F.lit("asof_v1").alias("leg"), *cols)
+    )
+
+
 def q_pit_join_no_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — as-of join, unbounded lower bound (ttl=None)."""
     entity, views, _ = _entity_and_feature_frames(spark, sf_dir)
@@ -461,6 +514,28 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return exact_cosine_pairs(emb, "vec_id", "embedding", threshold=0.35)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination (operators/contamination.py —
+    the GPT-3 appendix-C / PaLM benchmark-leakage guard): per-eval-doc
+    distinct 5-gram overlap against the training corpus (train =
+    doc_id % 3 != 0, eval = doc_id % 3 == 0 — the planted near-dups
+    straddle the split, so SOME contamination is certain).  Portable
+    string shingles so the DuckDB oracle re-derives the identical
+    n-gram sets.  The eval shingle frame broadcasts: the train corpus
+    never shuffles (tests/test_plan_hygiene.py pins the plan)."""
+    from feast_spark.operators.contamination import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
+        "text",
+        n=5,
+        portable=True,
+    )
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,7 +1856,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "pit_join": q_pit_join,
+        # r15: pit_join's gate slot runs the TWO-LEG dataset-lifecycle
+        # variant (same J1 join both legs, plus commit/as_of replay);
+        # bench.py still times the plain q_pit_join for series
+        # comparability
+        "pit_join": q_pit_join_dataset,
         "pit_join_multiview": q_pit_join_multiview,
         "latest_per_key_created": q_latest_per_key_created,
         "dsir_resample": q_dsir_resample,
@@ -1791,7 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dedup": q_minhash_lsh_dedup,
         "resample_grid": q_resample_grid,
         "ann_topk_cosine": q_ann_topk_cosine,
-        "embed_near_dup": q_embed_near_dup,
+        "contamination": q_contamination,
         "ann_ivf": q_ann_ivf,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
@@ -1919,6 +1998,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # latest_per_key keeps its original oracle in
     # tests/test_rotated_relational.py and stays a headline bench slot
     # via re-registration in bench.py/tools/dump_plans.py.
+    # Round 15 rotated embed_near_dup (its exact-cosine-pair math is
+    # double-covered: the same cosine identity is gated inside
+    # ann_topk_cosine and semdedup's verify stage) for contamination —
+    # the benchmark-leakage guard every LLM training pipeline runs,
+    # previously pytest-only.  embed_near_dup keeps its original
+    # oracle in tests/test_rotated_relational.py.  The pit_join slot
+    # grew the r15 dataset-lifecycle second leg (q_pit_join_dataset);
+    # the plain q_pit_join stays a headline bench slot via
+    # re-registration in bench.py/tools/dump_plans.py.
 
 
 # Shared DuckDB fragments for the text oracles (mirror feast_spark.functions.text)
@@ -1985,7 +2073,7 @@ SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
 _PIT_ORACLE = """
 WITH entity AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
-  FROM events WHERE event_type = 'purchase'
+  FROM events WHERE event_type = 'purchase' {entity_pred}
 ), feat AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
   FROM events WHERE event_type = 'view'
@@ -2544,8 +2632,22 @@ FROM documents d JOIN sel USING (doc_id)
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "pit_join": _PIT_ORACLE.format(
-            ttl_pred="AND f.ts >= e.ts - INTERVAL 2 DAY"
+        # two legs (r15): head_v2 = the re-run's PIT join (perturbed
+        # entity frame, committed second — what the manifest-resolved
+        # HEAD serves); asof_v1 = the full PIT join (committed first —
+        # what FileSource(as_of=1) replays from the archived snapshot)
+        "pit_join": (
+            "SELECT 'head_v2' AS leg, * FROM (\n"
+            + _PIT_ORACLE.format(
+                ttl_pred="AND f.ts >= e.ts - INTERVAL 2 DAY",
+                entity_pred="AND user_id % 5 <> 2",
+            )
+            + ")\nUNION ALL\nSELECT 'asof_v1' AS leg, * FROM (\n"
+            + _PIT_ORACLE.format(
+                ttl_pred="AND f.ts >= e.ts - INTERVAL 2 DAY",
+                entity_pred="",
+            )
+            + ")"
         ),
         "pit_join_multiview": """
 WITH entity AS (
@@ -2794,21 +2896,36 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        COUNT(*) AS n_events
 FROM s GROUP BY 1, 2
 """,
-        "embed_near_dup": """
-WITH ac AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-  FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(
-         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
-FROM ac a JOIN ac b ON a.vec_id < b.vec_id
-WHERE ROUND(
-         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
-         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
-            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.35
+        # with_shingles twin for n=5: distinct word 5-grams of the
+        # normalized text; < 5 tokens -> one whole-text shingle
+        "contamination": """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(trim(text)) = 0
+              THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(
+                     regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                     '\\s+')
+         END AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(toks) < 5
+         THEN [array_to_string(toks, ' ')]
+         ELSE list_transform(range(1, len(toks) - 3),
+                             i -> array_to_string(toks[i:i+4], ' '))
+    END)) AS sh
+  FROM tk
+), tr AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 3 <> 0),
+ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 3 = 0)
+SELECT ev.doc_id,
+       count(*)::BIGINT AS total_ngrams,
+       sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS contaminated_ngrams,
+       sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+           AS contamination_frac
+FROM ev LEFT JOIN tr ON ev.sh = tr.sh
+GROUP BY ev.doc_id
 """,
         "text_quality": f"""
 WITH t AS (

@@ -85,6 +85,12 @@ def main() -> None:
     # rotated out in r13 (A1 stays gated via latest_per_key_created)
     # but kept as a HEADLINE slot so headline_total stays comparable
     queries["latest_per_key"] = entry_mod.q_latest_per_key
+    # r15: the gate's pit_join slot runs the two-leg dataset-lifecycle
+    # variant (two to_dataset commits + two manifest reads); the
+    # headline keeps timing the PLAIN join so the series stays
+    # comparable (the commit overhead is measured separately in
+    # tools/dataset_commit_bench.py: +38 ms on a 0.32 s write)
+    queries["pit_join"] = entry_mod.q_pit_join
     # Headline subset: the core temporal operators + the heaviest
     # training-data ops. Everything else still runs under selfcheck.
     headline = [
@@ -120,23 +126,35 @@ def main() -> None:
     # "what the code costs on a quiet host"; spread = max/min flags a
     # noisy-neighbor run (the documented signature is spread >~1.5x).
     dispersion: dict[str, dict[str, float]] = {}
+    # auto-rerun noisy queries (r15): when spread > 1.5 the window was
+    # noisy — up to N extra samples give the per-query min a chance to
+    # land at the quiet-host floor, so headline_total_min self-cleans
+    # without rerunning the whole suite.  max is sticky, so spread
+    # still FLAGS the query; only the min (and median) recover.
+    max_reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
 
     def _time(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
         for name in names:
             fn = queries[name]
             samples = []
-            for _ in range(runs):
+            while True:
                 # cold plan per run, like the driver (new DataFrame each run)
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.count()
                 samples.append(time.monotonic() - t0)
+                if len(samples) < runs:
+                    continue
+                noisy = max(samples) / min(samples) > 1.5
+                if not noisy or len(samples) >= runs + max_reruns:
+                    break
             out[name] = round(statistics.median(samples), 3)
             lo, hi = min(samples), max(samples)
             dispersion[name] = {
                 "min": round(lo, 3),
                 "spread": round(hi / lo, 2) if lo > 0 else 0.0,
+                "runs": len(samples),
             }
         return out
 

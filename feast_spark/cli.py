@@ -645,6 +645,34 @@ def _cmd_provenance(args) -> int:
     return 1 if expired else 0
 
 
+def _cmd_dataset_diff(args) -> int:
+    """``dataset-diff ROOT A B [--key COL ...]`` — the audit verb over
+    a versioned training dataset (datasets.diff_dataset): counts +
+    sample keys, rows never reach the driver.  A/B accept commit seqs
+    or tag names (``june-run``)."""
+    from feast_spark.datasets import diff_dataset
+
+    def _ref(s: str) -> int | str:
+        return int(s) if s.isdigit() else s
+
+    try:
+        out = diff_dataset(
+            _cli_spark(args), args.root, _ref(args.a), _ref(args.b),
+            key_cols=args.key or None, sample=args.sample,
+        )
+    except ValueError as e:
+        print(f"error    {e}")
+        return 2
+    for k in ("added", "removed", "changed"):
+        if k in out:
+            line = f"{k:<8} {out[k]}"
+            samples = out.get(f"sample_{k}")
+            if samples:
+                line += "   e.g. " + ", ".join(str(s) for s in samples)
+            print(line)
+    return 0
+
+
 def _cmd_tag(args) -> int:
     """``tag PATH [NAME] [--seq N] [--delete] [--list]``: pin / unpin /
     list named commits.  Layer-agnostic like ``doctor --history``: a
@@ -869,6 +897,23 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "dataset-diff",
+        help="what moved between two commits of a versioned dataset "
+        "(datasets.diff_dataset): added/removed(/changed with --key) "
+        "counts + sample keys; a/b are commit seqs or tag names",
+    )
+    sp.add_argument("root", help="dataset root (io/manifest.py table)")
+    sp.add_argument("a", help="older commit seq or tag")
+    sp.add_argument("b", help="newer commit seq or tag")
+    sp.add_argument(
+        "--key", action="append", default=[], metavar="COL",
+        help="key column (repeatable): enables the keyed "
+        "added/removed/changed classification",
+    )
+    sp.add_argument("--sample", type=int, default=5,
+                    help="example keys per bucket (default 5)")
+
+    sp = sub.add_parser(
         "init",
         help="scaffold a new repository with example data + definitions "
         "(cli.py init / repo_operations.init_repo)",
@@ -890,6 +935,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_tag(args)
     if args.cmd == "provenance":
         return _cmd_provenance(args)
+    if args.cmd == "dataset-diff":
+        return _cmd_dataset_diff(args)
     if args.cmd == "init":
         return _init_repo(args.project_directory, args.minimal)
     if args.cmd == "doctor":

@@ -21,3 +21,14 @@ def test_no_python_udfs_or_cartesian_in_any_query(spark):
         if problems:
             bad[name] = problems
     assert not bad, f"queries with scale-hostile plans: {bad}"
+
+
+def test_contamination_gate_broadcasts_eval_side(spark):
+    """The contamination gate's scale contract: the (small) eval
+    shingle frame broadcasts, so the 100 TB train corpus probes the
+    hash map partition-locally and never shuffles its shingles."""
+    plan = (
+        entry_mod.q_contamination(spark, SF_MED)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

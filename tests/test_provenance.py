@@ -549,6 +549,29 @@ def test_dataset_diff_counts_and_samples(spark, tmp_path):
     assert diff_dataset(spark, root, "june", 2)["added"] == 3
 
 
+def test_cli_dataset_diff(spark, tmp_path, capsys):
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset, tag_dataset
+
+    schema = "doc_id LONG, text STRING"
+    root = str(tmp_path / "cli_diff")
+    commit_dataset(spark.createDataFrame([(1, "a"), (2, "b")], schema), root)
+    commit_dataset(spark.createDataFrame([(1, "a"), (3, "c")], schema), root)
+    tag_dataset(root, "v1", 1)
+    assert main(["dataset-diff", root, "v1", "2", "--key", "doc_id"]) == 0
+    out = capsys.readouterr().out
+    assert "added    1   e.g. 3" in out
+    assert "removed  1   e.g. 2" in out
+    assert "changed  0" in out
+    # unkeyed multiset mode
+    assert main(["dataset-diff", root, "1", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "added    1" in out and "removed  1" in out
+    # an expired/unknown ref fails loudly with the manifest's error
+    assert main(["dataset-diff", root, "9", "2"]) == 2
+    assert "error" in capsys.readouterr().out
+
+
 def test_vacuum_honors_committed_keep_versions(spark, tmp_path):
     """keep_versions is persisted in the manifest at commit time:
     vacuum (and re-commits) from a process with a smaller default must

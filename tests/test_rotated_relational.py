@@ -39,6 +39,24 @@ SELECT event_id,
          AS row_key
 FROM events
 """,
+    # rotated r15 (exact-cosine-pair math stays gated inside
+    # ann_topk_cosine + semdedup's verify stage) for contamination
+    "embed_near_dup": """
+WITH ac AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) AS cos
+FROM ac a JOIN ac b ON a.vec_id < b.vec_id
+WHERE ROUND(
+         list_sum(list_transform(list_zip(a.e, b.e), p -> p[1] * p[2]))
+         / (sqrt(list_sum(list_transform(a.e, x -> x * x)))
+            * sqrt(list_sum(list_transform(b.e, x -> x * x)))), 6) >= 0.35
+""",
     "simhash_pairs": f"""
 WITH tk AS (
   SELECT doc_id, regexp_split_to_array({_NORM_TEXT}, '\\s+') AS toks
@@ -126,7 +144,9 @@ FROM documents
     # -- rotated out in round 9 (gate slots went to cdc_merge,
     # lag_features, edit_distance_join, decayed_agg, sketch_distinct,
     # hybrid_rrf, bm25_index_topk, online_serving) --
-    "pit_join_no_ttl": entry_mod._PIT_ORACLE.format(ttl_pred=""),
+    "pit_join_no_ttl": entry_mod._PIT_ORACLE.format(
+        ttl_pred="", entity_pred=""
+    ),
     "pit_join_key_mapping": """
 WITH entity AS (
   SELECT event_id, user_id AS uid, CAST(ts AS TIMESTAMP) AS ts
@@ -363,6 +383,7 @@ _FUNCS = {
     "hybrid_rrf": entry_mod.q_hybrid_rrf,
     "bm25_topk": entry_mod.q_bm25_topk,
     "latest_per_key": entry_mod.q_latest_per_key,
+    "embed_near_dup": entry_mod.q_embed_near_dup,
 }
 
 

@@ -169,6 +169,10 @@ def main() -> None:
     queries["hybrid_rrf"] = entry_mod.q_hybrid_rrf
     queries["bm25_topk"] = entry_mod.q_bm25_topk
     queries["latest_per_key"] = entry_mod.q_latest_per_key  # rotated r13
+    queries["embed_near_dup"] = entry_mod.q_embed_near_dup  # rotated r15
+    # the gate slot runs the r15 dataset-lifecycle variant; PLANS keeps
+    # dumping the plain PIT join the bench headline times
+    queries["pit_join"] = entry_mod.q_pit_join
 
     def _dedup_against_index(spark, sf):
         import tempfile
