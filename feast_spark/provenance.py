@@ -408,3 +408,32 @@ class RunReplay:
         return read_dataset(
             spark, info["path"], as_of=info["commit_seq"], fs=fs
         )
+
+    def dataset_drift(
+        self, spark, name: str, key_cols: list[str] | None = None,
+        fs=None, sample: int = 5,
+    ) -> dict:
+        """What changed in dataset ``name`` SINCE this run trained:
+        ``datasets.diff_dataset`` between the recorded commit and the
+        current head — the first question when a model's metrics move
+        and the training set is suspected ("what did the July re-run
+        change vs June's pinned rows?").  Returns the diff counts (+
+        sample keys with ``key_cols``) plus ``from_seq``/``to_seq``;
+        requires the recorded commit to still be resolvable (pinned
+        runs always are)."""
+        from feast_spark.datasets import dataset_history, diff_dataset
+
+        info = self.doc["datasets"][name]
+        hist = dataset_history(info["path"], fs=fs)
+        if not hist:
+            raise ValueError(
+                f"no commit history at {info['path']} — the dataset "
+                "was deleted or never committed"
+            )
+        head = hist[-1]["seq"]
+        out = diff_dataset(
+            spark, info["path"], info["commit_seq"], head,
+            key_cols=key_cols, fs=fs, sample=sample,
+        )
+        out["from_seq"], out["to_seq"] = info["commit_seq"], head
+        return out

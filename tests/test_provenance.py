@@ -461,6 +461,12 @@ def test_versioned_datasets_commit_read_and_replay(
         for r in read_dataset(spark, root, as_of="june-ds").collect()
     ) == [(1, 0.3), (2, 7.0)]
     assert [e["seq"] for e in dataset_history(root)][0] == 1
+    # drift since the run: id 2 gone, id 1's value changed (r15)
+    drift = run.dataset_drift(spark, "train", key_cols=["id"])
+    assert drift["from_seq"] == 1 and drift["to_seq"] == 5
+    assert (drift["added"], drift["removed"], drift["changed"]) == (0, 1, 1)
+    assert drift["sample_removed"] == [2]
+    assert drift["sample_changed"] == [1]
     # a fresh tag on head
     assert tag_dataset(root, "latest") == 5
     # recording an uncommitted dataset fails loudly
