@@ -591,6 +591,7 @@ def _cmd_provenance(args) -> int:
             f"warn     online store ({online['type']}) keeps no "
             "history — not replayable"
         )
+    pin = doc.get("pin_tag")
     for name, info in sorted(doc["indexes"].items()):
         try:
             epochs_io.read_manifest(
@@ -605,13 +606,27 @@ def _cmd_provenance(args) -> int:
             print(
                 f"expired  index {name} commit_seq={info['commit_seq']}: {e}"
             )
+            continue
+        # verify the recorded pin, like the online check (r15)
+        if pin and info.get("tags", {}).get(pin) == info["commit_seq"]:
+            live = epochs_io.read_tags(info["path"], fs)
+            if live.get(pin) == info["commit_seq"]:
+                print(
+                    f"ok       index {name} pin {pin!r} -> "
+                    f"commit_seq={info['commit_seq']}"
+                )
+            else:
+                expired += 1
+                print(
+                    f"missing  index {name} pin {pin!r}: live tag is "
+                    f"{live.get(pin)!r} (deleted or re-pointed)"
+                )
     from feast_spark.io.manifest import ManifestedParquetTable
 
     for name, info in sorted(doc.get("datasets", {}).items()):
+        t = ManifestedParquetTable(info["path"], fs=fs)
         try:
-            ManifestedParquetTable(info["path"], fs=fs).path_as_of(
-                info["commit_seq"]
-            )
+            t.path_as_of(info["commit_seq"])
             print(
                 f"ok       dataset {name} commit_seq="
                 f"{info['commit_seq']} replayable"
@@ -622,6 +637,20 @@ def _cmd_provenance(args) -> int:
                 f"expired  dataset {name} commit_seq="
                 f"{info['commit_seq']}: {e}"
             )
+            continue
+        if pin and info.get("tags", {}).get(pin) == info["commit_seq"]:
+            live = t.tags()
+            if live.get(pin) == info["commit_seq"]:
+                print(
+                    f"ok       dataset {name} pin {pin!r} -> "
+                    f"commit_seq={info['commit_seq']}"
+                )
+            else:
+                expired += 1
+                print(
+                    f"missing  dataset {name} pin {pin!r}: live tag is "
+                    f"{live.get(pin)!r} (deleted or re-pointed)"
+                )
     # streaming watermarks recorded at snapshot time: "this run
     # trained on data ingested through epoch E" per layer (r15)
     layers = [("online", online.get("meta", {}))]

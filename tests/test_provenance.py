@@ -343,6 +343,43 @@ def test_online_pin_recorded_and_verified_by_describe(
     assert "missing  online fv pin 'june-run'" in capsys.readouterr().out
 
 
+def test_index_and_dataset_pins_verified_by_describe(
+    spark, store, tmp_path, capsys
+):
+    """describe verifies the recorded index and dataset pins like the
+    online one (r15): ok lines while the tags live, missing + exit 1
+    once a pin is deleted or re-pointed."""
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset, delete_dataset_tag
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.operators.bm25 import build_bm25_index
+
+    idx = str(tmp_path / "pv_idx")
+    build_bm25_index(_docs(spark, range(4)), idx, "doc_id", "text")
+    ds = str(tmp_path / "pv_ds")
+    commit_dataset(_docs(spark, range(3)), ds)
+    prov_path = str(tmp_path / "pv.json")
+    store.snapshot_provenance(
+        index_paths={"bm25": idx}, dataset_paths={"train": ds},
+        path=prov_path, pin_tag="june-run",
+    )
+    base = [
+        "--registry", store.config.registry_path,
+        "--online-path", store.config.online_store_path,
+        "--project", "prov",
+    ]
+    assert main(base + ["provenance", "describe", prov_path]) == 0
+    out = capsys.readouterr().out
+    assert "ok       index bm25 pin 'june-run' -> commit_seq=1" in out
+    assert "ok       dataset train pin 'june-run' -> commit_seq=1" in out
+    epochs_io.delete_tag(idx, None, "june-run")
+    delete_dataset_tag(ds, "june-run")
+    assert main(base + ["provenance", "describe", prov_path]) == 1
+    out = capsys.readouterr().out
+    assert "missing  index bm25 pin 'june-run'" in out
+    assert "missing  dataset train pin 'june-run'" in out
+
+
 def test_streaming_watermarks_recorded_in_provenance(
     spark, store, tmp_path, capsys
 ):

@@ -230,6 +230,29 @@ def _semantic_dedup_auto(spark, sf_dir):
     return semantic_dedup_pairs(emb, "vec_id", "embedding", threshold=0.97)
 
 
+def _contamination_fixed_eval(spark, sf_dir):
+    """The realistic decontamination shape: the EVAL set (benchmarks)
+    stays fixed while the train corpus grows — eval is pinned to the
+    1x document-id range, train scales with the corpus.  Fast
+    (xxhash64) shingles, like the other curve ops; the gated query is
+    the portable md5 twin."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.operators.contamination import ngram_contamination
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < BASE_DOCS)
+        ),
+        "doc_id",
+        "text",
+        n=5,
+    )
+
+
 def _ops():
     import __spark_entry__ as e
     from bench import q_pq_search
@@ -247,6 +270,7 @@ def _ops():
         "edit_join": _edit_join(None),
         "edit_join_capped": _edit_join(2000),
         "semantic_dedup_auto": _semantic_dedup_auto,
+        "contamination_fixed_eval": _contamination_fixed_eval,
     }
 
 
