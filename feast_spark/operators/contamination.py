@@ -58,9 +58,8 @@ def ngram_contamination(
     still checked — exact-match only, the honest semantics for them.
     """
     shingler = with_shingles if portable else with_hashed_shingles
-    ev = shingler(eval_df.select(id_col, text_col), text_col, n).select(
-        id_col, F.explode("shingles").alias("__sh")
-    )
+    ev_sh = shingler(eval_df.select(id_col, text_col), text_col, n)
+    ev = ev_sh.select(id_col, F.explode("shingles").alias("__sh"))
     tr = shingler(train_df.select(text_col), text_col, n).select(
         F.explode("shingles").alias("__sh")
     )
@@ -73,7 +72,12 @@ def ngram_contamination(
     hits = tr.join(build, "__sh").groupBy(id_col).agg(
         F.count_distinct("__sh").alias("contaminated_ngrams")
     )
-    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("total_ngrams"))
+    # shingle arrays are already distinct (array_distinct in the
+    # shingler), so the per-doc total is just the array size — no
+    # explode + re-aggregate pass over the eval side
+    totals = ev_sh.select(
+        id_col, F.size("shingles").cast("long").alias("total_ngrams")
+    )
     out = (
         totals.join(hits, id_col, "left")
         .withColumn(
