@@ -108,7 +108,16 @@ def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", F.col("value").alias("view_value")
     )
-    root = tempfile.mkdtemp(prefix="fs_gate_ds_") + "/trainset"
+    # per-process dir wiped on entry, not a fresh mkdtemp per call:
+    # repeated gate/test sweeps must not accumulate join snapshots
+    import os
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"fs_gate_ds_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    root = base + "/trainset"
     RetrievalJob(v1).to_dataset(root)
     RetrievalJob(v2).to_dataset(root)
     head = FileSource(path=root).load(spark)

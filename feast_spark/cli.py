@@ -544,6 +544,25 @@ def _cmd_provenance(args) -> int:
         return 2
     print(_json.dumps(doc, indent=1))
     expired = 0
+    pin = doc.get("pin_tag")
+
+    def _verify_pin(scope, name, recorded_tags, pseq, read_live, label):
+        """ok/missing line for one recorded pin (r15) — the doc
+        records each layer's tag map, so a pin deleted or re-pointed
+        since the snapshot is caught before a replay fails.  Returns
+        the expired increment."""
+        if not (pin and recorded_tags.get(pin) == pseq):
+            return 0
+        live = read_live()
+        if live.get(pin) == pseq:
+            print(f"ok       {scope} {name} pin {pin!r} -> {label}={pseq}")
+            return 0
+        print(
+            f"missing  {scope} {name} pin {pin!r}: live tag is "
+            f"{live.get(pin)!r} (deleted or re-pointed)"
+        )
+        return 1
+
     seq = doc["registry"]["seq"]
     if seq is not None:
         try:
@@ -571,27 +590,17 @@ def _cmd_provenance(args) -> int:
                 expired += 1
                 print(f"expired  online {view} seq={vseq}: {e}")
                 continue
-            # the doc records the per-view tag map (r15), so the
-            # online pin is verifiable like the index/dataset pins
-            pin = doc.get("pin_tag")
-            if pin and online.get("tags", {}).get(view, {}).get(pin) == vseq:
-                live = store.snapshot_tags(doc["project"], view)
-                if live.get(pin) == vseq:
-                    print(
-                        f"ok       online {view} pin {pin!r} -> seq={vseq}"
-                    )
-                else:
-                    expired += 1
-                    print(
-                        f"missing  online {view} pin {pin!r}: live tag "
-                        f"is {live.get(pin)!r} (deleted or re-pointed)"
-                    )
+            expired += _verify_pin(
+                "online", view, online.get("tags", {}).get(view, {}),
+                vseq,
+                lambda v=view: store.snapshot_tags(doc["project"], v),
+                "seq",
+            )
     else:
         print(
             f"warn     online store ({online['type']}) keeps no "
             "history — not replayable"
         )
-    pin = doc.get("pin_tag")
     for name, info in sorted(doc["indexes"].items()):
         try:
             epochs_io.read_manifest(
@@ -607,20 +616,11 @@ def _cmd_provenance(args) -> int:
                 f"expired  index {name} commit_seq={info['commit_seq']}: {e}"
             )
             continue
-        # verify the recorded pin, like the online check (r15)
-        if pin and info.get("tags", {}).get(pin) == info["commit_seq"]:
-            live = epochs_io.read_tags(info["path"], fs)
-            if live.get(pin) == info["commit_seq"]:
-                print(
-                    f"ok       index {name} pin {pin!r} -> "
-                    f"commit_seq={info['commit_seq']}"
-                )
-            else:
-                expired += 1
-                print(
-                    f"missing  index {name} pin {pin!r}: live tag is "
-                    f"{live.get(pin)!r} (deleted or re-pointed)"
-                )
+        expired += _verify_pin(
+            "index", name, info.get("tags", {}), info["commit_seq"],
+            lambda p=info["path"]: epochs_io.read_tags(p, fs),
+            "commit_seq",
+        )
     from feast_spark.io.manifest import ManifestedParquetTable
 
     for name, info in sorted(doc.get("datasets", {}).items()):
@@ -638,19 +638,10 @@ def _cmd_provenance(args) -> int:
                 f"{info['commit_seq']}: {e}"
             )
             continue
-        if pin and info.get("tags", {}).get(pin) == info["commit_seq"]:
-            live = t.tags()
-            if live.get(pin) == info["commit_seq"]:
-                print(
-                    f"ok       dataset {name} pin {pin!r} -> "
-                    f"commit_seq={info['commit_seq']}"
-                )
-            else:
-                expired += 1
-                print(
-                    f"missing  dataset {name} pin {pin!r}: live tag is "
-                    f"{live.get(pin)!r} (deleted or re-pointed)"
-                )
+        expired += _verify_pin(
+            "dataset", name, info.get("tags", {}), info["commit_seq"],
+            t.tags, "commit_seq",
+        )
     # streaming watermarks recorded at snapshot time: "this run
     # trained on data ingested through epoch E" per layer (r15)
     layers = [("online", online.get("meta", {}))]
@@ -684,12 +675,17 @@ def _cmd_dataset_diff(args) -> int:
     def _ref(s: str) -> int | str:
         return int(s) if s.isdigit() else s
 
+    from pyspark.errors import AnalysisException
+
     try:
         out = diff_dataset(
             _cli_spark(args), args.root, _ref(args.a), _ref(args.b),
             key_cols=args.key or None, sample=args.sample,
         )
-    except ValueError as e:
+    except (ValueError, AnalysisException) as e:
+        # AnalysisException: e.g. --key naming a column the dataset
+        # lacks — the same friendly error/exit-2 path as a bad ref,
+        # not a JVM stack trace
         print(f"error    {e}")
         return 2
     for k in ("added", "removed", "changed"):

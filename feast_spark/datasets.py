@@ -31,6 +31,27 @@ from feast_spark.io.fs import StoreFS
 from feast_spark.io.manifest import ManifestedParquetTable
 
 
+#: the datasets-layer default GC window (the pre-r15 commit default)
+DATASET_KEEP_VERSIONS = 3
+
+
+def _dataset_table(
+    root: str, fs: StoreFS | None, keep_versions: int | None
+) -> ManifestedParquetTable:
+    """The manifest table with the dataset-layer retention default:
+    an explicit window wins; otherwise the window stored by the last
+    commit; otherwise 3 — including for a table committed BEFORE
+    window persistence existed, whose manifest has no stored key (the
+    global manifest default of 2 would silently shrink such a
+    dataset's historical retention and delete a snapshot it kept)."""
+    t = ManifestedParquetTable(root, fs=fs, keep_versions=keep_versions)
+    if keep_versions is None and t.stored_keep_versions() is None:
+        t = ManifestedParquetTable(
+            root, fs=fs, keep_versions=DATASET_KEEP_VERSIONS
+        )
+    return t
+
+
 def commit_dataset(
     df: DataFrame,
     root: str,
@@ -44,14 +65,13 @@ def commit_dataset(
     version) merges into the manifest for ``dataset_meta`` readers.
 
     ``keep_versions=None`` (default) honors the window the dataset was
-    committed with (persisted in the manifest; 3 for a brand-new
-    dataset) — a re-committing pipeline whose config drifted from the
-    original committer's must not silently shrink retention.  An
-    explicit int overrides and becomes the new stored window."""
-    t = ManifestedParquetTable(root, fs=fs, keep_versions=keep_versions)
-    if keep_versions is None and not t.history():
-        # first commit of a new dataset: the datasets-layer default
-        t = ManifestedParquetTable(root, fs=fs, keep_versions=3)
+    committed with (persisted in the manifest; 3 when the manifest
+    stores none — brand-new datasets and tables committed before
+    window persistence) — a re-committing pipeline whose config
+    drifted from the original committer's must not silently shrink
+    retention.  An explicit int overrides and becomes the new stored
+    window."""
+    t = _dataset_table(root, fs, keep_versions)
     # commit() returns the seq it minted under the manifest lock —
     # re-reading history()[-1] here could hand back a CONCURRENT
     # committer's seq, recording the wrong rows in a provenance pin
@@ -180,8 +200,14 @@ def diff_dataset(
 
     pa = _per_key(df_a).withColumnsRenamed({"__h": "__ha"})
     pb = _per_key(df_b).withColumnsRenamed({"__h": "__hb"})
-    full = pa.join(pb, key_cols, "full_outer").select(
-        *key_cols,
+    # null-safe equality: a plain key join never matches NULL keys, so
+    # an unchanged NULL-keyed group would surface as added+removed
+    cond = None
+    for k in key_cols:
+        c = pa[k].eqNullSafe(pb[k])
+        cond = c if cond is None else cond & c
+    full = pa.join(pb, cond, "full_outer").select(
+        *[F.coalesce(pa[k], pb[k]).alias(k) for k in key_cols],
         F.when(F.col("__ha").isNull(), F.lit("added"))
         .when(F.col("__hb").isNull(), F.lit("removed"))
         .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
@@ -230,6 +256,4 @@ def vacuum_dataset(
     smaller default must not delete snapshots the committer's
     retention meant to keep.  An explicit ``keep_versions`` overrides,
     deliberately."""
-    return ManifestedParquetTable(
-        root, fs=fs, keep_versions=keep_versions
-    ).vacuum()
+    return _dataset_table(root, fs, keep_versions).vacuum()

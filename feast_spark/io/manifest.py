@@ -64,6 +64,13 @@ class ManifestedParquetTable:
         the manifest's stored window, else the default."""
         return self._effective_keep(self._read_manifest())
 
+    def stored_keep_versions(self) -> int | None:
+        """The window persisted by the last commit, or None for a
+        manifest predating window persistence (callers with a
+        layer-specific historical default use this to avoid silently
+        shrinking such a table's retention to the global default)."""
+        return self._read_manifest().get("keep_versions")
+
     def _effective_keep(self, manifest: dict) -> int:
         if self._keep_arg is not None:
             return self._keep_arg

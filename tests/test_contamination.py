@@ -64,6 +64,29 @@ def test_contamination_closed_form(spark):
     assert [r["doc_id"] for r in flagged] == ["e1"]
 
 
+def test_contamination_duplicate_eval_ids_stay_id_grain(spark):
+    """Duplicate eval ids fold into ONE output row per id (totals sum
+    across the duplicates, hits count distinct across their union), so
+    contamination_frac stays <= 1 and the output grain is stable."""
+    from feast_spark.operators.contamination import ngram_contamination
+
+    train = spark.createDataFrame(
+        [("t1", "aa bb cc"), ("t2", "dd ee ff")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "aa bb cc"), ("e1", "dd ee ff"), ("e2", "zz yy xx")],
+        "doc_id string, text string",
+    )
+    rows = ngram_contamination(train, ev, "doc_id", "text", n=3).collect()
+    assert len(rows) == 2
+    out = {r["doc_id"]: r for r in rows}
+    assert out["e1"]["total_ngrams"] == 2  # one trigram per dup row
+    assert out["e1"]["contaminated_ngrams"] == 2
+    assert out["e1"]["contamination_frac"] == 1.0
+    assert out["e2"]["contaminated_ngrams"] == 0
+
+
 def test_contamination_exact_dup_is_full(spark):
     train = spark.createDataFrame(
         [("t1", "alpha beta gamma delta epsilon")], "doc_id string, text string"

@@ -592,6 +592,56 @@ def test_dataset_diff_counts_and_samples(spark, tmp_path):
     assert diff_dataset(spark, root, "june", 2)["added"] == 3
 
 
+def test_diff_dataset_null_keys_match_null_safely(spark, tmp_path):
+    """A NULL-keyed group present unchanged in both commits must NOT
+    surface as added+removed (plain key equality never matches NULL);
+    a genuinely changed NULL group classifies as changed."""
+    from feast_spark.datasets import commit_dataset, diff_dataset
+
+    schema = "doc_id LONG, text STRING"
+    root = str(tmp_path / "null_diff")
+    commit_dataset(
+        spark.createDataFrame([(1, "a"), (None, "n")], schema), root
+    )
+    commit_dataset(
+        spark.createDataFrame([(1, "a"), (None, "n")], schema), root
+    )
+    got = diff_dataset(spark, root, 1, 2, key_cols=["doc_id"])
+    assert (got["added"], got["removed"], got["changed"]) == (0, 0, 0)
+    commit_dataset(
+        spark.createDataFrame([(1, "a"), (None, "CHANGED")], schema), root
+    )
+    got = diff_dataset(spark, root, 2, 3, key_cols=["doc_id"])
+    assert (got["added"], got["removed"], got["changed"]) == (0, 0, 1)
+    assert got["sample_changed"] == [None]
+
+
+def test_vacuum_default_honors_legacy_dataset_window(spark, tmp_path):
+    """A dataset committed BEFORE window persistence (manifest holds
+    no keep_versions key) must vacuum at the datasets-layer historical
+    default of 3, not the global manifest default of 2."""
+    import json as _json
+
+    from feast_spark.datasets import (
+        commit_dataset, dataset_history, vacuum_dataset,
+    )
+
+    root = str(tmp_path / "legacy_ds")
+    for i in range(4):
+        commit_dataset(_docs(spark, range(i + 1)), root)
+    # simulate a pre-r15 manifest: strip the persisted window
+    mp = f"{root}/_MANIFEST.json"
+    m = _json.loads(open(mp).read())
+    del m["keep_versions"]
+    open(mp, "w").write(_json.dumps(m))
+    assert vacuum_dataset(root) == []  # window 3 -> seqs 2..4 retained
+    assert [e["seq"] for e in dataset_history(root)] == [2, 3, 4]
+    # a default re-commit also keeps the legacy window (and persists it)
+    commit_dataset(_docs(spark, range(9)), root)
+    assert [e["seq"] for e in dataset_history(root)] == [3, 4, 5]
+    assert _json.loads(open(mp).read())["keep_versions"] == 3
+
+
 def test_cli_dataset_diff(spark, tmp_path, capsys):
     from feast_spark.cli import main
     from feast_spark.datasets import commit_dataset, tag_dataset

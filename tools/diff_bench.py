@@ -14,6 +14,7 @@ workload is active.
 from __future__ import annotations
 
 import os
+import shutil
 import statistics
 import sys
 import tempfile
@@ -63,7 +64,9 @@ def main() -> None:
             )
         )
     )
-    root = tempfile.mkdtemp(prefix="diff_bench_") + "/ds"
+    base = os.path.join(tempfile.gettempdir(), "diff_bench_ds")
+    shutil.rmtree(base, ignore_errors=True)
+    root = base + "/ds"
     commit_dataset(docs, root)
     commit_dataset(v2, root)
 
