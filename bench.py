@@ -459,6 +459,27 @@ def main() -> None:
             }
         )
     )
+    # Compact trailer AFTER the full JSON: the round driver records a
+    # bounded tail of stdout, and the dispersion dict above can grow
+    # (auto-rerun adds per-query run counts) until it pushes the
+    # headline out of the captured window — BENCH_r15 lost its
+    # headline exactly that way.  This line repeats every
+    # verdict-relevant number (and the full driver-contract keys,
+    # minus dispersion) so the tail is always self-sufficient.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "headline_total_min": total_min,
+                "n_noisy": len(noisy),
+                "runs": runs,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
     spark.stop()
 
 

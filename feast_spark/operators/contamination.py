@@ -122,7 +122,10 @@ def contaminated_spans(
     eval hit.  ``max_shingle_freq`` drops shingles occurring in more
     than that many train docs before the join (they identify nothing —
     same reasoning as the LSH hot-bucket cap, enforced with a pre-agg
-    count, never a materialized bucket)."""
+    count, never a materialized bucket).  The frequency pass runs
+    AFTER a broadcast left-semi probe against the eval shingles, so it
+    aggregates hit shingles only and the train corpus never
+    shuffles."""
     shingler = with_shingles if portable else with_hashed_shingles
     ev = (
         shingler(
@@ -144,12 +147,31 @@ def contaminated_spans(
         )
         .select("train_id", F.explode("shingles").alias("__sh"))
     )
+    # Only shingles that appear in the (small) eval set can ever reach
+    # the output, so probe the train stream against the broadcast eval
+    # shingles FIRST: a left-semi broadcast join runs partition-local,
+    # and the 100 TB train corpus never shuffles — the same posture as
+    # the gated count variant above.  Per-hit-shingle frequency is
+    # unchanged by the probe (every train row of a hit shingle survives
+    # the semi-join; non-hit shingles were doomed to be dropped by the
+    # final eval join anyway), so the max_shingle_freq aggregate below
+    # runs over hit shingles only: O(hits), not O(train shingles).
+    # The build side skips distinct(): the broadcast hash relation
+    # dedups keys itself, and skipping it keeps the eval branch free of
+    # a shuffle exchange.
+    tr = tr.join(F.broadcast(ev.select("__sh")), "__sh", "left_semi")
     if max_shingle_freq is not None:
         freq = tr.groupBy("__sh").agg(
             F.count(F.lit(1)).alias("__freq")
         )
+        # freq is keyed by hit shingles — bounded by the eval set we
+        # already broadcast — so it broadcasts too: no train-side
+        # exchange anywhere in the audit path.
         tr = (
-            tr.join(freq.filter(F.col("__freq") <= max_shingle_freq), "__sh")
+            tr.join(
+                F.broadcast(freq.filter(F.col("__freq") <= max_shingle_freq)),
+                "__sh",
+            )
             .drop("__freq")
         )
     # (eval_id, __sh) and (train_id, __sh) are each unique post

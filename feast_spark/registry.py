@@ -31,9 +31,23 @@ from feast_spark.io.fs import LocalFS, StoreFS
 
 
 class Registry:
-    def __init__(self, path: str, fs: StoreFS | None = None):
+    def __init__(
+        self,
+        path: str,
+        fs: StoreFS | None = None,
+        keep_history: int | None = None,
+    ):
+        """``keep_history=None`` (default) defers to the archive window
+        the registry was last COMMITTED with — each commit persists its
+        effective window in the registry head, so a commit from a
+        differently-configured process honors the original committer's
+        retention instead of silently pruning archived seqs that
+        ``load_as_of(seq)`` callers depend on (the ``io/manifest.py``
+        ``keep_versions`` discipline, one layer up).  An explicit int
+        overrides."""
         self.path = path
         self.fs = fs or LocalFS()
+        self._keep_arg = None if keep_history is None else max(1, keep_history)
         self.entities: dict[str, Entity] = {}
         self.feature_views: dict[str, FeatureView] = {}
         self.feature_services: dict[str, FeatureService] = {}
@@ -102,10 +116,38 @@ class Registry:
 
     # -- persistence ---------------------------------------------------
 
-    #: archived registry versions kept per commit (definitions are
-    #: small JSON; the window exists so a runaway apply loop cannot
-    #: grow the sidecar unboundedly)
-    keep_history = 50
+    #: archive window when neither the caller nor the registry file
+    #: names one (definitions are small JSON; the window exists so a
+    #: runaway apply loop cannot grow the sidecar unboundedly).  This
+    #: was the class-wide default before the window was persisted, so
+    #: legacy registry files with no stored window fall back to it —
+    #: upgrading cannot shrink their retention.
+    DEFAULT_KEEP_HISTORY = 50
+
+    @property
+    def keep_history(self) -> int:
+        """The effective archive window: the explicit constructor arg
+        (or assignment), else the window persisted in the registry
+        head, else :attr:`DEFAULT_KEEP_HISTORY`."""
+        return self._effective_keep(self.stored_keep_history())
+
+    @keep_history.setter
+    def keep_history(self, value: int | None) -> None:
+        self._keep_arg = None if value is None else max(1, value)
+
+    def stored_keep_history(self) -> int | None:
+        """The window persisted by the last commit, or None for a
+        registry file predating window persistence."""
+        if self.fs.exists(self.path):
+            return json.loads(self.fs.read_bytes(self.path)).get(
+                "keep_history"
+            )
+        return None
+
+    def _effective_keep(self, stored: int | None) -> int:
+        if self._keep_arg is not None:
+            return self._keep_arg
+        return max(1, stored) if stored else self.DEFAULT_KEEP_HISTORY
 
     def _history_dir(self) -> str:
         return f"{self.path}.history"
@@ -122,7 +164,11 @@ class Registry:
         "which feature definitions were live when model X trained"
         (the reference keeps no registry history; this is the index /
         online-store time-travel discipline applied to the control
-        plane).  The newest :attr:`keep_history` versions are kept.
+        plane).  The newest :attr:`keep_history` versions are kept;
+        the effective window is persisted in the head payload so later
+        commits from differently-configured processes honor it (an
+        explicit constructor arg overrides; legacy heads fall back to
+        :attr:`DEFAULT_KEEP_HISTORY`).
         The seq derivation + archive + head flip run under the
         registry lock: head was last-writer-wins before (reference
         semantics), but two concurrent appliers minting the SAME seq
@@ -130,13 +176,16 @@ class Registry:
         the provenance record the history exists for."""
         with self.fs.lock(self.path):
             prev_seq = 0
+            stored_keep = None
             if self.fs.exists(self.path):
-                prev_seq = json.loads(self.fs.read_bytes(self.path)).get(
-                    "seq", 0
-                )
+                head = json.loads(self.fs.read_bytes(self.path))
+                prev_seq = head.get("seq", 0)
+                stored_keep = head.get("keep_history")
+            keep = self._effective_keep(stored_keep)
             payload = {
                 "seq": prev_seq + 1,
                 "committed_at": time.time(),
+                "keep_history": keep,
                 "entities": [e.to_dict() for e in self.entities.values()],
                 "feature_views": [
                     v.to_dict() for v in self.feature_views.values()
@@ -156,7 +205,7 @@ class Registry:
                 data,
             )
             self.fs.write_bytes_atomic(self.path, data)
-            for s in self.history_seqs()[: -self.keep_history]:
+            for s in self.history_seqs()[:-keep]:
                 self.fs.delete(
                     posixpath.join(self._history_dir(), f"seq={s}.json")
                 )
@@ -243,6 +292,7 @@ class Registry:
         reg = cls.__new__(cls)
         reg.path = path
         reg.fs = fs or LocalFS()
+        reg._keep_arg = None
         reg.entities = {}
         reg.feature_views = {}
         reg.feature_services = {}

@@ -127,6 +127,41 @@ def test_contaminated_spans_audit(spark):
     assert rows[("e1", "t2")] == 2
 
 
+def test_contaminated_spans_freq_cap_identity(spark):
+    """The r16 semi-join-before-freq rewrite must not change results:
+    a shingle shared by MORE train docs than the cap is dropped, one
+    under the cap survives, and the uncapped run sees both — the exact
+    outputs the pre-rewrite full-corpus frequency pass produced."""
+    from feast_spark.operators.contamination import contaminated_spans
+
+    # "x y z" occurs in 5 train docs (over cap=3); "a b c" in t1 only.
+    train = spark.createDataFrame(
+        [("t1", "x y z a b c")]
+        + [(f"t{i}", f"x y z p{i}") for i in range(2, 6)],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "x y z a b c")], "doc_id string, text string"
+    )
+
+    def run(cap):
+        return {
+            (r["eval_id"], r["train_id"]): r["shared_ngrams"]
+            for r in contaminated_spans(
+                train, ev, "doc_id", "doc_id", "text",
+                n=3, max_shingle_freq=cap,
+            ).collect()
+        }
+
+    # cap=3: "x y z" (freq 5) dropped everywhere; t1 keeps its other
+    # 3 trigrams ("y z a", "z a b", "a b c"); t2..t5 vanish entirely.
+    assert run(3) == {("e1", "t1"): 3}
+    # uncapped: t1 shares all 4 e1 trigrams, t2..t5 share "x y z" only
+    assert run(None) == {("e1", "t1"): 4} | {
+        ("e1", f"t{i}"): 1 for i in range(2, 6)
+    }
+
+
 def test_contamination_vs_duckdb(spark, duck):
     """Differential oracle at sf0.01: split documents by md5 parity into
     train/eval, n=5, portable string shingles both sides."""

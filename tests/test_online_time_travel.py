@@ -377,6 +377,53 @@ def test_registry_history_pruned_to_window(tmp_path):
         Registry.load_as_of(path, 1)
 
 
+def test_registry_keep_history_persists_in_head(tmp_path):
+    """The archive window is a property of the registry FILE, not the
+    process (r16 — the io/manifest.py keep_versions discipline one
+    layer up): a commit from a differently-configured process honors
+    the committer's stored window instead of pruning archived seqs
+    that load_as_of(seq) callers depend on; an explicit arg overrides;
+    legacy heads (no stored window) fall back to the historical
+    default of 50."""
+    import json as _json
+
+    from feast_spark.registry import Registry
+
+    path = str(tmp_path / "registry.json")
+    reg = Registry(path, keep_history=2)
+    reg.apply_entity(Entity(name="driver", join_key="driver_id",
+                            value_type=ValueType.INT64))
+    for _ in range(4):
+        reg.commit()
+    assert _json.loads(open(path).read())["keep_history"] == 2
+    assert reg.history_seqs() == [3, 4]
+
+    # a default-configured process inherits the stored window: it does
+    # NOT reset retention to its own default
+    other = Registry(path)
+    assert other.keep_history == 2
+    other.commit()
+    assert other.history_seqs() == [4, 5]
+    assert _json.loads(open(path).read())["keep_history"] == 2
+
+    # an explicit constructor arg wins and re-persists
+    wider = Registry(path, keep_history=3)
+    wider.commit()
+    assert _json.loads(open(path).read())["keep_history"] == 3
+    wider.commit()
+    assert wider.history_seqs() == [5, 6, 7]
+
+    # legacy head (predates window persistence) -> historical default
+    head = _json.loads(open(path).read())
+    del head["keep_history"]
+    open(path, "w").write(_json.dumps(head))
+    legacy = Registry(path)
+    assert legacy.stored_keep_history() is None
+    assert legacy.keep_history == 50
+    legacy.commit()
+    assert _json.loads(open(path).read())["keep_history"] == 50
+
+
 def test_registry_dump_as_of_cli(tmp_path, capsys):
     import json as _json
 

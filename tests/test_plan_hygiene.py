@@ -32,3 +32,40 @@ def test_contamination_gate_broadcasts_eval_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_contaminated_spans_semi_joins_before_freq(spark):
+    """The audit variant's scale contract (r16): the max_shingle_freq
+    aggregate's input is the train stream ALREADY semi-joined against
+    the broadcast eval shingles — between the partial frequency
+    aggregate and the train scan there is a LeftSemi broadcast probe
+    and NO hash-partitioning exchange, so the train corpus never
+    shuffles (the only exchanges in the whole audit carry hit rows,
+    bounded by the eval set)."""
+    from feast_spark.operators.contamination import contaminated_spans
+
+    train = spark.createDataFrame(
+        [("t1", "x y z a b c"), ("t2", "x y z p q r")],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "x y z a b c")], "doc_id string, text string"
+    )
+    plan = (
+        contaminated_spans(
+            train, ev, "doc_id", "doc_id", "text", n=3, max_shingle_freq=10
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    lines = plan.splitlines()
+    # the partial half of the __freq count aggregate
+    freq_idx = next(
+        i for i, l in enumerate(lines) if "partial_count" in l
+    )
+    semi_idx = next(
+        i for i in range(freq_idx, len(lines)) if "LeftSemi" in lines[i]
+    )
+    between = lines[freq_idx + 1 : semi_idx]
+    assert not any("Exchange hashpartitioning" in l for l in between), (
+        "train shingles shuffled before the eval probe:\n" + plan
+    )
