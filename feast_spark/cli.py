@@ -313,6 +313,155 @@ def _doctor_pair(args) -> int:
     return 0
 
 
+def _doctor_provenance_orphans(args) -> int:
+    """``doctor --provenance-orphans RUN_DIR``: list vacuum-immune
+    tags that NO provenance record under the run directory references
+    — the residue a hard kill (SIGKILL / power loss) between pin
+    application and the provenance JSON write leaves behind
+    (``snapshot_provenance``'s rollback covers exceptions, not process
+    death; a GC-exempt tag with no record referencing it leaks storage
+    silently forever).
+
+    Layer discovery comes from the records themselves: every index /
+    dataset / online coordinate named by ANY record (pinned or not) is
+    audited, so the killed run's layers are found through its
+    siblings' records.  A tag counts as referenced when a record names
+    it as its ``pin_tag`` or carried it in a layer's recorded tag
+    table at snapshot time — so manual pins (a dataset's ``v1``) only
+    alarm until some snapshot has seen them.
+
+    Exit discipline matches ``--pair``: 1 when orphan candidates exist
+    (actionable — delete the tag with the layer's delete-tag verb
+    after confirming no out-of-band process owns it, or re-run the
+    killed ``snapshot_provenance``); 2 on a missing run dir or one
+    with no readable provenance records (a cron must never "repair"
+    over a typo); 0 when every tag on every referenced layer is
+    accounted for.  Driver-only — a few JSON reads, no Spark
+    session."""
+    import json as _json
+    import os
+    import posixpath
+
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.io.manifest import ManifestedParquetTable
+    from feast_spark.provenance import (
+        NEVER_MATERIALIZED, PROVENANCE_FORMAT,
+    )
+
+    run_dir = args.provenance_orphans
+    if not os.path.isdir(run_dir):
+        print(f"error    {run_dir} is not a directory")
+        return 2
+    docs = []
+    for base, _dirs, files in os.walk(run_dir):
+        for f in sorted(files):
+            if not f.endswith(".json"):
+                continue
+            p = os.path.join(base, f)
+            try:
+                doc = _json.loads(open(p, "rb").read())
+            except (OSError, ValueError):
+                continue
+            if (
+                isinstance(doc, dict)
+                and doc.get("format") == PROVENANCE_FORMAT
+            ):
+                docs.append((p, doc))
+    if not docs:
+        print(
+            f"error    no readable provenance records under {run_dir}"
+        )
+        return 2
+
+    # (kind, layer key) -> set of referenced tag names; the layer key
+    # is the index/dataset root, or (root, project, view) for online
+    referenced: dict = {}
+    pins_seen = 0
+    for _p, doc in docs:
+        pin = doc.get("pin_tag")
+        if pin:
+            pins_seen += 1
+        for info in doc.get("indexes", {}).values():
+            key = ("index", info["path"])
+            tags = referenced.setdefault(key, set())
+            tags.update(info.get("tags", {}))
+            if pin:
+                tags.add(pin)
+        for info in doc.get("datasets", {}).values():
+            key = ("dataset", info["path"])
+            tags = referenced.setdefault(key, set())
+            tags.update(info.get("tags", {}))
+            if pin:
+                tags.add(pin)
+        online = doc.get("online", {})
+        root = online.get("path")
+        if root:
+            for view, seq in online.get("views", {}).items():
+                key = ("online", (root, doc.get("project"), view))
+                tags = referenced.setdefault(key, set())
+                tags.update(online.get("tags", {}).get(view, {}))
+                if pin and seq != NEVER_MATERIALIZED:
+                    tags.add(pin)
+
+    fs = LocalFS()
+    print(
+        f"docs     {len(docs)} provenance records "
+        f"({pins_seen} pinned), {len(referenced)} layers referenced"
+    )
+    orphans = 0
+    for (kind, key), known in sorted(
+        referenced.items(), key=lambda kv: repr(kv[0])
+    ):
+        if kind == "index":
+            where = key
+            try:
+                live = epochs_io.read_tags(key, fs)
+            except (OSError, ValueError):
+                print(f"skip     index {key} — unreadable/deleted")
+                continue
+        elif kind == "dataset":
+            where = key
+            try:
+                live = ManifestedParquetTable(key, fs=fs).tags()
+            except (OSError, ValueError):
+                print(f"skip     dataset {key} — unreadable/deleted")
+                continue
+        else:
+            root, project, view = key
+            where = f"{root} {project}/{view}"
+            try:
+                live = ManifestedParquetTable(
+                    posixpath.join(root, project, view), fs=fs
+                ).tags()
+            except (OSError, ValueError):
+                print(f"skip     online {where} — unreadable/deleted")
+                continue
+        stray = sorted(set(live) - known)
+        for t in stray:
+            print(
+                f"ORPHAN   {kind} {where} tag {t!r} -> seq {live[t]} "
+                "(no provenance record references it)"
+            )
+        orphans += len(stray)
+        if not stray:
+            print(
+                f"ok       {kind} {where} — "
+                f"{len(live)} tags, all referenced"
+            )
+    if orphans:
+        print(
+            f"ORPHANED {orphans} vacuum-immune tags lack a provenance "
+            "record — a snapshot_provenance(pin_tag=...) was killed "
+            "between pin application and its JSON write, or an "
+            "out-of-band pin exists; delete with the layer's "
+            "delete-tag verb or re-run the snapshot"
+        )
+        return 1
+    print("ok       no orphaned pins")
+    return 0
+
+
 _KIND_SUBDIRS = {
     "bm25": ("postings", "stats"),
     "minhash": ("bands", "shingles"),
@@ -871,6 +1020,14 @@ def main(argv: list[str] | None = None) -> int:
         "under _history/): seq, kind, epochs, stamps, and whether each "
         "commit is still a readable as_of= time-travel target",
     )
+    sp.add_argument(
+        "--provenance-orphans", default=None, metavar="RUN_DIR",
+        help="audit the layers referenced by RUN_DIR's provenance "
+        "records for vacuum-immune tags no record references — the "
+        "residue of a snapshot_provenance(pin_tag=...) killed between "
+        "pin application and its JSON write; exit 1 on orphans, 2 on "
+        "a bad/recordless dir",
+    )
     sp = sub.add_parser(
         "tag",
         help="pin/unpin/list named commits, layer-agnostic: a "
@@ -981,6 +1138,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.strict and args.pair is None:
             # silently ignoring --strict would look like a strict run
             p.error("--strict requires --pair")
+        if args.provenance_orphans is not None:
+            if (
+                args.index is not None or args.pair is not None
+                or args.history is not None
+            ):
+                p.error(
+                    "--provenance-orphans is mutually exclusive with "
+                    "--index/--pair/--history"
+                )
+            return _doctor_provenance_orphans(args)
         if args.history is not None:
             return _doctor_history(args)
         if args.pair is not None:

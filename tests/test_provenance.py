@@ -317,6 +317,68 @@ def test_pin_failure_rolls_back_applied_tags(
         "online"]["views"]["fv"]
 
 
+def test_doctor_provenance_orphans(spark, store, tmp_path, capsys):
+    """``doctor --provenance-orphans`` closes the residual hard-kill
+    window the r15 pin rollback cannot cover: tags applied by a
+    ``snapshot_provenance(pin_tag=...)`` that was SIGKILLed before its
+    JSON write are flagged (exit 1), a pinned run whose record exists
+    is clean (exit 0), manual pins recorded by some snapshot do not
+    alarm, and a bad/recordless dir exits 2 (the ``--pair`` cron
+    discipline: never act on a typo)."""
+    from feast_spark.cli import main
+    from feast_spark.datasets import commit_dataset, tag_dataset
+    from feast_spark.io import epochs as epochs_io
+    from feast_spark.io.manifest import ManifestedParquetTable
+    from feast_spark.operators.bm25 import build_bm25_index
+
+    store.materialize(datetime(2000, 1, 1), _utcnow())
+    idx = str(tmp_path / "orph_idx")
+    build_bm25_index(_docs(spark, range(4)), idx, "doc_id", "text")
+    ds = str(tmp_path / "orph_ds")
+    commit_dataset(_docs(spark, range(3)), ds)
+    # a manual pin that predates the snapshot: recorded in the doc's
+    # tag table, so the audit must NOT flag it
+    tag_dataset(ds, "v1", 1)
+    run_dir = tmp_path / "runs"
+    run_dir.mkdir()
+
+    # exit 2 discipline before any record exists
+    assert main(
+        ["doctor", "--provenance-orphans", str(tmp_path / "nope")]
+    ) == 2
+    assert main(["doctor", "--provenance-orphans", str(run_dir)]) == 2
+    capsys.readouterr()
+
+    store.snapshot_provenance(
+        index_paths={"bm25": idx}, dataset_paths={"train": ds},
+        path=str(run_dir / "good.json"), pin_tag="good-run",
+    )
+    assert main(["doctor", "--provenance-orphans", str(run_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "no orphaned pins" in out
+    assert "ORPHAN " not in out
+
+    # hard-kill simulation: a second run's pins land on all three
+    # layers, then the process dies before writing its JSON
+    store.online_store.tag_snapshot("prov", "fv", "killed-run")
+    epochs_io.tag_commit(idx, None, "killed-run", 1)
+    ManifestedParquetTable(ds).tag("killed-run", 1)
+    assert main(["doctor", "--provenance-orphans", str(run_dir)]) == 1
+    out = capsys.readouterr().out
+    orphan_lines = [
+        line for line in out.splitlines() if line.startswith("ORPHAN  ")
+    ]
+    assert len(orphan_lines) == 3  # one per layer
+    assert all("killed-run" in line for line in orphan_lines)
+    assert not any("'v1'" in line for line in orphan_lines)
+
+    # deleting the strays (the advertised repair) makes the dir clean
+    store.online_store.delete_snapshot_tag("prov", "fv", "killed-run")
+    epochs_io.delete_tag(idx, None, "killed-run")
+    ManifestedParquetTable(ds).delete_tag("killed-run")
+    assert main(["doctor", "--provenance-orphans", str(run_dir)]) == 0
+
+
 def test_online_pin_recorded_and_verified_by_describe(
     spark, store, tmp_path, capsys
 ):
