@@ -108,16 +108,30 @@ def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", F.col("value").alias("view_value")
     )
-    # per-process dir wiped on entry, not a fresh mkdtemp per call:
-    # repeated gate/test sweeps must not accumulate join snapshots
+    # per-CALL unique subdir under a per-process base: a DataFrame
+    # returned by an earlier call in this process may still be lazily
+    # evaluated after this call runs, so wiping a shared dir on entry
+    # would yank its parquet files mid-read.  Each call takes the next
+    # numbered subdir and reclaims every sibling except the newest
+    # prior one (kept alive for exactly that outstanding-DataFrame
+    # case), so repeated gate/test sweeps never hold more than two
+    # snapshot sets.  Holding DataFrames from >=2 calls back is
+    # unsupported — re-call the query instead.
     import os
     import shutil
 
     base = os.path.join(
         tempfile.gettempdir(), f"fs_gate_ds_{os.getpid()}"
     )
-    shutil.rmtree(base, ignore_errors=True)
-    root = base + "/trainset"
+    os.makedirs(base, exist_ok=True)
+    existing = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("call_") and d[5:].isdigit()
+    )
+    seq = (int(existing[-1][5:]) + 1) if existing else 1
+    for d in existing[:-1]:
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    root = os.path.join(base, f"call_{seq:08d}", "trainset")
     RetrievalJob(v1).to_dataset(root)
     RetrievalJob(v2).to_dataset(root)
     head = FileSource(path=root).load(spark)

@@ -151,9 +151,18 @@ def diff_dataset(
     16-byte md5 row fingerprint (the ``dedup_exact`` identity) in a
     narrow map, so the one shuffle moves (key, hash) — never feature
     columns; the keyed variant folds duplicate-key groups into one
-    order-insensitive group fingerprint (sorted hash concat) so the
-    comparison stays exact under duplicated keys.  Counts aggregate
-    map-side; samples are ``LIMIT sample`` collects."""
+    order-insensitive group fingerprint via a commutative
+    (sum, xor, count) fold over a 64-bit rehash — O(1) aggregation
+    state per key, so a pathologically hot key (millions of duplicate
+    rows) folds map-side instead of materializing a collect_list
+    buffer on one executor.  Counts aggregate map-side; samples are
+    ``LIMIT sample`` collects.
+
+    Top-level map-typed columns are canonicalized (entries sorted by
+    key) before fingerprinting, so two commits holding the same map
+    contents in different internal order compare equal; maps NESTED
+    inside arrays/structs are fingerprinted in their serialized order
+    and may report a spurious change if an engine reorders them."""
     t = ManifestedParquetTable(root, fs=fs)
     df_a, df_b = t.read(spark, as_of=a), t.read(spark, as_of=b)
     if sorted(df_a.columns) != sorted(df_b.columns):
@@ -163,14 +172,32 @@ def diff_dataset(
         )
     cols = sorted(df_a.columns)
 
+    from pyspark.sql import types as T
+
+    map_cols = {
+        f.name for f in df_a.schema.fields
+        if isinstance(f.dataType, T.MapType)
+    }
+
     def _hashed(df):
         # to_json canonicalizes every type (timestamps, arrays,
         # structs) into one string to fingerprint; column order fixed
-        # by the sorted projection so both sides agree
+        # by the sorted projection so both sides agree.  MapType
+        # serializes in internal entry order, so maps are sorted into
+        # entry arrays first — identical contents, identical bytes.
         return df.select(
             *key_cols or [],
             F.md5(
-                F.to_json(F.struct(*[F.col(c) for c in cols]))
+                F.to_json(
+                    F.struct(
+                        *[
+                            F.array_sort(F.map_entries(F.col(c))).alias(c)
+                            if c in map_cols
+                            else F.col(c)
+                            for c in cols
+                        ]
+                    )
+                )
             ).alias("__h"),
         )
 
@@ -190,11 +217,19 @@ def diff_dataset(
 
     # keyed: duplicate-key groups fold into ONE order-insensitive
     # fingerprint per key, so the comparison is exact even when a key
-    # appears several times in a version
+    # appears several times in a version.  The fold is commutative —
+    # (sum, xor, count) of a 64-bit rehash — so per-key aggregation
+    # state is O(1) and partials combine map-side; a false group match
+    # needs sum AND xor AND count to collide simultaneously.  The sum
+    # runs in decimal(38,0) (exact, no ANSI long overflow at any
+    # multiplicity).
     def _per_key(df):
-        return _hashed(df).groupBy(*key_cols).agg(
-            F.md5(
-                F.concat_ws(",", F.sort_array(F.collect_list("__h")))
+        h = _hashed(df).withColumn("__h64", F.xxhash64("__h"))
+        return h.groupBy(*key_cols).agg(
+            F.struct(
+                F.sum(F.col("__h64").cast("decimal(38,0)")).alias("s"),
+                F.expr("bit_xor(__h64)").alias("x"),
+                F.count(F.lit(1)).alias("n"),
             ).alias("__h")
         )
 

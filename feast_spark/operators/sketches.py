@@ -127,7 +127,10 @@ class SketchTable:
         grain_cols: list[str],
         lgk: int = DEFAULT_LGK,
         fs: StoreFS | None = None,
-        keep_versions: int = 2,
+        # None defers to the window persisted in the table's manifest
+        # (io/manifest.py), so a default-configured re-commit or
+        # vacuum honors the original committer's retention
+        keep_versions: int | None = None,
     ):
         self.root = root
         self.key_col = key_col
@@ -376,7 +379,10 @@ class HistogramTable:
         hi: float,
         n_bins: int = 64,
         fs: StoreFS | None = None,
-        keep_versions: int = 2,
+        # None defers to the window persisted in the table's manifest
+        # (io/manifest.py), so a default-configured re-commit or
+        # vacuum honors the original committer's retention
+        keep_versions: int | None = None,
     ):
         self.root = root
         self.val_col = val_col

@@ -330,7 +330,10 @@ class DecayedFeatureTable:
         val_col: str,
         half_life,
         fs=None,
-        keep_versions: int = 2,
+        # None defers to the window persisted in the table's manifest
+        # (io/manifest.py), so a default-configured re-commit or
+        # vacuum honors the original committer's retention
+        keep_versions: int | None = None,
     ):
         from feast_spark.io.manifest import ManifestedParquetTable
 

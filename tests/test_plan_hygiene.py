@@ -6,7 +6,7 @@ Plan-only (no execution), so the whole inventory checks in seconds.
 """
 
 import __spark_entry__ as entry_mod
-from tests.conftest import SF_MED
+from tests.conftest import SF_MED, SF_SMALL
 
 
 def test_no_python_udfs_or_cartesian_in_any_query(spark):
@@ -32,6 +32,21 @@ def test_contamination_gate_broadcasts_eval_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_pit_join_dataset_gate_survives_interleaved_calls(spark):
+    """A DataFrame returned by an EARLIER q_pit_join_dataset call must
+    stay evaluable after a later call in the same process: each call
+    commits its snapshots into its own numbered subdir and reclaims
+    only siblings older than the newest prior one (r16 — the shared
+    per-PID dir used to be wiped on entry, yanking the prior call's
+    parquet files mid-read)."""
+    d1 = entry_mod.q_pit_join_dataset(spark, SF_SMALL)
+    n1 = d1.count()
+    d2 = entry_mod.q_pit_join_dataset(spark, SF_SMALL)
+    assert d2.count() == n1
+    # the older DataFrame's files were NOT reclaimed by the newer call
+    assert d1.count() == n1
 
 
 def test_contaminated_spans_semi_joins_before_freq(spark):

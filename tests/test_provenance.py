@@ -678,6 +678,59 @@ def test_diff_dataset_null_keys_match_null_safely(spark, tmp_path):
     assert got["sample_changed"] == [None]
 
 
+def test_diff_dataset_hot_keys_and_map_canonicalization(spark, tmp_path):
+    """The r16 keyed-fold rewrite: duplicate-key multiplicity is still
+    part of the group identity under the O(1)-state commutative
+    (sum, xor, count) fold, and top-level map columns compare by
+    contents, not internal entry order."""
+    from pyspark.sql import functions as F
+
+    from feast_spark.datasets import commit_dataset, diff_dataset
+
+    schema = "k LONG, v STRING"
+    root = str(tmp_path / "hot_diff")
+    commit_dataset(
+        spark.createDataFrame([(1, "x")] * 3 + [(2, "y")], schema), root
+    )
+    commit_dataset(
+        spark.createDataFrame([(1, "x")] * 3 + [(2, "y")] * 2, schema), root
+    )
+    got = diff_dataset(spark, root, 1, 2, key_cols=["k"])
+    # key 1's triple is unchanged; key 2 went from 1 copy to 2
+    assert (got["added"], got["removed"], got["changed"]) == (0, 0, 1)
+    assert got["sample_changed"] == [2]
+
+    mroot = str(tmp_path / "map_diff")
+    base = spark.range(2).select(F.col("id").alias("k"))
+    commit_dataset(
+        base.withColumn(
+            "m", F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+        ),
+        mroot,
+    )
+    commit_dataset(
+        base.withColumn(
+            "m", F.create_map(F.lit("b"), F.lit(2), F.lit("a"), F.lit(1))
+        ),
+        mroot,
+    )
+    # same contents, different construction order: NOT a change —
+    # keyed and unkeyed modes both
+    got = diff_dataset(spark, mroot, 1, 2, key_cols=["k"])
+    assert (got["added"], got["removed"], got["changed"]) == (0, 0, 0)
+    got = diff_dataset(spark, mroot, 1, 2)
+    assert (got["added"], got["removed"]) == (0, 0)
+    # a real value change is still a change
+    commit_dataset(
+        base.withColumn(
+            "m", F.create_map(F.lit("b"), F.lit(9), F.lit("a"), F.lit(1))
+        ),
+        mroot,
+    )
+    got = diff_dataset(spark, mroot, 2, 3, key_cols=["k"])
+    assert got["changed"] == 2
+
+
 def test_vacuum_default_honors_legacy_dataset_window(spark, tmp_path):
     """A dataset committed BEFORE window persistence (manifest holds
     no keep_versions key) must vacuum at the datasets-layer historical
