@@ -66,6 +66,33 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", F.col("value").alias("view_value"))
 
 
+def _per_call_snapshot_root(prefix: str, leaf: str) -> str:
+    """A per-CALL unique scratch dir for gate queries that commit
+    snapshot stores.  A DataFrame returned by an earlier call in this
+    process may still be lazily evaluated after a later call, so a
+    shared dir wiped on entry would yank its parquet files mid-read.
+    Each call takes the next numbered subdir under a per-process base
+    and reclaims every sibling except the newest prior one (kept
+    alive for exactly that outstanding-DataFrame case), so repeated
+    gate/test sweeps never hold more than two snapshot sets.  Holding
+    DataFrames from >=2 calls back is unsupported — re-call the
+    query instead."""
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    existing = sorted(
+        d for d in os.listdir(base)
+        if d.startswith("call_") and d[5:].isdigit()
+    )
+    seq = (int(existing[-1][5:]) + 1) if existing else 1
+    for d in existing[:-1]:
+        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+    return os.path.join(base, f"call_{seq:08d}", leaf)
+
+
 def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 + S7/S1 — the versioned-dataset read path under the hash
     gate (r15).  Two legs over a twice-committed training dataset:
@@ -86,8 +113,6 @@ def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins from the raw events.  Reference anchor: the golden
     retrieval snapshots of sdk/python/tests/test_historical_retrieval
     .py:270-345, with the commit discipline this repo adds."""
-    import tempfile
-
     from feast_spark.data_source import FileSource
     from feast_spark.feature_store import RetrievalJob
 
@@ -108,30 +133,7 @@ def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", F.col("value").alias("view_value")
     )
-    # per-CALL unique subdir under a per-process base: a DataFrame
-    # returned by an earlier call in this process may still be lazily
-    # evaluated after this call runs, so wiping a shared dir on entry
-    # would yank its parquet files mid-read.  Each call takes the next
-    # numbered subdir and reclaims every sibling except the newest
-    # prior one (kept alive for exactly that outstanding-DataFrame
-    # case), so repeated gate/test sweeps never hold more than two
-    # snapshot sets.  Holding DataFrames from >=2 calls back is
-    # unsupported — re-call the query instead.
-    import os
-    import shutil
-
-    base = os.path.join(
-        tempfile.gettempdir(), f"fs_gate_ds_{os.getpid()}"
-    )
-    os.makedirs(base, exist_ok=True)
-    existing = sorted(
-        d for d in os.listdir(base)
-        if d.startswith("call_") and d[5:].isdigit()
-    )
-    seq = (int(existing[-1][5:]) + 1) if existing else 1
-    for d in existing[:-1]:
-        shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-    root = os.path.join(base, f"call_{seq:08d}", "trainset")
+    root = _per_call_snapshot_root("fs_gate_ds", "trainset")
     RetrievalJob(v1).to_dataset(root)
     RetrievalJob(v2).to_dataset(root)
     head = FileSource(path=root).load(spark)
@@ -140,6 +142,40 @@ def q_pit_join_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return head.select(F.lit("head_v2").alias("leg"), *cols).unionAll(
         pinned.select(F.lit("asof_v1").alias("leg"), *cols)
     )
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 + audit layer — the r15 dataset diff CLASSIFICATION under
+    the hash gate (r16): two derived commits of the documents table
+    under one manifest root —
+
+    * commit 1 (version A): ``doc_id % 7 != 3``;
+    * commit 2 (version B): ``doc_id % 11 != 4`` with the text
+      UPPERCASED for ``doc_id % 13 == 0`` (a content perturbation on
+      keys present in both);
+
+    then ``datasets.diff_dataset_frame(a=1, b=2, key_cols=[doc_id])``
+    — one row per differing key with status added/removed/changed,
+    computed from md5 row fingerprints folded per key by the
+    commutative (sum, xor, count) aggregate.  The oracle recomputes
+    both versions from the raw table and classifies with a FULL OUTER
+    JOIN + IS DISTINCT FROM (EXCEPT-ALL discipline; a doc whose text
+    has no lowercase letters — or is NULL — is unchanged by the
+    perturbation and must classify as same on both sides)."""
+    from feast_spark.datasets import commit_dataset, diff_dataset_frame
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ver_a = docs.filter(F.col("doc_id") % 7 != 3)
+    ver_b = docs.filter(F.col("doc_id") % 11 != 4).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    root = _per_call_snapshot_root("fs_gate_diff", "docdiff")
+    commit_dataset(ver_a, root)
+    commit_dataset(ver_b, root)
+    return diff_dataset_frame(spark, root, 1, 2, key_cols=["doc_id"])
 
 
 def q_pit_join_no_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1885,7 +1921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comparability
         "pit_join": q_pit_join_dataset,
         "pit_join_multiview": q_pit_join_multiview,
-        "latest_per_key_created": q_latest_per_key_created,
+        # r16: latest_per_key_created rotated to
+        # tests/test_rotated_relational.py (A1 is exercised by every
+        # PIT query + the rotated latest_per_key oracle; A2's
+        # created-ts tie-break keeps its original oracle there) to
+        # gate the r15 dataset-diff classification
+        "dataset_diff": q_dataset_diff,
         "dsir_resample": q_dsir_resample,
         "retrieval_ndcg": q_retrieval_ndcg,
         "pii_scrub": q_pii_scrub,
@@ -2703,18 +2744,29 @@ LEFT JOIN rv ON rv.event_id = e.event_id AND rv.rn = 1
 LEFT JOIN rc ON rc.event_id = e.event_id AND rc.rn = 1
 """,
         "dsir_resample": _dsir_oracle(),
-        "latest_per_key_created": """
-WITH both_v AS (
-  SELECT user_id, ts, value, CAST(1 AS BIGINT) AS created FROM events
-  UNION ALL
-  SELECT user_id, ts, value * 2 AS value, CAST(2 AS BIGINT) AS created FROM events
+        # r16: classifies the diff between two derived commits of the
+        # documents table (version predicates mirror q_dataset_diff);
+        # IS DISTINCT FROM keeps NULL-text and all-uppercase docs in
+        # the 'same' bucket, like the fingerprint comparison
+        "dataset_diff": """
+WITH a AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3
+),
+b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 4
+),
+j AS (
+  SELECT a.doc_id AS ad, b.doc_id AS bd, a.text AS at, b.text AS bt
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 )
-SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, created
-FROM (
-  SELECT user_id, ts, value, created,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, created DESC) rn
-  FROM both_v
-) WHERE rn = 1
+SELECT COALESCE(ad, bd) AS doc_id,
+       CASE WHEN ad IS NULL THEN 'added'
+            WHEN bd IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM j
+WHERE ad IS NULL OR bd IS NULL OR at IS DISTINCT FROM bt
 """,
         "resample_grid": """
 WITH ev AS (

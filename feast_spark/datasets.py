@@ -163,45 +163,12 @@ def diff_dataset(
     contents in different internal order compare equal; maps NESTED
     inside arrays/structs are fingerprinted in their serialized order
     and may report a spurious change if an engine reorders them."""
-    t = ManifestedParquetTable(root, fs=fs)
-    df_a, df_b = t.read(spark, as_of=a), t.read(spark, as_of=b)
-    if sorted(df_a.columns) != sorted(df_b.columns):
-        raise ValueError(
-            f"dataset commits {a} and {b} at {root} have different "
-            f"columns: {sorted(df_a.columns)} vs {sorted(df_b.columns)}"
-        )
-    cols = sorted(df_a.columns)
-
-    from pyspark.sql import types as T
-
-    map_cols = {
-        f.name for f in df_a.schema.fields
-        if isinstance(f.dataType, T.MapType)
-    }
-
-    def _hashed(df):
-        # to_json canonicalizes every type (timestamps, arrays,
-        # structs) into one string to fingerprint; column order fixed
-        # by the sorted projection so both sides agree.  MapType
-        # serializes in internal entry order, so maps are sorted into
-        # entry arrays first — identical contents, identical bytes.
-        return df.select(
-            *key_cols or [],
-            F.md5(
-                F.to_json(
-                    F.struct(
-                        *[
-                            F.array_sort(F.map_entries(F.col(c))).alias(c)
-                            if c in map_cols
-                            else F.col(c)
-                            for c in cols
-                        ]
-                    )
-                )
-            ).alias("__h"),
-        )
-
     if not key_cols:
+        df_a, df_b, cols, map_cols = _diff_inputs(spark, root, a, b, fs)
+
+        def _hashed(df):
+            return _hashed_rows(df, cols, [], map_cols)
+
         ca = _hashed(df_a).groupBy("__h").agg(F.count(F.lit(1)).alias("__na"))
         cb = _hashed(df_b).groupBy("__h").agg(F.count(F.lit(1)).alias("__nb"))
         joined = ca.join(cb, "__h", "full_outer").select(
@@ -215,16 +182,105 @@ def diff_dataset(
         return {"added": int(row["added"] or 0),
                 "removed": int(row["removed"] or 0)}
 
-    # keyed: duplicate-key groups fold into ONE order-insensitive
-    # fingerprint per key, so the comparison is exact even when a key
-    # appears several times in a version.  The fold is commutative —
-    # (sum, xor, count) of a 64-bit rehash — so per-key aggregation
-    # state is O(1) and partials combine map-side; a false group match
-    # needs sum AND xor AND count to collide simultaneously.  The sum
-    # runs in decimal(38,0) (exact, no ANSI long overflow at any
-    # multiplicity).
+    full = diff_dataset_frame(spark, root, a, b, key_cols, fs=fs)
+    full = full.persist()
+    try:
+        counts = {
+            r["status"]: r["n"]
+            for r in full.groupBy("status").agg(
+                F.count(F.lit(1)).alias("n")
+            ).collect()
+        }
+        out: dict = {
+            "added": int(counts.get("added", 0)),
+            "removed": int(counts.get("removed", 0)),
+            "changed": int(counts.get("changed", 0)),
+        }
+        for status in ("added", "removed", "changed"):
+            out[f"sample_{status}"] = [
+                tuple(r[c] for c in key_cols) if len(key_cols) > 1
+                else r[key_cols[0]]
+                for r in full.where(F.col("status") == status)
+                .select(*key_cols)
+                .orderBy(*key_cols)
+                .limit(sample)
+                .collect()
+            ]
+        return out
+    finally:
+        full.unpersist()
+
+
+def _diff_inputs(spark, root, a, b, fs):
+    """Resolve both commits and the shared fingerprint column set."""
+    t = ManifestedParquetTable(root, fs=fs)
+    df_a, df_b = t.read(spark, as_of=a), t.read(spark, as_of=b)
+    if sorted(df_a.columns) != sorted(df_b.columns):
+        raise ValueError(
+            f"dataset commits {a} and {b} at {root} have different "
+            f"columns: {sorted(df_a.columns)} vs {sorted(df_b.columns)}"
+        )
+    from pyspark.sql import types as T
+
+    map_cols = {
+        f.name for f in df_a.schema.fields
+        if isinstance(f.dataType, T.MapType)
+    }
+    return df_a, df_b, sorted(df_a.columns), map_cols
+
+
+def _hashed_rows(df, cols, key_cols, map_cols):
+    # to_json canonicalizes every type (timestamps, arrays, structs)
+    # into one string to fingerprint; column order fixed by the sorted
+    # projection so both sides agree.  MapType serializes in internal
+    # entry order, so maps are sorted into entry arrays first —
+    # identical contents, identical bytes.
+    return df.select(
+        *key_cols,
+        F.md5(
+            F.to_json(
+                F.struct(
+                    *[
+                        F.array_sort(F.map_entries(F.col(c))).alias(c)
+                        if c in map_cols
+                        else F.col(c)
+                        for c in cols
+                    ]
+                )
+            )
+        ).alias("__h"),
+    )
+
+
+def diff_dataset_frame(
+    spark: SparkSession,
+    root: str,
+    a: int | str,
+    b: int | str,
+    key_cols: list[str],
+    fs: StoreFS | None = None,
+) -> DataFrame:
+    """The keyed diff classification as a DATAFRAME — one row per key
+    whose content differs between commits ``a`` and ``b``, columns
+    ``(*key_cols, status)`` with ``status`` in added / removed /
+    changed.  :func:`diff_dataset` derives its counts and samples from
+    this frame; it is exposed so the classification itself can feed
+    downstream plans (re-embed only the changed keys, re-train when
+    the changed set crosses a threshold) and be value-gated.
+
+    Same scale shape as the counts: each side collapses to (key,
+    16-byte hash) in a narrow map; duplicate-key groups fold into ONE
+    order-insensitive fingerprint via a commutative (sum, xor, count)
+    of a 64-bit rehash — O(1) aggregation state per key, partials
+    combine map-side, a false group match needs sum AND xor AND count
+    to collide simultaneously.  The sum runs in decimal(38,0) (exact,
+    no ANSI long overflow at any multiplicity)."""
+    df_a, df_b, cols, map_cols = _diff_inputs(spark, root, a, b, fs)
+
     def _per_key(df):
-        h = _hashed(df).withColumn("__h64", F.xxhash64("__h"))
+        h = _hashed_rows(df, cols, key_cols, map_cols).withColumn(
+            "__h64", F.xxhash64("__h")
+        )
         return h.groupBy(*key_cols).agg(
             F.struct(
                 F.sum(F.col("__h64").cast("decimal(38,0)")).alias("s"),
@@ -241,40 +297,14 @@ def diff_dataset(
     for k in key_cols:
         c = pa[k].eqNullSafe(pb[k])
         cond = c if cond is None else cond & c
-    full = pa.join(pb, cond, "full_outer").select(
+    return pa.join(pb, cond, "full_outer").select(
         *[F.coalesce(pa[k], pb[k]).alias(k) for k in key_cols],
         F.when(F.col("__ha").isNull(), F.lit("added"))
         .when(F.col("__hb").isNull(), F.lit("removed"))
         .when(F.col("__ha") != F.col("__hb"), F.lit("changed"))
         .otherwise(F.lit("same"))
-        .alias("__status"),
-    ).where(F.col("__status") != "same")
-    full = full.persist()
-    try:
-        counts = {
-            r["__status"]: r["n"]
-            for r in full.groupBy("__status").agg(
-                F.count(F.lit(1)).alias("n")
-            ).collect()
-        }
-        out: dict = {
-            "added": int(counts.get("added", 0)),
-            "removed": int(counts.get("removed", 0)),
-            "changed": int(counts.get("changed", 0)),
-        }
-        for status in ("added", "removed", "changed"):
-            out[f"sample_{status}"] = [
-                tuple(r[c] for c in key_cols) if len(key_cols) > 1
-                else r[key_cols[0]]
-                for r in full.where(F.col("__status") == status)
-                .select(*key_cols)
-                .orderBy(*key_cols)
-                .limit(sample)
-                .collect()
-            ]
-        return out
-    finally:
-        full.unpersist()
+        .alias("status"),
+    ).where(F.col("status") != "same")
 
 
 def vacuum_dataset(

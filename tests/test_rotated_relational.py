@@ -307,9 +307,26 @@ FROM ranked WHERE rn = 1
     # oracle by design: the persisted-index path at n_probe=all must
     # land exactly where the corpus scan does
     "hybrid_rrf": entry_mod._hybrid_oracle(),
+    # rotated r16 (for dataset_diff): A2's created-ts tie-break over a
+    # unioned frame — A1 stays exercised by every PIT query and the
+    # rotated latest_per_key below
+    "latest_per_key_created": """
+WITH both_v AS (
+  SELECT user_id, ts, value, CAST(1 AS BIGINT) AS created FROM events
+  UNION ALL
+  SELECT user_id, ts, value * 2 AS value, CAST(2 AS BIGINT) AS created FROM events
+)
+SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, created
+FROM (
+  SELECT user_id, ts, value, created,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, created DESC) rn
+  FROM both_v
+) WHERE rn = 1
+""",
     # rotated r13: A1 latest-per-key dedup — the SAME operators/dedup.
-    # latest_per_key function stays gated inside latest_per_key_created
-    # (tie-break superset over a unioned frame)
+    # latest_per_key function stays value-checked via
+    # latest_per_key_created (tie-break superset over a unioned frame,
+    # itself rotated here in r16)
     "latest_per_key": """
 SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
 FROM (
@@ -383,6 +400,7 @@ _FUNCS = {
     "hybrid_rrf": entry_mod.q_hybrid_rrf,
     "bm25_topk": entry_mod.q_bm25_topk,
     "latest_per_key": entry_mod.q_latest_per_key,
+    "latest_per_key_created": entry_mod.q_latest_per_key_created,
     "embed_near_dup": entry_mod.q_embed_near_dup,
 }
 
