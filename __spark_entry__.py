@@ -1290,20 +1290,28 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, unlike the dedup shingles): explode -> count -> top-k. The
     shuffle carries (bigram, partial count) after map-side combine;
     the limit is TakeOrderedAndProject."""
-    from feast_spark.functions.text import normalize_text, tokens
+    from feast_spark.functions.text import (
+        explode_computed,
+        normalize_text,
+        tokens,
+    )
+    from feast_spark.operators.docdedup import widen_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(tokens(normalize_text(F.col("text"))).alias("t"))
-    bigrams = toks.select(
-        F.explode(
-            F.when(
-                F.size("t") >= 2,
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - 2),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)),
-                ),
-            ).otherwise(F.array())
-        ).alias("bigram")
+    toks = widen_parallelism(docs.select("text")).select(
+        tokens(normalize_text(F.col("text"))).alias("t")
+    )
+    bigrams = explode_computed(
+        toks,
+        [],
+        F.when(
+            F.size("t") >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 2),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i + 1, 2)),
+            ),
+        ).otherwise(F.array()),
+        "bigram",
     )
     return (
         bigrams.groupBy("bigram")

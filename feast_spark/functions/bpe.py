@@ -171,8 +171,10 @@ def train_bpe(
     pre-tokens), TakeOrdered the top ``max_words`` to the driver —
     bounded regardless of corpus size.  Training then never touches
     the cluster again."""
+    from feast_spark.functions.text import explode_computed
+
     counts = (
-        df.select(F.explode(bpe_ish_tokens(F.col(text_col))).alias("w"))
+        explode_computed(df, [], bpe_ish_tokens(F.col(text_col)), "w")
         .where(F.trim("w") != "")  # whitespace runs carry no signal
         .groupBy("w")
         .agg(F.count("*").alias("freq"))

@@ -77,9 +77,9 @@ def train_char_lm(
         raise ValueError(f"n must be positive, got {n}")
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive, got {vocab_size}")
-    grams = df.select(
-        F.explode(char_ngrams(F.col(text_col), n)).alias("ngram")
-    )
+    from feast_spark.functions.text import explode_computed
+
+    grams = explode_computed(df, [], char_ngrams(F.col(text_col), n), "ngram")
     counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
     # tiny two-row frame: total mass over every observed n-gram
     total = counts.agg(F.sum("cnt").alias("total"))

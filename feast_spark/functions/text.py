@@ -34,6 +34,41 @@ def tokens(text: Column) -> Column:
     ).otherwise(F.split(F.trim(text), r"\s+"))
 
 
+def explode_computed(df, cols, arr, alias: str):
+    """``F.explode`` of an EXPENSIVE computed array, minus Catalyst's
+    ``InferFiltersFromGenerate`` tax.
+
+    For a plain inner explode, that rule infers ``size(arr) > 0 AND
+    isnotnull(arr)`` — with the WHOLE array expression inlined — and
+    predicate pushdown then sinks it below any exchange into the scan
+    stage.  For a shingle/minhash/winnow array over a small-file scan
+    that means the full CPU pass runs twice, once of them serialized
+    on the scan's (often single) input partition — measured 6x wall on
+    the sf0.1 shingle pipeline.  ``explode_outer`` is exempt from the
+    rule; the ``isNotNull`` filter on the GENERATED column restores
+    inner-explode row semantics and cannot be pushed below the
+    Generate (it references the generator output).
+
+    Row-identical to inner explode whenever array ELEMENTS are never
+    null: a null/empty array yields one null-element row, which the
+    filter drops — exactly the rows inner explode never emitted.
+    Every shingle/token/fingerprint array in this package qualifies
+    (xxhash64, concat_ws and struct outputs are non-null).
+
+    ``cols`` are the pass-through columns (names or Columns)."""
+    out = df.select(*cols, F.explode_outer(arr).alias(alias))
+    return out.filter(F.col(alias).isNotNull())
+
+
+def posexplode_computed(df, cols, arr, pos_alias: str, alias: str):
+    """``F.posexplode`` twin of :func:`explode_computed` — same
+    InferFiltersFromGenerate dodge, filtering on the element column."""
+    out = df.select(
+        *cols, F.posexplode_outer(arr).alias(pos_alias, alias)
+    )
+    return out.filter(F.col(alias).isNotNull())
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -269,14 +304,14 @@ def repetition_stats(df, id_col: str, text_col: str):
             lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
         )
     )
-    grams = base.select(
-        id_col,
-        F.explode(
-            F.concat(
-                F.transform("__toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
-                F.transform(bigrams, lambda t: F.struct(F.lit(2).alias("n"), t.alias("g"))),
-            )
-        ).alias("gram"),
+    grams = explode_computed(
+        base,
+        [id_col],
+        F.concat(
+            F.transform("__toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
+            F.transform(bigrams, lambda t: F.struct(F.lit(2).alias("n"), t.alias("g"))),
+        ),
+        "gram",
     ).select(id_col, "gram.n", "gram.g")
     counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
     per_doc = counts.groupBy(id_col, "n").agg(
@@ -311,7 +346,7 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
     by term asc).  Standard explode -> two aggregations; the corpus size
     N rides in via a broadcast 1-row aggregate, never a collect."""
     toks = tokens(normalize_text(F.col(text_col)))
-    terms = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    terms = explode_computed(df, [F.col(id_col)], toks, "term")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(
@@ -547,12 +582,12 @@ def chunk_documents(
     )
     extras = list(keep_cols or [])
     return (
-        df.filter(text.isNotNull() & (F.length(text) > 0))
-        .select(
-            F.col(id_col),
-            *[F.col(c) for c in extras],
-            text.alias("__text"),
-            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        posexplode_computed(
+            df.filter(text.isNotNull() & (F.length(text) > 0)),
+            [F.col(id_col), *[F.col(c) for c in extras], text.alias("__text")],
+            starts,
+            "chunk_id",
+            "chunk_start",
         )
         .select(
             id_col,

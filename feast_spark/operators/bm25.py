@@ -148,8 +148,10 @@ def bm25_topk(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("len_d").alias("avg_len"),
     )
+    from feast_spark.functions.text import explode_computed
+
     tf = (
-        feat.select(id_col, "len_d", F.explode("__qt").alias("term"))
+        explode_computed(feat, [id_col, "len_d"], "__qt", "term")
         .groupBy(id_col, "term")
         .agg(
             F.count(F.lit(1)).alias("tf"),
@@ -323,8 +325,10 @@ def bm25_topk_batch(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("len_d").alias("avg_len"),
     )
-    posting = feat.select(
-        id_col, "len_d", F.explode("__toks").alias("term")
+    from feast_spark.functions.text import explode_computed
+
+    posting = explode_computed(
+        feat, [id_col, "len_d"], "__toks", "term"
     ).join(F.broadcast(all_terms), "term", "leftsemi")
     tf = posting.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"),
@@ -511,7 +515,9 @@ def _bm25_doc_tables(
         F.size(tokens(normalize_text(F.col(text_col)))).alias("len_d"),
         tokens(normalize_text(F.col(text_col))).alias("__toks"),
     )
-    exploded = feat.select(id_col, "len_d", F.explode("__toks").alias("term"))
+    from feast_spark.functions.text import explode_computed
+
+    exploded = explode_computed(feat, [id_col, "len_d"], "__toks", "term")
     if stopwords:
         exploded = exploded.filter(~F.col("term").isin(*stopwords))
     posting = (

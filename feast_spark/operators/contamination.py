@@ -31,7 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from feast_spark.operators.docdedup import with_hashed_shingles, with_shingles
+from feast_spark.functions.text import explode_computed
+from feast_spark.operators.docdedup import (
+    widen_parallelism,
+    with_hashed_shingles,
+    with_shingles,
+)
 
 
 def ngram_contamination(
@@ -58,10 +63,26 @@ def ngram_contamination(
     still checked — exact-match only, the honest semantics for them.
     """
     shingler = with_shingles if portable else with_hashed_shingles
-    ev_sh = shingler(eval_df.select(id_col, text_col), text_col, n)
-    ev = ev_sh.select(id_col, F.explode("shingles").alias("__sh"))
-    tr = shingler(train_df.select(text_col), text_col, n).select(
-        F.explode("shingles").alias("__sh")
+    # shingling is CPU-bound: widen a small-file scan to the session
+    # parallelism before it (the docdedup discipline — round-robin of
+    # RAW text rows, a no-op whenever the scan already has >= cores
+    # input files, i.e. always at real scale)
+    from feast_spark.operators.docdedup import _persist
+
+    # the eval shingle frame feeds two consumers (the broadcast build
+    # side and the totals aggregate); it is small by contract, so
+    # persist the (id, shingles) projection and shingle eval ONCE
+    ev_sh = _persist(
+        shingler(
+            widen_parallelism(eval_df.select(id_col, text_col)), text_col, n
+        ).select(id_col, "shingles")
+    )
+    ev = explode_computed(ev_sh, [id_col], "shingles", "__sh")
+    tr = explode_computed(
+        shingler(widen_parallelism(train_df.select(text_col)), text_col, n),
+        [],
+        "shingles",
+        "__sh",
     )
     # inner-join the train stream against the (broadcast) eval shingle
     # set, then count DISTINCT hit shingles per eval doc: train-side
@@ -127,25 +148,40 @@ def contaminated_spans(
     aggregates hit shingles only and the train corpus never
     shuffles."""
     shingler = with_shingles if portable else with_hashed_shingles
-    ev = (
-        shingler(
-            eval_df.select(
-                F.col(eval_id_col).alias("eval_id"), text_col
+    from feast_spark.operators.docdedup import _persist
+
+    # the exploded eval shingles feed TWO broadcast builds (the
+    # left-semi probe and the final join); eval-bounded — small — so
+    # persist and shingle the eval side once
+    ev = _persist(
+        explode_computed(
+            shingler(
+                widen_parallelism(
+                    eval_df.select(
+                        F.col(eval_id_col).alias("eval_id"), text_col
+                    )
+                ),
+                text_col,
+                n,
             ),
-            text_col,
-            n,
+            ["eval_id"],
+            "shingles",
+            "__sh",
         )
-        .select("eval_id", F.explode("shingles").alias("__sh"))
     )
-    tr = (
+    tr = explode_computed(
         shingler(
-            train_df.select(
-                F.col(train_id_col).alias("train_id"), text_col
+            widen_parallelism(
+                train_df.select(
+                    F.col(train_id_col).alias("train_id"), text_col
+                )
             ),
             text_col,
             n,
-        )
-        .select("train_id", F.explode("shingles").alias("__sh"))
+        ),
+        ["train_id"],
+        "shingles",
+        "__sh",
     )
     # Only shingles that appear in the (small) eval set can ever reach
     # the output, so probe the train stream against the broadcast eval
@@ -161,6 +197,14 @@ def contaminated_spans(
     # a shuffle exchange.
     tr = tr.join(F.broadcast(ev.select("__sh")), "__sh", "left_semi")
     if max_shingle_freq is not None:
+        # the hit stream is consumed twice (frequency cap + final
+        # join); it is eval-bounded — small — so persist it and the
+        # 100 TB train corpus is scanned ONCE, not once per consumer
+        # (the docdedup._persist discipline: LRU + ContextCleaner
+        # eviction, nothing leaks from a one-shot query)
+        from feast_spark.operators.docdedup import _persist
+
+        tr = _persist(tr)
         freq = tr.groupBy("__sh").agg(
             F.count(F.lit(1)).alias("__freq")
         )

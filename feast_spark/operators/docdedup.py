@@ -26,7 +26,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from feast_spark.functions.text import fingerprint_md5, normalize_text, tokens
+from feast_spark.functions.text import (
+    explode_computed,
+    fingerprint_md5,
+    normalize_text,
+    posexplode_computed,
+    tokens,
+)
 
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -456,7 +462,12 @@ def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
             ),
         )
     )
-    return grouped.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b")
+    # explode_computed, not F.explode: InferFiltersFromGenerate would
+    # otherwise evaluate the whole pair-comprehension TWICE per bucket
+    # (once in an inferred size(pairs) > 0 filter)
+    return explode_computed(grouped, [], pairs, "p").select(
+        "p.id_a", "p.id_b"
+    )
 
 
 def band_bucket_array(bands: int, rows_per_band: int, portable: bool):
@@ -561,7 +572,9 @@ def lsh_candidate_pairs(
     mh = mh.select(F.col(id_col).alias("doc"), "minhash")
 
     bands_arr = band_bucket_array(bands, rows_per_band, portable)
-    banded = mh.select("doc", F.posexplode(bands_arr).alias("band", "bucket"))
+    # posexplode_computed: keeps InferFiltersFromGenerate from
+    # re-deriving the minhash signature in an inferred size() filter
+    banded = posexplode_computed(mh, ["doc"], bands_arr, "band", "bucket")
     if max_bucket_size is not None:
         bw = Window.partitionBy("band", "bucket")
         banded = (
@@ -788,7 +801,7 @@ def simhash_pairs(
         )
     )
     return (
-        grouped.select(F.explode(pairs).alias("p"))
+        explode_computed(grouped, [], pairs, "p")
         # duplicate doc ids with differing text survive the struct
         # array_distinct as two entries of the same doc — never pair a
         # doc with itself.
@@ -837,9 +850,8 @@ def frequent_lines(
     base = df.select(
         F.monotonically_increasing_id().alias("__doc"), F.col(text_col)
     )
-    lines = base.select(
-        "__doc",
-        F.explode(F.split(F.col(text_col), "\n")).alias("__line"),
+    lines = explode_computed(
+        base, ["__doc"], F.split(F.col(text_col), "\n"), "__line"
     ).select("__doc", F.trim("__line").alias("__line"))
     eligible = lines.where(F.length("__line") >= min_line_chars)
     hashed = eligible.select("__doc", F.md5("__line").alias("line_hash"))
@@ -897,9 +909,12 @@ def dedup_lines(
             F.desc("n_docs"), F.asc("line_hash")
         ).limit(max_boilerplate_lines)
     boiler = boiler.select("line_hash")
-    lines = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    lines = posexplode_computed(
+        df,
+        [F.col(id_col)],
+        F.split(F.col(text_col), "\n"),
+        "__pos",
+        "__line",
     )
     kept = lines.join(
         F.broadcast(boiler),

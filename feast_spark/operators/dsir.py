@@ -104,14 +104,16 @@ def _exploded_buckets(
     at 100 TB where splits already outnumber cores)."""
     from feast_spark.operators.docdedup import widen_parallelism
 
+    from feast_spark.functions.text import explode_computed
+
     feat = widen_parallelism(df).select(
         *cols, tokens(normalize_text(F.col(text_col))).alias("__toks")
     )
-    return feat.select(
-        *cols,
-        F.explode(
-            _bucket_array(F.col("__toks"), n_max, n_buckets)
-        ).alias("bucket"),
+    return explode_computed(
+        feat,
+        cols,
+        _bucket_array(F.col("__toks"), n_max, n_buckets),
+        "bucket",
     )
 
 

@@ -102,11 +102,13 @@ def edit_distance_join(
     short_len = q + max_dist * q  # below this, the gram bound degenerates
 
     # -- gram channel (long strings) ------------------------------------
-    pa = a.filter(F.col("len_a") >= short_len).select(
-        "id_a", "len_a", F.explode("g_a").alias("gram")
+    from feast_spark.functions.text import explode_computed
+
+    pa = explode_computed(
+        a.filter(F.col("len_a") >= short_len), ["id_a", "len_a"], "g_a", "gram"
     )
-    pb = b.filter(F.col("len_b") >= short_len).select(
-        "id_b", "len_b", F.explode("g_b").alias("gram")
+    pb = explode_computed(
+        b.filter(F.col("len_b") >= short_len), ["id_b", "len_b"], "g_b", "gram"
     )
     if max_gram_freq is not None:
         hot = (

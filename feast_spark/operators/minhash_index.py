@@ -124,11 +124,16 @@ def _doc_tables(
         else:
             mh = with_minhash(sh, num_hashes=num_hashes, prehashed=True)
         shingles = sh.select(F.col(id_col).alias("doc"), "shingles")
-    banded = mh.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(
-            band_bucket_array(bands, rows_per_band, portable=portable)
-        ).alias("band", "bucket"),
+    from feast_spark.functions.text import posexplode_computed
+
+    # posexplode_computed: keeps InferFiltersFromGenerate from
+    # re-deriving the minhash signature in an inferred size() filter
+    banded = posexplode_computed(
+        mh,
+        [F.col(id_col).alias("doc")],
+        band_bucket_array(bands, rows_per_band, portable=portable),
+        "band",
+        "bucket",
     )
     return banded, shingles
 

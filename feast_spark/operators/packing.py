@@ -196,8 +196,10 @@ def chunk_documents(
         n_tok - 1,
         F.lit(stride),
     )).otherwise(F.array().cast("array<int>"))
-    exploded = with_toks.select(
-        "*", F.posexplode(starts).alias(chunk_col, "__start")
+    from feast_spark.functions.text import posexplode_computed
+
+    exploded = posexplode_computed(
+        with_toks, ["*"], starts, chunk_col, "__start"
     )
     chunk = F.slice(
         F.col("__toks"), F.col("__start") + 1, F.lit(chunk_tokens)

@@ -122,9 +122,18 @@ def _encode_cells(
     cents: list[list[float]],
     books,
 ) -> DataFrame:
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # PQ encoding + cell assignment are the corpus-wide CPU pass and
+    # run at the scan's partitioning: widen a small-file scan first
+    # (no-op whenever the input already has >= cores files)
     return (
         pq_encode(
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            widen_parallelism(
+                df.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+            ),
             books,
             vec_col="vec",
             out_col="codes",

@@ -127,8 +127,15 @@ def semantic_dedup_pairs(
     # assigned frame on __cell and scanned + assigned the corpus
     # TWICE (visible as two FileScans in the plan); this shape is the
     # minhash bucket pipeline's, with cells as buckets.
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # nearest-centroid assignment is the corpus-wide CPU pass and runs
+    # at the scan's partitioning: widen a small-file scan first (no-op
+    # whenever the input already has >= cores files, i.e. at scale)
     assigned = with_cluster_id(
-        df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")),
+        widen_parallelism(
+            df.select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"))
+        ),
         "__v",
         cents,
     ).select("__sid", "__cell")
@@ -239,8 +246,12 @@ def semdedup_against_index(
 
     manifest = _ivf_manifest(path, LocalFS(), as_of=as_of)
     cents = _ivf_load_centroids(spark, path, manifest=manifest)
-    new_assigned = new_df.select(
-        F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    new_assigned = widen_parallelism(
+        new_df.select(
+            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
+        )
     ).withColumn("__cell", nearest_centroid(F.col("__v"), cents))
     touched = sorted(
         r["__cell"]

@@ -64,11 +64,18 @@ def cosine_topk(
     def _qcol(name: str) -> Column:
         return F.col("`" + name.replace("`", "``") + "`")
 
+    from feast_spark.operators.docdedup import widen_parallelism
+
     q = queries.select(
         _qcol(id_col).alias("query_id"), _qcol(vec_col).alias("__qvec")
     )
-    c = corpus.select(
-        _qcol(id_col).alias("neighbor_id"), _qcol(vec_col).alias("__cvec")
+    # the corpus side carries the O(corpus x queries) dot-product work
+    # at ITS partitioning: widen a small-file scan to the session
+    # parallelism (no-op whenever the scan has >= cores input files)
+    c = widen_parallelism(
+        corpus.select(
+            _qcol(id_col).alias("neighbor_id"), _qcol(vec_col).alias("__cvec")
+        )
     )
     cos = cosine(F.col("__qvec"), F.col("__cvec"))
     if round_digits is not None:
@@ -143,8 +150,17 @@ def lsh_ann_topk(
     """ANN: candidates = corpus vectors whose signature is within
     ``probe_hamming`` bits of the query signature (multi-probe), then
     exact cosine re-rank of candidates only."""
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # signature + candidate filter run at the corpus scan's
+    # partitioning: widen a small-file scan (no-op at real file counts)
     c = with_lsh_signature(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        widen_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            )
+        ),
         "__cvec",
         dims,
         planes,
@@ -224,7 +240,13 @@ def exact_cosine_pairs(
     ``embedding_near_dup_pairs`` (the LSH scale path).  The join is a
     broadcast nested-loop on the smaller side; the dot products stay in
     whole-stage codegen (zip_with/aggregate, no Python)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # the stream side executes the O(n^2) cosine loop at its own
+    # partitioning — widen a small-file scan (no-op at real file counts)
+    a = widen_parallelism(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    )
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     cos = cosine(F.col("__va"), F.col("__vb"))
     if round_digits is not None:
@@ -491,8 +513,14 @@ def ivf_ann_topk(
         if centroids is not None
         else ivf_train_centroids(corpus, id_col, vec_col, n_centroids, iters=iters)
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    # assignment + re-rank run at the corpus scan's partitioning:
+    # widen a small-file scan first (no-op at real file counts)
+    c = widen_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
     ).withColumn("__cell", nearest_centroid(F.col("__cvec"), cents))
     q = (
         queries.select(
@@ -681,8 +709,12 @@ def build_ivf_index(
         posixpath.join(path, cent_rel)
     )
     epoch = _ivf_next_epoch(path, fs, [])
+    from feast_spark.operators.docdedup import widen_parallelism
+
     (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        widen_parallelism(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        )
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
         .write.mode("errorifexists")
         .partitionBy("cell")
@@ -915,9 +947,13 @@ def ivf_index_append(
         return
     cents = _ivf_load_centroids(spark, path, fs)
     epoch = _ivf_next_epoch(path, fs, manifest["epochs"])
+    from feast_spark.operators.docdedup import widen_parallelism
+
     (
-        new_vectors.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        widen_parallelism(
+            new_vectors.select(
+                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+            )
         )
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
         .write.mode("errorifexists")

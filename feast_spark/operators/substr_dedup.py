@@ -134,18 +134,26 @@ def with_substring_fingerprints(
     (exact-match-only semantics for tiny docs, like the shingle
     guard).  The k-gram hash array is materialized as its own column
     before the window scan — see ``_winnow`` for why inlining it is
-    quadratic."""
-    return (
-        df.select(
-            F.col(id_col),
-            _kgram_hashes(F.col(text_col), k, portable).alias("__hs"),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(_winnow(F.col("__hs"), window)).alias("__s"),
-        )
-        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
+    quadratic.
+
+    The k-gram + winnow scan is CPU-bound (O(len * w) per doc), so a
+    small-file scan is widened to the session parallelism first (the
+    ``docdedup.widen_parallelism`` discipline — a no-op whenever the
+    input already has >= cores files, i.e. always at real scale)."""
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    from feast_spark.functions.text import explode_computed
+
+    hashed = widen_parallelism(df.select(id_col, text_col)).select(
+        F.col(id_col),
+        _kgram_hashes(F.col(text_col), k, portable).alias("__hs"),
     )
+    # explode_computed: InferFiltersFromGenerate would otherwise inline
+    # the whole winnow scan into an inferred size() > 0 filter and
+    # predicate pushdown would run it a second time below the exchange
+    return explode_computed(
+        hashed, [F.col(id_col)], _winnow(F.col("__hs"), window), "__s"
+    ).select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
 
 
 def _dup_fps(fps: DataFrame, id_col: str, min_dup_docs: int) -> DataFrame:

@@ -36,7 +36,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from feast_spark.operators.docdedup import with_hashed_shingles, with_shingles
+from feast_spark.operators.docdedup import (
+    widen_parallelism,
+    with_hashed_shingles,
+    with_shingles,
+)
 
 __all__ = ["eval_shingles", "mark_contaminated"]
 
@@ -52,11 +56,18 @@ def eval_shingles(
     ``portable`` flag as the marking call: the shingle identity
     (xxhash64 longs vs strings) must match or nothing ever hits."""
     shingler = with_shingles if portable else with_hashed_shingles
-    return (
-        shingler(eval_df.select(text_col), text_col, n)
-        .select(F.explode("shingles").alias("__sh"))
-        .distinct()
-    )
+    # one-shot batch build, CPU-bound shingling: widen a small-file
+    # eval scan to the session parallelism (no-op at real file counts)
+    from feast_spark.functions.text import explode_computed
+
+    return explode_computed(
+        shingler(
+            widen_parallelism(eval_df.select(text_col)), text_col, n
+        ),
+        [],
+        "shingles",
+        "__sh",
+    ).distinct()
 
 
 def mark_contaminated(
@@ -83,10 +94,12 @@ ngram_contamination` numbers, train/eval roles swapped: here the
     assumed unique within a micro-batch (upstream exact dedup's
     output contract); duplicate ids would pool their hit counts.
     """
+    from feast_spark.functions.text import explode_computed
+
     shingler = with_shingles if portable else with_hashed_shingles
     sh = shingler(batch_df, text_col, n)
     hits = (
-        sh.select(id_col, F.explode("shingles").alias("__sh"))
+        explode_computed(sh, [id_col], "shingles", "__sh")
         .join(F.broadcast(eval_shingle_df.select("__sh")), "__sh")
         .groupBy(id_col)
         .agg(F.count_distinct("__sh").alias("contaminated_ngrams"))

@@ -171,10 +171,10 @@ def _banded_docs(
         num_hashes=num_hashes,
         prehashed=True,
     )
-    return mh.select(
-        id_col,
-        text_col,
-        F.explode(_band_structs(num_hashes, bands)).alias("bb"),
+    from feast_spark.functions.text import explode_computed
+
+    return explode_computed(
+        mh, [id_col, text_col], _band_structs(num_hashes, bands), "bb"
     ).select(id_col, text_col, "bb.band", "bb.bucket")
 
 

@@ -84,3 +84,39 @@ def test_contaminated_spans_semi_joins_before_freq(spark):
     assert not any("Exchange hashpartitioning" in l for l in between), (
         "train shingles shuffled before the eval probe:\n" + plan
     )
+
+
+def test_widened_shingle_explode_keeps_scan_side_cheap(spark, tmp_path):
+    """Pin of the r16 InferFiltersFromGenerate discovery: a plain
+    F.explode over a computed shingle array lets Catalyst infer a
+    ``size(shingles) > 0`` filter WITH THE WHOLE SHINGLE EXPRESSION
+    INLINED, and predicate pushdown then sinks it below the
+    widen_parallelism exchange — running the full CPU pass a second
+    time, serialized on the scan's single input partition (measured 6x
+    wall at sf0.1).  ``explode_computed`` (explode_outer + isNotNull
+    on the generated column) is exempt from the rule; this asserts no
+    hash expression ever appears below the widening exchange."""
+    from feast_spark.functions.text import explode_computed
+    from feast_spark.operators.docdedup import (
+        widen_parallelism,
+        with_hashed_shingles,
+    )
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    q = explode_computed(
+        with_hashed_shingles(widen_parallelism(df), "text", 3),
+        ["doc_id"],
+        "shingles",
+        "__sh",
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in plan, plan
+    scan_side = plan.split("RoundRobinPartitioning", 1)[1]
+    assert "xxhash64" not in scan_side, (
+        "shingle expression pushed below the widening exchange:\n" + plan
+    )
