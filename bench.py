@@ -133,8 +133,19 @@ def main() -> None:
     # still FLAGS the query; only the min (and median) recover.
     max_reruns = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "2"))
 
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts timing to those queries —
+    # for iterating on one operator without the full 31-query sweep.
+    # The printed headline is NOT comparable across rounds when set.
+    only = {
+        q.strip()
+        for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if q.strip()
+    }
+
     def _time(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
+        if only:
+            names = [n for n in names if n in only]
         for name in names:
             fn = queries[name]
             samples = []

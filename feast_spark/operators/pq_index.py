@@ -201,6 +201,9 @@ def build_ivfpq_index(
     epoch = epochs_io.next_epoch(path, fs, [], _SUBDIRS)
     (
         _encode_cells(corpus, id_col, vec_col, cents, books)
+        # cluster by cell first: one code file per cell at any encode
+        # parallelism (the similarity.build_ivf_index discipline)
+        .repartition("cell")
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
@@ -321,6 +324,7 @@ def ivfpq_index_append(
     epoch = epochs_io.next_epoch(path, fs, manifest["epochs"], _SUBDIRS)
     (
         _encode_cells(new_vectors, id_col, vec_col, cents, books)
+        .repartition("cell")  # one file per cell (see build path)
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))
@@ -367,6 +371,7 @@ def ivfpq_index_compact(
     epoch = epochs_io.next_epoch(path, fs, manifest["epochs"], _SUBDIRS)
     (
         _codes(spark, path, manifest["epochs"])
+        .repartition("cell")  # one file per cell (see build path)
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "codes", f"epoch={epoch}"))

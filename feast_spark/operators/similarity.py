@@ -716,6 +716,11 @@ def build_ivf_index(
             corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         )
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        # cluster by cell before the partitioned write: each cell maps
+        # to exactly one task, so the epoch holds ONE file per cell at
+        # any input parallelism (widened assignment would otherwise
+        # write tasks x cells small files, slowing every probed read)
+        .repartition("cell")
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
@@ -956,6 +961,7 @@ def ivf_index_append(
             )
         )
         .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .repartition("cell")  # one file per cell (see build_ivf_index)
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={epoch}"))
@@ -1011,6 +1017,7 @@ def ivf_index_compact(spark, path: str, fs: StoreFS | None = None) -> None:
     merged = _ivf_next_epoch(path, fs, epochs)
     (
         _ivf_vectors(spark, path, fs)
+        .repartition("cell")  # one file per cell (see build_ivf_index)
         .write.mode("errorifexists")
         .partitionBy("cell")
         .parquet(posixpath.join(path, "vectors", f"epoch={merged}"))
