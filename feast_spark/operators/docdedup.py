@@ -48,20 +48,51 @@ def _persist(df: DataFrame) -> DataFrame:
 
 def widen_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition UP to the session's default parallelism
-    when the input scan has fewer files than cores — never down.
+    when the input scan is genuinely SMALL — never down.
 
     Shingling/minhashing is CPU-bound; a small parquet file arrives as
     ONE input split (maxPartitionBytes), which would serialize the whole
     pipeline on one core.  The file count is read from the scan metadata
     (``inputFiles`` — no job, no plan-to-RDD conversion); at 100 TB the
-    input has far more files than cores and this is a no-op."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    input has far more files than cores and this is a no-op.
+
+    Few files does NOT imply few splits: Spark byte-range-splits large
+    files at ``maxPartitionBytes`` boundaries, so 10 x 10 GB files
+    already scan as ~800 tasks — repartitioning THEM would shuffle the
+    whole corpus for nothing.  So when the file count is below the
+    target, the sizes are checked too (driver-side ``getFileStatus``
+    on <= cores files — cheap) and the repartition only fires when the
+    total is under ``target * maxPartitionBytes`` (i.e. the scan
+    cannot reach the target split count on its own).  Unsizable
+    sources fall back to file count alone."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
         return df
-    if n_files == 0 or n_files >= target:
+    if not files or len(files) >= target:
         return df
+    try:
+        # resolved to plain bytes by the session (conf.get may return
+        # the raw user string, e.g. "128MB")
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_split = 134217728
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+        if total >= target * max_split:
+            # byte-range splitting already yields >= target splits
+            return df
+    except Exception:
+        pass  # unsizable (exotic FS): keep the file-count heuristic
     return df.repartition(target)
 
 

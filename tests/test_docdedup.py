@@ -405,3 +405,39 @@ def test_minhash_method_auto(spark):
         }
         assert got["auto"] == got["kseed"] == got["oph"], words
         assert len(got["auto"]) >= 50, (words, len(got["auto"]))
+
+
+def test_widen_parallelism_respects_byte_size(spark, tmp_path):
+    """The r16 byte-size guard: few files does NOT imply few splits.
+    When the scan's total bytes already yield >= target byte-range
+    splits (the 10 x 10 GB case at cluster scale), repartitioning
+    would shuffle the whole corpus for nothing — widen must no-op.
+    A genuinely small scan still widens."""
+    from feast_spark.operators.docdedup import widen_parallelism
+
+    p = str(tmp_path / "docs.parquet")
+    spark.range(2000).selectExpr(
+        "id as doc_id", "repeat('word ', 50) as text"
+    ).coalesce(1).write.parquet(p)
+
+    def is_widened(df):
+        return "RoundRobinPartitioning" in (
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+
+    df = spark.read.parquet(p)
+    # small scan, default 128MB splits: one split, far under target
+    assert is_widened(widen_parallelism(df, min_partitions=8))
+
+    # shrink maxPartitionBytes so byte-range splitting alone reaches
+    # the target on the very same file -> widen must back off
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        df2 = spark.read.parquet(p)
+        assert not is_widened(widen_parallelism(df2, min_partitions=8))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
