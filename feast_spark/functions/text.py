@@ -190,84 +190,88 @@ def with_quality_features(
     df, text_col: str, score_col: str = "quality_score"
 ):
     """All quality feature columns + composite score, computed from a
-    single materialized token array."""
-    df = df.withColumn("__q_toks", tokens(F.col(text_col)))
-    toks = F.col("__q_toks")
-    text = F.col(text_col)
-    n_tok = F.size(toks)
-    n_chars = F.length(text)
-    punct = n_chars - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
-    stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS["en"])))
-    df = (
-        df.withColumn("n_chars_q", n_chars.cast("long"))
-        .withColumn("n_tokens", n_tok.cast("long"))
-        .withColumn(
-            "mean_token_len",
-            F.when(
-                n_tok > 0,
-                F.aggregate(
-                    toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-                )
-                / n_tok,
-            ).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "punct_ratio",
-            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)),
-        )
-        .withColumn(
-            "stopword_ratio", F.when(n_tok > 0, stop / n_tok).otherwise(F.lit(0.0))
-        )
-        .withColumn(
-            "distinct_ratio",
-            F.when(n_tok > 0, F.size(F.array_distinct(toks)) / n_tok).otherwise(
-                F.lit(0.0)
+    single materialized token array.
+
+    Built as SQL snippets in TWO ``withColumns`` batches (feature
+    columns, then the score over them): one analysis pass per batch
+    instead of one per column, and one py4j round trip per expression
+    — plan construction is real per-call wall time (see
+    ``functions.text`` SQL-snippet note).  Double literals carry the
+    ``D`` suffix: a bare ``0.0`` parses as DECIMAL in Spark SQL, which
+    would silently change the result schema."""
+    t = sql_ident(text_col)
+    stops = ", ".join("'" + w + "'" for w in STOPWORDS["en"])
+    punct = f"(length({t}) - length(regexp_replace({t}, '[\\\\.,;:!\\\\?]', '')))"
+    df = df.withColumn("__q_toks", F.expr(tokens_sql(t)))
+    df = df.withColumns(
+        {
+            "n_chars_q": F.expr(f"cast(length({t}) as bigint)"),
+            "n_tokens": F.expr("cast(size(__q_toks) as bigint)"),
+            "mean_token_len": F.expr(
+                "CASE WHEN size(__q_toks) > 0 THEN "
+                "aggregate(__q_toks, cast(0 as bigint), "
+                "(acc, t) -> acc + length(t)) / size(__q_toks) "
+                "ELSE 0.0D END"
             ),
-        )
-    )
-    length_ok = (
-        F.when((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000), F.lit(1.0))
-        .otherwise(F.lit(0.0))
+            "punct_ratio": F.expr(
+                f"CASE WHEN length({t}) > 0 THEN {punct} / length({t}) "
+                "ELSE 0.0D END"
+            ),
+            "stopword_ratio": F.expr(
+                "CASE WHEN size(__q_toks) > 0 THEN "
+                f"size(filter(__q_toks, t -> t IN ({stops}))) / size(__q_toks) "
+                "ELSE 0.0D END"
+            ),
+            "distinct_ratio": F.expr(
+                "CASE WHEN size(__q_toks) > 0 THEN "
+                "size(array_distinct(__q_toks)) / size(__q_toks) "
+                "ELSE 0.0D END"
+            ),
+        }
     )
     return df.withColumn(
         score_col,
-        length_ok * 0.25
-        + F.col("stopword_ratio") * 0.25
-        + F.col("distinct_ratio") * 0.25
-        + (1.0 - F.col("punct_ratio")) * 0.25,
+        F.expr(
+            "(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 "
+            "THEN 1.0D ELSE 0.0D END) * 0.25D "
+            "+ stopword_ratio * 0.25D "
+            "+ distinct_ratio * 0.25D "
+            "+ (1.0D - punct_ratio) * 0.25D"
+        ),
     ).drop("__q_toks")
 
 
 def with_lang_id(df, text_col: str, out_col: str = "lang_pred"):
-    """Language ID from one materialized token array."""
-    df = df.withColumn("__l_toks", tokens(F.col(text_col)))
-    toks = F.col("__l_toks")
-    n_tok = F.size(toks)
-    def in_words(words: list[str]):
-        # single-arg lambda: PySpark passes the element index to
-        # two-parameter HOF lambdas (see docdedup.with_minhash)
-        return lambda t: t.isin(words)
+    """Language ID from one materialized token array.
 
-    score_cols = {}
+    SQL-snippet build (one ``withColumns`` batch for the per-language
+    scores, one expression for the priority cascade) — same shape and
+    results as the former per-column DSL spelling, a fraction of its
+    plan-construction cost."""
+    t = sql_ident(text_col)
+    df = df.withColumn("__l_toks", F.expr(tokens_sql(t)))
+    scores = {}
     for lang in LANG_PRIORITY:
-        words = STOPWORDS[lang]
-        cnt = F.size(F.filter(toks, in_words(words)))
-        df = df.withColumn(
-            f"__s_{lang}", F.when(n_tok > 0, cnt / n_tok).otherwise(F.lit(0.0))
+        stops = ", ".join("'" + w + "'" for w in STOPWORDS[lang])
+        scores[f"__s_{lang}"] = F.expr(
+            "CASE WHEN size(__l_toks) > 0 THEN "
+            f"size(filter(__l_toks, t -> t IN ({stops}))) / size(__l_toks) "
+            "ELSE 0.0D END"
         )
-        score_cols[lang] = F.col(f"__s_{lang}")
-    expr = F.lit(LANG_PRIORITY[-1])
+    df = df.withColumns(scores)
+    expr = f"'{LANG_PRIORITY[-1]}'"
     for lang in reversed(LANG_PRIORITY[:-1]):
-        cond = F.lit(True)
+        conds = []
         for other in LANG_PRIORITY:
             if other == lang:
                 continue
-            if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang):
-                cond = cond & (score_cols[lang] >= score_cols[other])
-            else:
-                cond = cond & (score_cols[lang] > score_cols[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    df = df.withColumn(out_col, expr)
+            op = ">=" if LANG_PRIORITY.index(other) > LANG_PRIORITY.index(lang) else ">"
+            conds.append(f"__s_{lang} {op} __s_{other}")
+        expr = (
+            f"CASE WHEN true AND {' AND '.join(conds)} "
+            f"THEN '{lang}' ELSE {expr} END"
+        )
+    df = df.withColumn(out_col, F.expr(expr))
     return df.drop("__l_toks", *[f"__s_{lang}" for lang in LANG_PRIORITY])
 
 
@@ -373,6 +377,36 @@ def tfidf_top_terms(df, id_col: str, text_col: str, k: int = 3):
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase + collapsed whitespace."""
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+# -- SQL-snippet twins of the hot leaf expressions ----------------------
+#
+# Plan CONSTRUCTION cost is real wall time in the per-call query
+# contract (the bench/driver builds a cold DataFrame every run): each
+# Column DSL node is a py4j round trip and every new Dataset re-runs
+# analysis over the whole tree.  Building a big expression as ONE
+# ``F.expr`` string collapses hundreds of round trips into one parse
+# call JVM-side — measured 5x on the shingle pipeline's build phase.
+# These snippets are the exact SQL spellings of the DSL helpers above
+# (identity pinned by tests); compose them with ``.format``/f-strings
+# and wrap the result in ``F.expr`` once.
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote a column name for safe splicing into SQL."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def normalize_text_sql(x: str) -> str:
+    """SQL twin of :func:`normalize_text` (x = SQL expression text)."""
+    return f"regexp_replace(lower(trim({x})), '\\\\s+', ' ')"
+
+
+def tokens_sql(x: str) -> str:
+    """SQL twin of :func:`tokens` (x = SQL expression text)."""
+    return (
+        f"CASE WHEN length(trim({x})) = 0 THEN cast(array() as array<string>) "
+        f"ELSE split(trim({x}), '\\\\s+') END"
+    )
 
 
 def fingerprint_md5(text: Column) -> Column:

@@ -220,27 +220,27 @@ def _lex_nondecreasing(arrs) -> bool:
 def _asof_union_window(
     entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
 ) -> DataFrame:
-    keys = list(spec.join_keys)
-    feat = _projected_feature_df(spec, entity_df, entity_ts_col)
+    from pyspark.sql import types as T
 
-    # Feature rows: a struct carries (event_ts + values); the struct
-    # itself is non-null whenever a feature row exists, so per-row NULL
-    # feature values survive (a naive per-column last(ignoreNulls) would
-    # wrongly skip back to an older non-null value).
-    struct_fields = [F.col(_TS).alias("__ts")] + [F.col(f) for f in spec.features]
-    feat_tagged = feat.select(
-        *keys,
-        F.col(_TS),
-        (
-            F.col(_CREATED)
-            if spec.created_col
-            else F.lit(None).cast("timestamp").alias(_CREATED)
-        ),
-        F.lit(0).alias(_SIDE),
-        F.struct(*struct_fields).alias(_STRUCT),
+    keys = list(spec.join_keys)
+    fdf = spec.feature_df
+    ent_schema = entity_df.schema
+    f_schema = fdf.schema
+    ts_type = ent_schema[entity_ts_col].dataType
+
+    # Both union legs are built as ONE select each, with every needed
+    # type derived from the (already-analyzed, cached) input schemas:
+    # the former projected->tagged->null-padded chain analyzed the
+    # growing tree once per intermediate Dataset, which is pure driver
+    # wall time under the per-call query contract.
+    created_type = (
+        f_schema[spec.created_col].dataType if spec.created_col
+        else T.TimestampType()
     )
-    struct_type = feat_tagged.schema[_STRUCT].dataType
-    created_type = feat_tagged.schema[_CREATED].dataType
+    struct_type = T.StructType(
+        [T.StructField("__ts", ts_type, True)]
+        + [T.StructField(f, f_schema[f].dataType, True) for f in spec.features]
+    )
 
     entity_cols = entity_df.columns
     ent_tagged = entity_df.select(
@@ -250,15 +250,35 @@ def _asof_union_window(
         F.lit(1).alias(_SIDE),
         F.lit(None).cast(struct_type).alias(_STRUCT),
     )
-    # Feature rows carry NULL for the entity payload columns.
-    passthrough = set(keys) | {_TS, _CREATED, _SIDE, _STRUCT}
-    feat_full = feat_tagged.select(
+
+    # Feature rows: a struct carries (event_ts + values); the struct
+    # itself is non-null whenever a feature row exists, so per-row NULL
+    # feature values survive (a naive per-column last(ignoreNulls) would
+    # wrongly skip back to an older non-null value).  Key columns are
+    # renamed/cast to the entity side's names and types; entity payload
+    # columns are NULL.
+    feat_ts = F.col(spec.timestamp_col).cast(ts_type)
+    key_exprs = {
+        ek: F.col(spec.key_mapping.get(ek, ek)).cast(ent_schema[ek].dataType)
+        for ek in keys
+    }
+    feat_full = fdf.select(
         *[
-            F.col(c)
-            if c in passthrough
-            else F.lit(None).cast(entity_df.schema[c].dataType).alias(c)
-            for c in ent_tagged.columns
-        ]
+            key_exprs[c].alias(c)
+            if c in key_exprs
+            else F.lit(None).cast(ent_schema[c].dataType).alias(c)
+            for c in entity_cols
+        ],
+        feat_ts.alias(_TS),
+        (
+            F.col(spec.created_col).alias(_CREATED)
+            if spec.created_col
+            else F.lit(None).cast(created_type).alias(_CREATED)
+        ),
+        F.lit(0).alias(_SIDE),
+        F.struct(
+            feat_ts.alias("__ts"), *[F.col(f) for f in spec.features]
+        ).alias(_STRUCT),
     )
     unioned = feat_full.unionByName(ent_tagged)
 

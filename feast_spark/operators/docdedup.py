@@ -29,9 +29,10 @@ from pyspark.storagelevel import StorageLevel
 from feast_spark.functions.text import (
     explode_computed,
     fingerprint_md5,
-    normalize_text,
+    normalize_text_sql,
     posexplode_computed,
-    tokens,
+    sql_ident,
+    tokens_sql,
 )
 
 
@@ -161,19 +162,19 @@ def with_shingles(
     per shingle (O(len^2) per document — measured 15x slower at sf0.1).
     CollapseProject keeps the multi-referenced expensive alias separate.
     """
-    df = df.withColumn("__sh_toks", tokens(normalize_text(F.col(text_col))))
-    toks = F.col("__sh_toks")
-    shingle_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    df = df.withColumn(
+        "__sh_toks", F.expr(tokens_sql(normalize_text_sql(sql_ident(text_col))))
     )
     # guard: fewer than n tokens -> single shingle of the whole text
-    short = F.size(toks) < n
     return df.withColumn(
         out_col,
-        F.when(short, F.array(F.concat_ws(" ", toks))).otherwise(shingle_expr),
+        F.expr(
+            f"CASE WHEN size(__sh_toks) < {n} "
+            "THEN array(concat_ws(' ', __sh_toks)) "
+            "ELSE array_distinct(transform("
+            f"sequence(0, greatest(size(__sh_toks) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(__sh_toks, i + 1, {n})))) END"
+        ),
     ).drop("__sh_toks")
 
 
@@ -188,19 +189,19 @@ def with_hashed_shingles(
     dedup path's dominant stage.  Two distinct n-grams collide with
     p ~ 2^-64, so Jaccard over these sets equals string-shingle
     Jaccard; portable/oracle mode keeps strings (md5 needs them)."""
-    df = df.withColumn("__sh_toks", tokens(normalize_text(F.col(text_col))))
-    toks = F.col("__sh_toks")
-    shingle_expr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.xxhash64(F.slice(toks, i + 1, n)),
-        )
+    df = df.withColumn(
+        "__sh_toks", F.expr(tokens_sql(normalize_text_sql(sql_ident(text_col))))
     )
     # guard: fewer than n tokens -> single shingle of the whole doc
-    short = F.size(toks) < n
     return df.withColumn(
         out_col,
-        F.when(short, F.array(F.xxhash64(toks))).otherwise(shingle_expr),
+        F.expr(
+            f"CASE WHEN size(__sh_toks) < {n} "
+            "THEN array(xxhash64(__sh_toks)) "
+            "ELSE array_distinct(transform("
+            f"sequence(0, greatest(size(__sh_toks) - {n}, 0)), "
+            f"i -> xxhash64(slice(__sh_toks, i + 1, {n})))) END"
+        ),
     ).drop("__sh_toks")
 
 
@@ -312,44 +313,36 @@ def with_minhash(
     ``portable=True``: md5-derived 32-bit base + (a*x+b) % p re-hash —
     identical in any engine with md5, so the driver oracle reproduces
     the exact signatures."""
+    # One F.expr per projection: the K per-seed array_min(transform(..))
+    # legs are built as SQL text (cheap Python string work) instead of
+    # ~6 py4j round trips per leg — plan-construction time is real wall
+    # time under the per-call query contract.
+    sh = sql_ident(shingles_col)
     if portable:
         df = df.withColumn(
             "__mh_base",
-            F.transform(
-                F.col(shingles_col),
-                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+            F.expr(
+                f"transform({sh}, s -> "
+                "cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"
             ),
         )
-
-        def affine(a: int, b: int):
-            return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-        sig = F.array(
-            *[
-                F.array_min(F.transform(F.col("__mh_base"), affine(a, b)))
-                for a, b in minhash_params(num_hashes)
-            ]
+        legs = ", ".join(
+            f"array_min(transform(__mh_base, x -> (x * {a} + {b}) % {_MH_PRIME}))"
+            for a, b in minhash_params(num_hashes)
         )
-        return df.withColumn(out_col, sig).drop("__mh_base")
-
-    def hash_with_seed(seed: int):
-        # NB: the lambda must take exactly ONE arg — PySpark passes the
-        # element index as a second arg to two-parameter HOF lambdas.
-        return lambda x: F.xxhash64(x, F.lit(seed))
+        return df.withColumn(out_col, F.expr(f"array({legs})")).drop("__mh_base")
 
     base = (
         F.col(shingles_col)
         if prehashed
-        else F.transform(F.col(shingles_col), lambda s: F.xxhash64(s))
+        else F.expr(f"transform({sh}, s -> xxhash64(s))")
     )
     df = df.withColumn("__mh_base", base)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__mh_base"), hash_with_seed(seed)))
-            for seed in range(num_hashes)
-        ]
+    legs = ", ".join(
+        f"array_min(transform(__mh_base, x -> xxhash64(x, {seed})))"
+        for seed in range(num_hashes)
     )
-    return df.withColumn(out_col, sig).drop("__mh_base")
+    return df.withColumn(out_col, F.expr(f"array({legs})")).drop("__mh_base")
 
 
 def _oph_rot_const(j: int) -> int:
@@ -483,20 +476,23 @@ def _bucket_pairs(grouped: DataFrame, docs_col: str = "docs") -> DataFrame:
     with every later element.  Runs inside the aggregation's output
     projection — no self-join, no second shuffle before the final
     distinct."""
-    docs = F.array_sort(F.array_distinct(F.col(docs_col)))
-    pairs = F.flatten(
-        F.transform(
-            docs,
-            lambda x, i: F.transform(
-                F.slice(docs, i + 2, F.greatest(F.size(docs) - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    # The sorted-distinct array is bound to its OWN projection: the
+    # comprehension references it three times, so inlining (what a
+    # single-projection spelling hands CollapseProject) would sort +
+    # dedup each bucket's array three times per row; a multi-referenced
+    # column below the Generate is evaluated once.
+    docs = grouped.select(
+        F.expr(f"array_sort(array_distinct({sql_ident(docs_col)})) AS __bp_docs")
+    )
+    pairs = F.expr(
+        "flatten(transform(__bp_docs, (x, i) -> "
+        "transform(slice(__bp_docs, i + 2, greatest(size(__bp_docs) - i - 1, 0)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
     )
     # explode_computed, not F.explode: InferFiltersFromGenerate would
     # otherwise evaluate the whole pair-comprehension TWICE per bucket
     # (once in an inferred size(pairs) > 0 filter)
-    return explode_computed(grouped, [], pairs, "p").select(
+    return explode_computed(docs, [], pairs, "p").select(
         "p.id_a", "p.id_b"
     )
 
@@ -521,23 +517,16 @@ def band_bucket_array(bands: int, rows_per_band: int, portable: bool):
     casts or concat buffers; bucket identity is unchanged up to 2^-64
     hash collisions."""
     if portable:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.concat_ws(
-                ",",
-                *[
-                    F.element_at(
-                        F.col("minhash"), b * rows_per_band + F.lit(r + 1)
-                    ).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ),
+        parts = ", ".join(
+            f"cast(element_at(minhash, b * {rows_per_band} + {r + 1}) as string)"
+            for r in range(rows_per_band)
         )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        ),
+        return F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> concat_ws(',', {parts}))"
+        )
+    return F.expr(
+        f"transform(sequence(0, {bands - 1}), "
+        f"b -> xxhash64(slice(minhash, b * {rows_per_band} + 1, {rows_per_band})))"
     )
 
 
