@@ -294,53 +294,65 @@ def repetition_stats(df, id_col: str, text_col: str):
     High values flag boilerplate/spam (the repetition filters of the
     usual pre-training quality stack).  Documents with < 2 tokens get
     0.0 bigram stats; documents with no tokens at all (null/empty
-    text) get all-0.0 stats — the final left-join back onto the input
-    ids keeps them in the output (an exploded empty array produces no
-    gram rows).  Two shuffles: (doc, gram) count, then per-doc
-    rollup."""
-    toks = tokens(normalize_text(F.col(text_col)))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
-    bigrams = F.when(
-        F.size("__toks") < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size("__toks") - 2),
-            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, 2)),
-        )
+    text) get all-0.0 stats.
+
+    ZERO-shuffle shape (r16): the stats are per-document, so instead of
+    exploding (doc, gram) rows and shuffling every token occurrence of
+    the corpus twice (gram count, then per-doc rollup — O(corpus
+    tokens) exchange bytes, the dominant cost at scale), each row
+    sorts its own gram array and computes (top-run length, sum of
+    runs > 1) in one sequential ``aggregate`` pass: O(L log L) per
+    document, a narrow projection, no Exchange anywhere.  Values are
+    identical — per-gram counts within a doc ARE run lengths of the
+    sorted array.  (With duplicate ids the old explode shape pooled
+    the rows' grams per id; ids are per-document keys, so per-row
+    stats are the intended semantics.)"""
+    t = sql_ident(text_col)
+    runs = (
+        "aggregate(array_sort({arr}), "
+        "struct(cast(null as string) AS prev, 0L AS run, 0L AS best, 0L AS dup), "
+        "(acc, x) -> CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN "
+        "struct(x AS prev, acc.run + 1L AS run, "
+        "greatest(acc.best, acc.run + 1L) AS best, "
+        "acc.dup + (CASE WHEN acc.run = 1L THEN 2L ELSE 1L END) AS dup) "
+        "ELSE struct(x AS prev, 1L AS run, greatest(acc.best, 1L) AS best, "
+        "acc.dup) END, "
+        "acc -> struct(acc.best AS best, acc.dup AS dup))"
     )
-    grams = explode_computed(
-        base,
-        [id_col],
-        F.concat(
-            F.transform("__toks", lambda t: F.struct(F.lit(1).alias("n"), t.alias("g"))),
-            F.transform(bigrams, lambda t: F.struct(F.lit(2).alias("n"), t.alias("g"))),
-        ),
-        "gram",
-    ).select(id_col, "gram.n", "gram.g")
-    counts = grams.groupBy(id_col, "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = counts.groupBy(id_col, "n").agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("total"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup_c"),
+    bigrams = (
+        "CASE WHEN size(__toks) < 2 THEN cast(array() as array<string>) "
+        "ELSE transform(sequence(0, size(__toks) - 2), "
+        "i -> concat_ws(' ', slice(__toks, i + 1, 2))) END"
     )
-    uni = per_doc.filter(F.col("n") == 1).select(
-        id_col, (F.col("top_c") / F.col("total")).alias("top_token_frac")
-    )
-    bi = per_doc.filter(F.col("n") == 2).select(
-        id_col,
-        (F.col("top_c") / F.col("total")).alias("top_bigram_frac"),
-        (F.col("dup_c") / F.col("total")).alias("dup_bigram_frac"),
-    )
-    stats = uni.join(bi, id_col, "left")
     return (
-        df.select(id_col)
-        .join(stats, id_col, "left")
-        .fillna(
+        df.select(
+            "*",
+            F.expr(tokens_sql(normalize_text_sql(t))).alias("__toks"),
+        )
+        .withColumns(
             {
-                "top_token_frac": 0.0,
-                "top_bigram_frac": 0.0,
-                "dup_bigram_frac": 0.0,
+                "__uni": F.expr(runs.format(arr="__toks")),
+                "__bi": F.expr(runs.format(arr=bigrams)),
             }
+        )
+        .withColumns(
+            {
+                "top_token_frac": F.expr(
+                    "CASE WHEN size(__toks) > 0 THEN "
+                    "__uni.best / size(__toks) ELSE 0.0D END"
+                ),
+                "top_bigram_frac": F.expr(
+                    "CASE WHEN size(__toks) > 1 THEN "
+                    "__bi.best / (size(__toks) - 1) ELSE 0.0D END"
+                ),
+                "dup_bigram_frac": F.expr(
+                    "CASE WHEN size(__toks) > 1 THEN "
+                    "__bi.dup / (size(__toks) - 1) ELSE 0.0D END"
+                ),
+            }
+        )
+        .select(
+            id_col, "top_token_frac", "top_bigram_frac", "dup_bigram_frac"
         )
     )
 

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.io.pread import read_parquet_memo
 from feast_spark.io.manifest import MANIFEST, ManifestedParquetTable
 from feast_spark.operators.dedup import latest_per_key
 
@@ -199,7 +200,7 @@ class OnlineStore:
         incoming = project_incoming(df, join_keys, ts_col, created_col, feature_cols)
         current = self._current_data_path(project, view_name)
         if current is not None:
-            existing = spark.read.parquet(current)
+            existing = read_parquet_memo(spark, current)
             # schema evolution: tolerate new feature columns
             for c in incoming.columns:
                 if c not in existing.columns:
@@ -229,7 +230,7 @@ class OnlineStore:
         current = self._current_data_path(project, view_name)
         if current is None:
             return 0
-        existing = spark.read.parquet(current)
+        existing = read_parquet_memo(spark, current)
         live = existing.where(F.col(_EVENT_TS) >= F.lit(cutoff))
         n_expired = existing.count() - live.count()
         if n_expired == 0:
@@ -260,7 +261,7 @@ class OnlineStore:
         if path is None:
             return {"n_keys": 0, "age_p50_s": None, "age_p90_s": None,
                     "age_p99_s": None, "age_max_s": None}
-        snap = spark.read.parquet(path)
+        snap = read_parquet_memo(spark, path)
         age = F.lit(now).cast("timestamp").cast("double") - F.col(
             _EVENT_TS
         ).cast("double")
@@ -351,7 +352,7 @@ class OnlineStore:
                 .withColumn(_EVENT_TS, F.lit(None).cast("timestamp"))
                 .drop(_KEY)
             )
-        snap = spark.read.parquet(path)
+        snap = read_parquet_memo(spark, path)
         # a feature column the snapshot predates (schema evolution
         # lands new columns only in newer snapshots) serves NULL — on
         # the as_of path that IS the faithful replay; head snapshots

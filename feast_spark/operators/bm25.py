@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
 from feast_spark.io import epochs as epochs_io
+from feast_spark.io.pread import read_parquet_memo
 from feast_spark.io.fs import LocalFS, StoreFS
 
 __all__ = [
@@ -682,7 +683,7 @@ def bm25_index_compact(
         "basePath", posixpath.join(path, "postings")
     ).parquet(*epochs_io.epoch_paths(path, "postings", epochs)).drop("epoch")
     stats = (
-        spark.read.parquet(*epochs_io.epoch_paths(path, "stats", epochs))
+        read_parquet_memo(spark, *epochs_io.epoch_paths(path, "stats", epochs))
         .agg(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("total_len").cast("long").alias("total_len"),
@@ -784,8 +785,11 @@ def _index_postings(
             .collect()
         )  # bounded collect: at most n_term_buckets ints
     postings = (
-        spark.read.option("basePath", posixpath.join(path, "postings"))
-        .parquet(*epochs_io.epoch_paths(path, "postings", epochs))
+        read_parquet_memo(
+            spark,
+            *epochs_io.epoch_paths(path, "postings", epochs),
+            base_path=posixpath.join(path, "postings"),
+        )
         .filter(
             F.col("bucket").isin(buckets) if buckets else F.lit(False)
         )

@@ -48,8 +48,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from feast_spark.functions.text import normalize_text, tokens
-
 __all__ = [
     "ngram_bucket_histogram",
     "dsir_log_weights",
@@ -63,34 +61,40 @@ def _h32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def _kgrams(toks: Column, k: int, n_buckets: int) -> Column:
-    """Hashed k-gram buckets at one size.  A separate function on
-    purpose: the transform lambda must take exactly ONE parameter —
-    pyspark passes (element, index) to two-parameter lambdas, so the
-    idiomatic `lambda i, k=k:` default-capture silently rebinds k to
-    the ARRAY INDEX."""
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: _h32(F.concat_ws(" ", F.slice(toks, i + 1, k)))
-        % n_buckets,
+def _kgrams_sql(toks: str, k: int, n_buckets: int) -> str:
+    """SQL text of the hashed k-gram buckets at one size (``toks`` =
+    SQL expression text of the token array column)."""
+    return (
+        f"transform(sequence(0, size({toks}) - {k}), "
+        f"i -> cast(conv(substring(md5(concat_ws(' ', "
+        f"slice({toks}, i + 1, {k}))), 1, 8), 16, 10) as bigint) "
+        f"% {n_buckets})"
     )
 
 
-def _bucket_array(toks: Column, n_max: int, n_buckets: int) -> Column:
+def _bucket_array(toks: str, n_max: int, n_buckets: int) -> Column:
     """array<long> of hashed n-gram buckets (sizes 1..n_max, every
-    OCCURRENCE kept — bag semantics, not a set).  ``toks`` MUST be a
-    materialized column reference, never an inline tokenizer
+    OCCURRENCE kept — bag semantics, not a set).  ``toks`` is the NAME
+    of a materialized token-array column, never an inline tokenizer
     expression: higher-order-function lambdas are interpreted, so an
     inline expression would re-tokenize once per n-gram (the
-    with_shingles / substr_dedup O(len²) trap)."""
-    out = None
+    with_shingles / substr_dedup O(len²) trap).  Assembled as ONE
+    ``F.expr`` string — the per-k-gram Column DSL was hundreds of py4j
+    round trips per call (see functions/text SQL-snippet note)."""
+    from feast_spark.functions.text import sql_ident
+
+    t = sql_ident(toks)
+    parts = []
     for k in range(1, n_max + 1):
         # fewer than k tokens -> no k-grams (the sequence would wrap)
-        g = F.when(F.size(toks) >= k, _kgrams(toks, k, n_buckets)).otherwise(
-            F.array().cast("array<bigint>")
+        parts.append(
+            f"CASE WHEN size({t}) >= {k} THEN {_kgrams_sql(t, k, n_buckets)} "
+            "ELSE cast(array() as array<bigint>) END"
         )
-        out = g if out is None else F.concat(out, g)
-    return out
+    out = parts[0]
+    for p in parts[1:]:
+        out = f"concat({out}, {p})"
+    return F.expr(out)
 
 
 def _exploded_buckets(
@@ -104,15 +108,20 @@ def _exploded_buckets(
     at 100 TB where splits already outnumber cores)."""
     from feast_spark.operators.docdedup import widen_parallelism
 
-    from feast_spark.functions.text import explode_computed
+    from feast_spark.functions.text import (
+        explode_computed, normalize_text_sql, sql_ident, tokens_sql,
+    )
 
     feat = widen_parallelism(df).select(
-        *cols, tokens(normalize_text(F.col(text_col))).alias("__toks")
+        *cols,
+        F.expr(
+            tokens_sql(normalize_text_sql(sql_ident(text_col)))
+        ).alias("__toks"),
     )
     return explode_computed(
         feat,
         cols,
-        _bucket_array(F.col("__toks"), n_max, n_buckets),
+        _bucket_array("__toks", n_max, n_buckets),
         "bucket",
     )
 

@@ -163,7 +163,9 @@ def _commit(root: str, fs: StoreFS, manifest: dict) -> None:
 def _read_epochs(
     spark: SparkSession, root: str, sub: str, epochs: list[int]
 ) -> DataFrame:
-    return spark.read.parquet(*epochs_io.epoch_paths(root, sub, epochs))
+    from feast_spark.io.pread import read_parquet_memo
+
+    return read_parquet_memo(spark, *epochs_io.epoch_paths(root, sub, epochs))
 
 
 def build_minhash_index(

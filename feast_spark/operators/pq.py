@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from feast_spark.functions.text import sql_ident
+
 
 def _as_matrix(rows) -> np.ndarray:
     return np.array([list(map(float, r)) for r in rows], dtype=np.float64)
@@ -399,7 +401,7 @@ def ivfpq_topk(
         r["qid"]: list(r["cells"])
         for r in queries.select(
             F.col(id_col).alias("qid"),
-            probe_cells(F.col(vec_col), centroids, n_probe).alias("cells"),
+            probe_cells(sql_ident(vec_col), centroids, n_probe).alias("cells"),
         ).collect()
     }
     all_cells = sorted({c for cells in q_probe.values() for c in cells})

@@ -138,7 +138,7 @@ def _encode_cells(
             vec_col="vec",
             out_col="codes",
         )
-        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .withColumn("cell", nearest_centroid("vec", cents))
         .select("id", "codes", "cell")
     )
 
@@ -229,11 +229,13 @@ def build_ivfpq_index(
 
 
 def _codes(spark: SparkSession, path: str, epochs: list[int]) -> DataFrame:
-    return (
-        spark.read.option("basePath", posixpath.join(path, "codes"))
-        .parquet(*epochs_io.epoch_paths(path, "codes", epochs))
-        .drop("epoch")
-    )
+    from feast_spark.io.pread import read_parquet_memo
+
+    return read_parquet_memo(
+        spark,
+        *epochs_io.epoch_paths(path, "codes", epochs),
+        base_path=posixpath.join(path, "codes"),
+    ).drop("epoch")
 
 
 def ivfpq_index_topk(

@@ -59,6 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from feast_spark.functions.text import sql_ident
 from feast_spark.operators.components import resolve_dup_groups
 from feast_spark.operators.similarity import (
     cosine,
@@ -79,7 +80,7 @@ def with_cluster_id(
     return df.withColumn(
         out_col,
         nearest_centroid(
-            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            f"transform({sql_ident(vec_col)}, x -> cast(x as double))",
             centroids,
         ),
     )
@@ -252,7 +253,7 @@ def semdedup_against_index(
         new_df.select(
             F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
         )
-    ).withColumn("__cell", nearest_centroid(F.col("__v"), cents))
+    ).withColumn("__cell", nearest_centroid("__v", cents))
     touched = sorted(
         r["__cell"]
         for r in new_assigned.select("__cell").distinct().collect()

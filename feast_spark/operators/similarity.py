@@ -119,22 +119,26 @@ def with_lsh_signature(
     planes: int = 16,
     out_col: str = "lsh_sig",
 ) -> DataFrame:
-    """P sign-bits packed into a long: bit p = sign(v · h_p)."""
+    """P sign-bits packed into a long: bit p = sign(v · h_p).
+
+    Assembled as ONE SQL string — the former per-term Column DSL was
+    P x D py4j round trips per call (at 16 x 64 that alone cost ~2 s of
+    driver wall per build); the parsed tree is identical."""
+    from feast_spark.functions.text import sql_ident
+
+    v = sql_ident(vec_col)
     bits = []
     for p in range(planes):
-        s = None
-        for d in range(dims):
-            term = F.element_at(F.col(vec_col), d + 1).cast(
-                "double"
-            ) * _hyperplane_component(p, d)
-            s = term if s is None else s + term
-        bits.append(
-            F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long"))
+        terms = " + ".join(
+            f"cast(element_at({v}, {d + 1}) as double) * "
+            f"{_sql_double(hyperplane_sign(p, d))}"
+            for d in range(dims)
         )
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
-    return df.withColumn(out_col, sig)
+        bits.append(
+            f"(CASE WHEN ({terms}) > 0 THEN "
+            f"shiftleft(cast(1 as bigint), {p}) ELSE cast(0 as bigint) END)"
+        )
+    return df.withColumn(out_col, F.expr(" | ".join(bits)))
 
 
 def lsh_ann_topk(
@@ -292,7 +296,7 @@ def ivf_train_centroids(
     ]
     for _ in range(iters):
         assigned = sample.withColumn(
-            "__cell", nearest_centroid(F.col("__v"), cents)
+            "__cell", nearest_centroid("__v", cents)
         )
         new = (
             assigned.select(
@@ -345,9 +349,40 @@ def _lit_vec(vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
-def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+def _sql_double(x: float) -> str:
+    """Shortest-roundtrip double literal with the D suffix (a bare
+    decimal parses as DECIMAL in Spark SQL)."""
+    r = repr(float(x))
+    if "inf" in r or "nan" in r:
+        raise ValueError(f"non-finite centroid component: {x}")
+    return r + "D"
+
+
+def nearest_centroid(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
     """argmin_c ||v - c||^2 as a single codegen expression:
-    array_position(dists, array_min(dists)) - 1."""
+    array_position(dists, array_min(dists)) - 1.
+
+    ``vec`` may be a Column or SQL expression text.  The SQL-text path
+    assembles the whole O(C x D) literal tree as ONE ``F.expr`` string
+    (a single py4j round trip + JVM-side parse) instead of ~C x D
+    ``F.lit`` round trips — plan construction recurs per call (and per
+    k-means iteration), so at C=64, D=64 the DSL spelling alone costs
+    seconds of driver wall time.  Both paths parse to the identical
+    expression tree (identity pytest-pinned)."""
+    if isinstance(vec, str):
+        legs = ", ".join(
+            f"aggregate(zip_with({vec}, array("
+            + ", ".join(_sql_double(x) for x in c)
+            + "), (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "0.0D, (acc, v) -> acc + v)"
+            for c in centroids
+        )
+        dists = f"array({legs})"
+        return F.expr(
+            f"cast(array_position({dists}, array_min({dists})) - 1 as int)"
+        )
     dists = F.array(
         *[
             F.aggregate(
@@ -462,8 +497,27 @@ def probe_cells_py(
     return [cell for _, cell in dists[:n_probe]]
 
 
-def probe_cells(vec: Column, centroids: list[list[float]], n_probe: int) -> Column:
-    """The n_probe nearest cell ids for a query vector, as an array."""
+def probe_cells(
+    vec: Column | str, centroids: list[list[float]], n_probe: int
+) -> Column:
+    """The n_probe nearest cell ids for a query vector, as an array.
+
+    ``vec`` may be a Column or SQL expression text — the SQL-text path
+    builds the O(C x D) literal tree in one ``F.expr`` round trip (see
+    :func:`nearest_centroid`); both parse to the identical tree."""
+    if isinstance(vec, str):
+        legs = ", ".join(
+            "struct(aggregate(zip_with(" + vec + ", array("
+            + ", ".join(_sql_double(x) for x in c)
+            + "), (x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "0.0D, (acc, v) -> acc + v) AS d, "
+            f"cast({i} as int) AS cell)"
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"transform(slice(array_sort(array({legs})), 1, {n_probe}), "
+            "s -> s.cell)"
+        )
     dists = F.array(
         *[
             F.struct(
@@ -521,12 +575,12 @@ def ivf_ann_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         )
-    ).withColumn("__cell", nearest_centroid(F.col("__cvec"), cents))
+    ).withColumn("__cell", nearest_centroid("__cvec", cents))
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         )
-        .withColumn("__cells", probe_cells(F.col("__qvec"), cents, n_probe))
+        .withColumn("__cells", probe_cells("__qvec", cents, n_probe))
         .select(
             "query_id", "__qvec", F.explode(F.col("__cells")).alias("__cell")
         )
@@ -657,11 +711,13 @@ def _ivf_vectors(
     fs = fs or LocalFS()
     manifest = manifest if manifest is not None else _ivf_manifest(path, fs)
     epochs = manifest["epochs"]
-    return (
-        spark.read.option("basePath", posixpath.join(path, "vectors"))
-        .parquet(*epochs_io.epoch_paths(path, "vectors", epochs))
-        .drop("epoch")
-    )
+    from feast_spark.io.pread import read_parquet_memo
+
+    return read_parquet_memo(
+        spark,
+        *epochs_io.epoch_paths(path, "vectors", epochs),
+        base_path=posixpath.join(path, "vectors"),
+    ).drop("epoch")
 
 
 def build_ivf_index(
@@ -715,7 +771,7 @@ def build_ivf_index(
         widen_parallelism(
             corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         )
-        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .withColumn("cell", nearest_centroid("vec", cents))
         # cluster by cell before the partitioned write: each cell maps
         # to exactly one task, so the epoch holds ONE file per cell at
         # any input parallelism (widened assignment would otherwise
@@ -960,7 +1016,7 @@ def ivf_index_append(
                 F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
             )
         )
-        .withColumn("cell", nearest_centroid(F.col("vec"), cents))
+        .withColumn("cell", nearest_centroid("vec", cents))
         .repartition("cell")  # one file per cell (see build_ivf_index)
         .write.mode("errorifexists")
         .partitionBy("cell")
