@@ -359,6 +359,15 @@ def bm25_topk_batch(
                 + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
             ),
         )
+        # ONE exchange for the rest of the query: hash-partitioning on
+        # query_id alone satisfies the (query_id, id) aggregation's
+        # clustering requirement (a subset partitioning still clusters
+        # every (query_id, id) group) AND the per-query ranking window
+        # below, so the aggregate's own exchange and the window's
+        # query_id exchange collapse into this one.  It carries raw
+        # term hits instead of partially-combined (query, doc) rows —
+        # at most |query terms| rows per doc, a bounded factor.
+        .repartition("query_id")
         .groupBy("query_id", id_col)
         .agg(F.sum("term_score").alias("bm25"))
     )
@@ -969,6 +978,15 @@ def bm25_index_topk_batch(
                 + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
             ),
         )
+        # ONE exchange for the rest of the query: hash-partitioning on
+        # query_id alone satisfies the (query_id, id) aggregation's
+        # clustering requirement (a subset partitioning still clusters
+        # every (query_id, id) group) AND the per-query ranking window
+        # below, so the aggregate's own exchange and the window's
+        # query_id exchange collapse into this one.  It carries raw
+        # term hits instead of partially-combined (query, doc) rows —
+        # at most |query terms| rows per doc, a bounded factor.
+        .repartition("query_id")
         .groupBy("query_id", id_col)
         .agg(F.sum("term_score").alias("bm25"))
     )
@@ -1281,10 +1299,15 @@ def hybrid_index_topk_batch(
             n_probe, fetch_k, fs=fs, as_of=as_of_vec,
         )
     elif vec_index_path is not None:
+        # driver_probe: batch queries are request-sized by contract
+        # (the IVFPQ channel already collects them for ADC) — probing
+        # in Python removes the probe job AND the distinct-cells
+        # collect job from every batch call (probe_cells_py is
+        # pytest-pinned bit-identical to the probe_cells_df path)
         topk = ivf_index_topk(
             spark, vec_index_path, qvecs,
             id_col=emb_id_col, vec_col=vec_col, n_probe=n_probe, k=fetch_k,
-            fs=fs, as_of=as_of_vec,
+            fs=fs, driver_probe=True, as_of=as_of_vec,
         )
     else:
         topk = cosine_topk(

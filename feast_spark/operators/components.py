@@ -162,17 +162,24 @@ def connected_components(
     input, checked via count + checksum on the checkpointed frame),
     then read the labels straight off the final star edges.
     """
-    edges = _canonical_undirected(pairs, src, dst).localCheckpoint(eager=True)
-    n_edges = edges.count()
-    if n_edges <= driver_threshold:
-        node_type = edges.schema["u"].dataType
-        return _driver_components(
-            [(r["u"], r["v"]) for r in edges.collect()],
-            node_col,
-            component_col,
-            pairs.sparkSession,
-            node_type,
-        )
+    edges_plan = _canonical_undirected(pairs, src, dst)
+    if driver_threshold > 0:
+        # ONE job for the (common) small-graph case: a limit-bounded
+        # collect both sizes the edge set and fetches it — the former
+        # checkpoint+count+collect spent three serial jobs to learn
+        # the same thing.  Overflow falls through to the distributed
+        # path, paying one bounded partial evaluation.
+        sample = edges_plan.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            node_type = edges_plan.schema["u"].dataType
+            return _driver_components(
+                [(r["u"], r["v"]) for r in sample],
+                node_col,
+                component_col,
+                pairs.sparkSession,
+                node_type,
+            )
+    edges = edges_plan.localCheckpoint(eager=True)
     nodes = edges.select("u").union(edges.select("v")).distinct() \
         .withColumnRenamed("u", node_col)
 

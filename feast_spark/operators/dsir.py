@@ -174,8 +174,27 @@ def dsir_log_weights(
         raise ValueError(f"smoothing must be > 0, got {smoothing}")
     if n_max < 1:
         raise ValueError(f"n_max must be >= 1, got {n_max}")
-    doc = (
+    from feast_spark.operators.docdedup import _persist
+
+    # ONE corpus exchange for the whole per-doc side: hash-partitioning
+    # on the id alone satisfies the (id, bucket) count's clustering
+    # requirement (subset partitioning) AND the per-doc weight
+    # aggregation downstream, so the former second corpus-sized
+    # exchange (groupBy(id) after the ratio join) disappears — the
+    # weights aggregate reuses this partitioning.
+    #
+    # The counts frame is PERSISTED: it feeds both the raw histogram
+    # (hr -> ratios) and the per-doc weights, and exchange reuse does
+    # NOT materialize across AQE's independently-planned subqueries —
+    # measured r16, the un-persisted plan held 15 Exchanges and ZERO
+    # ReusedExchange, re-running the tokenize+hash pass (and its widen
+    # exchange) three times.  (id, bucket, cnt) is the smallest
+    # corpus-sized frame in the pipeline (distinct buckets per doc),
+    # MEMORY_AND_DISK spills, and eviction is LRU — the docdedup
+    # candidate-persist discipline.
+    doc = _persist(
         _exploded_buckets(raw, [id_col], text_col, n_max, n_buckets)
+        .repartition(F.col(id_col))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
