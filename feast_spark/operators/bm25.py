@@ -238,9 +238,32 @@ def _rrf_fuse(
     lex: DataFrame, vec: DataFrame, rrf_k: int, k: int
 ) -> DataFrame:
     """Fuse two (id, *_rank) channel rankings by RRF; shared by the
-    inline and persisted-index hybrid paths."""
+    inline and persisted-index hybrid paths.
+
+    Spelled as UNION + max-aggregate, not a full-outer join: each
+    channel emits at most one row per id, so the two are equivalent —
+    but the join shuffled BOTH channels on the join key while the
+    union aggregates with one exchange (and the r16 measurement showed
+    the per-query batch variant paying three exchanges for the
+    join+window spelling)."""
     fused = (
-        lex.join(vec, "id", "full_outer")
+        lex.select(
+            "id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.lit(None).cast("int").alias("vec_rank"),
+        )
+        .unionByName(
+            vec.select(
+                "id",
+                F.lit(None).cast("int").alias("lex_rank"),
+                F.col("vec_rank").cast("int").alias("vec_rank"),
+            )
+        )
+        .groupBy("id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+        )
         .withColumn(
             "rrf",
             F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
@@ -255,11 +278,38 @@ def _rrf_fuse_batch(
     lex: DataFrame, vec: DataFrame, rrf_k: int, k: int
 ) -> DataFrame:
     """Per-query RRF fusion of two (query_id, id, *_rank) channel
-    rankings; shared by the inline and persisted-index batch hybrids."""
-    fused = lex.join(vec, ["query_id", "id"], "full_outer").withColumn(
-        "rrf",
-        F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-        + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+    rankings; shared by the inline and persisted-index batch hybrids.
+
+    UNION + repartition(query_id) + max-aggregate instead of a
+    full-outer join: equivalent (one row per (query_id, id) per
+    channel), and the single query_id exchange serves the aggregate
+    (subset partitioning) AND the per-query ranking window — the join
+    spelling paid two (query_id, id) child exchanges plus a third for
+    the window."""
+    fused = (
+        lex.select(
+            "query_id", "id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.lit(None).cast("int").alias("vec_rank"),
+        )
+        .unionByName(
+            vec.select(
+                "query_id", "id",
+                F.lit(None).cast("int").alias("lex_rank"),
+                F.col("vec_rank").cast("int").alias("vec_rank"),
+            )
+        )
+        .repartition("query_id")
+        .groupBy("query_id", "id")
+        .agg(
+            F.max("lex_rank").alias("lex_rank"),
+            F.max("vec_rank").alias("vec_rank"),
+        )
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf").desc(), F.col("id").asc()

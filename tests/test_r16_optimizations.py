@@ -1,0 +1,210 @@
+"""Round-16 optimization pins: the per-call cost cuts must stay
+result-identical and keep their plan shapes.
+
+Covers: the parquet schema memo (testdata + io/pread), the SQL-text
+twins of the Column-DSL literal-tree builders (nearest_centroid,
+probe_cells, with_lsh_signature), the zero-Exchange repetition_stats
+rewrite, the bm25 batch subset-partitioning exchange collapse, the
+connected_components one-job small-graph path, and dsir's
+single-tokenize persist.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MED
+
+
+# ---------------------------------------------------------------------------
+# schema memo
+# ---------------------------------------------------------------------------
+
+def test_schema_memo_read_is_identical_and_invalidates(spark, tmp_path):
+    from feast_spark.io.pread import read_parquet_memo
+    from feast_spark.sources.testdata import load_table
+
+    # testdata loader: memoized second read == cold first read
+    a = load_table(spark, SF_MED, "events")
+    b = load_table(spark, SF_MED, "events")
+    assert a.schema == b.schema
+    assert a.count() == b.count()
+
+    # pread: same rows both ways, and a REWRITTEN path must re-infer
+    p = str(tmp_path / "t")
+    spark.range(5).select(F.col("id").alias("x")).write.parquet(p)
+    r1 = read_parquet_memo(spark, p)
+    assert [r["x"] for r in r1.orderBy("x").collect()] == [0, 1, 2, 3, 4]
+    r1b = read_parquet_memo(spark, p)  # memo hit
+    assert r1b.schema == r1.schema
+    spark.range(3).select(
+        F.col("id").cast("string").alias("y")
+    ).write.mode("overwrite").parquet(p)
+    r2 = read_parquet_memo(spark, p)
+    assert r2.columns == ["y"]  # stale schema would still say ["x"]
+
+
+# ---------------------------------------------------------------------------
+# SQL-text literal trees == Column-DSL trees
+# ---------------------------------------------------------------------------
+
+def test_nearest_centroid_sql_text_matches_column_path(spark):
+    from feast_spark.operators.similarity import nearest_centroid, probe_cells
+
+    cents = [
+        [0.1, 0.2, 0.3, 0.4],
+        [1e-300, -0.0, 3.141592653589793, 1.5e16],
+        [5e-324, 2.2250738585072014e-308, -1e308, 0.25],
+    ]
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2, 0.3, 0.4]), (2, [1e-300, 0.0, 3.0, 1.5e16]),
+         (3, [-1.0, -2.0, -3.0, -4.0])],
+        "id LONG, v ARRAY<DOUBLE>",
+    )
+    a = df.withColumn("c", nearest_centroid(F.col("v"), cents))
+    b = df.withColumn("c", nearest_centroid("v", cents))
+    assert a.schema == b.schema
+    assert a.orderBy("id").collect() == b.orderBy("id").collect()
+
+    pa = df.withColumn("p", probe_cells(F.col("v"), cents, 2))
+    pb = df.withColumn("p", probe_cells("v", cents, 2))
+    assert pa.orderBy("id").collect() == pb.orderBy("id").collect()
+
+
+def test_lsh_signature_sql_build_matches_reference_bits(spark):
+    """The one-expr LSH signature must equal a per-bit recomputation
+    from hyperplane_sign (the pre-r16 Column-DSL semantics)."""
+    from feast_spark.operators.similarity import (
+        hyperplane_sign,
+        with_lsh_signature,
+    )
+    from feast_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_MED, "embeddings").limit(50)
+    rows = with_lsh_signature(emb, "embedding", 64, 16).collect()
+    for r in rows[:10]:
+        v = r["embedding"]
+        expect = 0
+        for p in range(16):
+            s = 0.0
+            for d in range(64):
+                s = s + float(v[d]) * hyperplane_sign(p, d)
+            if s > 0:
+                expect |= 1 << p
+        assert r["lsh_sig"] == expect
+
+
+# ---------------------------------------------------------------------------
+# repetition_stats: zero Exchange, explode semantics preserved
+# ---------------------------------------------------------------------------
+
+def test_repetition_stats_plan_has_no_exchange(spark):
+    from feast_spark.functions.text import repetition_stats
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    plan = (
+        repetition_stats(docs, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_repetition_stats_values_match_explode_formulation(spark):
+    """Run-length spelling == the explicit gram-count spelling."""
+    from feast_spark.functions.text import (
+        normalize_text,
+        repetition_stats,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "x y x y x y"), (3, "one"),
+         (4, ""), (5, None), (6, "a b")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: 6 unigrams, top 'a' x3; bigrams: 'a a' x2,'a b','b b','b c' -> top 2/5, dup 2/5
+    assert out[1]["top_token_frac"] == pytest.approx(3 / 6)
+    assert out[1]["top_bigram_frac"] == pytest.approx(2 / 5)
+    assert out[1]["dup_bigram_frac"] == pytest.approx(2 / 5)
+    # doc 2: 'x y' x3 + 'y x' x2 of 5 bigrams -> dup frac 1.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert out[2]["dup_bigram_frac"] == pytest.approx(1.0)
+    # short/empty/null docs: all-zero stats, rows kept
+    for doc in (3, 4, 5):
+        assert out[doc]["top_bigram_frac"] == 0.0
+        assert out[doc]["dup_bigram_frac"] == 0.0
+    assert out[6]["top_token_frac"] == pytest.approx(1 / 2)
+    assert out[6]["dup_bigram_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# bm25 batch: ONE exchange serves the aggregation and the window
+# ---------------------------------------------------------------------------
+
+def test_bm25_batch_aggregation_and_window_share_one_exchange(spark, tmp_path):
+    from feast_spark.operators.bm25 import bm25_index_topk_batch, build_bm25_index
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, idx, "doc_id", "text", n_term_buckets=16)
+    qdf = spark.createDataFrame(
+        [(i, ["hash", "scan"]) for i in range(4)],
+        "query_id LONG, terms ARRAY<STRING>",
+    )
+    plan = (
+        bm25_index_topk_batch(spark, idx, qdf, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scored side must shuffle ONCE on query_id: no second
+    # (query_id, id) exchange between the aggregate and the window
+    assert plan.count("Exchange hashpartitioning(query_id#") == 1, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# connected_components: limit-collect path, boundary behavior
+# ---------------------------------------------------------------------------
+
+def test_connected_components_small_graph_boundary(spark):
+    from feast_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)],  # dup edge too
+        "id_a LONG, id_b LONG",
+    )
+    # threshold exactly the deduped edge count -> driver path
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=4).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    # threshold below -> distributed path, same labels
+    out2 = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            pairs, driver_threshold=3, max_iter=10
+        ).collect()
+    }
+    assert out2 == out
+
+
+# ---------------------------------------------------------------------------
+# dsir: the tokenize pass materializes once
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_tokenize_pass_is_persisted_once(spark):
+    from feast_spark.operators.dsir import dsir_log_weights
+    from feast_spark.sources.testdata import load_table
+
+    docs = load_table(spark, SF_MED, "documents")
+    raw = docs.filter("doc_id % 3 != 0")
+    tgt = docs.filter("doc_id % 3 = 0")
+    w = dsir_log_weights(raw, tgt)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    # the per-doc counts frame is cached: both consumers read the
+    # InMemoryRelation instead of re-running the raw-side tokenize
+    assert "InMemoryTableScan" in plan
+    # weights present for every raw doc id
+    assert w.count() == raw.count()
