@@ -1,0 +1,62 @@
+"""Driver-local DataFrames as JVM ``LocalRelation``s.
+
+``spark.createDataFrame(rows, schema)`` in classic PySpark builds a
+*pickled Python RDD* sliced to the default parallelism: every action
+or join touching the frame launches default-parallelism tasks that
+each spin a Python worker to unpickle their (mostly empty) slice.
+Measured on the serving paths this costs 0.3-0.5 s PER EVALUATION of
+a 1-32 row request frame — pure JVM<->Python boundary overhead
+(optimization guide §4) on frames whose data already lives on the
+driver.
+
+Routing the same rows through a ``pyarrow.Table`` makes
+``createDataFrame`` produce a ``LocalRelation``: the rows live in the
+JVM plan itself, evaluation is codegen-only (no Python workers, no
+scan job), and a broadcast build over it is driver-side.  Collecting
+the 32-row frame drops from ~0.36 s to ~0.05 s; joins stop paying a
+32-task Python stage.
+
+The arrow schema is derived from the EXPLICIT Spark schema
+(``to_arrow_schema``), so types are exact — no inference drift.  If
+anything about the conversion fails (exotic nested types, missing
+pyarrow) we fall back to the classic path: ``local_df`` is a pure
+performance rewrite, never a semantics change.  The result schema is
+verified equal to the requested one; a mismatch also falls back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+__all__ = ["local_df"]
+
+
+def local_df(
+    spark: SparkSession,
+    rows: list,
+    schema: StructType | str,
+) -> DataFrame:
+    """``spark.createDataFrame(rows, schema)`` that yields a JVM
+    ``LocalRelation`` (no pickled-RDD Python stage) whenever the
+    schema round-trips through arrow; identical rows/schema either
+    way.  ``rows`` are tuples/lists positionally matching ``schema``
+    (the classic contract)."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    try:
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(schema)
+        names = [f.name for f in schema.fields]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(names, r)) for r in rows], schema=arrow_schema
+        )
+        df = spark.createDataFrame(tbl)
+        if df.schema == schema:
+            return df
+    except Exception:
+        pass
+    return spark.createDataFrame(rows, schema)

@@ -110,7 +110,11 @@ def _parse_hits(
     if schema_json is None or not payloads:
         return None
     schema = StructType.fromJson(json.loads(schema_json))
-    raw = spark.createDataFrame([(p,) for p in payloads], "payload string")
+    from feast_spark.io.localframe import local_df
+
+    # LocalRelation: the request-sized payload frame never pays a
+    # pickled-RDD Python stage (guide §4)
+    raw = local_df(spark, [(p,) for p in payloads], "payload STRING")
     parsed = raw.select(
         F.from_json("payload", schema, _JSON_OPTS).alias("j")
     ).select("j.*")

@@ -342,6 +342,21 @@ class OnlineStore:
                 path = self._mtable(table_dir).path_as_of(as_of)
         else:
             path = self._current_data_path(project, view_name)
+        # Materialize the request frame ONCE as a LocalRelation: the
+        # multiget contract already bounds it (the whole frame is
+        # broadcast below), and the plan evaluates it twice (the
+        # distinct-key semi filter and the final left join) — a classic
+        # createDataFrame request frame is a pickled-RDD plan whose
+        # every evaluation launches a default-parallelism Python stage
+        # (guide §4).  One bounded collect gives both uses a JVM-side
+        # frame and a single consistent snapshot of the request.
+        from feast_spark.io.localframe import local_df
+
+        entity_rows_df = local_df(
+            spark,
+            [tuple(r) for r in entity_rows_df.collect()],
+            entity_rows_df.schema,
+        )
         keyed = entity_rows_df.withColumn(_KEY, encode_entity_key(join_keys))
         if path is None:
             out = keyed

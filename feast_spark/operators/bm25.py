@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from feast_spark.functions.text import normalize_text, tokens
 from feast_spark.io import epochs as epochs_io
+from feast_spark.io.localframe import local_df
 from feast_spark.io.pread import read_parquet_memo
 from feast_spark.io.fs import LocalFS, StoreFS
 
@@ -214,7 +215,8 @@ def hybrid_topk(
     # commas can't break schema parsing
     from pyspark.sql.types import StructField, StructType
 
-    qdf = embeddings.sparkSession.createDataFrame(
+    qdf = local_df(
+        embeddings.sparkSession,
         [(query_vec_id, [float(x) for x in query_vec])],
         StructType(
             [
@@ -871,7 +873,10 @@ def _index_postings(
     # float(total)/float(n) is the identical IEEE sequence Spark's
     # long-division performed (cast both to double, then divide), so
     # scores are bit-identical even past 2^53 total tokens
-    stats = spark.createDataFrame(
+    # local_df: a LocalRelation, so the broadcast build over this
+    # one-row frame never spins a pickled-RDD Python stage (guide §4)
+    stats = local_df(
+        spark,
         [(n_docs, (float(total_len) / float(n_docs)) if n_docs else None)],
         "n_docs LONG, avg_len DOUBLE",
     )
@@ -1186,7 +1191,8 @@ def hybrid_index_topk(
             spark, vec_index_path, pq_manifest["epochs"]
         ).schema["id"].dataType
         vec_type = ArrayType(DoubleType())
-    qdf = spark.createDataFrame(
+    qdf = local_df(
+        spark,
         [(query_vec_id, [float(x) for x in query_vec])],
         StructType(
             [
@@ -1329,6 +1335,21 @@ def hybrid_index_topk_batch(
         )
     vec_index_kind = _resolve_vec_kind(
         vec_index_kind, vec_index_path, fs, as_of=as_of_vec
+    )
+    # Materialize the request batch ONCE.  Both channels evaluate the
+    # queries frame (the lexical term explode + distinct, the vector
+    # probe collect), and a caller-supplied classic createDataFrame
+    # frame is a pickled-RDD plan whose EVERY evaluation launches a
+    # default-parallelism Python stage (~0.5 s each, guide §4).  Batch
+    # queries are request-sized by contract (the vector channel
+    # collects them for the probe either way), so one collect +
+    # LocalRelation rebuild gives every downstream use a JVM-side
+    # frame — and a single consistent snapshot of the batch.
+    q_cols = queries.select(query_id_col, terms_col, qvec_col)
+    queries = local_df(
+        spark,
+        [tuple(r) for r in q_cols.collect()],
+        q_cols.schema,
     )
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,

@@ -130,8 +130,13 @@ def _driver_components(
             T.StructField(component_col, node_type),
         ]
     )
-    return spark.createDataFrame(
-        [(n, find(n)) for n in sorted(nodes)], schema
+    from feast_spark.io.localframe import local_df
+
+    # local_df: LocalRelation — downstream joins against the labels
+    # frame stay JVM-side instead of spinning a pickled-RDD Python
+    # stage per evaluation (guide §4)
+    return local_df(
+        spark, [(n, find(n)) for n in sorted(nodes)], schema
     )
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from feast_spark.io import epochs as epochs_io
 from feast_spark.io.fs import LocalFS, StoreFS
+from feast_spark.io.localframe import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -423,7 +424,10 @@ def probe_cells_df(
     tie-break, so cells are identical to the literal path
     (pytest-pinned)."""
     spark = queries.sparkSession
-    cents = spark.createDataFrame(
+    # local_df: LocalRelation — the broadcast build over the 1-row
+    # centroid-struct frame stays JVM-side (no Python-worker stage)
+    cents = local_df(
+        spark,
         [
             (
                 [
@@ -849,7 +853,9 @@ def ivf_index_topk(
             for cell in probe_cells_py(r[1], cents, n_probe):
                 rows.append((r[0], r[1], cell))
                 cells_seen.add(cell)
-        q = spark.createDataFrame(rows, q_schema)
+        # local_df: the probed request frame is driver data — as a
+        # LocalRelation its broadcast never launches a Python stage
+        q = local_df(spark, rows, q_schema)
         probed = sorted(cells_seen)
     else:
         # data-driven probe (probe_cells_df): analysis cost independent

@@ -42,6 +42,8 @@ from datetime import date, datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 
+from feast_spark.io.localframe import local_df
+
 __all__ = [
     "OnlineServingServer",
     "serve_online",
@@ -748,7 +750,8 @@ class HybridQueryCoalescer(QueryCoalescer):
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.bm25 import hybrid_index_topk_batch
 
-        qdf = self._spark.createDataFrame(
+        qdf = local_df(
+            self._spark,
             [(-(i + 1), r["terms"], r["qvec"]) for i, r in enumerate(batch)],
             "query_id LONG, terms ARRAY<STRING>, qvec ARRAY<DOUBLE>",
         )
@@ -821,7 +824,8 @@ class BM25QueryCoalescer(QueryCoalescer):
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.bm25 import bm25_index_topk_batch
 
-        qdf = self._spark.createDataFrame(
+        qdf = local_df(
+            self._spark,
             [(-(i + 1), r["terms"]) for i, r in enumerate(batch)],
             "query_id LONG, terms ARRAY<STRING>",
         )
@@ -892,7 +896,8 @@ class VectorQueryCoalescer(QueryCoalescer):
     def _serve_batch(self, batch: list[dict]) -> list[list]:
         from feast_spark.operators.vector_index import vector_index_topk
 
-        qdf = self._spark.createDataFrame(
+        qdf = local_df(
+            self._spark,
             [(-(i + 1), r["qvec"]) for i, r in enumerate(batch)],
             "vec_id LONG, embedding ARRAY<DOUBLE>",
         )
