@@ -41,6 +41,7 @@ Two physical strategies, chosen by ``strategy``:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from datetime import timedelta
 
@@ -217,7 +218,162 @@ def _lex_nondecreasing(arrs) -> bool:
     return True
 
 
+_SAFE_ID = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _sql_type(dt) -> str | None:
+    """CAST-parseable DDL text for ``dt``, or None when the type cannot
+    be expressed safely (exotic nested field names, UDTs) — callers
+    fall back to the Column-DSL builder.  Atomic ``simpleString()``
+    round-trips through the DDL parser; struct field names are emitted
+    only when they are plain identifiers (simpleString does not quote,
+    so a field named ``a b`` would not re-parse)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.UserDefinedType):
+        return None
+    if isinstance(dt, T.StructType):
+        parts = []
+        for f in dt.fields:
+            if not _SAFE_ID.match(f.name):
+                return None
+            inner = _sql_type(f.dataType)
+            if inner is None:
+                return None
+            parts.append(f"{f.name}:{inner}")
+        return f"struct<{','.join(parts)}>"
+    if isinstance(dt, T.ArrayType):
+        inner = _sql_type(dt.elementType)
+        return None if inner is None else f"array<{inner}>"
+    if isinstance(dt, T.MapType):
+        k, v = _sql_type(dt.keyType), _sql_type(dt.valueType)
+        return None if (k is None or v is None) else f"map<{k},{v}>"
+    return dt.simpleString()
+
+
 def _asof_union_window(
+    entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
+) -> DataFrame:
+    """Dispatch between the SQL-text and Column-DSL builds of the same
+    union-window plan.  The SQL-text build assembles each projection as
+    ONE ``selectExpr`` (one py4j round trip + a JVM-side parse) — the
+    Column-DSL path spent ~700 py4j round trips per spec constructing
+    the same expressions object by object (plus the GC-detach traffic
+    of every intermediate Column), pure driver wall time under the
+    per-call query contract (guide §7.3).  Identifiers or types the
+    SQL text cannot express exactly fall back to the DSL build; both
+    produce the identical analyzed plan (pinned by tests)."""
+    names = (
+        list(entity_df.columns)
+        + list(spec.join_keys)
+        + [spec.key_mapping.get(k, k) for k in spec.join_keys]
+        + [spec.timestamp_col, entity_ts_col]
+        + list(spec.features)
+        + [spec.out_name(f) for f in spec.features]
+        + ([spec.created_col] if spec.created_col else [])
+    )
+    if all(_SAFE_ID.match(n) for n in names):
+        sql_build = _asof_union_window_sql(entity_df, entity_ts_col, spec)
+        if sql_build is not None:
+            return sql_build
+    return _asof_union_window_dsl(entity_df, entity_ts_col, spec)
+
+
+def _asof_union_window_sql(
+    entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
+) -> DataFrame | None:
+    """The union_window plan built from SQL snippet text — expression-
+    for-expression the same plan as :func:`_asof_union_window_dsl`
+    (same casts, same window frame, same CASE projection), just parsed
+    JVM-side in one call per projection.  Returns None when a type has
+    no exact DDL text (caller falls back)."""
+    from pyspark.sql import types as T
+
+    keys = list(spec.join_keys)
+    fdf = spec.feature_df
+    ent_schema = entity_df.schema
+    f_schema = fdf.schema
+    ts_type = ent_schema[entity_ts_col].dataType
+
+    created_type = (
+        f_schema[spec.created_col].dataType if spec.created_col
+        else T.TimestampType()
+    )
+    struct_type = T.StructType(
+        [T.StructField("__ts", ts_type, True)]
+        + [T.StructField(f, f_schema[f].dataType, True) for f in spec.features]
+    )
+    ts_sql = _sql_type(ts_type)
+    created_sql = _sql_type(created_type)
+    struct_sql = _sql_type(struct_type)
+    ent_sqls = {
+        c: _sql_type(ent_schema[c].dataType) for c in entity_df.columns
+    }
+    if (
+        ts_sql is None
+        or created_sql is None
+        or struct_sql is None
+        or any(v is None for v in ent_sqls.values())
+    ):
+        return None
+
+    entity_cols = entity_df.columns
+    ent_tagged = entity_df.selectExpr(
+        *entity_cols,
+        f"{entity_ts_col} AS {_TS}",
+        f"CAST(NULL AS {created_sql}) AS {_CREATED}",
+        f"1 AS {_SIDE}",
+        f"CAST(NULL AS {struct_sql}) AS {_STRUCT}",
+    )
+
+    feat_ts = f"CAST({spec.timestamp_col} AS {ts_sql})"
+    key_map = {k: spec.key_mapping.get(k, k) for k in keys}
+    feat_exprs = [
+        (
+            f"CAST({key_map[c]} AS {ent_sqls[c]}) AS {c}"
+            if c in key_map
+            else f"CAST(NULL AS {ent_sqls[c]}) AS {c}"
+        )
+        for c in entity_cols
+    ]
+    feat_exprs.append(f"{feat_ts} AS {_TS}")
+    feat_exprs.append(
+        f"{spec.created_col} AS {_CREATED}"
+        if spec.created_col
+        else f"CAST(NULL AS {created_sql}) AS {_CREATED}"
+    )
+    feat_exprs.append(f"0 AS {_SIDE}")
+    feat_exprs.append(
+        "named_struct('__ts', " + feat_ts
+        + "".join(f", '{f}', {f}" for f in spec.features)
+        + f") AS {_STRUCT}"
+    )
+    feat_full = fdf.selectExpr(*feat_exprs)
+    unioned = feat_full.unionByName(ent_tagged)
+
+    carried = unioned.selectExpr(
+        "*",
+        f"last({_STRUCT}, true) OVER ("
+        f"PARTITION BY {', '.join(keys)} "
+        f"ORDER BY {_TS} ASC, {_SIDE} ASC, {_CREATED} ASC "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        f") AS __carried",
+    )
+    result = carried.filter(f"{_SIDE} = 1")
+    valid_sql = "__carried IS NOT NULL"
+    if spec.ttl is not None:
+        ttl_secs = spec.ttl.total_seconds()
+        valid_sql += (
+            f" AND __carried.__ts >= {_TS} - INTERVAL {ttl_secs} SECONDS"
+        )
+    proj = list(entity_cols) + [
+        f"CASE WHEN {valid_sql} THEN __carried.{f} END AS {spec.out_name(f)}"
+        for f in spec.features
+    ]
+    return result.selectExpr(*proj)
+
+
+def _asof_union_window_dsl(
     entity_df: DataFrame, entity_ts_col: str, spec: AsOfJoinSpec
 ) -> DataFrame:
     from pyspark.sql import types as T

@@ -208,3 +208,62 @@ def test_dsir_weights_tokenize_pass_is_persisted_once(spark):
     assert "InMemoryTableScan" in plan
     # weights present for every raw doc id
     assert w.count() == raw.count()
+
+
+# ---------------------------------------------------------------------------
+# asof union_window: SQL-text build == Column-DSL build
+# ---------------------------------------------------------------------------
+
+def test_asof_union_window_sql_build_matches_dsl(spark):
+    """The selectExpr-assembled union_window plan must be row- and
+    schema-identical to the Column-DSL build for every spec shape
+    (ttl / no-ttl / created-col tie-break / key mapping / prefix), and
+    exotic identifiers must fall back to the DSL path untouched."""
+    from datetime import timedelta
+
+    from feast_spark.operators import asof_join as aj
+    from feast_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_MED, "events")
+    entity = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    cases = {
+        "ttl": aj.AsOfJoinSpec(
+            views, ["user_id"], "ts", ["value"], ttl=timedelta(days=2)
+        ),
+        "no_ttl": aj.AsOfJoinSpec(views, ["user_id"], "ts", ["value"]),
+        "prefix": aj.AsOfJoinSpec(
+            views, ["user_id"], "ts", ["value"], prefix="v",
+            ttl=timedelta(hours=7),
+        ),
+        "created": aj.AsOfJoinSpec(
+            views.withColumn("created", F.col("ts")),
+            ["user_id"], "ts", ["value"], created_col="created",
+            ttl=timedelta(days=1),
+        ),
+        "keymap": aj.AsOfJoinSpec(
+            views.withColumnRenamed("user_id", "uid"),
+            ["user_id"], "ts", ["value"],
+            key_mapping={"user_id": "uid"}, ttl=timedelta(days=2),
+        ),
+    }
+    for name, spec in cases.items():
+        a = aj._asof_union_window_sql(entity, "ts", spec)
+        b = aj._asof_union_window_dsl(entity, "ts", spec)
+        assert a is not None, name
+        assert a.schema == b.schema, name
+        assert sorted(a.collect(), key=str) == sorted(
+            b.collect(), key=str
+        ), name
+
+    # an identifier SQL text cannot express exactly -> DSL fallback
+    ent2 = entity.withColumnRenamed("event_id", "event id")
+    spec = cases["ttl"]
+    got = aj._asof_union_window(ent2, "ts", spec)
+    ref = aj._asof_union_window_dsl(ent2, "ts", spec)
+    assert got.schema == ref.schema
+    assert sorted(got.collect(), key=str) == sorted(ref.collect(), key=str)
