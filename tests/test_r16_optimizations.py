@@ -267,3 +267,135 @@ def test_asof_union_window_sql_build_matches_dsl(spark):
     ref = aj._asof_union_window_dsl(ent2, "ts", spec)
     assert got.schema == ref.schema
     assert sorted(got.collect(), key=str) == sorted(ref.collect(), key=str)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized nearest-centroid assignment == expression path
+# ---------------------------------------------------------------------------
+
+def test_nearest_centroid_arrow_bit_identical(spark):
+    """The NumPy assignment path must match the expression tree
+    bit-for-bit: same float64 widening, same sequential per-dim fold,
+    same first-min tie-break, and the same NULL result for null /
+    ragged rows (zip_with's null-padding semantics)."""
+    import random
+
+    from feast_spark.operators.similarity import (
+        nearest_centroid,
+        nearest_centroid_arrow,
+    )
+    from feast_spark.sources.testdata import load_table
+
+    random.seed(11)
+    cents = [[random.random() for _ in range(64)] for _ in range(16)]
+    emb = load_table(spark, SF_MED, "embeddings").select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("v")
+    )
+    a = emb.withColumn("c", nearest_centroid("v", cents))
+    b = emb.withColumn("c", nearest_centroid_arrow("v", cents))
+    assert a.schema == b.schema
+    assert (
+        a.select("i", "c").orderBy("i").collect()
+        == b.select("i", "c").orderBy("i").collect()
+    )
+
+    cents4 = [[0.5] * 4, [1.5] * 4]
+    edge = spark.createDataFrame(
+        [
+            (0, None),
+            (1, [1.0] * 3),          # ragged short -> NULL
+            (2, [1.0] * 5),          # ragged long -> NULL
+            (3, [float("nan")] * 4), # all-NaN dists -> first cell
+            (4, [float("inf")] * 4),
+            (5, [0.0] * 4),
+            (6, [-0.0] * 4),
+        ],
+        "i INT, v ARRAY<DOUBLE>",
+    )
+    for frame in (edge, edge.withColumn("v", F.col("v").cast("array<float>"))):
+        ea = frame.withColumn("c", nearest_centroid("v", cents4))
+        eb = frame.withColumn("c", nearest_centroid_arrow("v", cents4))
+        assert (
+            ea.select("i", "c").orderBy("i").collect()
+            == eb.select("i", "c").orderBy("i").collect()
+        )
+
+
+def test_assign_nearest_centroid_dispatch_is_size_adaptive(spark, monkeypatch):
+    """Small file-backed scans keep the pure-JVM expression plan (no
+    Python node on request/test-sized inputs); once the scan crosses
+    the byte threshold the plan carries exactly one ArrowEvalPython.
+    Both paths are bit-identical, so the dispatch only changes the
+    plan, never the rows."""
+    import random
+
+    from feast_spark.operators.similarity import assign_nearest_centroid
+    from feast_spark.sources.testdata import load_table
+
+    random.seed(3)
+    cents = [[random.random() for _ in range(64)] for _ in range(8)]
+    emb = load_table(spark, SF_MED, "embeddings").select(
+        F.col("vec_id").alias("i"), F.col("embedding").alias("v")
+    )
+
+    small = assign_nearest_centroid(emb, "v", cents, "c")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan_small
+
+    monkeypatch.setenv("SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES", "1")
+    big = assign_nearest_centroid(emb, "v", cents, "c")
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_big
+
+    assert (
+        small.select("i", "c").orderBy("i").collect()
+        == big.select("i", "c").orderBy("i").collect()
+    )
+
+    # a LocalRelation (request-sized, no files) must stay JVM-side
+    # even under the forced threshold
+    from feast_spark.io.localframe import local_df
+    from pyspark.sql import types as T
+
+    req = local_df(
+        spark,
+        [(1, [0.1] * 64)],
+        T.StructType(
+            [
+                T.StructField("i", T.IntegerType()),
+                T.StructField("v", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    plan_req = (
+        assign_nearest_centroid(req, "v", cents, "c")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan_req
+
+
+# ---------------------------------------------------------------------------
+# semdedup verify stage: SQL-text cosine + persisted semi-join
+# ---------------------------------------------------------------------------
+
+def test_semdedup_verify_vecs_semi_join_computed_once(spark):
+    """The candidate-vector semi-join feeds BOTH sides of the verify
+    join; it must be persisted so the corpus semi-join runs once (the
+    executed plan shows the second reference as an InMemoryTableScan)."""
+    import random
+
+    from feast_spark.operators.semdedup import semantic_dedup_pairs
+    from feast_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_MED, "embeddings")
+    random.seed(5)
+    cents = [[random.random() for _ in range(64)] for _ in range(8)]
+    pairs = semantic_dedup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, centroids=cents,
+        max_cluster_size=40,
+    )
+    pairs.count()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
