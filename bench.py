@@ -150,7 +150,16 @@ def main() -> None:
             fn = queries[name]
             samples = []
             while True:
-                # cold plan per run, like the driver (new DataFrame each run)
+                # cold plan per run, like the driver (new DataFrame each
+                # run) — AND cold data: operators persist candidate-sized
+                # intermediates for intra-query reuse, and Spark's
+                # CacheManager silently matches the NEXT run's identical
+                # subplan to the previous run's cached blocks (measured
+                # r16: run 2+ of minhash_lsh_fast carried 11
+                # InMemoryTableScans and timed the cache, not the code).
+                # Clearing the relation cache between samples keeps every
+                # sample an honest recompute from the parquet inputs.
+                spark.catalog.clearCache()
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.count()

@@ -659,15 +659,21 @@ def minhash_dedup_pairs(
         .distinct()
     )
     small = df.select(id_col, text_col).join(cand_ids, id_col, "semi")
-    sh = hashed(small).select(
-        F.col(id_col).alias("doc"),
-        (
-            F.col("shingles")
-            if not portable
-            else F.array_distinct(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            )
-        ).alias("shingles"),
+    # persisted: BOTH verify joins read this frame — unpersisted, the
+    # candidate semi-join AND the re-shingle pass ran twice (once per
+    # side, visible as two concurrent duplicate jobs).  Candidate-
+    # bounded, so the cache is O(candidates) like `cands` itself.
+    sh = _persist(
+        hashed(small).select(
+            F.col(id_col).alias("doc"),
+            (
+                F.col("shingles")
+                if not portable
+                else F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                )
+            ).alias("shingles"),
+        )
     )
     joined = (
         cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
