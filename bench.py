@@ -356,7 +356,10 @@ def main() -> None:
     # call, so the per-query floor (stage scheduling + control plane)
     # is paid once per batch.  Compare per-query cost against the
     # single-query hybrid_index_topk slot above.
-    _hybrid_batch_df = spark.createDataFrame(
+    from feast_spark.io.localframe import local_df as _ldf
+
+    _hybrid_batch_df = _ldf(
+        spark,
         [
             (
                 i,
@@ -401,9 +404,17 @@ def main() -> None:
 
     _online_tmp = tempfile.mkdtemp(prefix="bench_online_")
     _online_store = _build_store(spark, sf_dir, _online_tmp, "parquet")
-    _online_req = spark.createDataFrame(
-        [{"user_id": i} for i in range(10_000)]
-    ).withColumn("__req_id", F.monotonically_increasing_id())
+    # request frames arrive as LocalRelations (io/localframe), the
+    # representation the serving coalescers actually hand the read
+    # path — a classic createDataFrame frame is a pickled-RDD plan
+    # whose evaluation cost is the CALLER's, not the multiget's
+    from feast_spark.io.localframe import local_df
+
+    _online_req = local_df(
+        spark,
+        [(i, i) for i in range(10_000)],
+        "user_id BIGINT, __req_id BIGINT",
+    )
 
     def q_online_multiget(spark, sf_dir):
         return _online_store.online_store.online_read(

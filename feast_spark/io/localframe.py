@@ -29,7 +29,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["local_df"]
+__all__ = ["local_df", "ensure_local"]
+
+
+def is_local_relation(df: DataFrame) -> bool:
+    """True when ``df``'s analyzed plan is already a bare JVM
+    ``LocalRelation`` — evaluating it is free of Python stages and
+    scan jobs, so a collect+rebuild would only add cost."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return plan.getClass().getSimpleName() == "LocalRelation"
+    except Exception:
+        return False
+
+
+def ensure_local(df: DataFrame) -> DataFrame:
+    """Materialize a request-sized frame as a LocalRelation exactly
+    once: frames that already ARE LocalRelations (the serving
+    coalescers build them with :func:`local_df`) pass through
+    untouched; anything else — classic pickled-RDD createDataFrame
+    frames, small query results — is collected (the caller's contract
+    bounds it) and rebuilt, so every downstream evaluation stays
+    JVM-side and sees one consistent snapshot."""
+    if is_local_relation(df):
+        return df
+    return local_df(
+        df.sparkSession, [tuple(r) for r in df.collect()], df.schema
+    )
 
 
 def local_df(

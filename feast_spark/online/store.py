@@ -350,13 +350,9 @@ class OnlineStore:
         # every evaluation launches a default-parallelism Python stage
         # (guide §4).  One bounded collect gives both uses a JVM-side
         # frame and a single consistent snapshot of the request.
-        from feast_spark.io.localframe import local_df
+        from feast_spark.io.localframe import ensure_local
 
-        entity_rows_df = local_df(
-            spark,
-            [tuple(r) for r in entity_rows_df.collect()],
-            entity_rows_df.schema,
-        )
+        entity_rows_df = ensure_local(entity_rows_df)
         keyed = entity_rows_df.withColumn(_KEY, encode_entity_key(join_keys))
         if path is None:
             out = keyed

@@ -1345,12 +1345,9 @@ def hybrid_index_topk_batch(
     # collects them for the probe either way), so one collect +
     # LocalRelation rebuild gives every downstream use a JVM-side
     # frame — and a single consistent snapshot of the batch.
-    q_cols = queries.select(query_id_col, terms_col, qvec_col)
-    queries = local_df(
-        spark,
-        [tuple(r) for r in q_cols.collect()],
-        q_cols.schema,
-    )
+    from feast_spark.io.localframe import ensure_local
+
+    queries = ensure_local(queries.select(query_id_col, terms_col, qvec_col))
     lex = bm25_index_topk_batch(
         spark, index_path, queries, query_id_col=query_id_col,
         terms_col=terms_col, k=fetch_k, fs=fs, as_of=as_of_lex,

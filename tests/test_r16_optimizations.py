@@ -399,3 +399,30 @@ def test_semdedup_verify_vecs_semi_join_computed_once(spark):
     pairs.count()
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan
+
+
+# ---------------------------------------------------------------------------
+# ensure_local: request frames materialize as LocalRelations exactly once
+# ---------------------------------------------------------------------------
+
+def test_ensure_local_passthrough_and_rebuild(spark):
+    """A frame that already IS a LocalRelation passes through untouched
+    (rebuilding would re-collect for nothing); a classic pickled-RDD
+    createDataFrame frame is rebuilt with identical rows/schema and no
+    pickled-RDD scan left in the plan."""
+    from feast_spark.io.localframe import ensure_local, is_local_relation, local_df
+
+    schema = "user_id BIGINT, v DOUBLE"
+    rows = [(i, float(i) / 7) for i in range(100)]
+
+    loc = local_df(spark, rows, schema)
+    assert is_local_relation(loc)
+    assert ensure_local(loc) is loc
+
+    classic = spark.createDataFrame(rows, schema)
+    rebuilt = ensure_local(classic)
+    assert rebuilt.schema == classic.schema
+    assert rebuilt.orderBy("user_id").collect() == classic.orderBy(
+        "user_id"
+    ).collect()
+    assert "ExistingRDD" not in rebuilt._jdf.queryExecution().executedPlan().toString()
