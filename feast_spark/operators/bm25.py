@@ -266,12 +266,14 @@ def _rrf_fuse(
             F.max("lex_rank").alias("lex_rank"),
             F.max("vec_rank").alias("vec_rank"),
         )
-        .withColumn(
-            "rrf",
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        # SQL-text twin of the former withColumn (identical tree)
+        .selectExpr(
+            "id",
+            "lex_rank",
+            "vec_rank",
+            f"coalesce(1.0D / ({int(rrf_k)} + lex_rank), 0.0D) + "
+            f"coalesce(1.0D / ({int(rrf_k)} + vec_rank), 0.0D) AS rrf",
         )
-        .select("id", "lex_rank", "vec_rank", "rrf")
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("id").asc()).limit(k)
 
@@ -307,21 +309,23 @@ def _rrf_fuse_batch(
             F.max("lex_rank").alias("lex_rank"),
             F.max("vec_rank").alias("vec_rank"),
         )
-        .withColumn(
-            "rrf",
-            F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")), F.lit(0.0)),
+        # SQL-text twin of the former withColumn (identical tree:
+        # int literal + int rank coerced exactly as F.lit did)
+        .selectExpr(
+            "*",
+            f"coalesce(1.0D / ({int(rrf_k)} + lex_rank), 0.0D) + "
+            f"coalesce(1.0D / ({int(rrf_k)} + vec_rank), 0.0D) AS rrf",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("rrf").desc(), F.col("id").asc()
-    )
     return (
-        fused.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select(
-            "query_id", "id", "lex_rank", "vec_rank", "rrf",
-            F.col("__rn").alias("rank"),
+        fused.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY rrf DESC, id ASC) AS __rn",
+        )
+        .filter(f"__rn <= {int(k)}")
+        .selectExpr(
+            "query_id", "id", "lex_rank", "vec_rank", "rrf", "__rn AS rank"
         )
     )
 
@@ -1011,27 +1015,27 @@ def bm25_index_topk_batch(
     # it while small and shuffle-joins a huge batch instead of forcing
     # it through the driver.
     dfreq_side = F.broadcast(dfreq) if small_batch else dfreq
+    # the BM25 arithmetic as ONE selectExpr — the exact expression tree
+    # the former two withColumns built (same Python-folded literals,
+    # same association order, so every float is bit-identical; pinned
+    # by the inline-vs-index exact-equality tests), minus ~15 py4j
+    # round trips of per-call plan construction
+    from feast_spark.functions.text import sql_ident as _si
+    from feast_spark.operators.similarity import _sql_double as _sd
+
+    idf_sql = (
+        "ln(((n_docs - df_t) + 0.5D) / (df_t + 0.5D) + 1.0D)"
+    )
+    score_sql = (
+        f"({idf_sql} * tf) * {_sd(k1 + 1)} / "
+        f"(tf + {_sd(k1)} * ({_sd(1 - b)} + ({_sd(b)} * len_d) / avg_len))"
+    )
     scored = (
         tf.join(dfreq_side, "term")
         .join(qt, "term")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "idf",
-            F.log(
-                (F.col("n_docs") - F.col("df_t") + 0.5)
-                / (F.col("df_t") + 0.5)
-                + 1.0
-            ),
-        )
-        .withColumn(
-            "term_score",
-            F.col("idf")
-            * F.col("tf")
-            * (k1 + 1)
-            / (
-                F.col("tf")
-                + k1 * (1 - b + b * F.col("len_d") / F.col("avg_len"))
-            ),
+        .selectExpr(
+            "query_id", _si(id_col), f"{score_sql} AS term_score"
         )
         # ONE exchange for the rest of the query: hash-partitioning on
         # query_id alone satisfies the (query_id, id) aggregation's
@@ -1045,13 +1049,14 @@ def bm25_index_topk_batch(
         .groupBy("query_id", id_col)
         .agg(F.sum("term_score").alias("bm25"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("bm25").desc(), F.col(id_col).asc()
-    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", id_col, "bm25", F.col("__rn").alias("rank"))
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY bm25 DESC, {_si(id_col)} ASC) AS __rn",
+        )
+        .filter(f"__rn <= {int(k)}")
+        .selectExpr("query_id", _si(id_col), "bm25", "__rn AS rank")
     )
 
 

