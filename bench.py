@@ -159,7 +159,11 @@ def main() -> None:
                 # InMemoryTableScans and timed the cache, not the code).
                 # Clearing the relation cache between samples keeps every
                 # sample an honest recompute from the parquet inputs.
-                spark.catalog.clearCache()
+                # SPARK_GRAFT_BENCH_KEEP_CACHE=1 restores the pre-r16
+                # behavior for apples-to-apples comparison against the
+                # r1-r15 series (whose samples 2+ could hit the cache).
+                if not os.environ.get("SPARK_GRAFT_BENCH_KEEP_CACHE"):
+                    spark.catalog.clearCache()
                 t0 = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.count()
