@@ -320,7 +320,10 @@ def dedup_against_index(
         .union(cands.select(F.col("id_b").alias("doc")))
         .distinct()
     )
-    sh = (
+    # persisted: BOTH verify joins read this frame — unpersisted, the
+    # epoch shingle read and the candidate semi-join ran twice (once
+    # per side).  Candidate-bounded, like `cands` above.
+    sh = _persist(
         _read_epochs(spark, path, "shingles", epochs)
         .unionByName(new_sh)
         .join(cand_ids, "doc", "semi")
