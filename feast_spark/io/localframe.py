@@ -33,11 +33,14 @@ __all__ = ["local_df", "ensure_local"]
 
 
 def is_local_relation(df: DataFrame) -> bool:
-    """True when ``df``'s analyzed plan is already a bare JVM
+    """True when ``df``'s OPTIMIZED plan is a bare JVM
     ``LocalRelation`` — evaluating it is free of Python stages and
-    scan jobs, so a collect+rebuild would only add cost."""
+    scan jobs, so a collect+rebuild would only add cost.  The
+    optimized plan (not the analyzed one) is what matters: callers
+    wrap request frames in selects, and ConvertToLocalRelation
+    collapses Project-over-LocalRelation only during optimization."""
     try:
-        plan = df._jdf.queryExecution().analyzed()
+        plan = df._jdf.queryExecution().optimizedPlan()
         return plan.getClass().getSimpleName() == "LocalRelation"
     except Exception:
         return False

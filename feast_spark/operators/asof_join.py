@@ -235,7 +235,9 @@ def _sql_type(dt) -> str | None:
     if isinstance(dt, T.StructType):
         parts = []
         for f in dt.fields:
-            if not _SAFE_ID.match(f.name):
+            # DDL cannot express non-nullable fields (or quote exotic
+            # names); fall back so the DSL's exact nullability wins
+            if not _SAFE_ID.match(f.name) or not f.nullable:
                 return None
             inner = _sql_type(f.dataType)
             if inner is None:
@@ -243,9 +245,13 @@ def _sql_type(dt) -> str | None:
             parts.append(f"{f.name}:{inner}")
         return f"struct<{','.join(parts)}>"
     if isinstance(dt, T.ArrayType):
+        if not dt.containsNull:
+            return None  # DDL arrays are containsNull=true
         inner = _sql_type(dt.elementType)
         return None if inner is None else f"array<{inner}>"
     if isinstance(dt, T.MapType):
+        if not dt.valueContainsNull:
+            return None  # DDL maps are valueContainsNull=true
         k, v = _sql_type(dt.keyType), _sql_type(dt.valueType)
         return None if (k is None or v is None) else f"map<{k},{v}>"
     return dt.simpleString()
@@ -272,8 +278,15 @@ def _asof_union_window(
         + [spec.out_name(f) for f in spec.features]
         + ([spec.created_col] if spec.created_col else [])
     )
-    if all(_SAFE_ID.match(n) for n in names):
-        sql_build = _asof_union_window_sql(entity_df, entity_ts_col, spec)
+    if spec.join_keys and all(_SAFE_ID.match(n) for n in names):
+        try:
+            sql_build = _asof_union_window_sql(
+                entity_df, entity_ts_col, spec
+            )
+        except Exception:
+            # any parse/analysis surprise -> the DSL build is the
+            # semantics of record; SQL text is only a faster spelling
+            sql_build = None
         if sql_build is not None:
             return sql_build
     return _asof_union_window_dsl(entity_df, entity_ts_col, spec)
@@ -317,35 +330,41 @@ def _asof_union_window_sql(
     ):
         return None
 
+    from feast_spark.functions.text import sql_ident as _q
+
+    # every identifier REFERENCE is backtick-quoted: a column whose
+    # name collides with a niladic SQL function (current_date,
+    # current_timestamp, current_user) would otherwise parse as the
+    # function call and silently return wrong values
     entity_cols = entity_df.columns
     ent_tagged = entity_df.selectExpr(
-        *entity_cols,
-        f"{entity_ts_col} AS {_TS}",
+        *[_q(c) for c in entity_cols],
+        f"{_q(entity_ts_col)} AS {_TS}",
         f"CAST(NULL AS {created_sql}) AS {_CREATED}",
         f"1 AS {_SIDE}",
         f"CAST(NULL AS {struct_sql}) AS {_STRUCT}",
     )
 
-    feat_ts = f"CAST({spec.timestamp_col} AS {ts_sql})"
+    feat_ts = f"CAST({_q(spec.timestamp_col)} AS {ts_sql})"
     key_map = {k: spec.key_mapping.get(k, k) for k in keys}
     feat_exprs = [
         (
-            f"CAST({key_map[c]} AS {ent_sqls[c]}) AS {c}"
+            f"CAST({_q(key_map[c])} AS {ent_sqls[c]}) AS {_q(c)}"
             if c in key_map
-            else f"CAST(NULL AS {ent_sqls[c]}) AS {c}"
+            else f"CAST(NULL AS {ent_sqls[c]}) AS {_q(c)}"
         )
         for c in entity_cols
     ]
     feat_exprs.append(f"{feat_ts} AS {_TS}")
     feat_exprs.append(
-        f"{spec.created_col} AS {_CREATED}"
+        f"{_q(spec.created_col)} AS {_CREATED}"
         if spec.created_col
         else f"CAST(NULL AS {created_sql}) AS {_CREATED}"
     )
     feat_exprs.append(f"0 AS {_SIDE}")
     feat_exprs.append(
         "named_struct('__ts', " + feat_ts
-        + "".join(f", '{f}', {f}" for f in spec.features)
+        + "".join(f", '{f}', {_q(f)}" for f in spec.features)
         + f") AS {_STRUCT}"
     )
     feat_full = fdf.selectExpr(*feat_exprs)
@@ -354,7 +373,7 @@ def _asof_union_window_sql(
     carried = unioned.selectExpr(
         "*",
         f"last({_STRUCT}, true) OVER ("
-        f"PARTITION BY {', '.join(keys)} "
+        f"PARTITION BY {', '.join(_q(k) for k in keys)} "
         f"ORDER BY {_TS} ASC, {_SIDE} ASC, {_CREATED} ASC "
         f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
         f") AS __carried",
@@ -366,8 +385,9 @@ def _asof_union_window_sql(
         valid_sql += (
             f" AND __carried.__ts >= {_TS} - INTERVAL {ttl_secs} SECONDS"
         )
-    proj = list(entity_cols) + [
-        f"CASE WHEN {valid_sql} THEN __carried.{f} END AS {spec.out_name(f)}"
+    proj = [_q(c) for c in entity_cols] + [
+        f"CASE WHEN {valid_sql} THEN __carried.{_q(f)} "
+        f"END AS {_q(spec.out_name(f))}"
         for f in spec.features
     ]
     return result.selectExpr(*proj)

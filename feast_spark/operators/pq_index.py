@@ -42,7 +42,6 @@ from feast_spark.operators.pq import pq_encode, pq_topk, pq_train
 from feast_spark.operators.similarity import (
     ivf_train_centroids,
     assign_nearest_centroid,
-    nearest_centroid,
     probe_cells_py,
 )
 

@@ -441,7 +441,11 @@ def nearest_centroid_arrow(
     pairwise summation reorders the fold); np.argmin returns the
     first minimum, matching array_position(dists, array_min(dists));
     rows that are NULL or whose length differs from D yield NULL,
-    matching zip_with's null-padding semantics."""
+    matching zip_with's null-padding semantics.  Rows with a NULL
+    ELEMENT also yield NULL (the expression path's null propagation) —
+    Arrow renders element nulls as NaN, indistinguishable from a real
+    NaN value, so a cheap JVM-side ``exists(x -> x IS NULL)`` guard
+    nulls those rows before they cross the boundary."""
     import numpy as np
 
     cm = np.asarray(centroids, dtype=np.float64)
@@ -473,16 +477,25 @@ def nearest_centroid_arrow(
             out[~ok] = None
             yield out
 
-    return _assign(F.expr(vec) if isinstance(vec, str) else vec)
+    vec_col = F.expr(vec) if isinstance(vec, str) else vec
+    # null-element guard: expression semantics give NULL for a vector
+    # containing a NULL element; Arrow would render it as NaN (-> cell
+    # 0).  exists() is a cheap JVM pass over the array.
+    guarded = F.when(
+        F.exists(vec_col, lambda x: x.isNull()), F.lit(None)
+    ).otherwise(vec_col)
+    return _assign(guarded)
 
 
 def _scan_bytes(df: DataFrame, many_files: int = 64) -> int | None:
     """Driver-side estimate of the bytes behind ``df``'s file scan:
     None when the plan is not file-backed (request-sized frames,
-    LocalRelations), a large sentinel when the file COUNT alone proves
-    the input big (never pull a 100 TB table's file list sizes one
-    getFileStatus at a time), else the exact sum over the few files.
-    Metadata only — no job."""
+    LocalRelations) or the estimate is the unknown sentinel, a large
+    value when the file COUNT alone proves the input big, else
+    Catalyst's plan-statistics size (ONE py4j call off the already-
+    listed file index — never a per-file getFileStatus loop, which on
+    an object store would be up to ``many_files`` sequential remote
+    HEADs of plan-build latency).  Metadata only — no job."""
     try:
         files = df.inputFiles()
     except Exception:
@@ -492,14 +505,12 @@ def _scan_bytes(df: DataFrame, many_files: int = 64) -> int | None:
     if len(files) >= many_files:
         return 1 << 62
     try:
-        jvm = df.sparkSession._jvm
-        jsc = df.sparkSession._jsc
-        conf = jsc.hadoopConfiguration()
-        total = 0
-        for f in files:
-            p = jvm.org.apache.hadoop.fs.Path(f)
-            total += p.getFileSystem(conf).getFileStatus(p).getLen()
-        return total
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # frames with no real estimate report Long.MaxValue-ish
+        # numbers; treat anything absurd as unknown -> expression path
+        return size if 0 <= size < (1 << 62) else None
     except Exception:
         return None
 

@@ -309,6 +309,7 @@ def test_nearest_centroid_arrow_bit_identical(spark):
             (4, [float("inf")] * 4),
             (5, [0.0] * 4),
             (6, [-0.0] * 4),
+            (7, [1.0, None, 0.2, 0.3]),  # NULL element -> NULL cell
         ],
         "i INT, v ARRAY<DOUBLE>",
     )
@@ -426,3 +427,56 @@ def test_ensure_local_passthrough_and_rebuild(spark):
         "user_id"
     ).collect()
     assert "ExistingRDD" not in rebuilt._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ensure_local_sees_through_projections(spark):
+    """A select over a LocalRelation must still pass through — the
+    bm25 batch call site always wraps its request frame in a select,
+    and ConvertToLocalRelation collapses the Project only in the
+    optimized plan."""
+    from feast_spark.io.localframe import is_local_relation, local_df
+
+    base = local_df(
+        spark, [(1, "a"), (2, "b")], "query_id BIGINT, term STRING"
+    )
+    assert is_local_relation(base.select("query_id", "term"))
+
+
+def test_asof_sql_build_quotes_function_like_names_and_falls_back(spark):
+    """A column literally named current_date must resolve as the
+    COLUMN in the SQL-text build (unquoted it parses as the niladic
+    function); empty join_keys and non-default nested nullability
+    must fall back to the DSL build rather than crash or drift."""
+    from datetime import timedelta
+
+    from pyspark.sql import types as T
+
+    from feast_spark.operators import asof_join as aj
+    from feast_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_MED, "events")
+    entity = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+        .withColumnRenamed("ts", "current_date")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "value"
+    )
+    spec = aj.AsOfJoinSpec(
+        views, ["user_id"], "ts", ["value"], ttl=timedelta(days=2)
+    )
+    got = aj._asof_union_window(entity, "current_date", spec)
+    ref = aj._asof_union_window_dsl(entity, "current_date", spec)
+    assert got.schema == ref.schema
+    assert sorted(got.collect(), key=str) == sorted(ref.collect(), key=str)
+
+    # non-default nested nullability has no DDL text -> fallback
+    assert aj._sql_type(T.ArrayType(T.IntegerType(), False)) is None
+    assert (
+        aj._sql_type(
+            T.StructType([T.StructField("a", T.IntegerType(), False)])
+        )
+        is None
+    )
+    assert aj._sql_type(T.MapType(T.StringType(), T.IntegerType(), False)) is None
