@@ -26,10 +26,47 @@ verified equal to the requested one; a mismatch also falls back.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DataType,
+    MapType,
+    StructType,
+    TimestampType,
+)
 
 __all__ = ["local_df", "ensure_local"]
+
+# ensure_local's collect is bounded by the caller's request-frame
+# contract (multiget keys, batch queries) — but a caller handing a
+# corpus-sized frame should degrade to the original distributed plan,
+# not drive the driver into an OOM.  The cap is rows, checked with a
+# limit(cap+1) take so the overflow probe never pulls more than one
+# extra row.
+_ENSURE_LOCAL_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_ENSURE_LOCAL_MAX_ROWS", "100000")
+)
+
+
+def _has_tz_timestamp(dt: DataType) -> bool:
+    """True when the type contains a (tz-aware) TimestampType anywhere.
+    ``to_arrow_schema`` maps TimestampType to timestamp('us', tz='UTC'),
+    under which pyarrow reads tz-NAIVE datetimes as UTC wall clock —
+    while the classic path reads them in the SESSION timezone.  The two
+    agree only when the session tz is UTC, so the arrow fast path is
+    gated on that (the df.schema equality check cannot catch a pure
+    value shift)."""
+    if isinstance(dt, TimestampType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_tz_timestamp(dt.elementType)
+    if isinstance(dt, MapType):
+        return _has_tz_timestamp(dt.keyType) or _has_tz_timestamp(dt.valueType)
+    if isinstance(dt, StructType):
+        return any(_has_tz_timestamp(f.dataType) for f in dt.fields)
+    return False
 
 
 def is_local_relation(df: DataFrame) -> bool:
@@ -53,12 +90,18 @@ def ensure_local(df: DataFrame) -> DataFrame:
     untouched; anything else — classic pickled-RDD createDataFrame
     frames, small query results — is collected (the caller's contract
     bounds it) and rebuilt, so every downstream evaluation stays
-    JVM-side and sees one consistent snapshot."""
+    JVM-side and sees one consistent snapshot.
+
+    Frames larger than ``SPARK_GRAFT_ENSURE_LOCAL_MAX_ROWS`` (default
+    100k) come back UNCHANGED: a corpus-sized frame handed to a
+    request-frame parameter degrades to its original distributed plan
+    instead of collecting into a driver OOM."""
     if is_local_relation(df):
         return df
-    return local_df(
-        df.sparkSession, [tuple(r) for r in df.collect()], df.schema
-    )
+    rows = df.limit(_ENSURE_LOCAL_MAX_ROWS + 1).collect()
+    if len(rows) > _ENSURE_LOCAL_MAX_ROWS:
+        return df
+    return local_df(df.sparkSession, [tuple(r) for r in rows], df.schema)
 
 
 def local_df(
@@ -78,8 +121,20 @@ def local_df(
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        if _has_tz_timestamp(schema) and (
+            spark.conf.get("spark.sql.session.timeZone", "")
+            not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z")
+        ):
+            # arrow would read tz-naive datetimes as UTC; the classic
+            # path reads them in the session tz — values would shift
+            return spark.createDataFrame(rows, schema)
         arrow_schema = to_arrow_schema(schema)
         names = [f.name for f in schema.fields]
+        n = len(names)
+        if any(len(r) != n for r in rows):
+            # dict(zip(...)) would silently truncate/null-fill a
+            # wrong-length row; the classic path validates and raises
+            return spark.createDataFrame(rows, schema)
         tbl = pa.Table.from_pylist(
             [dict(zip(names, r)) for r in rows], schema=arrow_schema
         )

@@ -77,12 +77,18 @@ def read_parquet_memo(
     their discovered names/types/order and their values still parse
     from the directory names."""
     tokens = tuple(_path_token(p) for p in paths)
+    try:
+        # stable session identity: id(jobj) can alias a recycled
+        # address after GC; the JVM session's UUID cannot
+        session_token = spark._jsparkSession.sessionUUID()
+    except Exception:
+        session_token = id(spark._jsparkSession)
     key = (
         None
         if any(t is None for t in tokens)
         else (
             spark.sparkContext.applicationId,
-            id(spark._jsparkSession),
+            session_token,
             tuple(os.path.abspath(p) for p in paths),
             tokens,
             base_path,

@@ -36,15 +36,39 @@ from feast_spark.functions.text import (
 )
 
 
+# Candidate-frame persists are intra-query (the returned plan reads
+# them), so they cannot be unpersisted before the caller's action —
+# but a long-lived serving/driver session calling these operators
+# repeatedly would otherwise accumulate CacheManager entries (storage
+# blocks are LRU-evictable under memory pressure, but each entry also
+# competes with other caches and stays matchable against future
+# plans).  Bounded FIFO: past _PERSIST_MAX live frames the OLDEST is
+# unpersisted — by then its query has long since materialized; a
+# caller re-executing an ancient frame simply recomputes it.
+_PERSIST_MAX = 32
+_PERSISTED: list[DataFrame] = []
+
+
 def _persist(df: DataFrame) -> DataFrame:
     """MEMORY_AND_DISK-persist an intermediate that the downstream plan
     references more than once (self-joins, candidate verification).
 
     Without it the expensive shingle/signature expressions are *compiled
     and executed* once per reference (2-4x); with it they run once and
-    the reuses read the cached columnar blocks.  Eviction is LRU +
-    ContextCleaner-on-GC, so a one-shot query leaks nothing."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    the reuses read the cached columnar blocks.  Storage blocks are
+    LRU-evicted under memory pressure; the bounded FIFO above
+    additionally unpersists the oldest frames so repeated calls in a
+    long-lived session never accumulate unbounded CacheManager
+    entries."""
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(out)
+    while len(_PERSISTED) > _PERSIST_MAX:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # owning session already stopped
+    return out
 
 
 def widen_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -55,12 +55,16 @@ _SCHEMA_MEMO: dict[tuple, tuple] = {}
 
 
 def _memo_key(path: str) -> tuple | None:
-    f = _a_parquet_file(path)
-    try:
-        st = os.stat(f)
-    except OSError:
+    # full recursive (relpath, mtime_ns, size) identity — a single
+    # representative file's stat would go stale when OTHER files under
+    # the path change (appended part files with an evolved schema would
+    # be silently projected to the memoized columns)
+    from feast_spark.io.pread import _path_token
+
+    token = _path_token(path)
+    if token is None:
         return None
-    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    return (os.path.abspath(path), token)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

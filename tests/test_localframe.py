@@ -86,6 +86,58 @@ def test_local_df_joins_like_classic(spark):
     assert sorted(a.collect()) == sorted(b.collect())
 
 
+def test_local_df_timestamp_values_match_classic_non_utc_session(spark):
+    """r17: tz-naive datetimes must mean the same instant on both
+    paths.  to_arrow_schema maps TimestampType to timestamp(us, UTC),
+    under which pyarrow reads naive datetimes as UTC wall clock while
+    classic createDataFrame reads them in the SESSION tz — so under a
+    non-UTC session the arrow path must fall back to classic."""
+    schema = StructType(
+        [StructField("k", LongType()), StructField("ts", TimestampType())]
+    )
+    rows = [(1, datetime.datetime(2024, 1, 2, 3, 4, 5))]
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        a = local_df(spark, rows, schema)
+        b = spark.createDataFrame(rows, schema)
+        assert a.collect() == b.collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    # nested timestamps hit the same gate
+    from feast_spark.io.localframe import _has_tz_timestamp
+
+    nested = StructType.fromDDL("s STRUCT<t: TIMESTAMP>, a ARRAY<TIMESTAMP>")
+    assert _has_tz_timestamp(nested)
+    assert not _has_tz_timestamp(StructType.fromDDL("x LONG, t TIMESTAMP_NTZ"))
+
+
+def test_local_df_wrong_length_rows_raise_like_classic(spark):
+    """r17: dict(zip(...)) silently truncated long rows / null-filled
+    short ones; malformed caller data must raise like classic."""
+    import pytest
+
+    with pytest.raises(Exception):
+        local_df(spark, [(1, 2.0, "extra")], "a LONG, b DOUBLE").collect()
+    with pytest.raises(Exception):
+        local_df(spark, [(1,)], "a LONG, b DOUBLE").collect()
+
+
+def test_ensure_local_caps_oversized_frames(spark, monkeypatch):
+    """r17: a frame past the row cap comes back UNCHANGED (distributed
+    plan) instead of being collected onto the driver."""
+    import feast_spark.io.localframe as lf
+
+    monkeypatch.setattr(lf, "_ENSURE_LOCAL_MAX_ROWS", 50)
+    big = spark.range(51).select(F.col("id").alias("user_id"))
+    out = lf.ensure_local(big)
+    assert out is big  # untouched: no collect, original plan
+    small = spark.range(10).select(F.col("id").alias("user_id"))
+    loc = lf.ensure_local(small)
+    assert _plan_name(loc) == "LocalRelation"
+    assert sorted(r["user_id"] for r in loc.collect()) == list(range(10))
+
+
 def test_read_memo_returns_same_df_and_sees_new_files(spark, tmp_path):
     from feast_spark.io.pread import read_parquet_memo
 
