@@ -75,14 +75,22 @@ def normalize_query_terms(query: list[str]) -> list[str]:
 
 
 def _score_postings(
-    tf: DataFrame, stats: DataFrame, id_col: str, k1: float, b: float
+    tf: DataFrame,
+    stats: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: (id, term, tf, len_d) postings + one-row
-    (n_docs, avg_len) stats -> per-doc summed BM25.  df_t is computed
-    from the postings themselves (count of docs per term), so the
-    inline and persisted-index paths score identically by
-    construction."""
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    (n_docs, avg_len) stats -> per-doc summed BM25.  df_t defaults to a
+    count over the postings themselves, so the inline and
+    persisted-index paths score identically by construction; the
+    persisted-index path passes the (exact-long, bit-identical) df_t
+    summed from its per-epoch sidecar instead, removing the per-query
+    aggregate over postings."""
+    if dfreq is None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     return (
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
@@ -532,7 +540,7 @@ def _term_bucket_expr(term, n_buckets: int):
     ).cast("int")
 
 
-_BM25_SUBDIRS = ("postings", "stats")
+_BM25_SUBDIRS = ("postings", "stats", "dfreq")
 
 
 def _bm25_manifest(
@@ -605,12 +613,36 @@ def _bm25_doc_tables(
 def _bm25_write_epoch(
     path: str, epoch: int, posting: DataFrame, stats: DataFrame
 ) -> None:
-    posting.write.mode("errorifexists").partitionBy("bucket").parquet(
-        posixpath.join(path, "postings", f"epoch={epoch}")
-    )
+    pdir = posixpath.join(path, "postings", f"epoch={epoch}")
+    posting.write.mode("errorifexists").partitionBy("bucket").parquet(pdir)
     stats.coalesce(1).write.mode("errorifexists").parquet(
         posixpath.join(path, "stats", f"epoch={epoch}")
     )
+    # Per-term doc-frequency SIDECAR, derived from the postings epoch
+    # that was just WRITTEN (a cheap read-back + aggregate over compact
+    # parquet — never a second tokenize pass).  Serving sums the
+    # per-epoch longs per term instead of aggregating postings per
+    # query (doc ids are unique across epochs by the append contract,
+    # so the sum is the exact df_t a postings count would produce).
+    # Bucket-partitioned like postings, so queries prune to the same
+    # bucket dirs; one file per bucket (repartition before partitionBy).
+    spark = posting.sparkSession
+    ddir = posixpath.join(path, "dfreq", f"epoch={epoch}")
+    try:
+        written = spark.read.parquet(pdir)
+        dfreq = (
+            written.groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+            .repartition("bucket")
+            .select("term", "df_t", "bucket")
+        )
+    except Exception:
+        # an all-stopword/blank slice writes a postings epoch with zero
+        # part files (tolerated by the multi-path reads); mirror it
+        dfreq = spark.createDataFrame(
+            [], "term STRING, df_t BIGINT, bucket INT"
+        )
+    dfreq.write.mode("errorifexists").partitionBy("bucket").parquet(ddir)
 
 
 def build_bm25_index(
@@ -669,6 +701,9 @@ def build_bm25_index(
             **carried,
             "kind": "bm25",
             "epochs": [epoch],
+            # epochs whose df_t sidecar exists: serving skips the
+            # per-query postings aggregate iff every live epoch has one
+            "dfreq_epochs": [epoch],
             "n_term_buckets": n_term_buckets,
             "id_col": id_col,
             "text_col": text_col,
@@ -724,6 +759,9 @@ def bm25_index_append(
             **manifest,
             **(meta or {}),
             "epochs": sorted(manifest["epochs"] + [epoch]),
+            "dfreq_epochs": sorted(
+                manifest.get("dfreq_epochs", []) + [epoch]
+            ),
         },
     )
 
@@ -755,7 +793,10 @@ def bm25_index_compact(
         )
     )
     _bm25_write_epoch(path, merged, posting, stats)
-    _bm25_commit(path, fs, {**manifest, "epochs": [merged]})
+    _bm25_commit(
+        path, fs,
+        {**manifest, "epochs": [merged], "dfreq_epochs": [merged]},
+    )
 
 
 def bm25_index_vacuum(
@@ -872,6 +913,38 @@ def _index_postings(
         # its own and falls back to a shuffle join for huge ones.
         postings = postings.join(terms_df, "term", "leftsemi")
     postings = postings.drop("bucket", "epoch")
+    # df_t from the per-epoch SIDECAR (written by build/append/compact
+    # since r17) instead of a per-query aggregate over the postings:
+    # available iff every live epoch carries one (older indexes fall
+    # back to the postings aggregate in _score_postings).
+    dfreq = None
+    if set(epochs) <= set(manifest.get("dfreq_epochs", [])):
+        if terms is not None:
+            # human-sized term list: tiny bucket-pruned sidecar files
+            # read driver-side (the _corpus_stats discipline) into a
+            # literal LocalRelation — zero Spark jobs for df_t
+            dmap = _dfreq_terms(path, epochs, buckets, terms, fs)
+            dfreq = local_df(
+                spark, sorted(dmap.items()), "term STRING, df_t BIGINT"
+            )
+        else:
+            # huge-batch shape: nothing vocabulary-sized through the
+            # driver — scan the sidecar (bucket-pruned), semi-join the
+            # batch terms, sum the per-epoch longs.  Still never an
+            # aggregate over postings.
+            dfreq = (
+                read_parquet_memo(
+                    spark,
+                    *epochs_io.epoch_paths(path, "dfreq", epochs),
+                    base_path=posixpath.join(path, "dfreq"),
+                )
+                .filter(
+                    F.col("bucket").isin(buckets) if buckets else F.lit(False)
+                )
+                .join(terms_df, "term", "leftsemi")
+                .groupBy("term")
+                .agg(F.sum("df_t").cast("long").alias("df_t"))
+            )
     n_docs, total_len = _corpus_stats(path, epochs, fs)
     # literal one-row frame instead of a per-query stats scan+agg:
     # float(total)/float(n) is the identical IEEE sequence Spark's
@@ -884,7 +957,57 @@ def _index_postings(
         [(n_docs, (float(total_len) / float(n_docs)) if n_docs else None)],
         "n_docs LONG, avg_len DOUBLE",
     )
-    return postings, stats, id_col
+    return postings, stats, id_col, dfreq
+
+
+def _dfreq_terms(
+    path: str,
+    epochs: list[int],
+    buckets: list[int],
+    terms: list[str],
+    fs,
+) -> dict[str, int]:
+    """(term -> df_t) for the query's terms, summed over the committed
+    epochs' dfreq sidecars — tiny bucket-pruned parquet read driver-side
+    via pyarrow (the ``_corpus_stats`` pattern).  Cached per
+    (path, epochs, bucket): each term hashes to exactly one bucket, so
+    a bucket's map is the complete df_t table for every term in it;
+    write-once epoch dirs make the key immutable."""
+    from feast_spark.io import model_cache
+
+    def _load_bucket(b: int) -> dict[str, int]:
+        import io as _io
+
+        import pyarrow.parquet as pq
+
+        agg: dict[str, int] = {}
+        for d in epochs_io.epoch_paths(path, "dfreq", epochs):
+            bd = posixpath.join(d, f"bucket={b}")
+            if not fs.exists(bd):
+                continue  # no terms of this bucket in this epoch
+            for name in sorted(fs.list_files(bd)):
+                if not name.endswith(".parquet"):
+                    continue
+                t = pq.read_table(
+                    _io.BytesIO(fs.read_bytes(posixpath.join(bd, name))),
+                    columns=["term", "df_t"],
+                )
+                for term, v in zip(
+                    t.column("term").to_pylist(), t.column("df_t").to_pylist()
+                ):
+                    agg[term] = agg.get(term, 0) + int(v)
+        return agg
+
+    out: dict[str, int] = {}
+    for b in buckets:
+        bmap = model_cache.get_or_load(
+            ("bm25_dfreq", fs.cache_token(), path, tuple(epochs), b),
+            lambda b=b: _load_bucket(b),
+        )
+        for t in terms:
+            if t in bmap:
+                out[t] = bmap[t]
+    return out
 
 
 def _corpus_stats(path: str, epochs: list[int], fs) -> tuple[int, int]:
@@ -948,10 +1071,10 @@ def bm25_index_topk(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     terms = normalize_query_terms(query)
-    tf, stats, id_col = _index_postings(
+    tf, stats, id_col, dfreq = _index_postings(
         spark, path, terms, fs=fs, as_of=as_of
     )
-    scored = _score_postings(tf, stats, id_col, k1, b)
+    scored = _score_postings(tf, stats, id_col, k1, b, dfreq=dfreq)
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -1001,14 +1124,15 @@ def bm25_index_topk_batch(
     small_batch = len(sample) <= max_terms_inlist
     if small_batch:
         terms = sorted(r["term"] for r in sample)
-        tf, stats, id_col = _index_postings(
+        tf, stats, id_col, dfreq = _index_postings(
             spark, path, terms, fs=fs, as_of=as_of
         )
     else:
-        tf, stats, id_col = _index_postings(
+        tf, stats, id_col, dfreq = _index_postings(
             spark, path, fs=fs, terms_df=qterms, as_of=as_of
         )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    if dfreq is None:  # pre-sidecar index: aggregate postings per call
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     # dfreq is vocabulary-bounded: hint it broadcast only below the
     # term cap.  qt is (query, term)-PAIR sized — it scales with the
     # BATCH, not the vocabulary, so it is never hinted: AQE broadcasts

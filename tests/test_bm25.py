@@ -862,7 +862,7 @@ def test_stopword_index_keeps_other_scores_bit_identical(spark, tmp_path):
     # stopword postings truly absent from storage
     from feast_spark.operators.bm25 import _index_postings
 
-    postings, _, _ = _index_postings(spark, stopped, ["the"])
+    postings, _, _, _ = _index_postings(spark, stopped, ["the"])
     assert postings.count() == 0
 
     # an all-stopword query returns an empty top-k, not an error
@@ -923,3 +923,101 @@ def test_append_all_stopword_slice_still_counts_docs(spark, tmp_path):
         tuple(r)
         for r in bm25_index_topk(spark, stopped, ["kiwi"], k=10).collect()
     ] == want
+
+
+def test_dfreq_sidecar_serving_skips_postings_aggregate(spark, tmp_path):
+    """r17: build/append write a per-epoch (term, df_t) sidecar and
+    serving sums it instead of re-aggregating postings per query.
+
+    Pins (a) the sidecar values equal a postings count exactly, so
+    scores are bit-identical to a legacy index without the sidecar,
+    and (b) the plan win: the sidecar-served executed plan scans the
+    postings parquet ONCE and takes df_t from a LocalTableScan, while
+    the legacy path scans postings twice (once for the df_t
+    aggregate)."""
+    import re
+
+    from feast_spark.io.epochs import read_manifest
+    from feast_spark.io.fs import LocalFS
+    from feast_spark.operators.bm25 import (
+        _bm25_commit,
+        _dfreq_terms,
+        bm25_index_append,
+        bm25_index_topk,
+        bm25_index_topk_batch,
+        build_bm25_index,
+    )
+
+    docs = load_table(spark, SF_MED, "documents")
+    path = str(tmp_path / "idx")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 3 != 0), path, "doc_id", "text",
+        n_term_buckets=16,
+    )
+    bm25_index_append(spark, path, docs.filter(F.col("doc_id") % 3 == 0))
+    fs = LocalFS()
+    manifest = read_manifest(path, fs, required_keys=("epochs",), kind="index")
+    assert sorted(manifest["dfreq_epochs"]) == sorted(manifest["epochs"])
+
+    # (a) sidecar df_t == a count over the postings, term by term
+    terms = ["spark", "merge", "window", "parquet"]
+    from feast_spark.operators.bm25 import _index_postings, term_bucket
+
+    buckets = sorted({term_bucket(t, 16) for t in terms})
+    dmap = _dfreq_terms(path, manifest["epochs"], buckets, terms, fs)
+    tf, _, _, dfreq = _index_postings(spark, path, terms)
+    assert dfreq is not None
+    counted = {
+        r["term"]: r["df_t"]
+        for r in tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t")).collect()
+    }
+    assert dmap == counted
+
+    # legacy twin: same data, manifest stripped of dfreq_epochs, so
+    # serving falls back to the per-query postings aggregate
+    legacy = str(tmp_path / "legacy")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") % 3 != 0), legacy, "doc_id", "text",
+        n_term_buckets=16,
+    )
+    bm25_index_append(spark, legacy, docs.filter(F.col("doc_id") % 3 == 0))
+    lman = read_manifest(legacy, fs, required_keys=("epochs",), kind="index")
+    lman.pop("dfreq_epochs")
+    _bm25_commit(legacy, fs, lman)
+    _, _, _, ldfreq = _index_postings(spark, legacy, terms)
+    assert ldfreq is None
+
+    got = bm25_index_topk(spark, path, terms, k=15)
+    want = bm25_index_topk(spark, legacy, terms, k=15)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]  # bit-identical scores
+
+    # (b) plan shapes: one postings scan + LocalTableScan df_t vs two
+    # (both plans read ONLY postings parquet: stats/df_t are literal
+    # LocalRelations on the sidecar path)
+    def postings_scans(df, root):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE echoes both
+        return len(re.findall(r"Scan parquet", final)), plan
+
+    n_sidecar, plan_sidecar = postings_scans(
+        bm25_index_topk(spark, path, terms, k=15), path
+    )
+    n_legacy, _ = postings_scans(
+        bm25_index_topk(spark, legacy, terms, k=15), legacy
+    )
+    assert n_sidecar == 1, plan_sidecar[:3000]
+    assert n_legacy == 2
+    assert "LocalTableScan" in plan_sidecar
+
+    # batch serving takes the same shortcut (sidecar scan, zero
+    # aggregates over the postings relation)
+    qdf = spark.createDataFrame(
+        [(1, ["spark", "merge"]), (2, ["parquet", "window"])],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    gb = bm25_index_topk_batch(spark, path, qdf, k=5)
+    wb = bm25_index_topk_batch(spark, legacy, qdf, k=5)
+    assert sorted(map(tuple, gb.collect())) == sorted(map(tuple, wb.collect()))

@@ -322,8 +322,8 @@ def test_bm25_hot_term_recommends_stopword(spark, tmp_path):
         docs, fixed, "doc_id", "text", n_term_buckets=16,
         stopwords=recs[0]["recommended"],
     )
-    before, _, _ = _index_postings(spark, path, ["boiler"])
-    after, _, _ = _index_postings(spark, fixed, ["boiler"])
+    before, _, _, _ = _index_postings(spark, path, ["boiler"])
+    after, _, _, _ = _index_postings(spark, fixed, ["boiler"])
     assert before.count() == 200 and after.count() == 0
     qa = [tuple(r) for r in bm25_index_topk(spark, path, ["u7", "u19"], k=10).collect()]
     qb = [tuple(r) for r in bm25_index_topk(spark, fixed, ["u7", "u19"], k=10).collect()]
