@@ -15,7 +15,12 @@ SF_MED = os.path.join(TESTDATA, "sf0.01")
 @pytest.fixture(scope="session")
 def spark():
     spark = (
-        SparkSession.builder.master("local[4]")
+        # local[8]: the verify host has 32 cores; 8 keeps scheduling
+        # overhead low on tiny test data while roughly halving the
+        # CPU-bound suites (graph, index builds) vs the old local[4].
+        # No test depends on defaultParallelism (widen/partition pins
+        # pass explicit min_partitions).
+        SparkSession.builder.master("local[8]")
         .appName("feast_spark-tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")

@@ -73,6 +73,7 @@ def test_two_table_join(spark):
     assert {(r["lid_l"], r["rid_r"], r["dist"]) for r in out} == {(1, 10, 1)}
 
 
+@pytest.mark.nightly
 def test_hot_gram_cap_documented_tradeoff(spark):
     """With an absurd cap (every gram hot) the long channel loses its
     candidates — exactness requires max_gram_freq=None."""
@@ -94,6 +95,7 @@ def test_validation(spark):
         edit_distance_pairs(df, "id", "s", q=1)
 
 
+@pytest.mark.nightly
 def test_customer_names_scale_shape(spark, duck):
     """Real table: sf0.001 customer names (+planted typos) — the join
     finds exactly the brute-force pairs at k=1."""
@@ -133,6 +135,7 @@ WHERE levenshtein(a.s, b.s) <= 1
     assert got == want and len(want) > 0
 
 
+@pytest.mark.nightly
 def test_randomized_differential_vs_python_dp(spark):
     """200 random short strings (seeded), all (size, q) in a small
     grid: operator pairs == python DP levenshtein brute force."""

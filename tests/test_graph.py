@@ -47,6 +47,7 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
 
 
+@pytest.mark.nightly
 def test_pagerank_converges_and_duplicate_edges_count_once(spark):
     edges = spark.createDataFrame(
         EDGES + EDGES[:3], "src INT, dst INT"  # duplicates
@@ -71,6 +72,7 @@ def test_pagerank_converges_and_duplicate_edges_count_once(spark):
     assert sum(conv.values()) == pytest.approx(1.0, abs=1e-8)
 
 
+@pytest.mark.nightly
 def test_pagerank_star_graph_orders_hub_first(spark):
     star = spark.createDataFrame(
         [(i, 0) for i in range(1, 6)], "src INT, dst INT"
@@ -137,6 +139,7 @@ def test_weighted_pagerank_matches_numpy(spark):
     assert unw[1] != pytest.approx(got[1])
 
 
+@pytest.mark.nightly
 def test_personalized_pagerank_concentrates_on_seeds(spark):
     """Teleport restricted to a seed set: restart + dangling mass land
     on seeds, ranks still sum to 1, and seed-side nodes outrank the
@@ -206,6 +209,7 @@ def test_weighted_pagerank_keeps_zero_weight_nodes(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-8)
 
 
+@pytest.mark.nightly
 def test_pagerank_prepartitioned_identity(spark):
     """prepartition=True changes the physical plan only: same update
     math, so ranks agree to FP summation order (the contribution sums

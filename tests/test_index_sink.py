@@ -75,6 +75,7 @@ def test_bm25_stream_fold_equals_batch_build(spark, tmp_path):
     assert len(m["epochs"]) == 2
 
 
+@pytest.mark.nightly
 def test_sink_replay_is_skipped_and_watermark_survives_compact(
     spark, tmp_path
 ):
@@ -185,6 +186,7 @@ def test_clear_stream_watermark(spark, tmp_path):
         assert json.load(f)["stream_epoch"] == 0
 
 
+@pytest.mark.nightly
 def test_rebuild_carries_stream_watermark(spark, tmp_path):
     """Rebuilding any of the three indexes over an existing path keeps
     the streaming watermark (and any other sidecar meta): a crash-replay

@@ -79,6 +79,7 @@ def test_paired_append_stamps_both_and_serves(spark, tmp_path):
     assert _serve(spark, lex_path, vec_path, _qvec(emb)).count() == 5
 
 
+@pytest.mark.nightly
 def test_crash_between_appends_fails_loudly_then_resume_repairs(
     spark, tmp_path, monkeypatch
 ):
@@ -231,6 +232,7 @@ def test_ivfpq_pair_dispatches_and_aligns(spark, tmp_path):
     assert _serve(spark, lex_path, vec_path, _qvec(emb)).count() == 5
 
 
+@pytest.mark.nightly
 def test_hybrid_sink_streams_pair_and_repairs_crashed_batch(
     spark, tmp_path, monkeypatch
 ):
@@ -284,6 +286,7 @@ def test_hybrid_sink_streams_pair_and_repairs_crashed_batch(
         fn(b1, 1)
 
 
+@pytest.mark.nightly
 def test_doctor_pair_cli(spark, tmp_path, capsys):
     """doctor --pair: 0 on aligned or unstamped pairs, 1 with the
     repair instruction on diverged tokens; --strict additionally exits
@@ -345,6 +348,7 @@ def test_doctor_pair_cli(spark, tmp_path, capsys):
         main(["doctor", "--strict"])
 
 
+@pytest.mark.nightly
 def test_restamp_pair_closes_rebuild_window(spark, tmp_path):
     """restamp_pair: after a rebuild of ONE side from the pair's
     corpus (caller-attested), the surviving token is copied over and
@@ -391,6 +395,7 @@ def test_restamp_pair_closes_rebuild_window(spark, tmp_path):
         restamp_pair(lex_path, vec_path, attest_same_corpus=True)
 
 
+@pytest.mark.nightly
 def test_hybrid_sink_through_real_readstream(spark, tmp_path):
     """The co-sink behind a REAL readStream + foreachBatch: one
     availableNow batch advances both watermarks and both corpus tokens

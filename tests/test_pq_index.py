@@ -105,6 +105,7 @@ def test_ivfpq_append_equals_frozen_model_rebuild(spark, tmp_path):
     assert _key(got.collect()) == _key(want.collect())
 
 
+@pytest.mark.nightly
 def test_ivfpq_crashed_append_invisible_and_no_collision(spark, tmp_path):
     emb = _emb(spark)
     path = str(tmp_path / "ivfpq")
@@ -129,6 +130,7 @@ def test_ivfpq_crashed_append_invisible_and_no_collision(spark, tmp_path):
         assert json.load(f)["epochs"] == [0, 2]
 
 
+@pytest.mark.nightly
 def test_ivfpq_compact_vacuum_and_stats(spark, tmp_path):
     emb = _emb(spark)
     a = emb.filter(F.col("vec_id") % 2 == 0)
@@ -175,6 +177,7 @@ def test_ivfpq_empty_append_noop_and_unbuilt(spark, tmp_path):
         assert json.load(f)["epochs"] == [0]
 
 
+@pytest.mark.nightly
 def test_ivfpq_streaming_sink_exactly_once(spark, tmp_path):
     """The foreachBatch sink appends each micro-batch once; a replayed
     epoch id is skipped (watermark in the manifest), and a rebuild

@@ -204,6 +204,7 @@ def test_metrics_match_duckdb(spark):
     con.close()
 
 
+@pytest.mark.nightly
 def test_ann_recall_harness(spark):
     """IVF recall against brute-force on the real embeddings: exact vs
     itself is 1.0 everywhere; the approximate index lands in (0, 1]

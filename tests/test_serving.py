@@ -241,6 +241,7 @@ def test_hybrid_query_coalescer_identity_and_errors(spark, tmp_path):
         co2.query(terms, qvec(0))
 
 
+@pytest.mark.nightly
 def test_bm25_and_vector_coalescers_match_single_calls(spark, tmp_path):
     """The per-kind coalescers (r13): concurrent BM25QueryCoalescer /
     VectorQueryCoalescer .query() calls are served by ONE batch call
@@ -400,6 +401,7 @@ def test_coalescer_failure_skips_already_delivered_requests(spark):
     assert parked["done"].is_set()
 
 
+@pytest.mark.nightly
 def test_hybrid_search_endpoint_coalesces_http_requests(
     spark, store, tmp_path
 ):
@@ -515,6 +517,7 @@ def test_hybrid_search_endpoint_coalesces_http_requests(
         assert ei.value.code == 404
 
 
+@pytest.mark.nightly
 def test_single_channel_search_endpoints(spark, store, tmp_path):
     """POST /search (BM25QueryCoalescer) and /vector-search
     (VectorQueryCoalescer): concurrent HTTP requests coalesce per kind
@@ -624,6 +627,7 @@ def test_single_channel_search_endpoints(spark, store, tmp_path):
             assert ei.value.code == 404, url
 
 
+@pytest.mark.nightly
 def test_metrics_endpoint_and_coalescer_stats(spark, store, tmp_path):
     """GET /metrics (r13): per-endpoint counters with status classes
     and fixed-bucket latency histograms, unknown paths folded into a

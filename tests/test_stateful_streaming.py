@@ -1,6 +1,8 @@
 """Stateful streaming operators (applyInPandasWithState) + batch
 sessionization, cross-checked against each other."""
 
+import pytest
+
 import time
 from datetime import datetime, timedelta
 
@@ -117,6 +119,7 @@ def test_latest_changelog_suppresses_stale_updates(spark, tmp_path):
     assert emitted[0]["value"] == 0.7
 
 
+@pytest.mark.nightly
 def test_sessionize_stream_matches_batch_on_closed_sessions(spark, tmp_path):
     src = tmp_path / "in"
     src.mkdir()

@@ -41,7 +41,12 @@ _B2 = [
 ]
 
 
-@pytest.mark.parametrize("portable", [False, True])
+@pytest.mark.parametrize(
+    "portable",
+    # the portable variant exercises the same stream==batch identity
+    # through a second hash family — depth coverage, nightly-only
+    [False, pytest.param(True, marks=pytest.mark.nightly)],
+)
 def test_streaming_decontamination_equals_batch(spark, tmp_path, portable):
     n = 5
     eval_df = spark.createDataFrame(_EVAL, DOC_SCHEMA)

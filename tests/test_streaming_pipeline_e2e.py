@@ -13,6 +13,8 @@ watermark).  This composes the pieces the per-module suites pin in
 isolation — the claim here is that the composition itself is
 stream≡batch."""
 
+import pytest
+
 import json
 
 from pyspark.sql import functions as F
@@ -60,6 +62,9 @@ _B2 = [
     (202, None, "src0"),
     (203, "late fresh doc rho sigma tau upsilon two oh three", "src1"),
 ]
+
+pytestmark = pytest.mark.nightly  # slow stream==batch end-to-end replays
+
 
 def _rules():
     # built lazily: Column construction needs an active SparkContext

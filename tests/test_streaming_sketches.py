@@ -2,6 +2,8 @@
 sinks: readStream micro-batches folded through foreachBatch converge
 to the batch-built state over the same rows."""
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
@@ -14,6 +16,9 @@ ROWS = [
     for d in (1, 5, 9, 14)
     for h in (3, 15)
 ]
+
+
+pytestmark = pytest.mark.nightly  # slow stream==batch end-to-end replays
 
 
 def _stream_through(spark, tmp_path, sink_fn):

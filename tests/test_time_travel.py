@@ -176,6 +176,7 @@ def test_bm25_as_of_serves_what_head_served_then(spark, docs, tmp_path):
     assert _rows(bm25_index_topk(spark, path, ["alpha"], k=8)) == at_append
 
 
+@pytest.mark.nightly
 def test_bm25_batch_as_of(spark, docs, tmp_path):
     from feast_spark.operators.bm25 import (
         bm25_index_append,
@@ -203,6 +204,7 @@ def test_bm25_batch_as_of(spark, docs, tmp_path):
     ) == before
 
 
+@pytest.mark.nightly
 def test_bm25_vacuum_retention_bounds_the_window(spark, docs, tmp_path):
     from feast_spark.operators.bm25 import (
         bm25_index_append,
@@ -250,6 +252,7 @@ def _vecs(spark, ids):
     )
 
 
+@pytest.mark.nightly
 def test_ivf_as_of_pairs_historical_quantizer_with_its_epochs(
     spark, tmp_path
 ):
@@ -298,6 +301,7 @@ def test_ivf_as_of_pairs_historical_quantizer_with_its_epochs(
     ) == at_rebuild
 
 
+@pytest.mark.nightly
 def test_vector_facade_as_of_dispatches_the_kind_that_served_then(
     spark, tmp_path
 ):
@@ -331,6 +335,7 @@ def test_vector_facade_as_of_dispatches_the_kind_that_served_then(
     assert "adc_dist" in vector_index_topk(spark, path, q, k=3).columns
 
 
+@pytest.mark.nightly
 def test_ivfpq_vacuum_retention_protects_models_and_foreign_history(
     spark, tmp_path
 ):
@@ -366,6 +371,7 @@ def test_ivfpq_vacuum_retention_protects_models_and_foreign_history(
     assert out["history_expired"] == []
 
 
+@pytest.mark.nightly
 def test_minhash_dedup_as_of(spark, tmp_path):
     from feast_spark.operators.minhash_index import (
         build_minhash_index,
@@ -424,6 +430,7 @@ def _pair(spark, tmp_path, ids):
     return bp, vp
 
 
+@pytest.mark.nightly
 def test_hybrid_as_of_replays_the_pair(spark, tmp_path):
     from feast_spark.operators.bm25 import hybrid_index_topk
     from feast_spark.operators.paired_index import hybrid_index_append
@@ -464,6 +471,7 @@ def test_hybrid_as_of_replays_the_pair(spark, tmp_path):
     ) == at_head
 
 
+@pytest.mark.nightly
 def test_hybrid_as_of_checks_historical_alignment(spark, tmp_path):
     """as_of naming one side BEFORE a paired append and the other AFTER
     it is exactly the mismatched-corpora fusion the head check blocks —
@@ -511,6 +519,7 @@ def test_hybrid_as_of_requires_index_modes(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.nightly
 def test_doctor_history_lists_commits(spark, docs, tmp_path, capsys):
     from feast_spark.cli import main
     from feast_spark.operators.bm25 import (
@@ -544,6 +553,7 @@ def test_doctor_history_lists_commits(spark, docs, tmp_path, capsys):
     assert main(["doctor", "--history", str(tmp_path / "nope")]) == 2
 
 
+@pytest.mark.nightly
 def test_semdedup_as_of(spark, tmp_path):
     from feast_spark.operators.semdedup import semdedup_against_index
     from feast_spark.operators.similarity import (
@@ -579,6 +589,7 @@ def test_semdedup_as_of(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.nightly
 def test_tags_pin_commits_through_vacuum(spark, docs, tmp_path):
     from feast_spark.operators.bm25 import (
         bm25_index_append,
@@ -641,6 +652,7 @@ def test_tag_validation(tmp_path):
     assert epochs_io.read_tags(root, fs) == {"x": 2}
 
 
+@pytest.mark.nightly
 def test_tag_cli(docs, tmp_path, capsys):
     from feast_spark.cli import main
     from feast_spark.operators.bm25 import build_bm25_index
@@ -662,6 +674,7 @@ def test_tag_cli(docs, tmp_path, capsys):
     assert main(["tag", path]) == 2  # NAME required without --list
 
 
+@pytest.mark.nightly
 def test_streaming_sink_commits_are_time_travel_targets(spark, tmp_path):
     """Every micro-batch the streaming sink folds in goes through
     commit_manifest, so it lands in the history log: as_of to the
@@ -716,6 +729,7 @@ def test_streaming_sink_commits_are_time_travel_targets(spark, tmp_path):
     assert archived["stream_epoch"] == 0  # the watermark is archived too
 
 
+@pytest.mark.nightly
 def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
     """A serving tier pinned to as_of (seq or tag) replays exactly the
     pinned commit through the fused batch path — rollback / A/B as a
@@ -776,6 +790,7 @@ def test_pinned_coalescers_serve_the_tagged_commit(spark, tmp_path):
         json.dumps(hy_co.stats())  # the whole payload stays wire-safe
 
 
+@pytest.mark.nightly
 def test_hybrid_batch_as_of(spark, tmp_path):
     from feast_spark.operators.bm25 import hybrid_index_topk_batch
     from feast_spark.operators.paired_index import hybrid_index_append

@@ -111,6 +111,7 @@ def test_ts_validation(spark):
 QUERY2 = [5.0, 1.0, 5.0, 1.0, 5.0, 1.0, 5.0, 1.0]  # alternating pattern
 
 
+@pytest.mark.nightly
 def test_ts_topk_batch_matches_single_query_oracle(spark):
     """The batch API must reproduce the single-query operator's exact
     results per query id (same windows, same normalization, same
@@ -272,6 +273,7 @@ def test_decayed_agg_excludes_future(spark):
     assert row["decayed_count"] == pytest.approx(1.5, rel=1e-12)
 
 
+@pytest.mark.nightly
 def test_decayed_feature_table_stream_equals_batch(spark, tmp_path):
     """Any batching of the same events — chronological increments,
     micro-batches, or a late out-of-order slice — converges to the
@@ -326,6 +328,7 @@ def test_decayed_feature_table_stream_equals_batch(spark, tmp_path):
         assert got2[k] == pytest.approx(v, rel=1e-9)
 
 
+@pytest.mark.nightly
 def test_decayed_feature_table_serve_forward_only(spark, tmp_path):
     from datetime import timedelta
 
@@ -359,6 +362,7 @@ def test_decayed_feature_table_serve_forward_only(spark, tmp_path):
         table.features(spark, "2024-01-01 00:00:00")
 
 
+@pytest.mark.nightly
 def test_decayed_table_string_at_time_and_future_guard(spark, tmp_path):
     from datetime import timedelta
 
@@ -384,6 +388,7 @@ def test_decayed_table_string_at_time_and_future_guard(spark, tmp_path):
         table.update(spark, ev, at_time="2024-01-05 00:00:00")
 
 
+@pytest.mark.nightly
 def test_decayed_foreach_batch_replay_is_idempotent(spark, tmp_path):
     """At-least-once epoch replay must not double-count."""
     from datetime import timedelta

@@ -70,6 +70,7 @@ def test_facade_matches_direct_calls(spark, indexes):
     assert sorted(map(tuple, via_facade)) == sorted(map(tuple, direct))
 
 
+@pytest.mark.nightly
 def test_hybrid_auto_dispatch_matches_explicit_kind(spark, indexes):
     from feast_spark.operators.bm25 import hybrid_index_topk
 
