@@ -1118,12 +1118,29 @@ def bm25_index_topk_batch(
         ).alias("term"),
     ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     qterms = qt.select("term").distinct()
-    sample = qterms.limit(max_terms_inlist + 1).collect()
+    from feast_spark.io.localframe import is_local_relation
+
+    if is_local_relation(queries):
+        # Serving-path batches arrive as LocalRelations (request-sized
+        # by construction): derive the distinct term set driver-side
+        # with ZERO Spark jobs — a bare LocalRelation collect spawns
+        # no tasks, while the qterms probe below runs the explode +
+        # distinct shuffle as its own 2-job AQE round before the real
+        # query even starts.  Same normalization as the SQL pipeline
+        # (lower, drop null/empty, dedup) and the single-query path.
+        lrows = queries.select(terms_col).collect()
+        sample = sorted(
+            {t.lower() for r in lrows for t in (r[0] or []) if t}
+        )
+    else:
+        sample = [
+            r["term"] for r in qterms.limit(max_terms_inlist + 1).collect()
+        ]
     if not sample:
         raise ValueError("queries must contain at least one non-empty term")
     small_batch = len(sample) <= max_terms_inlist
     if small_batch:
-        terms = sorted(r["term"] for r in sample)
+        terms = sorted(sample)
         tf, stats, id_col, dfreq = _index_postings(
             spark, path, terms, fs=fs, as_of=as_of
         )

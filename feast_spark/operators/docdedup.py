@@ -677,10 +677,14 @@ def minhash_dedup_pairs(
             method=method,
         )
     )
-    cand_ids = (
-        cands.select(F.col("id_a").alias(id_col))
-        .union(cands.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # candidate ids in ONE pass over the persisted pair frame (explode
+    # instead of two scans + a union) and with NO distinct: a left semi
+    # join keeps probe-side set semantics whatever the build side's
+    # duplication, so the old distinct's whole exchange+aggregate AQE
+    # round bought nothing — each id appears at most (its pair count)
+    # times, and the build side is candidate-bounded either way.
+    cand_ids = cands.selectExpr(
+        f"explode(array(id_a, id_b)) AS {sql_ident(id_col)}"
     )
     small = df.select(id_col, text_col).join(cand_ids, id_col, "semi")
     # persisted: BOTH verify joins read this frame — unpersisted, the
@@ -699,9 +703,21 @@ def minhash_dedup_pairs(
             ).alias("shingles"),
         )
     )
+    # BOTH sides fetch from the SAME persisted frame with an identical
+    # plan (alias, not rename): the two broadcast builds canonicalize
+    # equal, so Spark plans the second as a ReusedExchange — one
+    # broadcast job + one copy of the relation instead of two (the
+    # rename-based spelling made the subtrees differ by output names
+    # alone and defeated exchange reuse).
+    va, vb = sh.alias("__mva"), sh.alias("__mvb")
     joined = (
-        cands.join(sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"doc": "id_b", "shingles": "sh_b"}), "id_b")
+        cands.join(va, F.col("id_a") == F.col("__mva.doc"))
+        .join(vb, F.col("id_b") == F.col("__mvb.doc"))
+        .select(
+            "id_a", "id_b",
+            F.col("__mva.shingles").alias("sh_a"),
+            F.col("__mvb.shingles").alias("sh_b"),
+        )
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

@@ -45,7 +45,7 @@ paper only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -200,39 +200,44 @@ def dsir_log_weights(
     )
     ht = ngram_bucket_histogram(target, text_col, n_max, n_buckets)
     hr = doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
-    tt = ht.agg(
-        F.when(
-            F.sum("cnt").isNull(),
-            F.raise_error(
-                "dsir: target corpus has no n-gram features (empty or "
-                "all-blank texts) — weights would silently degrade to "
-                "a uniform sample"
-            ).cast("double"),
-        )
-        .otherwise(F.sum("cnt").cast("double"))
-        .alias("__tt")
-    )
-    tr = hr.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("__tr"))
     s = float(smoothing)
     b = float(n_buckets)
-    ratios = (
-        hr.withColumnRenamed("cnt", "cr")
-        .join(ht.withColumnRenamed("cnt", "ct"), "bucket", "full_outer")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr))
-        .select(
-            "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + s)
-                    / (F.col("__tt") + s * b)
-                )
-                - F.log(
-                    (F.coalesce(F.col("cr"), F.lit(0)) + s)
-                    / (F.col("__tr") + s * b)
-                )
-            ).alias("log_ratio"),
-        )
+    # Corpus totals as ONE unbounded window over the joined histogram
+    # instead of two scalar-aggregate subqueries.  The former tt/tr
+    # cross-join subqueries were planned independently by AQE (no
+    # exchange reuse across subqueries), so tt re-ran the WHOLE target
+    # tokenize+histogram pass a second time and tr re-aggregated the
+    # persisted counts — two extra serial jobs per call, one of them
+    # corpus-sized.  Equivalence: bucket is unique on both join sides
+    # (each is a groupBy(bucket) output), so summing ct/cr over the
+    # full-outer join equals summing each histogram directly; the
+    # single-partition window is bounded by 2*n_buckets rows, a
+    # structural constant.  The empty-target guard is unchanged: any
+    # raw feature produces a row whose __tt is NULL iff the target had
+    # no features, which raises exactly where the old scalar tt did.
+    joined = hr.withColumnRenamed("cnt", "cr").join(
+        ht.withColumnRenamed("cnt", "ct"), "bucket", "full_outer"
+    )
+    wall = Window.partitionBy()
+    tt_col = F.when(
+        F.sum("ct").over(wall).isNull(),
+        F.raise_error(
+            "dsir: target corpus has no n-gram features (empty or "
+            "all-blank texts) — weights would silently degrade to "
+            "a uniform sample"
+        ).cast("double"),
+    ).otherwise(F.sum("ct").over(wall).cast("double"))
+    tr_col = F.coalesce(F.sum("cr").over(wall), F.lit(0)).cast("double")
+    ratios = joined.select(
+        "bucket",
+        (
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + s) / (tt_col + s * b)
+            )
+            - F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + s) / (tr_col + s * b)
+            )
+        ).alias("log_ratio"),
     )
     weights = (
         doc.join(F.broadcast(ratios), "bucket")

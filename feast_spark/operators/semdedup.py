@@ -170,22 +170,31 @@ def _verify_pairs_cosine(
     from feast_spark.operators.docdedup import _persist
     from feast_spark.operators.similarity import cosine_sql
 
-    cand_ids = (
-        cands.selectExpr(f"explode(array(id_a, id_b)) AS {sql_ident(id_col)}")
-        .distinct()
+    # no distinct on the build side: a left semi join keeps probe-side
+    # set semantics whatever the build side's duplication, so the
+    # distinct's exchange+aggregate AQE round bought nothing
+    cand_ids = cands.selectExpr(
+        f"explode(array(id_a, id_b)) AS {sql_ident(id_col)}"
     )
     vecs = _persist(df.select(id_col, vec_col).join(cand_ids, id_col, "semi"))
-    va = vecs.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-    )
-    vb = vecs.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
     from feast_spark.operators.similarity import _sql_double
 
+    # BOTH sides fetch from the SAME persisted frame with an identical
+    # plan (alias, not rename/re-projection): the broadcast builds
+    # canonicalize equal and Spark plans the second as a
+    # ReusedExchange — one broadcast job instead of two.  The pure
+    # projection after the joins restores the __va/__vb names the
+    # cosine SQL twin expects.
+    va, vb = vecs.alias("__sva"), vecs.alias("__svb")
+    qid, qvec = sql_ident(id_col), sql_ident(vec_col)
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(va, F.col("id_a") == F.expr(f"__sva.{qid}"))
+        .join(vb, F.col("id_b") == F.expr(f"__svb.{qid}"))
+        .select(
+            "id_a", "id_b",
+            F.expr(f"__sva.{qvec}").alias("__va"),
+            F.expr(f"__svb.{qvec}").alias("__vb"),
+        )
         .selectExpr(
             "id_a",
             "id_b",
@@ -308,23 +317,37 @@ def semdedup_against_index(
     # no .distinct(): each vector lives in exactly one cell, so
     # _bucket_pairs emits every pair once (unlike multi-band minhash)
     pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1))
+    # "touches at least one NEW id" in ONE pass over the pair frame:
+    # two left joins against the distinct new-id set and an OR filter.
+    # The old spelling ran the whole (unpersisted) pair pipeline twice
+    # — once per semi-join leg — then paid a distinct exchange to
+    # merge the legs; _bucket_pairs emits each pair exactly once and
+    # the joins are multiplicity-preserving (build side distinct), so
+    # the result set is identical with no distinct at all.
     new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    na, nb = new_ids.alias("__dna"), new_ids.alias("__dnb")
     cands = _persist(
-        pairs.join(new_ids, pairs["id_a"] == new_ids["__nid"], "leftsemi")
-        .unionByName(
-            pairs.join(
-                new_ids, pairs["id_b"] == new_ids["__nid"], "leftsemi"
-            )
+        pairs.join(na, pairs["id_a"] == F.col("__dna.__nid"), "left")
+        .join(nb, pairs["id_b"] == F.col("__dnb.__nid"), "left")
+        .filter(
+            F.col("__dna.__nid").isNotNull()
+            | F.col("__dnb.__nid").isNotNull()
         )
-        .distinct()
+        .select("id_a", "id_b")
     )
     from feast_spark.operators.similarity import _sql_double, cosine_sql
 
-    va = vecs.select(F.col("__sid").alias("id_a"), F.col("__v").alias("__va"))
-    vb = vecs.select(F.col("__sid").alias("id_b"), F.col("__v").alias("__vb"))
+    # identical build subtrees (alias, not re-projection) so the second
+    # broadcast is a ReusedExchange — see _verify_pairs_cosine
+    va, vb = vecs.alias("__iva"), vecs.alias("__ivb")
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        cands.join(va, F.col("id_a") == F.col("__iva.__sid"))
+        .join(vb, F.col("id_b") == F.col("__ivb.__sid"))
+        .select(
+            "id_a", "id_b",
+            F.col("__iva.__v").alias("__va"),
+            F.col("__ivb.__v").alias("__vb"),
+        )
         .selectExpr(
             "id_a",
             "id_b",
