@@ -428,6 +428,94 @@ def main() -> None:
 
     queries["online_multiget"] = q_online_multiget
 
+    # ------------------------------------------------------------------
+    # r17 scaling witnesses.  At sf0.1 every slot is sub-second and
+    # scheduling-bound, so the driver's 8-vs-32-core ratios all read
+    # <=1 (PERF_r16.scaling) and the bench demonstrated nothing about
+    # parallel scaling.  These slots expand the documents scan 10x
+    # IN-PLAN — one parquet scan crossJoined with a broadcast 10-row
+    # literal range, per-copy doc_id re-key, per-copy text
+    # perturbation — so the timed computation is CPU-bound enough for
+    # the core-count ratio to mean something.  The expansion is part
+    # of the timed plan and recomputes from the parquet inputs every
+    # sample (nothing persisted, nothing memoized across runs).
+    # Additive slots only: headline and the r16 extras are unchanged.
+    _N_COPIES = 10
+
+    def _docs_10x(spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        copies = spark.range(_N_COPIES).select(F.col("id").alias("__copy"))
+        # translate() remaps common letters per copy so copies are NOT
+        # near-duplicates of each other: the dedup-family slots keep
+        # their within-copy duplicate structure (x10) instead of
+        # drowning in 45-pair cross-copy candidate groups.
+        alphabet = "etaoins"
+        rots = [alphabet[k:] + alphabet[:k] for k in range(_N_COPIES)]
+        rot = F.element_at(
+            F.array(*[F.lit(r) for r in rots]),
+            (F.col("__copy") % len(rots) + 1).cast("int"),
+        )
+        return (
+            docs.crossJoin(F.broadcast(copies))
+            .withColumn("__rot", rot)
+            .select(
+                (F.col("doc_id") * _N_COPIES + F.col("__copy")).alias(
+                    "doc_id"
+                ),
+                # SQL translate (the F.translate binding requires
+                # literal match/replace args; the SQL form takes a
+                # per-row replace column)
+                F.expr(f"translate(text, '{alphabet}', __rot)").alias(
+                    "text"
+                ),
+            )
+        )
+
+    def q_text_quality_10x(spark, sf_dir):
+        from feast_spark.functions.text import with_quality_features
+
+        return with_quality_features(_docs_10x(spark, sf_dir), "text").select(
+            "doc_id", "quality_score", "n_tokens"
+        )
+
+    def q_minhash_lsh_fast_10x(spark, sf_dir):
+        from feast_spark.operators.docdedup import minhash_dedup_pairs
+
+        return minhash_dedup_pairs(
+            _docs_10x(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
+        )
+
+    queries["text_quality_10x"] = q_text_quality_10x
+    queries["minhash_lsh_fast_10x"] = q_minhash_lsh_fast_10x
+
+    # r17: drive the Arrow nearest-centroid assignment path under the
+    # driver's own bench.  The dispatch threshold is scan-bytes-based
+    # and sf0.1 never crosses it, so the r16 Arrow twin had only
+    # offline curve evidence; this slot runs the SAME semantic_dedup
+    # computation with the threshold floored to 0 for the duration of
+    # the call (env read at call time; results are bit-identical by
+    # the r16 pins, only the plan changes — expression tree vs ONE
+    # ArrowEvalPython).  Compare against the semantic_dedup slot for
+    # the expr-vs-arrow delta at this SF.
+    def q_semantic_dedup_arrow(spark, sf_dir):
+        from feast_spark.operators.semdedup import semantic_dedup
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = os.environ.get("SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES")
+        os.environ["SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES"] = "0"
+        try:
+            return semantic_dedup(
+                emb, "vec_id", "embedding", threshold=0.99,
+                centroids=_sem_cents,
+            )
+        finally:
+            if old is None:
+                del os.environ["SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES"]
+            else:
+                os.environ["SPARK_GRAFT_ARROW_ASSIGN_MIN_BYTES"] = old
+
+    queries["semantic_dedup_arrow"] = q_semantic_dedup_arrow
+
     timings = _time(headline)
     # Newer corpus-assembly ops, timed OUTSIDE the headline so the
     # headline_total stays comparable across rounds.
@@ -454,6 +542,11 @@ def main() -> None:
                 "hybrid_index_batch",
                 "ivfpq_index_topk",
                 "online_multiget",
+                # r17 additive slots: scaling witnesses + the Arrow
+                # assignment path (see comments at their definitions)
+                "text_quality_10x",
+                "minhash_lsh_fast_10x",
+                "semantic_dedup_arrow",
             )
             if n in queries
         ]
