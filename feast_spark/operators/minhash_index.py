@@ -301,25 +301,33 @@ def dedup_against_index(
     grouped = allb.groupBy("band", "bucket").agg(
         F.collect_list("doc").alias("docs")
     )
+    # NOTE: pairs still carries the post-band .distinct() (a pair can
+    # collide in several bands); the deduped-pair DISTINCT here is the
+    # multi-band one, not a new-id-restriction artifact.
     pairs = _bucket_pairs(grouped.filter(F.size("docs") > 1)).distinct()
-    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
     # keep pairs with >= 1 new side (corpus-vs-corpus pairs were
-    # resolved at their own append time); two semi-joins over the
-    # (tiny) candidate frame
+    # resolved at their own append time) in ONE pass over the pair
+    # frame: two left joins against the distinct new-id set + an OR
+    # filter.  The former two semi-join legs executed the whole
+    # (unpersisted) pair pipeline twice and paid a distinct exchange
+    # to merge them — pairs are unique already, and the left joins
+    # preserve multiplicity (build side distinct), so the result set
+    # is identical with no distinct at all (r17, same fusion as
+    # semdedup_against_index).
+    new_ids = new_df.select(F.col(id_col).alias("__nid")).distinct()
+    na, nb = new_ids.alias("__mna"), new_ids.alias("__mnb")
     cands = _persist(
-        pairs.join(
-            new_ids, pairs["id_a"] == new_ids["__nid"], "leftsemi"
-        ).unionByName(
-            pairs.join(
-                new_ids, pairs["id_b"] == new_ids["__nid"], "leftsemi"
-            )
-        ).distinct()
+        pairs.join(na, pairs["id_a"] == F.col("__mna.__nid"), "left")
+        .join(nb, pairs["id_b"] == F.col("__mnb.__nid"), "left")
+        .filter(
+            F.col("__mna.__nid").isNotNull()
+            | F.col("__mnb.__nid").isNotNull()
+        )
+        .select("id_a", "id_b")
     )
-    cand_ids = (
-        cands.select(F.col("id_a").alias("doc"))
-        .union(cands.select(F.col("id_b").alias("doc")))
-        .distinct()
-    )
+    # candidate ids in one pass (explode, no distinct): a semi join
+    # keeps probe-side set semantics under build-side duplicates
+    cand_ids = cands.selectExpr("explode(array(id_a, id_b)) AS doc")
     # persisted: BOTH verify joins read this frame — unpersisted, the
     # epoch shingle read and the candidate semi-join ran twice (once
     # per side).  Candidate-bounded, like `cands` above.
@@ -328,12 +336,16 @@ def dedup_against_index(
         .unionByName(new_sh)
         .join(cand_ids, "doc", "semi")
     )
+    # identical aliased build subtrees so the second fetch reuses the
+    # first's broadcast (rename-based spellings canonicalize apart)
+    va, vb = sh.alias("__mia"), sh.alias("__mib")
     return (
-        cands.join(
-            sh.withColumnsRenamed({"doc": "id_a", "shingles": "sh_a"}), "id_a"
-        )
-        .join(
-            sh.withColumnsRenamed({"doc": "id_b", "shingles": "sh_b"}), "id_b"
+        cands.join(va, F.col("id_a") == F.col("__mia.doc"))
+        .join(vb, F.col("id_b") == F.col("__mib.doc"))
+        .select(
+            "id_a", "id_b",
+            F.col("__mia.shingles").alias("sh_a"),
+            F.col("__mib.shingles").alias("sh_b"),
         )
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
