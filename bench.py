@@ -449,7 +449,11 @@ def main() -> None:
         # near-duplicates of each other: the dedup-family slots keep
         # their within-copy duplicate structure (x10) instead of
         # drowning in 45-pair cross-copy candidate groups.
-        alphabet = "etaoins"
+        # 10 chars >= _N_COPIES so every cyclic shift is a DISTINCT
+        # remap (a 7-char alphabet made copies 7-9 identity maps —
+        # byte-identical to copy 0, exactly the cross-copy duplicate
+        # explosion the perturbation exists to prevent)
+        alphabet = "etaoinshrd"
         rots = [alphabet[k:] + alphabet[:k] for k in range(_N_COPIES)]
         rot = F.element_at(
             F.array(*[F.lit(r) for r in rots]),

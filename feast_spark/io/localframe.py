@@ -98,8 +98,16 @@ def ensure_local(df: DataFrame) -> DataFrame:
     instead of collecting into a driver OOM."""
     if is_local_relation(df):
         return df
-    rows = df.limit(_ENSURE_LOCAL_MAX_ROWS + 1).collect()
-    if len(rows) > _ENSURE_LOCAL_MAX_ROWS:
+    # env read PER CALL (like similarity._arrow_assign_min_bytes) so a
+    # long-lived process can retune the cap after import; the module
+    # attribute holds the default
+    cap = int(
+        os.environ.get(
+            "SPARK_GRAFT_ENSURE_LOCAL_MAX_ROWS", _ENSURE_LOCAL_MAX_ROWS
+        )
+    )
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
         return df
     return local_df(df.sparkSession, [tuple(r) for r in rows], df.schema)
 

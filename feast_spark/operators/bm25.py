@@ -32,6 +32,7 @@ import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from feast_spark.functions.text import normalize_text, tokens
 from feast_spark.io import epochs as epochs_io
@@ -636,9 +637,16 @@ def _bm25_write_epoch(
             .repartition("bucket")
             .select("term", "df_t", "bucket")
         )
-    except Exception:
+    except AnalysisException as e:
         # an all-stopword/blank slice writes a postings epoch with zero
-        # part files (tolerated by the multi-path reads); mirror it
+        # part files (tolerated by the multi-path reads); mirror it.
+        # ONLY the schema-inference failure of an empty dir is the
+        # empty-epoch signature — anything else (FS hiccup, corrupt
+        # footer) must fail the write loudly: committing an empty
+        # sidecar for a NON-empty postings epoch would silently drop
+        # that epoch's terms from every sidecar-served score.
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
         dfreq = spark.createDataFrame(
             [], "term STRING, df_t BIGINT, bucket INT"
         )
@@ -1129,9 +1137,12 @@ def bm25_index_topk_batch(
         # query even starts.  Same normalization as the SQL pipeline
         # (lower, drop null/empty, dedup) and the single-query path.
         lrows = queries.select(terms_col).collect()
-        sample = sorted(
-            {t.lower() for r in lrows for t in (r[0] or []) if t}
-        )
+        flat = [t for r in lrows for t in (r[0] or [])]
+        # ONE normalization implementation (lower/drop-empty/dedup/
+        # sort), shared with the single-query path so the pinned
+        # batch==single identity can never drift; its empty-set
+        # ValueError carries the same "non-empty term" signature
+        sample = normalize_query_terms(flat) if flat else []
     else:
         sample = [
             r["term"] for r in qterms.limit(max_terms_inlist + 1).collect()

@@ -47,6 +47,7 @@ from feast_spark.functions.text import (
 # caller re-executing an ancient frame simply recomputes it.
 _PERSIST_MAX = 32
 _PERSISTED: list[DataFrame] = []
+_PERSIST_LOCK = __import__("threading").Lock()
 
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -61,9 +62,12 @@ def _persist(df: DataFrame) -> DataFrame:
     long-lived session never accumulate unbounded CacheManager
     entries."""
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(out)
-    while len(_PERSISTED) > _PERSIST_MAX:
-        old = _PERSISTED.pop(0)
+    evict: list[DataFrame] = []
+    with _PERSIST_LOCK:  # serving coalescers call operators concurrently
+        _PERSISTED.append(out)
+        while len(_PERSISTED) > _PERSIST_MAX:
+            evict.append(_PERSISTED.pop(0))
+    for old in evict:
         try:
             old.unpersist(blocking=False)
         except Exception:

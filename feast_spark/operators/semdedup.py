@@ -185,13 +185,18 @@ def _verify_pairs_cosine(
     # ReusedExchange — one broadcast job instead of two.  The pure
     # projection after the joins restores the __va/__vb names the
     # cosine SQL twin expects.
+    # the probe side is aliased too: a caller whose id_col/vec_col is
+    # literally "id_a"/"id_b" would otherwise make the unqualified
+    # probe reference ambiguous against the build side's columns
+    pc = cands.alias("__spc")
     va, vb = vecs.alias("__sva"), vecs.alias("__svb")
     qid, qvec = sql_ident(id_col), sql_ident(vec_col)
     return (
-        cands.join(va, F.col("id_a") == F.expr(f"__sva.{qid}"))
-        .join(vb, F.col("id_b") == F.expr(f"__svb.{qid}"))
+        pc.join(va, F.col("__spc.id_a") == F.expr(f"__sva.{qid}"))
+        .join(vb, F.col("__spc.id_b") == F.expr(f"__svb.{qid}"))
         .select(
-            "id_a", "id_b",
+            F.col("__spc.id_a").alias("id_a"),
+            F.col("__spc.id_b").alias("id_b"),
             F.expr(f"__sva.{qvec}").alias("__va"),
             F.expr(f"__svb.{qvec}").alias("__vb"),
         )

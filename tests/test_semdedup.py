@@ -182,3 +182,19 @@ def test_semdedup_against_index_matches_full_recompute(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m and m.group(1).strip(), "corpus scan not pruned by cell"
+
+
+def test_reserved_pair_column_names_still_work(spark):
+    """r17 regression guard: the aliased verify self-join must accept a
+    caller whose id/vec columns are literally id_a / id_b (the pair
+    frame's own output names) — the probe side is alias-qualified."""
+    from feast_spark.operators.semdedup import semantic_dedup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+        "id_a BIGINT, id_b ARRAY<DOUBLE>",
+    )
+    out = semantic_dedup_pairs(
+        df, id_col="id_a", vec_col="id_b", n_clusters=2, threshold=0.99
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(1, 2)]
