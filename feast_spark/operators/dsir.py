@@ -98,14 +98,26 @@ def _bucket_array(toks: str, n_max: int, n_buckets: int) -> Column:
 
 
 def _exploded_buckets(
-    df: DataFrame, cols: list[str], text_col: str, n_max: int, n_buckets: int
+    df: DataFrame,
+    cols: list[str],
+    text_col: str,
+    n_max: int,
+    n_buckets: int,
+    keep_featureless: bool = False,
 ) -> DataFrame:
     """One row per n-gram occurrence: (*cols, bucket).  Tokens
     materialize in their own projection (see :func:`_bucket_array`).
     Featurization is CPU-bound (one md5 per n-gram), so the scan is
     widened to the session parallelism when the input has fewer files
     than cores (the ``docdedup.widen_parallelism`` discipline — a no-op
-    at 100 TB where splits already outnumber cores)."""
+    at 100 TB where splits already outnumber cores).
+
+    ``keep_featureless=True`` keeps ONE ``bucket IS NULL`` row per
+    featureless (blank-text) document — ``explode_outer`` emits exactly
+    one null-element row for an empty array, and bucket arrays never
+    contain null ELEMENTS (md5/concat outputs), so null bucket ⇔
+    featureless doc.  That keeps every input id in the per-doc frame
+    without a second corpus scan (see :func:`dsir_log_weights`)."""
     from feast_spark.operators.docdedup import widen_parallelism
 
     from feast_spark.functions.text import (
@@ -118,10 +130,16 @@ def _exploded_buckets(
             tokens_sql(normalize_text_sql(sql_ident(text_col)))
         ).alias("__toks"),
     )
+    arr = _bucket_array("__toks", n_max, n_buckets)
+    if keep_featureless:
+        # explode_outer is already exempt from InferFiltersFromGenerate
+        # (the explode_computed rationale); omitting the isNotNull
+        # filter keeps the one null row per empty array.
+        return feat.select(*cols, F.explode_outer(arr).alias("bucket"))
     return explode_computed(
         feat,
         cols,
-        _bucket_array("__toks", n_max, n_buckets),
+        arr,
         "bucket",
     )
 
@@ -161,7 +179,13 @@ def dsir_log_weights(
     Spark reuses the exchange instead of re-scanning raw), the target
     histogram is its own pass, the n_buckets-row log-ratio table
     broadcasts into the per-doc join, one groupBy(id).  Nothing scales
-    with corpus size except the linear passes.
+    with corpus size except the linear passes.  Featureless documents
+    ride the SAME pass: the explode keeps one null-bucket row per
+    blank doc, so every raw id reaches the weights aggregate without
+    the former third corpus scan + id join (their null log_ratio rows
+    sum to NULL and coalesce to 0.0 exactly as the old left join did).
+    One id each — a raw frame with duplicate ids yields one weight row
+    per distinct id (they are indistinguishable feature-wise anyway).
 
     An EMPTY (or all-blank) target fails loudly in-plan
     (``raise_error``, the packing guard discipline): with no target
@@ -193,13 +217,21 @@ def dsir_log_weights(
     # MEMORY_AND_DISK spills, and eviction is LRU — the docdedup
     # candidate-persist discipline.
     doc = _persist(
-        _exploded_buckets(raw, [id_col], text_col, n_max, n_buckets)
+        _exploded_buckets(
+            raw, [id_col], text_col, n_max, n_buckets,
+            keep_featureless=True,
+        )
         .repartition(F.col(id_col))
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     ht = ngram_bucket_histogram(target, text_col, n_max, n_buckets)
-    hr = doc.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+    # null bucket = featureless doc marker rows; they carry no n-grams
+    hr = (
+        doc.filter(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
     s = float(smoothing)
     b = float(n_buckets)
     # Corpus totals as ONE unbounded window over the joined histogram
@@ -239,17 +271,20 @@ def dsir_log_weights(
             )
         ).alias("log_ratio"),
     )
-    weights = (
-        doc.join(F.broadcast(ratios), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_weight"))
-    )
+    # LEFT join: featured buckets always match (ratios covers every hr
+    # bucket by construction, so left == inner for them, same probe
+    # order, bit-identical per-doc float sums); the null-bucket marker
+    # rows survive with a null log_ratio, F.sum skips them, and the
+    # coalesce lands the featureless docs on exactly the 0.0 the old
+    # raw-ids left join produced — one corpus scan and one id exchange
+    # cheaper (guide §2.2/§5: don't rescan what the plan already holds).
     return (
-        raw.select(id_col)
-        .join(weights, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight"),
+        doc.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("cnt") * F.col("log_ratio")), F.lit(0.0)
+            ).alias("log_weight")
         )
     )
 
