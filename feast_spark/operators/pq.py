@@ -35,6 +35,7 @@ it" case.
 from __future__ import annotations
 
 import numpy as np
+import pandas  # noqa: F401 — resolves pandas_udf type hints at def time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -149,42 +150,46 @@ def pq_encode(
 ) -> DataFrame:
     """df + ``out_col`` array<int> of length M — the 32x-smaller stored
     representation.  Vectorized per Arrow batch: one einsum-shaped
-    argmin per subspace; codebooks ride along as a broadcast closure."""
+    argmin per subspace; codebooks ride along as a broadcast closure.
+
+    Implemented as a SCALAR pandas_udf over the vector column alone
+    (guide §4: pass only the columns the function needs) — the former
+    ``mapInPandas`` shipped every row column INTO Python and the whole
+    row (float vectors included) back OUT through Arrow per batch; the
+    projection form sends one array column each way and leaves the rest
+    of the row JVM-side, so downstream column pruning works too."""
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
     m_subspaces = len(books)
 
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.IntegerType()))]
-    )
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: "pandas.Series") -> "pandas.Series":
+        import pandas as pd
 
-    def run(batches):
-        for pdf in batches:
-            vecs = pdf[vec_col]
-            mat = np.array(
-                [
-                    v if v is not None and len(v) else [0.0] * (sub * m_subspaces)
-                    for v in vecs
-                ],
-                dtype=np.float64,
+        mat = np.array(
+            [
+                v if v is not None and len(v) else [0.0] * (sub * m_subspaces)
+                for v in vecs
+            ],
+            dtype=np.float64,
+        )
+        codes = np.empty((len(mat), m_subspaces), dtype=np.int64)
+        for m, cents in enumerate(books):
+            Xm = mat[:, m * sub : (m + 1) * sub]
+            d2 = (
+                (Xm**2).sum(1)[:, None]
+                - 2 * Xm @ cents.T
+                + (cents**2).sum(1)[None, :]
             )
-            codes = np.empty((len(mat), m_subspaces), dtype=np.int64)
-            for m, cents in enumerate(books):
-                Xm = mat[:, m * sub : (m + 1) * sub]
-                d2 = (
-                    (Xm**2).sum(1)[:, None]
-                    - 2 * Xm @ cents.T
-                    + (cents**2).sum(1)[None, :]
-                )
-                codes[:, m] = d2.argmin(1)
-            pdf = pdf.copy()
-            pdf[out_col] = [
+            codes[:, m] = d2.argmin(1)
+        return pd.Series(
+            [
                 None if (v is None or not len(v)) else [int(c) for c in row]
                 for v, row in zip(vecs, codes)
             ]
-            yield pdf
+        )
 
-    return df.mapInPandas(run, out_schema)
+    return df.withColumn(out_col, encode(F.col(vec_col)))
 
 
 def pq_topk(
@@ -327,9 +332,20 @@ def pq_topk_reranked(
     Output matches ``similarity.cosine_topk``'s shape: (query_id,
     neighbor_id, cos), ranked by exact cosine.  The corpus float
     vectors are read ONLY for candidate ids via a broadcast semi-join
-    — at 100 TB the re-rank fetch is k*queries rows, not a scan."""
+    — at 100 TB the re-rank fetch is k*queries rows, not a scan.
+
+    The queries frame is evaluated ONCE: the same collected rows feed
+    the ADC stage's driver-built distance tables and, as a
+    LocalRelation, the re-rank's broadcast side — the former plan
+    scanned the (possibly corpus-backed) queries frame twice per
+    call."""
+    from feast_spark.io.localframe import local_df
     from feast_spark.operators.similarity import cosine
 
+    collected = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    query_rows = [(r["qid"], r["qv"]) for r in collected]
     cand = pq_topk(
         codes_df,
         queries,
@@ -339,12 +355,22 @@ def pq_topk_reranked(
         query_id_col=id_col,
         query_vec_col=vec_col,
         k=candidates_per_query,
+        query_rows=query_rows,
     ).select("query_id", "neighbor_id")
     fetched = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     ).join(F.broadcast(cand), on="neighbor_id")
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    q = local_df(
+        queries.sparkSession,
+        query_rows,
+        T.StructType(
+            [
+                T.StructField(
+                    "query_id", queries.schema[id_col].dataType
+                ),
+                T.StructField("__qvec", queries.schema[vec_col].dataType),
+            ]
+        ),
     )
     scored = fetched.join(F.broadcast(q), on="query_id").select(
         "query_id",
