@@ -185,7 +185,9 @@ def dsir_log_weights(
     the former third corpus scan + id join (their null log_ratio rows
     sum to NULL and coalesce to 0.0 exactly as the old left join did).
     One id each — a raw frame with duplicate ids yields one weight row
-    per distinct id (they are indistinguishable feature-wise anyway).
+    per distinct id (they are indistinguishable feature-wise anyway),
+    and NULL-id rows are dropped from the output (they could never be
+    selected downstream anyway: semi-joins never match null keys).
 
     An EMPTY (or all-blank) target fails loudly in-plan
     (``raise_error``, the packing guard discipline): with no target
@@ -278,8 +280,13 @@ def dsir_log_weights(
     # coalesce lands the featureless docs on exactly the 0.0 the old
     # raw-ids left join produced — one corpus scan and one id exchange
     # cheaper (guide §2.2/§5: don't rescan what the plan already holds).
+    # NULL ids are dropped rather than collapsed: groupBy would merge
+    # every NULL-id row into one pseudo-doc whose combined weight could
+    # outrank real docs (and then vanish in any downstream semi-join on
+    # the id — null keys never match).
     return (
-        doc.join(F.broadcast(ratios), "bucket", "left")
+        doc.filter(F.col(id_col).isNotNull())
+        .join(F.broadcast(ratios), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.coalesce(

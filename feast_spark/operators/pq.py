@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from feast_spark.functions.text import sql_ident
 
 
 def _as_matrix(rows) -> np.ndarray:
@@ -233,6 +232,27 @@ def pq_topk(
         ).collect()
         query_rows = [(r["qid"], r["qv"]) for r in collected]
     q_ids = [qid for qid, _ in query_rows]
+    if not q_ids:
+        # empty query batch -> empty top-k (the old code tripped over
+        # a shape-(0,) matrix with a bare IndexError before the dim
+        # guard could fire)
+        from feast_spark.io.localframe import local_df
+
+        return local_df(
+            codes_df.sparkSession,
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", queries.schema[query_id_col].dataType
+                    ),
+                    T.StructField(
+                        "neighbor_id", codes_df.schema[id_col].dataType
+                    ),
+                    T.StructField("adc_dist", T.DoubleType()),
+                ]
+            ),
+        )
     Q = _as_matrix([qv for _, qv in query_rows])
     if Q.shape[1] != sub * m_subspaces:
         raise ValueError("query dim does not match codebooks")
@@ -420,15 +440,24 @@ def ivfpq_topk(
     partition-local top-k, so every query gets exactly k candidates
     from its own probe set (when its probed cells hold >= k rows) —
     identical to plain ``pq_topk`` restricted to those cells, even
-    under cell skew.  No over-fetch, no post-hoc filter join."""
-    from feast_spark.operators.similarity import probe_cells
+    under cell skew.  No over-fetch, no post-hoc filter join.
 
+    The queries frame is evaluated ONCE: a single collect feeds both
+    the driver-side probe (``probe_cells_py``, pinned bit-identical to
+    the expression probe) and the ADC tables via ``query_rows`` — the
+    former plan ran a probe job over the queries frame and then
+    re-evaluated it inside ``pq_topk``'s collect (two evaluations per
+    call, and a nondeterministic frame could pair probe sets from one
+    snapshot with ADC tables from another)."""
+    from feast_spark.operators.similarity import probe_cells_py
+
+    collected = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    query_rows = [(r["qid"], r["qv"]) for r in collected]
     q_probe = {
-        r["qid"]: list(r["cells"])
-        for r in queries.select(
-            F.col(id_col).alias("qid"),
-            probe_cells(sql_ident(vec_col), centroids, n_probe).alias("cells"),
-        ).collect()
+        qid: probe_cells_py(qv, centroids, n_probe)
+        for qid, qv in query_rows
     }
     all_cells = sorted({c for cells in q_probe.values() for c in cells})
     pruned = codes_df.where(F.col(cell_col).isin(all_cells))
@@ -444,6 +473,7 @@ def ivfpq_topk(
         k=k,
         probe_sets=q_probe,
         cell_col=cell_col,
+        query_rows=query_rows,
     )
 
 

@@ -236,3 +236,33 @@ def test_build_corpus_dsir_stage(spark, corpora):
             raw, config=CorpusConfig(min_quality=0.0, min_tokens=0),
             dsir_target_df=target,
         )
+
+
+def test_null_id_rows_are_dropped_not_collapsed(spark, corpora):
+    """NULL-id raw rows must not merge into one pseudo-doc that could
+    out-rank real docs (groupBy collapses null keys): they are dropped
+    from the weights output (r17 review fix; downstream semi-joins
+    could never select them anyway)."""
+    raw, target = corpora
+    with_nulls = raw.union(
+        spark.createDataFrame(
+            [(None, _doc(_B, 1)), (None, _doc(_B, 2))],
+            raw.schema,
+        )
+    )
+    w = dsir_log_weights(
+        with_nulls, target, n_max=N_MAX, n_buckets=N_BUCKETS
+    )
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    # the null rows' FEATURES still count toward the raw histogram
+    # (they are real corpus text, same as before the fix), but no
+    # null-key weight row survives
+    assert None not in got
+    assert set(got) == {r["doc_id"] for r in raw.collect()}
+    assert got[999] == 0.0  # blank doc still indifferent
+    kept = dsir_resample(
+        with_nulls, target, n_docs=50, n_max=N_MAX, n_buckets=N_BUCKETS,
+        seed="s1",
+    )
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert len(ids) == 50 and None not in ids

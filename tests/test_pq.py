@@ -316,3 +316,18 @@ def test_ivfpq_exact_k_under_cell_skew(spark, books):
     cell_of = {r["vec_id"]: r["cell"] for r in cells.collect()}
     for r in by_q[9001]:
         assert cell_of[r["neighbor_id"]] in {1, 2}
+
+
+def test_empty_query_batch_returns_empty_topk(spark, corpus, books):
+    """An empty queries frame yields an empty (query_id, neighbor_id,
+    adc_dist) result instead of the bare numpy IndexError the
+    shape-(0,) query matrix used to raise (r17 review fix)."""
+    codes = pq_encode(corpus, books)
+    empty_q = corpus.where(F.col("vec_id") < 0)
+    out = pq_topk(codes, empty_q, books, k=5)
+    assert out.columns == ["query_id", "neighbor_id", "adc_dist"]
+    assert out.count() == 0
+    from feast_spark.operators.pq import pq_topk_reranked
+
+    reranked = pq_topk_reranked(corpus, codes, empty_q, books, k=5)
+    assert reranked.count() == 0
